@@ -1,13 +1,272 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{Dedup, Relational, Similarity, TextAnalysis}
+import graft.streaming.Streams
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator in SURVEY.md §2 (plus the training-data-pipeline
+  * extensions, §2.11) is registered here as a named query; the ones
+  * whose semantics are ANSI-SQL-expressible carry a DuckDB oracle in
+  * [[oracleSql]] (names + column aliases match exactly — the driver
+  * sorts columns by name and hash-compares values). Hash-dependent
+  * (murmur3/xxhash64) and approximate operators are registered without
+  * an oracle → rows-only check.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's active pipeline shape (csv-tech): IN-list filter →
+    * projection → text-normalization chain (SURVEY §2.2, §2.5).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    TextAnalysis.normalizePipeline(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // — relational core (SURVEY §2.2-§2.8) —
+    "q01_pricing_summary"   -> (Relational.pricingSummary _),
+    "q02_filter_project"    -> (Relational.filterProject _),
+    "q03_revenue_by_nation" -> (Relational.revenueByNation _),
+    "q04_customers_per_region" -> (Relational.customersPerRegion _),
+    "q05_region_supplier_matrix" -> (Relational.regionNationMatrix _),
+    "q06_semi_join"         -> (Relational.semiJoin _),
+    "q07_anti_join"         -> (Relational.antiJoin _),
+    "q08_topk_orders"       -> (Relational.topKOrders _),
+    "q09_latest_order_per_customer" -> (Relational.latestOrderPerCustomer _),
+    "q10_running_supplier_revenue"  -> (Relational.runningSupplierRevenue _),
+    "q11_union_slices"      -> (Relational.unionSlices _),
+    "q12_intersect_keys"    -> (Relational.intersectKeys _),
+    "q13_except_keys"       -> (Relational.exceptKeys _),
+    "q14_rollup_counts"     -> (Relational.rollupCounts _),
+    "q15_cube_counts"       -> (Relational.cubeCounts _),
+    "q16_distinct_customers" -> (Relational.distinctCustomersPerPriority _),
+    "q17_monthly_orders"    -> (Relational.monthlyOrderStats _),
+    "q18_json_extract"      -> (Relational.jsonExtract _),
+    "q19_order_buckets"     -> (Relational.orderSizeBuckets _),
+    "q20_keyed_upsert"      -> (Relational.keyedUpsertLatest _),
+    "q21_above_cust_avg"    -> (Relational.aboveCustomerAverage _),
+    // — text analysis (SURVEY §2.5, §2.11) —
+    "t01_normalize_pipeline" -> (TextAnalysis.normalizePipeline _),
+    "t02_doc_quality"        -> (TextAnalysis.docQuality _),
+    "t03_token_counts"       -> (TextAnalysis.tokenCounts _),
+    "t04_term_frequencies"   -> (TextAnalysis.termFrequencies _),
+    "t05_langid_confusion"   -> (TextAnalysis.langIdConfusion _),
+    "t06_fingerprints"       -> (TextAnalysis.fingerprints _),
+    // — dedup (SURVEY §2.11) —
+    "d01_exact_dedup"        -> (Dedup.exactDedup _),
+    "d02_fingerprint_dedup"  -> (Dedup.fingerprintDedup _),
+    "d03_minhash_lsh"        -> (Dedup.minHashDedup _),
+    "d04_simhash"            -> (Dedup.simHashDedup _),
+    "d05_ngram_jaccard"      -> (Dedup.ngramJaccardDedup _),
+    "d06_embedding_neardup"  -> (Dedup.embeddingNearDup _),
+    // — similarity search (SURVEY §2.11) —
+    "e01_knn_brute"          -> (Similarity.knnBruteForce _),
+    "e02_knn_lsh"            -> (Similarity.knnLsh _),
+    // — event-time / streaming-unified (SURVEY §2.9) —
+    "s01_hourly_type_counts" -> (Streams.hourlyTypeCountsBatch _),
+    "s02_sliding_counts"     -> (Streams.slidingTypeCountsBatch _),
+    "s03_user_sessions"      -> (Streams.userSessionStats _),
+  )
+
+  /** DuckDB-dialect oracle SQL: same table names (parquet fixtures),
+    * same column aliases as the Spark results.
+    */
+  def oracleSql: Map[String, String] = {
+    // the reference punctuation class (csv-tech.conf:30) — identical
+    // byte sequence under Java regex and RE2
+    val norm: String => String = c =>
+      s"""trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(lower($c), '\\r', ' ', 'g'), '&nbsp', ' ', 'g'), '[,*-.:;«»✔➡¿\\\\"·?!()/]', ' ', 'g'), '\\s', ' ', 'g'), ' +', ' ', 'g'))"""
+    val toks: String => String = c => s"string_split(${norm(c)}, ' ')"
+
+    Map(
+      "q01_pricing_summary" ->
+        """SELECT l_returnflag, l_linestatus,
+          | sum(l_quantity) AS sum_qty,
+          | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+          | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+          | sum(l_quantity) / count(*) AS avg_qty,
+          | count(*) AS count_order
+          |FROM lineitem GROUP BY l_returnflag, l_linestatus
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+      "q02_filter_project" ->
+        """SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice
+          |FROM orders
+          |WHERE o_orderpriority IN ('1-URGENT','2-HIGH') AND o_totalprice > 150000.0
+          |ORDER BY o_orderkey""".stripMargin,
+      "q03_revenue_by_nation" ->
+        """SELECT n_name,
+          | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+          | count(*) AS n_items
+          |FROM lineitem
+          | JOIN orders ON l_orderkey = o_orderkey
+          | JOIN customer ON o_custkey = c_custkey
+          | JOIN nation ON c_nationkey = n_nationkey
+          |GROUP BY n_name ORDER BY n_name""".stripMargin,
+      "q04_customers_per_region" ->
+        """SELECT r_name, count(*) AS n_customers,
+          | CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+          |FROM customer
+          | JOIN nation ON c_nationkey = n_nationkey
+          | JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY r_name ORDER BY r_name""".stripMargin,
+      "q05_region_supplier_matrix" ->
+        """SELECT r_name, s_name FROM region CROSS JOIN supplier
+          |ORDER BY r_name, s_name""".stripMargin,
+      "q06_semi_join" ->
+        """SELECT c_mktsegment, count(*) AS n_customers FROM customer
+          |WHERE EXISTS (SELECT 1 FROM orders
+          |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+      "q07_anti_join" ->
+        """SELECT c_custkey, c_name, c_mktsegment FROM customer
+          |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+          |ORDER BY c_custkey""".stripMargin,
+      "q08_topk_orders" ->
+        """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+          |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin,
+      "q09_latest_order_per_customer" ->
+        """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+          | SELECT *, row_number() OVER (PARTITION BY o_custkey
+          |   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+          |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+      "q10_running_supplier_revenue" ->
+        """SELECT l_suppkey, l_orderkey, l_linenumber,
+          | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) OVER (
+          |   PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+          |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_rev,
+          | CAST(lag(CAST(l_extendedprice AS DECIMAL(18,2)), 1) OVER (
+          |   PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS DOUBLE) AS prev_price
+          |FROM lineitem WHERE l_suppkey <= 10
+          |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+      "q11_union_slices" ->
+        """SELECT o_orderstatus, count(*) AS n FROM (
+          | SELECT * FROM orders WHERE o_orderpriority IN ('1-URGENT','2-HIGH')
+          | UNION ALL
+          | SELECT * FROM orders WHERE o_orderpriority NOT IN ('1-URGENT','2-HIGH'))
+          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+      "q12_intersect_keys" ->
+        """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+          |INTERSECT
+          |SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+          |ORDER BY c_custkey""".stripMargin,
+      "q13_except_keys" ->
+        """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+          |EXCEPT
+          |SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+          |ORDER BY c_custkey""".stripMargin,
+      "q14_rollup_counts" ->
+        """SELECT r_name, c_mktsegment, count(*) AS n
+          |FROM customer
+          | JOIN nation ON c_nationkey = n_nationkey
+          | JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY ROLLUP(r_name, c_mktsegment)
+          |ORDER BY r_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""".stripMargin,
+      "q15_cube_counts" ->
+        """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
+          |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+          |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+      "q16_distinct_customers" ->
+        """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_customers,
+          | count(*) AS n_orders
+          |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+      "q17_monthly_orders" ->
+        """SELECT date_trunc('month', o_orderdate) AS month, count(*) AS n_orders,
+          | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+          |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
+      "q18_json_extract" ->
+        """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+          |FROM events WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50
+          |ORDER BY event_id""".stripMargin,
+      "q19_order_buckets" ->
+        """SELECT CASE WHEN o_totalprice < 50000.0 THEN 'small'
+          |  WHEN o_totalprice < 200000.0 THEN 'medium' ELSE 'large' END AS bucket,
+          | count(*) AS n, min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+          |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+      "q20_keyed_upsert" ->
+        """SELECT user_id, event_type, event_id, value FROM (
+          | SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+          |   ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+          |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+      "q21_above_cust_avg" ->
+        """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+          |JOIN (SELECT o_custkey AS k,
+          |   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price
+          |  FROM orders GROUP BY o_custkey) a ON o.o_custkey = a.k
+          |WHERE o_totalprice > avg_price * 1.5
+          |ORDER BY o_orderkey""".stripMargin,
+      "t01_normalize_pipeline" ->
+        s"""SELECT doc_id, lang, ${norm("text")} AS text_norm
+           |FROM documents WHERE lang IN ('en','fr') ORDER BY doc_id""".stripMargin,
+      "t02_doc_quality" ->
+        s"""SELECT doc_id, length(text) AS n_chars,
+           | len(${toks("text")}) AS n_tokens,
+           | CAST(list_aggregate(list_transform(${toks("text")}, t -> length(t)), 'sum') AS DOUBLE)
+           |   / len(${toks("text")}) AS mean_token_len,
+           | CAST(len(list_filter(${toks("text")}, t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS DOUBLE)
+           |   / len(${toks("text")}) AS stopword_ratio
+           |FROM documents ORDER BY doc_id""".stripMargin,
+      "t03_token_counts" ->
+        """SELECT doc_id,
+          | len(string_split(text, ' ')) AS ws_tokens,
+          | len(list_filter(string_split_regex(regexp_replace(text, '([^\sA-Za-z0-9]|\d)', ' \1 ', 'g'), '\s+'), t -> length(t) > 0)) AS bpeish_tokens
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "t04_term_frequencies" ->
+        s"""SELECT term, count(*) AS n FROM (
+           | SELECT unnest(${toks("text")}) AS term FROM documents)
+           |WHERE length(term) > 0
+           |GROUP BY term ORDER BY n DESC, term LIMIT 25""".stripMargin,
+      "t05_langid_confusion" ->
+        s"""SELECT lang, CASE WHEN greatest(h_de,h_en,h_es,h_fr) = 0 THEN 'und'
+           |  WHEN h_fr = greatest(h_de,h_en,h_es,h_fr) THEN 'fr'
+           |  WHEN h_es = greatest(h_de,h_en,h_es,h_fr) THEN 'es'
+           |  WHEN h_en = greatest(h_de,h_en,h_es,h_fr) THEN 'en'
+           |  ELSE 'de' END AS lang_guess, count(*) AS n
+           |FROM (SELECT lang,
+           |  len(list_filter(toks, t -> list_contains(['der','die','das','und','ein','eine','ist','zu','für','mit'], t))) AS h_de,
+           |  len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS h_en,
+           |  len(list_filter(toks, t -> list_contains(['el','la','los','de','y','un','una','es','que','para'], t))) AS h_es,
+           |  len(list_filter(toks, t -> list_contains(['le','la','les','de','des','et','un','une','est','pour'], t))) AS h_fr
+           | FROM (SELECT lang, ${toks("text")} AS toks FROM documents))
+           |GROUP BY lang, lang_guess ORDER BY lang, lang_guess""".stripMargin,
+      "t06_fingerprints" ->
+        s"""SELECT doc_id, md5(${norm("text")}) AS fp
+           |FROM documents ORDER BY doc_id""".stripMargin,
+      "d01_exact_dedup" ->
+        s"""SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
+           |FROM documents GROUP BY ${norm("text")} ORDER BY keeper_id""".stripMargin,
+      // d02 groups by xxhash64(normalized text); with no 64-bit
+      // collisions the groups coincide with the exact text groups.
+      "d02_fingerprint_dedup" ->
+        s"""SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
+           |FROM documents GROUP BY ${norm("text")} ORDER BY keeper_id""".stripMargin,
+      "e01_knn_brute" ->
+        """SELECT qid AS query_id, rank, nid AS neighbor_id FROM (
+          | SELECT q.vec_id qid, e.vec_id nid,
+          |  row_number() OVER (PARTITION BY q.vec_id
+          |    ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id) AS rank
+          | FROM embeddings q, embeddings e
+          | WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id)
+          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+      "s02_sliding_counts" ->
+        """SELECT win_start, event_type, count(*) AS n FROM (
+          | SELECT date_trunc('hour', ts) AS win_start, event_type FROM events
+          | UNION ALL
+          | SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS win_start, event_type FROM events)
+          |GROUP BY win_start, event_type ORDER BY win_start, event_type""".stripMargin,
+      "s01_hourly_type_counts" ->
+        """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+          | count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+          |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+      "s03_user_sessions" ->
+        """SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions,
+          | count(*) AS n_events
+          |FROM (SELECT user_id,
+          |  CASE WHEN lag(ts) OVER w IS NULL
+          |    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+          |  THEN 1 ELSE 0 END AS new_s
+          | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+          |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    )
+  }
 }

@@ -1,0 +1,122 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-normalization + text-analysis scalar functions.
+  *
+  * The normalization chain re-expresses the reference's Logstash `mutate`
+  * filter pipeline (lowercase + gsub chain; see
+  * `logstash/pipeline/csv-tech.conf:24-41` in the reference) as composed
+  * Catalyst expressions — `lower` + chained `regexp_replace` stay inside
+  * WholeStageCodegen, so the whole chain fuses into one generated loop
+  * per partition (the Logstash filter-worker analog, minus the JVM↔Ruby
+  * hop).
+  *
+  * All patterns are written to evaluate identically under Java regex
+  * (Spark) and RE2 (DuckDB oracle): the punctuation class keeps the
+  * reference's literal `*-.` range (codepoints 42-46: `* + , - .`).
+  */
+object TextFns {
+
+  /** Reference punctuation class, `csv-tech.conf:30`. `*-.` is a range
+    * covering `* + , - .`; the rest are literals incl. Unicode `« » ✔ ➡ ¿ ·`.
+    */
+  val PunctClass: String = "[,*-.:;«»✔➡¿\\\\\"·?!()/]"
+
+  /** lowercase (F1, `csv-tech.conf:26-28`). */
+  def lowercased(c: Column): Column = lower(c)
+
+  /** Full normalization chain for description-like fields (F1-F5,
+    * `csv-tech.conf:35-39`): lowercase → CR strip → `&nbsp` strip →
+    * punctuation → whitespace-class → whitespace collapse → trim.
+    */
+  def normalizeText(c: Column): Column = {
+    val lowered = lower(c)
+    val noCr    = regexp_replace(lowered, "\\r", " ")
+    val noNbsp  = regexp_replace(noCr, "&nbsp", " ")
+    val noPunct = regexp_replace(noNbsp, PunctClass, " ")
+    val noWs    = regexp_replace(noPunct, "\\s", " ")
+    trim(regexp_replace(noWs, " +", " "))
+  }
+
+  /** Whitespace tokenizer over normalized text. */
+  def tokens(c: Column): Column = split(c, " ")
+
+  /** Token count (whitespace tokenization). */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword-boundary token count: splits on whitespace AND
+    * letter/digit/punct boundaries, approximating an LLM tokenizer's
+    * granularity without a vocab. Deterministic, codegen-friendly.
+    */
+  def bpeishTokenCount(c: Column): Column =
+    size(filter(
+      split(regexp_replace(c, "([^\\sA-Za-z0-9]|\\d)", " $1 "), "\\s+"),
+      t => length(t) > 0))
+
+  /** Character n-gram shingles (n consecutive characters), for MinHash /
+    * Jaccard dedup. Returns array<string> of all n-length substrings.
+    */
+  def charShingles(c: Column, n: Int): Column = {
+    val idx = sequence(lit(1), greatest(length(c) - (n - 1), lit(1)))
+    array_distinct(transform(idx, i => c.substr(i, lit(n))))
+  }
+
+  /** Word n-gram shingles over a token array. */
+  def wordShingles(toks: Column, n: Int): Column = {
+    val idx = sequence(lit(1), greatest(size(toks) - (n - 1), lit(1)))
+    array_distinct(transform(idx, i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** Stopword ratio: fraction of tokens in `stop`. */
+  def stopwordRatio(toks: Column, stop: Seq[String]): Column = {
+    val stops = array(stop.map(lit): _*)
+    when(size(toks) > 0,
+      size(filter(toks, t => array_contains(stops, t))).cast("double") / size(toks))
+      .otherwise(lit(0.0))
+  }
+
+  /** Punctuation-character ratio of raw text. */
+  def punctRatio(c: Column): Column =
+    when(length(c) > 0,
+      (length(c) - length(regexp_replace(c, "[,*-.:;«»¿\\\\\"·?!()/]", ""))).cast("double")
+        / length(c)).otherwise(lit(0.0))
+
+  /** Mean token length. */
+  def meanTokenLen(toks: Column): Column =
+    when(size(toks) > 0,
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+      .otherwise(lit(0.0))
+
+  /** Heuristic language ID from stopword hit counts per language; returns
+    * the language code with the most stopword hits, 'und' when none hit.
+    * An n-gram-free heuristic that distributes trivially (pure per-row
+    * expression, no shuffle, no model broadcast).
+    */
+  val langStopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "fr" -> Seq("le", "la", "les", "de", "des", "et", "un", "une", "est", "pour"),
+    "es" -> Seq("el", "la", "los", "de", "y", "un", "una", "es", "que", "para"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "eine", "ist", "zu", "für", "mit"))
+
+  def langId(toks: Column): Column = {
+    val scored = langStopwords.toSeq.sortBy(_._1).map { case (code, words) =>
+      val ws = array(words.map(lit): _*)
+      struct(size(filter(toks, t => array_contains(ws, t))).as("hits"),
+             lit(code).as("code"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("hits") > 0, best.getField("code")).otherwise(lit("und"))
+  }
+
+  /** Content fingerprint of normalized text: md5 hex (exact dedup key that
+    * survives re-ordering of ingestion batches; stable across engines).
+    */
+  def fingerprintMd5(c: Column): Column = md5(normalizeText(c).cast("binary"))
+
+  /** 64-bit rolling-hash-style fingerprint (xxhash64 of normalized text) —
+    * cheaper join key than md5 for billion-row dedup.
+    */
+  def fingerprint64(c: Column): Column = xxhash64(normalizeText(c))
+}

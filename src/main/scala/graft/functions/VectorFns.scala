@@ -1,0 +1,140 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.GraftColumnBridge
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Embedding-vector kernels over `array<float>` columns.
+  *
+  * Two implementations of each kernel:
+  *  - a custom Catalyst `Expression` with `doGenCode` (a tight primitive
+  *    loop inside WholeStageCodegen — no per-element boxing, no lambda
+  *    dispatch). This is the hot path for 100 TB similarity scans.
+  *  - a composed higher-order-function form (`zip_with` + `aggregate`)
+  *    kept as the reference implementation for property tests.
+  *
+  * All accumulation is sequential in double precision so results are
+  * bit-identical to a straightforward double-precision oracle.
+  */
+object VectorFns {
+
+  /** dot(a, b) over array<float> → double; codegen'd primitive loop. */
+  case class DotProductF32(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "dot_f32"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+      s
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val s = ctx.freshName("s")
+        val i = ctx.freshName("i")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $s += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+           |}
+           |${ev.value} = $s;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** cosine(a, b) over array<float> → double, single fused pass (dot and
+    * both norms in one loop — one array traversal instead of three).
+    * Returns 0.0 when either vector has zero norm.
+    */
+  case class CosineSimF32(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "cosine_f32"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val xv = x.getFloat(i).toDouble
+        val yv = y.getFloat(i).toDouble
+        dot += xv * yv; na += xv * xv; nb += yv * yv
+        i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0
+      else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n"); val i = ctx.freshName("i")
+        val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+        val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $xv = (double) $a.getFloat($i);
+           |  double $yv = (double) $b.getFloat($i);
+           |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+           |}
+           |${ev.value} = ($na == 0.0 || $nb == 0.0)
+           |  ? 0.0 : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def dot(a: Column, b: Column): Column =
+    GraftColumnBridge.column(DotProductF32(GraftColumnBridge.expression(a),
+                                           GraftColumnBridge.expression(b)))
+
+  def cosineSim(a: Column, b: Column): Column =
+    GraftColumnBridge.column(CosineSimF32(GraftColumnBridge.expression(a),
+                                          GraftColumnBridge.expression(b)))
+
+  /** Reference implementation via higher-order functions (for tests). */
+  def dotHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2NormHof(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+
+  def cosineSimHof(a: Column, b: Column): Column = {
+    val d = dotHof(a, b)
+    val n = l2NormHof(a) * l2NormHof(b)
+    when(n === 0.0, 0.0).otherwise(d / n)
+  }
+
+  /** Random-hyperplane signature bit: sign of dot(v, plane) — building
+    * block for SimHash-style LSH over embeddings. Planes are generated
+    * deterministically from a seed on the driver and inlined as literals
+    * (tiny; no broadcast needed).
+    */
+  def hyperplaneBit(v: Column, plane: Array[Float]): Column =
+    (dot(v, array(plane.map(lit(_)): _*).cast(ArrayType(FloatType))) >= 0.0).cast("int")
+}

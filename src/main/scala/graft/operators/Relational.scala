@@ -1,0 +1,278 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DecimalType, FloatType}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** The relational operator surface (SURVEY.md §2.2-§2.8) expressed as
+  * named query builders over the fixture tables.
+  *
+  * Design rules applied throughout:
+  *  - money arithmetic is done in `decimal(18,2)` (exact — the fixture
+  *    values are 2-decimal) and only the *final* aggregate is cast to
+  *    double, so results are bit-identical to any exact-arithmetic oracle
+  *    regardless of partial-aggregation order at any scale;
+  *  - every query ends in a deterministic `orderBy` over a unique key so
+  *    row order is reproducible;
+  *  - dimension joins are explicitly `broadcast()` (region/nation/
+  *    supplier-sized sides), fact-fact joins are left to Catalyst/AQE —
+  *    at 100 TB those become sort-merge on the join key, which is the
+  *    right plan;
+  *  - filters/projections are applied directly on the scan so Catalyst
+  *    pushes them into parquet (`PushedFilters`/`ReadSchema`).
+  */
+object Relational {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** A2/A4: grouped pricing summary over lineitem (partial+final hash agg;
+    * map-side combine makes this shuffle-light at any scale).
+    */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** P1+P2: projection + IN-list predicate, pushed to the parquet scan
+    * (the reference's `_source` + `terms` query, `csv-tech.conf:13-17`).
+    */
+  def filterProject(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH") &&
+        col("o_totalprice") > 150000.0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+
+  /** J1+A2: revenue per nation — fact⋈fact shuffle join (orders⋈lineitem)
+    * then broadcast dim joins (customer is mid-size: Catalyst/AQE decides;
+    * nation is broadcast explicitly).
+    */
+  def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o  = Tables.orders(spark, dir)
+    val c  = Tables.customer(spark, dir)
+    val n  = Tables.nation(spark, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"))
+  }
+
+  /** J1: dim⋈dim broadcast chain (the reference's departement⋈region
+    * nested-loop, `ingestion-elasticsearch.py:148`).
+    */
+  def customersPerRegion(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_customers"),
+           sum(dec(col("c_acctbal"))).cast("double").as("sum_acctbal"))
+      .orderBy(col("r_name"))
+  }
+
+  /** J2: cross join (the reference's departement×métier fetch matrix,
+    * `ingestion-elasticsearch.py:180-181`). Dim×dim only — never a fact.
+    */
+  def regionNationMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(spark, dir).select(col("r_name"))
+    val s = Tables.supplier(spark, dir).select(col("s_name"))
+    r.crossJoin(broadcast(s)).orderBy(col("r_name"), col("s_name"))
+  }
+
+  /** Left-semi join: customers having at least one urgent order. */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).filter(col("o_orderpriority") === "1-URGENT")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Left-anti join: customers with no orders at all. */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** §2.6 top-k: orderBy+limit plans as TakeOrderedAndProject (per-
+    * partition heap + driver merge — no global sort, no full shuffle).
+    */
+  def topKOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(25)
+
+  /** §2.8 ranking window: most recent order per customer (the "top-N per
+    * group" shape; one shuffle on the partition key).
+    */
+  def latestOrderPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** §2.8 analytic window: running revenue per supplier over ship date
+    * (frame = unbounded preceding..current row), plus lag delta.
+    */
+  def runningSupplierRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(spark, dir)
+      .filter(col("l_suppkey") <= 10)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate"), dec(col("l_extendedprice")).as("price_d"))
+      .withColumn("running_rev", sum(col("price_d")).over(wRun).cast("double"))
+      .withColumn("prev_price", lag(col("price_d"), 1).over(w).cast("double"))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("running_rev"), col("prev_price"))
+      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** §2.7 set ops: union of two disjoint priority slices (the reference's
+    * union-of-page-batches S4), then distinct count by status.
+    */
+  def unionSlices(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val hi = o.filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+    val lo = o.filter(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+    hi.unionByName(lo)
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** §2.7: intersect — customer keys present in both BUILDING and urgent-
+    * order populations.
+    */
+  def intersectKeys(spark: SparkSession, dir: String): DataFrame = {
+    val building = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("c_custkey"))
+    building.intersect(urgent).orderBy(col("c_custkey"))
+  }
+
+  /** §2.7: except — BUILDING customers that never placed an urgent order. */
+  def exceptKeys(spark: SparkSession, dir: String): DataFrame = {
+    val building = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("c_custkey"))
+    building.except(urgent).orderBy(col("c_custkey"))
+  }
+
+  /** §2.4: ROLLUP over (region, mktsegment) — hierarchical subtotals. */
+  def rollupCounts(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .rollup(col("r_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("r_name").asc_nulls_first, col("c_mktsegment").asc_nulls_first)
+  }
+
+  /** §2.4: CUBE over (returnflag, linestatus). */
+  def cubeCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** §2.4: exact distinct aggregation (countDistinct plans expand+two-
+    * phase agg; exact — the approx variant is a separate rows-only query).
+    */
+  def distinctCustomersPerPriority(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("n_customers"),
+           count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+
+  /** A4: Kibana-style date histogram — monthly order counts + exact
+    * revenue (date_trunc month; group-by-time-bucket, not a SQL window).
+    */
+  def monthlyOrderStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+           sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
+      .orderBy(col("month"))
+
+  /** F11: JSON extraction from the events props payload. */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .filter(col("k") >= 50)
+      .orderBy(col("event_id"))
+
+  /** CASE/conditional expression + multi-way agg (F-series scalar surface). */
+  def orderSizeBuckets(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .withColumn("bucket",
+        when(col("o_totalprice") < 50000.0, "small")
+          .when(col("o_totalprice") < 200000.0, "medium")
+          .otherwise("large"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+           min(col("o_totalprice")).as("min_price"),
+           max(col("o_totalprice")).as("max_price"))
+      .orderBy(col("bucket"))
+
+  /** S6 analog: keyed upsert — latest event per (user_id, event_type) key
+    * (dedup-by-key keeping the newest, the `_id` bulk-upsert semantics).
+    */
+  def keyedUpsertLatest(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  /** Correlated-scalar-subquery shape: orders above their customer's
+    * average order value (decorrelated by Catalyst into a join on the
+    * grouped aggregate — no per-row subquery execution).
+    */
+  def aboveCustomerAverage(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val avgByCust = o.groupBy(col("o_custkey").as("k"))
+      .agg((sum(dec(col("o_totalprice"))).cast("double") / count(lit(1))).as("avg_price"))
+    o.join(avgByCust, o("o_custkey") === avgByCust("k"))
+      .filter(col("o_totalprice") > col("avg_price") * 1.5)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+}

@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.VectorFns
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two paths:
+  *  - `bruteForceTopK` — exact cosine top-k. The query set is broadcast
+  *    (small side), so the "cross join" is a broadcast nested loop over
+  *    the corpus scan: one pass, no shuffle of the corpus, per-query
+  *    heap via TakeOrdered-style window ranking. This is the oracle and
+  *    is the right plan whenever |queries| is small.
+  *  - `lshTopK` — random-hyperplane LSH: corpus and queries signed into
+  *    multi-probe band buckets; candidates joined on bucket key; exact
+  *    cosine re-ranks candidates. Scale path: corpus shuffles once on
+  *    bucket key (bounded buckets), never O(n²).
+  */
+object Similarity {
+
+  /** Exact top-k neighbors for each query vector. `queries` must be
+    * small (it is broadcast).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", VectorFns.cosineSim(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Flagship ANN query: exact top-5 neighbors for the first 10 vectors. */
+  def knnBruteForce(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    bruteForceTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+  }
+
+  /** LSH-bucketed ANN: `bands` independent hyperplane signatures of
+    * `bitsPerBand` bits each (multi-probe: a pair is a candidate if ANY
+    * band matches). Candidates re-ranked by exact cosine; recall grows
+    * with bands, cost with bucket collision rate.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, dim: Int, k: Int,
+              bands: Int = 8, bitsPerBand: Int = 8, seed: Long = 42L): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    def signature(): org.apache.spark.sql.Column = {
+      val planes = Array.fill(bitsPerBand)(Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat))
+      planes.zipWithIndex.map { case (p, i) =>
+        VectorFns.hyperplaneBit(col("v"), p) * (1 << i)
+      }.reduce(_ + _)
+    }
+    val bandCols = (0 until bands).map(b => struct(lit(b).as("band"), signature().as("bkey")))
+
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("v"))
+      .select(col("neighbor_id"), col("v").as("c_vec"),
+        explode(array(bandCols: _*)).as("bb"))
+      .select(col("neighbor_id"), col("c_vec"),
+        col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("v"))
+      .select(col("query_id"), col("v").as("q_vec"),
+        explode(array(bandCols: _*)).as("bb"))
+      .select(col("query_id"), col("q_vec"),
+        col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+
+    val candidates = c.join(q, Seq("band", "bkey"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("q_vec"), col("neighbor_id"), col("c_vec"))
+      .dropDuplicates("query_id", "neighbor_id")
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    candidates
+      .withColumn("cos", VectorFns.cosineSim(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def knnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    lshTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+      dim = 64, k = 5)
+  }
+}

@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFns._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Text-analysis operators over the `documents` fixture — the engine's
+  * re-expression of the reference's text-normalization pipelines
+  * (`logstash/pipeline/csv-tech.conf`) plus the LLM-data-pipeline text
+  * metrics (language-ID, quality scoring, token counting, fingerprinting).
+  *
+  * Everything here is a pure per-row expression chain (no UDFs, no
+  * shuffles except the final aggregations), so it scales linearly with
+  * input splits and stays inside WholeStageCodegen.
+  */
+object TextAnalysis {
+
+  val enStopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+
+  /** The csv-tech pipeline shape over documents: IN-list filter +
+    * projection + normalization chain (P1+P2+F1-F5), deterministic order.
+    */
+  def normalizePipeline(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("lang").isin("en", "fr"))
+      .select(col("doc_id"), col("lang"), normalizeText(col("text")).as("text_norm"))
+      .orderBy(col("doc_id"))
+
+  /** Per-document quality metrics: token count, mean token length,
+    * stopword ratio, char count — the length/punct/stopword quality
+    * signals of a training-data filter.
+    */
+  def docQuality(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(normalizeText(col("text")))
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        size(toks).as("n_tokens"),
+        meanTokenLen(toks).as("mean_token_len"),
+        stopwordRatio(toks, enStopwords).as("stopword_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Whitespace + BPE-ish token counts per document. */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        tokenCount(col("text")).as("ws_tokens"),
+        bpeishTokenCount(col("text")).as("bpeish_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** Corpus term frequencies: explode tokens → count — top 25 terms.
+    * explode + partial agg: the shuffle carries one row per *distinct*
+    * (partition, term), not per token occurrence.
+    */
+  def termFrequencies(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(tokens(normalizeText(col("text")))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term"))
+      .limit(25)
+
+  /** Heuristic language-ID vs the labelled lang column: per-language
+    * accuracy-ish confusion counts.
+    */
+  def langIdConfusion(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), langId(tokens(normalizeText(col("text")))).as("lang_guess"))
+      .groupBy(col("lang"), col("lang_guess")).agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("lang_guess"))
+
+  /** Document fingerprints (md5 of normalized text) — the exact-dedup /
+    * provenance key.
+    */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), fingerprintMd5(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+}

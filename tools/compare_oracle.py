@@ -1,0 +1,99 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/compare_oracle.py <sfDir> <verifyOutDir>
+
+For each query dumped by graft.Verify:
+  - if it has oracle SQL: run the SQL in DuckDB over views named after
+    the parquet fixture tables, load both results, sort columns by name,
+    sort rows, compare values (exact for non-floats; exact-then-1e-9
+    report for floats so we can see WHERE mismatches come from).
+  - else: rows-only check (>0 rows).
+"""
+import json, sys, math
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df):
+        df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df.reset_index(drop=True)
+
+def norm_cell(v):
+    if isinstance(v, float):
+        return v
+    if hasattr(v, "timestamp"):  # datetime-like
+        return pd.Timestamp(v).floor("us")
+    if isinstance(v, (np.integer,)):
+        return int(v)
+    try:
+        import decimal
+        if isinstance(v, decimal.Decimal):
+            return float(v)
+    except Exception:
+        pass
+    return v
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    import glob, os
+    results = {}
+    names = [os.path.basename(p) for p in sorted(glob.glob(f"{out_dir}/*")) if os.path.isdir(p)]
+    for name in names:
+        try:
+            got = pd.read_parquet(f"{out_dir}/{name}")
+        except Exception as e:
+            results[name] = f"NO-SPARK-OUTPUT {e}"
+            continue
+        if name not in oracle:
+            results[name] = f"ROWS-ONLY rows={len(got)}" + (" OK" if len(got) > 0 else " EMPTY!")
+            continue
+        try:
+            exp = con.execute(oracle[name]).df()
+        except Exception as e:
+            results[name] = f"ORACLE-SQL-ERROR {e}"
+            continue
+        g, e = canon(got), canon(exp)
+        if list(g.columns) != list(e.columns):
+            results[name] = f"SCHEMA-MISMATCH spark={list(g.columns)} duck={list(e.columns)}"
+            continue
+        if len(g) != len(e):
+            results[name] = f"ROWCOUNT-MISMATCH spark={len(g)} duck={len(e)}"
+            continue
+        bad = []
+        for c in g.columns:
+            gv = [norm_cell(x) for x in g[c].tolist()]
+            ev = [norm_cell(x) for x in e[c].tolist()]
+            exact = all((a == b) or (a is None and b is None)
+                        or (isinstance(a, float) and isinstance(b, float)
+                            and (a == b or (math.isnan(a) and math.isnan(b))))
+                        for a, b in zip(gv, ev))
+            if not exact:
+                # distinguish float-noise from real mismatch
+                try:
+                    close = all(
+                        (a == b) or
+                        (isinstance(a, float) and isinstance(b, float) and
+                         abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b)))
+                        for a, b in zip(gv, ev))
+                except TypeError:
+                    close = False
+                first = next((i, a, b) for i, (a, b) in enumerate(zip(gv, ev)) if a != b)
+                bad.append((c, "CLOSE" if close else "FAR", first))
+        results[name] = "OK" if not bad else f"VALUE-MISMATCH {bad[:3]}"
+    n_ok = sum(1 for v in results.values() if v == "OK" or v.startswith("ROWS-ONLY rows=") and v.endswith("OK"))
+    for name in sorted(results):
+        print(f"{results[name].split()[0]:>20}  {name}: {results[name]}")
+    print(f"\n{n_ok}/{len(results)} green")
+
+if __name__ == "__main__":
+    main()
