@@ -13,6 +13,13 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup on the smallest fixture: JIT + codegen + parquet
+    // footer caches, so the first timed query doesn't absorb JVM startup.
+    try {
+      SparkEntry.queries.foreach { case (_, fn) =>
+        fn(spark, "/root/testdata/sf0.001").count()
+      }
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

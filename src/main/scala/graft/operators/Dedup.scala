@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.TextFns._
-import graft.functions.VectorFns
+import graft.functions.{HashFns, VectorFns}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -42,20 +42,33 @@ object Dedup {
       .select(col("keeper_id"), col("n_copies"))
       .orderBy(col("keeper_id"))
 
-  /** MinHash signature as a pure expression: for seed i, sig[i] =
-    * min over shingles of murmur3(shingle, seed=i). No explode, no
-    * shuffle — one array traversal per seed.
+  /** LSH candidate-pair generation from a (id, sig array<long>) frame:
+    * band the signature, shuffle ONLY (band, bkey, id) — never the
+    * payload (shingle sets / vectors stay out of the LSH shuffle; at
+    * 100 TB that is the difference between shuffling 8×|corpus| ids and
+    * 8×|corpus| documents). Payloads are re-joined by id afterwards.
     */
-  def minhashSignature(shingles: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { i =>
-      array_min(transform(shingles, s => hash(s, lit(i))))
-    }: _*)
+  private[graft] def lshCandidates(sig: DataFrame, bands: Int, rows: Int): DataFrame = {
+    val banded = sig.select(col("id"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+                 hash(slice(col("sig"), b * rows + 1, rows)).as("bkey"))
+        }: _*)).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bkey").as("bkey"), col("id"))
+    val a = banded.select(col("band"), col("bkey"), col("id").as("doc_a"))
+    val b = banded.select(col("band"), col("bkey"), col("id").as("doc_b"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+  }
 
   /** MinHash+LSH near-duplicate pairs.
     *
-    * shingle → minhash(numHashes) → band into `bands` groups of
-    * `numHashes/bands` rows → candidates = pairs sharing a band bucket →
-    * verified by exact Jaccard over shingle sets.
+    * One-pass minhash signature (custom expression, byte 5-gram
+    * shingles) → band → candidates = pairs sharing a band bucket →
+    * verified by exact Jaccard over char-shingle sets (payload joined
+    * back by id).
     *
     * Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold.
     */
@@ -63,30 +76,37 @@ object Dedup {
                       shingleLen: Int = 5, numHashes: Int = 32, bands: Int = 8,
                       threshold: Double = 0.6): DataFrame = {
     val rows = numHashes / bands
-    val sig = docs.select(
-      col(idCol).as("id"),
-      charShingles(normalizeText(col(textCol)), shingleLen).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val base = docs.select(col(idCol).as("id"),
+      normalizeText(col(textCol)).as("text_norm"))
+    // sig feeds four plan branches (both sides of the band self-join + the
+    // two prefilter joins): persist so normalize+minhash run once, not
+    // four times. At cluster scale this is the standard
+    // persist-signatures step of a MinHash pipeline.
+    val sig = base.select(col("id"),
+      HashFns.minhashSig(col("text_norm"), shingleLen, numHashes).as("sig"))
+      .persist()
+    // sorted shingle sets → exact jaccard is a single merge pass
+    val shingled = base.select(col("id"),
+      array_sort(charShingles(col("text_norm"), shingleLen)).as("sh"))
 
-    // band key: hash of the band's slice of the signature
-    val banded = sig.select(col("id"), col("sh"),
-        explode(array((0 until bands).map { b =>
-          struct(lit(b).as("band"),
-                 hash(slice(col("sig"), b * rows + 1, rows)).as("bkey"))
-        }: _*)).as("bb"))
-      .select(col("id"), col("sh"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    // Cheap signature-estimate prefilter (fraction of matching minhash
+    // components ≈ jaccard, σ≈1/√k): kills the low-similarity bulk of
+    // the candidate set before the expensive exact set comparison.
+    // Margin 0.2 ≈ 2.3σ below threshold → <1% missed true pairs.
+    val prefiltered = lshCandidates(sig, bands, rows)
+      .join(sig.select(col("id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sig.select(col("id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .withColumn("est",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => (x === y).cast("int")),
+          lit(0), (acc, v) => acc + v).cast("double") / numHashes)
+      .filter(col("est") >= threshold - 0.2)
+      .select(col("doc_a"), col("doc_b"))
 
-    val a = banded.select(col("band"), col("bkey"), col("id").as("doc_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("bkey"), col("id").as("doc_b"), col("sh").as("sh_b"))
-    val candidates = a.join(b, Seq("band", "bkey"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
-      .dropDuplicates("doc_a", "doc_b")
-
-    candidates
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-        size(array_union(col("sh_a"), col("sh_b"))))
+    prefiltered
+      .join(shingled.select(col("id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(shingled.select(col("id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("jaccard", HashFns.jaccardSorted(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -102,7 +122,8 @@ object Dedup {
 
   /** SimHash near-dup pairs: band the 64-bit signature into 4×16-bit
     * chunks (any pair within Hamming distance 3 shares ≥1 exact chunk —
-    * pigeonhole), then verify with bit_count(xor) <= maxHamming.
+    * pigeonhole), then verify with bit_count(xor) <= maxHamming. The
+    * signature is 8 bytes, so it rides along in the band shuffle.
     */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
@@ -134,23 +155,29 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.4): DataFrame = {
-    val withShingles = docs.select(
-      col(idCol).as("id"),
-      wordShingles(tokens(normalizeText(col(textCol))), n).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), 16))
-    val banded = withShingles.select(col("id"), col("sh"),
-      explode(array((0 until 4).map { b =>
-        struct(lit(b).as("band"), hash(slice(col("sig"), b * 4 + 1, 4)).as("bkey"))
-      }: _*)).as("bb"))
-      .select(col("id"), col("sh"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-    val a = banded.select(col("band"), col("bkey"), col("id").as("doc_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("bkey"), col("id").as("doc_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "bkey"))
-      .filter(col("doc_a") < col("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-        size(array_union(col("sh_a"), col("sh_b"))))
+    val base = docs.select(col(idCol).as("id"),
+      tokens(normalizeText(col(textCol))).as("toks"))
+    val numHashes = 16
+    val sig = base.select(col("id"),
+      HashFns.minhashWordSig(col("toks"), n, numHashes).as("sig"))
+      .persist()
+    val shingled = base.select(col("id"),
+      array_sort(wordShingles(col("toks"), n)).as("sh"))
+
+    val prefiltered = lshCandidates(sig, bands = 4, rows = 4)
+      .join(sig.select(col("id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sig.select(col("id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .withColumn("est",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => (x === y).cast("int")),
+          lit(0), (acc, v) => acc + v).cast("double") / numHashes)
+      .filter(col("est") >= threshold - 0.25)
+      .select(col("doc_a"), col("doc_b"))
+
+    prefiltered
+      .join(shingled.select(col("id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(shingled.select(col("id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("jaccard", HashFns.jaccardSorted(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -167,7 +194,7 @@ object Dedup {
     */
   def embeddingNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                             dim: Int, threshold: Double = 0.95,
-                            bands: Int = 16, bitsPerBand: Int = 6,
+                            bands: Int = 8, bitsPerBand: Int = 6,
                             seed: Long = 42L): DataFrame = {
     val rnd = new scala.util.Random(seed)
     val bandCols = (0 until bands).map { b =>
@@ -177,14 +204,17 @@ object Dedup {
       }.reduce(_ + _)
       struct(lit(b).as("band"), sigBits.as("bkey"))
     }
-    val sig = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .select(col("id"), col("v"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("id"), col("v"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-    val a = sig.select(col("band"), col("bkey"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = sig.select(col("band"), col("bkey"), col("id").as("id_b"), col("v").as("v_b"))
+    val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val sig = vecs
+      .select(col("id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bkey").as("bkey"), col("id"))
+    val a = sig.select(col("band"), col("bkey"), col("id").as("id_a"))
+    val b = sig.select(col("band"), col("bkey"), col("id").as("id_b"))
     a.join(b, Seq("band", "bkey"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
+      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
       .withColumn("cos", VectorFns.cosineSim(col("v_a"), col("v_b")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))

@@ -62,25 +62,27 @@ object Similarity {
     }
     val bandCols = (0 until bands).map(b => struct(lit(b).as("band"), signature().as("bkey")))
 
+    // band on ids only — vectors never enter the LSH shuffle; they are
+    // re-joined by id for the exact re-rank (query side broadcastable).
+    val cVecs = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val qVecs = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("v"))
-      .select(col("neighbor_id"), col("v").as("c_vec"),
-        explode(array(bandCols: _*)).as("bb"))
-      .select(col("neighbor_id"), col("c_vec"),
-        col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      .select(col("neighbor_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("neighbor_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("v"))
-      .select(col("query_id"), col("v").as("q_vec"),
-        explode(array(bandCols: _*)).as("bb"))
-      .select(col("query_id"), col("q_vec"),
-        col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      .select(col("query_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("query_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
 
-    val candidates = c.join(q, Seq("band", "bkey"))
+    val candidates = c.join(broadcast(q), Seq("band", "bkey"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("q_vec"), col("neighbor_id"), col("c_vec"))
+      .select(col("query_id"), col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     candidates
+      .join(broadcast(qVecs), "query_id")
+      .join(cVecs, "neighbor_id")
       .withColumn("cos", VectorFns.cosineSim(col("q_vec"), col("c_vec")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

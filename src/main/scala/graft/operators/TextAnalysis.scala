@@ -32,17 +32,19 @@ object TextAnalysis {
     * stopword ratio, char count — the length/punct/stopword quality
     * signals of a training-data filter.
     */
-  def docQuality(spark: SparkSession, dir: String): DataFrame = {
-    val toks = tokens(normalizeText(col("text")))
+  def docQuality(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
+      // project the token array once; the metric expressions share it
+      // instead of re-running normalize+split per metric
+      .select(col("doc_id"), length(col("text")).as("n_chars"),
+        tokens(normalizeText(col("text"))).as("toks"))
       .select(
         col("doc_id"),
-        length(col("text")).as("n_chars"),
-        size(toks).as("n_tokens"),
-        meanTokenLen(toks).as("mean_token_len"),
-        stopwordRatio(toks, enStopwords).as("stopword_ratio"))
+        col("n_chars"),
+        size(col("toks")).as("n_tokens"),
+        meanTokenLen(col("toks")).as("mean_token_len"),
+        stopwordRatio(col("toks"), enStopwords).as("stopword_ratio"))
       .orderBy(col("doc_id"))
-  }
 
   /** Whitespace + BPE-ish token counts per document. */
   def tokenCounts(spark: SparkSession, dir: String): DataFrame =
@@ -69,7 +71,8 @@ object TextAnalysis {
     */
   def langIdConfusion(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("lang"), langId(tokens(normalizeText(col("text")))).as("lang_guess"))
+      .select(col("lang"), tokens(normalizeText(col("text"))).as("toks"))
+      .select(col("lang"), langId(col("toks")).as("lang_guess"))
       .groupBy(col("lang"), col("lang_guess")).agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("lang_guess"))
 
