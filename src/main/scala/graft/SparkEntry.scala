@@ -120,7 +120,8 @@ object SparkEntry {
           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
       "q07_anti_join" ->
         """SELECT c_custkey, c_name, c_mktsegment FROM customer
-          |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+          |WHERE NOT EXISTS (SELECT 1 FROM orders
+          |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
           |ORDER BY c_custkey""".stripMargin,
       "q08_topk_orders" ->
         """SELECT o_orderkey, o_custkey, o_totalprice FROM orders

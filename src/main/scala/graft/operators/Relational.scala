@@ -106,10 +106,10 @@ object Relational {
       .orderBy(col("c_mktsegment"))
   }
 
-  /** Left-anti join: customers with no orders at all. */
+  /** Left-anti join: customers who never placed an urgent order. */
   def antiJoin(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
-    val o = Tables.orders(spark, dir)
+    val o = Tables.orders(spark, dir).filter(col("o_orderpriority") === "1-URGENT")
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
       .orderBy(col("c_custkey"))

@@ -1,0 +1,258 @@
+package graft.sources
+
+import java.util
+import java.util.concurrent.ConcurrentHashMap
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.sources.AdaptivePlanner._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 adaptive REST-search source (SURVEY §2.1 S1-S5, §4).
+  *
+  * Re-expresses the reference ingester (`ingestion-elasticsearch.py`) as
+  * a Spark source:
+  *  - planning (driver side): count-probe → recursive region →
+  *    departement → departement×métier split → one `InputPartition` per
+  *    page range ([[AdaptivePlanner]]); overflowed leaves are recorded,
+  *    not silently dropped;
+  *  - execution (task side): each [[OffresPartitionReader]] pulls its
+  *    page with its round-robin-assigned credential (S1/F13) and
+  *    sleep-retries on rate limiting (S5); Spark task retry is the
+  *    outer guard;
+  *  - pushdown: `SupportsPushDownFilters` maps equality/IN predicates on
+  *    region/departement/romeCode into the fetch filter (P4 — the
+  *    reference pushes them into the query URL);
+  *    `SupportsPushDownRequiredColumns` prunes the projected schema (P1,
+  *    the `_source` list).
+  *
+  * The API client is looked up in [[OffresApiRegistry]] by the `api`
+  * option — tests register an in-memory fake; a production deployment
+  * registers an HTTP client built from endpoint/credential options (in
+  * `local[*]` and in tests the registry lives in the shared JVM; on a
+  * real cluster the client must be constructible executor-side from the
+  * serialized options, which is why every option is a plain string).
+  *
+  * Usage: `spark.read.format("graft.sources.OffresSource")
+  *   .option("api", key).option("tokens", "t1,t2").load()`.
+  */
+trait OffresApi extends Serializable {
+  /** Count probe for a filter (A1/A2; `Content-Range` total). */
+  def count(filter: FetchFilter): Long
+  /** Fetch one page; may throw [[RateLimitedException]] (HTTP 429). */
+  def fetch(filter: FetchFilter, range: PageRange, token: String): Seq[String]
+  /** Référentiel dimension fetch (S2): regions/departements/metiers. */
+  def referentiel(name: String): Seq[String]
+}
+
+/** HTTP 429 with Retry-After. */
+class RateLimitedException(val retryAfterMs: Long)
+  extends RuntimeException(s"rate limited, retry after ${retryAfterMs}ms")
+
+object OffresApiRegistry {
+  private val apis = new ConcurrentHashMap[String, OffresApi]()
+  def register(key: String, api: OffresApi): Unit = apis.put(key, api)
+  def get(key: String): OffresApi =
+    Option(apis.get(key)).getOrElse(
+      throw new IllegalArgumentException(s"no OffresApi registered under '$key'"))
+}
+
+class OffresSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    OffresSource.flatSchema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new OffresTable(new CaseInsensitiveStringMap(properties))
+}
+
+object OffresSource {
+  /** Flat projection of the offre fields the source serves (the nested
+    * variants live in [[Offres.offreSchema]] post-parse).
+    */
+  val flatSchema: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("intitule", StringType),
+    StructField("description", StringType),
+    StructField("romeCode", StringType),
+    StructField("region", StringType),
+    StructField("departement", StringType)))
+}
+
+class OffresTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+  override def name(): String = "offres_api"
+  override def schema(): StructType = OffresSource.flatSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new OffresScanBuilder(opts)
+}
+
+class OffresScanBuilder(options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var pushedFilterList: Array[Filter] = Array.empty
+  private var requiredSchema: StructType = OffresSource.flatSchema
+  private var regionEq: Option[String] = None
+  private var departementEq: Option[String] = None
+  private var romeIn: Option[Seq[String]] = None
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (pushed, residual) = filters.partition {
+      case EqualTo("region", _: String)      => true
+      case EqualTo("departement", _: String) => true
+      case EqualTo("romeCode", _: String)    => true
+      case In("romeCode", vs) if vs.forall(_.isInstanceOf[String]) => true
+      case _ => false
+    }
+    pushed.foreach {
+      case EqualTo("region", v: String)      => regionEq = Some(v)
+      case EqualTo("departement", v: String) => departementEq = Some(v)
+      case EqualTo("romeCode", v: String)    => romeIn = Some(Seq(v))
+      case In("romeCode", vs)                => romeIn = Some(vs.map(_.toString))
+      case _ => ()
+    }
+    pushedFilterList = pushed
+    residual // Spark re-applies anything we can't guarantee
+  }
+  override def pushedFilters(): Array[Filter] = pushedFilterList
+
+  override def pruneColumns(required: StructType): Unit =
+    requiredSchema = required
+
+  override def build(): Scan =
+    new OffresScan(options, requiredSchema, regionEq, departementEq, romeIn)
+}
+
+class OffresScan(options: CaseInsensitiveStringMap, schema: StructType,
+                 regionEq: Option[String], departementEq: Option[String],
+                 romeIn: Option[Seq[String]]) extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+
+  private def apiKey = options.get("api")
+  private def tokens: Seq[String] =
+    Option(options.get("tokens")).map(_.split(",").toSeq).getOrElse(Seq("anonymous"))
+  private def maxPerFilter = Option(options.get("maxPerFilter")).map(_.toInt).getOrElse(3149)
+  private def pageSize = Option(options.get("pageSize")).map(_.toInt).getOrElse(150)
+
+  /** Driver-side adaptive planning: dims via référentiel (S2), then
+    * count-probe split. Pushed equality filters narrow the key space
+    * BEFORE probing — partition pruning at plan time (P4).
+    */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val api = OffresApiRegistry.get(apiKey)
+    val mapper = new ObjectMapper()
+    def codes(name: String): Seq[String] =
+      api.referentiel(name).map(j => mapper.readTree(j).get("code").asText)
+    def departementRegion: Map[String, String] =
+      api.referentiel("departements").map { j =>
+        val n = mapper.readTree(j)
+        n.get("code").asText -> n.get("region").get("code").asText
+      }.toMap
+
+    // pushed rome predicates fan the plan out per code (each becomes a
+    // `base` filter threaded through every probe); a pushed departement
+    // bypasses the region level entirely.
+    val romeBases: Seq[Option[String]] =
+      romeIn.map(_.map(Option(_))).getOrElse(Seq(None))
+    val plans: Seq[Plan] = romeBases.map { rome =>
+      val base = FetchFilter(codeRome = rome)
+      departementEq match {
+        case Some(d) =>
+          val f = base.copy(departement = Some(d))
+          val t = api.count(f)
+          if (t <= maxPerFilter) Plan(AdaptivePlanner.pages(f, t, pageSize), Seq.empty)
+          else if (rome.isDefined) Plan(Seq.empty, Seq(Overflow(f, t)))
+          else {
+            // saturated departement → métier split (same as the planner's
+            // innermost level, here reached directly via pushdown)
+            val parts = Seq.newBuilder[FetchPartition]
+            val over = Seq.newBuilder[Overflow]
+            codes("metiers").foreach { m =>
+              val fm = FetchFilter(departement = Some(d), codeRome = Some(m))
+              val tm = api.count(fm)
+              if (tm <= 0) ()
+              else if (tm <= maxPerFilter) parts ++= AdaptivePlanner.pages(fm, tm, pageSize)
+              else over += Overflow(fm, tm)
+            }
+            Plan(parts.result(), over.result())
+          }
+        case None =>
+          val regions = regionEq.map(Seq(_)).getOrElse(codes("regions"))
+          AdaptivePlanner.plan(api.count, regions, departementRegion,
+            codes("metiers"), maxPerFilter, pageSize, base)
+      }
+    }
+    val plan = Plan(plans.flatMap(_.partitions), plans.flatMap(_.overflows))
+    plan.overflows.foreach { o =>
+      // skip-and-log semantics (ingestion-elasticsearch.py:209-211);
+      // surfaced in the log, recoverable via the dead-letter table
+      System.err.println(s"[offres-source] OVERFLOW not fully fetchable: $o")
+    }
+    plan.partitions.zipWithIndex.map { case (p, i) =>
+      OffresInputPartition(p, tokens(i % tokens.size)): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new OffresReaderFactory(apiKey, schema)
+}
+
+case class OffresInputPartition(part: FetchPartition, token: String) extends InputPartition
+
+class OffresReaderFactory(apiKey: String, schema: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new OffresPartitionReader(apiKey, schema,
+      partition.asInstanceOf[OffresInputPartition])
+}
+
+/** Task-side page reader: fetches its range with its token, retrying on
+  * rate-limit with the server-provided backoff (S5). JSON decoding via
+  * Jackson; missing fields become nulls (dead-lettered downstream).
+  */
+class OffresPartitionReader(apiKey: String, schema: StructType,
+                            partition: OffresInputPartition)
+    extends PartitionReader[InternalRow] {
+  private val mapper = new ObjectMapper()
+  private var rows: Iterator[String] = _
+  private var current: InternalRow = _
+
+  private def fetchWithBackoff(): Seq[String] = {
+    val api = OffresApiRegistry.get(apiKey)
+    var attempts = 0
+    while (true) {
+      try {
+        return api.fetch(partition.part.filter, partition.part.range, partition.token)
+      } catch {
+        case e: RateLimitedException if attempts < 10 =>
+          attempts += 1
+          Thread.sleep(e.retryAfterMs)
+      }
+    }
+    Seq.empty // unreachable
+  }
+
+  override def next(): Boolean = {
+    if (rows == null) rows = fetchWithBackoff().iterator
+    if (!rows.hasNext) return false
+    val node = mapper.readTree(rows.next())
+    def str(field: String): UTF8String = {
+      val v = node.get(field)
+      if (v == null || v.isNull) null else UTF8String.fromString(v.asText)
+    }
+    current = new GenericInternalRow(
+      schema.fieldNames.map(f => str(f): Any))
+    true
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}

@@ -55,11 +55,14 @@ object Streams {
       .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
 
   /** Per-user session stats: number of sessions + total events. */
-  def userSessionStats(spark: SparkSession, dir: String): DataFrame =
-    userSessions(Tables.events(spark, dir))
+  def userSessionStatsOf(events: DataFrame): DataFrame =
+    userSessions(events)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
       .orderBy(col("user_id"))
+
+  def userSessionStats(spark: SparkSession, dir: String): DataFrame =
+    userSessionStatsOf(Tables.events(spark, dir))
 
   /** Streaming variants with watermarks (used by the streaming specs;
     * not oracle-checked — DuckDB has no watermark semantics).

@@ -1,0 +1,55 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class HashFnsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("simhash: identical token arrays hash identically; perturbation stays close") {
+    val doc = "the quick brown fox jumps over the lazy dog " * 4
+    val near = doc.replace("lazy", "sleepy")
+    val far = "completely different content about spark engines and parquet files " * 4
+    val r = Seq(doc, doc, near, far).toDF("t")
+      .select(HashFns.simhash(split($"t", " "))).as[Long].collect()
+    assert(r(0) == r(1))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(r(0), r(2)) < ham(r(0), r(3)))
+    assert(ham(r(0), r(2)) <= 12)
+  }
+
+  test("minhash signature-match fraction estimates jaccard") {
+    // two strings sharing ~half their shingles
+    val a = "abcdefghijklmnopqrstuvwxyz0123456789"
+    val b = "abcdefghijklmnopqr_ZZZZZZZZZZZZZZZZZ"
+    val Seq(sa, sb) = Seq(a, b).toDF("t")
+      .select(HashFns.minhashSig($"t", 5, 256)).as[Seq[Long]].collect().toSeq
+    val est = sa.zip(sb).count { case (x, y) => x == y }.toDouble / 256
+    def shingles(s: String) = (0 to s.length - 5).map(i => s.substring(i, i + 5)).toSet
+    val j = {
+      val (x, y) = (shingles(a), shingles(b))
+      x.intersect(y).size.toDouble / x.union(y).size
+    }
+    assert(math.abs(est - j) < 0.12, s"est=$est true=$j")
+  }
+
+  test("word-shingle minhash: identical docs match on all components") {
+    val Seq(sa, sb, sc) = Seq("a b c d e f g", "a b c d e f g", "x y z w v u t")
+      .toDF("t").select(HashFns.minhashWordSig(split($"t", " "), 3, 32))
+      .as[Seq[Long]].collect().toSeq
+    assert(sa == sb)
+    assert(sa.zip(sc).count { case (x, y) => x == y } == 0)
+  }
+
+  test("sortedJaccard equals set-based jaccard on sorted distinct arrays") {
+    val rnd = new scala.util.Random(3)
+    (1 to 20).foreach { _ =>
+      val a = Seq.fill(30)(rnd.nextInt(40).toString).distinct.sorted
+      val b = Seq.fill(30)(rnd.nextInt(40).toString).distinct.sorted
+      val got = Seq((a, b)).toDF("a", "b")
+        .select(HashFns.jaccardSorted($"a", $"b")).as[Double].head()
+      val exp = a.toSet.intersect(b.toSet).size.toDouble / a.toSet.union(b.toSet).size
+      assert(math.abs(got - exp) < 1e-15)
+    }
+  }
+}

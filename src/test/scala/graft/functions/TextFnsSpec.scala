@@ -1,0 +1,55 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextFnsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def norm(s: String): String =
+    Seq(s).toDF("t").select(TextFns.normalizeText($"t")).as[String].head()
+
+  test("normalizeText reproduces the reference gsub chain on messy offre text") {
+    // punctuation class incl. the *-. range, unicode chars, &nbsp, \r, runs
+    assert(norm("Développeur (H/F) ** Java/Scala!! «urgent»\r\n&nbsp; TOP.") ==
+      "développeur h f java scala urgent top")
+    assert(norm("a,b*c+d-e.f:g;h¿i·j?k!l(m)n/o\\p\"q") ==
+      "a b c d e f g h i j k l m n o p q")
+  }
+
+  test("normalizeText is idempotent (F5 collapse ∘ itself = itself)") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select(TextFns.normalizeText(col("text")).as("once"))
+      .select(col("once"), TextFns.normalizeText(col("once")).as("twice"))
+    assert(docs.filter(col("once") =!= col("twice")).count() == 0)
+  }
+
+  test("tokenCount and bpeish token count") {
+    val r = Seq(("hello world", 1), ("can't stop won't stop2", 2))
+      .toDF("t", "k")
+      .select(TextFns.tokenCount($"t").as("ws"), TextFns.bpeishTokenCount($"t").as("bp"))
+      .collect()
+    assert(r(0).getInt(0) == 2 && r(0).getInt(1) == 2)
+    // can't -> can ' t ; stop2 -> stop 2  => 4 + 2 + ... per word splits
+    assert(r(1).getInt(1) > r(1).getInt(0))
+  }
+
+  test("charShingles produces distinct n-length windows") {
+    val sh = Seq("abcabc").toDF("t")
+      .select(TextFns.charShingles($"t", 3)).as[Seq[String]].head()
+    assert(sh.toSet == Set("abc", "bca", "cab"))
+  }
+
+  test("langId guesses the stopword-dominant language, und when none") {
+    val got = Seq("le chat est sur la table", "the cat is on the mat", "zzz qqq")
+      .toDF("t")
+      .select(TextFns.langId(TextFns.tokens($"t"))).as[String].collect()
+    assert(got.toSeq == Seq("fr", "en", "und"))
+  }
+
+  test("fingerprints are stable across whitespace/punct variants") {
+    val fp = Seq("Hello,  World!", "hello world", "HELLO\rWORLD")
+      .toDF("t").select(TextFns.fingerprintMd5($"t")).as[String].collect()
+    assert(fp.distinct.length == 1)
+  }
+}

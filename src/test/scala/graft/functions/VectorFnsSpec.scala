@@ -1,0 +1,54 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, FloatType}
+
+class VectorFnsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(7)
+  private val vecs: Seq[(Seq[Float], Seq[Float])] =
+    Seq.fill(50)((Seq.fill(16)(rnd.nextFloat() * 2 - 1), Seq.fill(16)(rnd.nextFloat() * 2 - 1)))
+
+  private def df = vecs.toDF("a", "b")
+    .select($"a".cast(ArrayType(FloatType)).as("a"), $"b".cast(ArrayType(FloatType)).as("b"))
+
+  test("codegen'd dot equals the higher-order-function reference exactly") {
+    val mismatch = df
+      .select(VectorFns.dot($"a", $"b").as("fast"), VectorFns.dotHof($"a", $"b").as("ref"))
+      .filter($"fast" =!= $"ref").count()
+    assert(mismatch == 0)
+  }
+
+  test("codegen'd cosine matches a driver-side double computation") {
+    val got = df.select(VectorFns.cosineSim($"a", $"b")).as[Double].collect()
+    val exp = vecs.map { case (a, b) =>
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      dot / (na * nb)
+    }
+    got.zip(exp).foreach { case (g, e) => assert(math.abs(g - e) < 1e-12) }
+  }
+
+  test("cosine of identical vectors is 1, zero vector yields 0") {
+    val one = Seq((Seq.fill(8)(0.5f), Seq.fill(8)(0.5f)),
+                  (Seq.fill(8)(0f), Seq.fill(8)(1f))).toDF("a", "b")
+      .select($"a".cast(ArrayType(FloatType)).as("a"), $"b".cast(ArrayType(FloatType)).as("b"))
+      .select(VectorFns.cosineSim($"a", $"b")).as[Double].collect()
+    assert(math.abs(one(0) - 1.0) < 1e-12 && one(1) == 0.0)
+  }
+
+  test("interpreted eval path (non-codegen) agrees with codegen") {
+    // force interpreted evaluation via a driver-side eval of the expression
+    val expr = VectorFns.CosineSimF32(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        vecs.head._1.toArray, ArrayType(FloatType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        vecs.head._2.toArray, ArrayType(FloatType)))
+    val interpreted = expr.eval(null).asInstanceOf[Double]
+    val viaSpark = df.limit(1).select(VectorFns.cosineSim($"a", $"b")).as[Double].head()
+    assert(math.abs(interpreted - viaSpark) < 1e-15)
+  }
+}

@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("brute-force top-k matches a driver-side exact computation") {
+    val emb = Tables.embeddings(spark, sf)
+    val got = Similarity.knnBruteForce(spark, sf)
+      .select($"query_id", $"rank", $"neighbor_id")
+      .as[(Long, Int, Long)].collect().toSeq
+
+    val all = emb.select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      dot / (na * nb)
+    }
+    val exp = all.filter(_._1 < 10).flatMap { case (q, qv) =>
+      all.filter(_._1 != q)
+        .map { case (n, nv) => (n, cos(qv, nv)) }
+        .sortBy { case (n, c) => (-c, n) }
+        .take(5).zipWithIndex
+        .map { case ((n, _), i) => (q, i + 1, n) }
+    }.toSeq.sortBy(t => (t._1, t._2))
+    assert(got == exp)
+  }
+
+  test("LSH ANN achieves >=40% top-5 recall vs brute force on the fixture") {
+    val brute = Similarity.knnBruteForce(spark, sf)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.knnLsh(spark, sf)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = brute.intersect(lsh).size.toDouble / brute.size
+    assert(recall >= 0.4, s"recall=$recall")
+  }
+
+  test("LSH candidates are a strict subset: no query returns itself, ranks dense") {
+    val rows = Similarity.knnLsh(spark, sf)
+      .select($"query_id", $"rank", $"neighbor_id").as[(Long, Int, Long)].collect()
+    assert(rows.forall { case (q, _, n) => q != n })
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1 to rs.length))
+    }
+  }
+}

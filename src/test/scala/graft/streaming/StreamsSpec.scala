@@ -1,0 +1,81 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+              event_type: String, value: Double, props: String)
+
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${10 + minute / 60}%02d:${minute % 60}%02d:00")
+
+  private val events = Seq(
+    Ev(1, ts(0), 1, "click", 1.0, "{}"),
+    Ev(2, ts(10), 1, "click", 2.0, "{}"),
+    Ev(3, ts(65), 1, "view", 3.0, "{}"),   // next hour bucket
+    Ev(4, ts(5), 2, "click", 4.0, "{}"),
+    Ev(5, ts(50), 2, "view", 5.0, "{}"),   // 45min gap → new session for u2
+  )
+
+  test("streaming hourly windowed counts equal the batch transform on the same data") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(events: _*)
+    val q = Streams.hourlyTypeCountsStream(mem.toDF())
+      .writeStream.format("memory").queryName("hourly_out")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("hourly_out")
+      .select($"hour_start", $"event_type", $"n", $"sum_value")
+      .collect().toSet
+    val batch = Streams.hourlyTypeCounts(events.toDF())
+      .select($"hour_start", $"event_type", $"n", $"sum_value")
+      .collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
+  test("dropDuplicatesWithinWatermark removes re-delivered event ids (streaming S6)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(events: _*)
+    mem.addData(events.take(3): _*) // redelivery
+    val q = Streams.dedupStream(mem.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("dedup_out").select($"event_id").as[Long].collect().toSeq
+    assert(got.sorted == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("session windows: 30-minute gap splits sessions per user") {
+    val stats = Streams.userSessionStatsOf(events.toDF())
+    val byUser = stats.collect().map(r =>
+      r.getAs[Long]("user_id") -> (r.getAs[Long]("n_sessions"), r.getAs[Long]("n_events"))).toMap
+    assert(byUser(1L) == (2L, 3L)) // 0,10 | 65
+    assert(byUser(2L) == (2L, 2L)) // 5 | 50
+  }
+
+  test("foreachBatch keyed-upsert sink applies idempotent _id semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = new java.util.concurrent.ConcurrentHashMap[Long, Double]()
+    val mem = MemoryStream[Ev]
+    mem.addData(events: _*)
+    mem.addData(events.map(e => e.copy(value = e.value * 10)): _*) // updates
+    val q = mem.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.select($"event_id", $"value").as[(Long, Double)].collect()
+          .foreach { case (k, v) => store.put(k, v) } // last-write-wins upsert
+      }
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(store.size() == 5)
+    assert(store.get(1L) == 10.0) // updated, not duplicated
+  }
+}
