@@ -46,6 +46,8 @@ object SparkEntry {
     "q19_order_buckets"     -> (Relational.orderSizeBuckets _),
     "q20_keyed_upsert"      -> (Relational.keyedUpsertLatest _),
     "q21_above_cust_avg"    -> (Relational.aboveCustomerAverage _),
+    "q22_topk_per_group_agg" -> (Relational.topOrdersPerPriorityAgg _),
+    "q23_approx_distinct"   -> (Relational.approxDistinctParts _),
     // — text analysis (SURVEY §2.5, §2.11) —
     "t01_normalize_pipeline" -> (TextAnalysis.normalizePipeline _),
     "t02_doc_quality"        -> (TextAnalysis.docQuality _),
@@ -196,6 +198,13 @@ object SparkEntry {
           |  FROM orders GROUP BY o_custkey) a ON o.o_custkey = a.k
           |WHERE o_totalprice > avg_price * 1.5
           |ORDER BY o_orderkey""".stripMargin,
+      "q22_topk_per_group_agg" ->
+        """SELECT o_orderpriority, rank, o_orderkey FROM (
+          | SELECT o_orderpriority, o_orderkey,
+          |  row_number() OVER (PARTITION BY o_orderpriority
+          |    ORDER BY o_totalprice DESC, o_orderkey) AS rank
+          | FROM orders)
+          |WHERE rank <= 3 ORDER BY o_orderpriority, rank""".stripMargin,
       "t01_normalize_pipeline" ->
         s"""SELECT doc_id, lang, ${norm("text")} AS text_norm
            |FROM documents WHERE lang IN ('en','fr') ORDER BY doc_id""".stripMargin,

@@ -262,6 +262,35 @@ object Relational {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** §2.10: custom typed `Aggregator` — top-3 orders per priority with a
+    * bounded map-side buffer (shuffles ≤k rows per group per partition,
+    * not every row like the window formulation; the scale-out shape for
+    * top-N-per-group over 100 TB).
+    */
+  def topOrdersPerPriorityAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ds = Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+      .as[(String, Double, Long)]
+    ds.groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(graft.functions.Aggregators.topK(3).toColumn.name("ids"))
+      .toDF("o_orderpriority", "ids")
+      .select(col("o_orderpriority"), posexplode(col("ids")).as(Seq("pos", "o_orderkey")))
+      .select(col("o_orderpriority"), (col("pos") + 1).cast("long").as("rank"), col("o_orderkey"))
+      .orderBy(col("o_orderpriority"), col("rank"))
+  }
+
+  /** A4: HLL-sketch cardinality (`approx_count_distinct`) — the ES
+    * `cardinality` aggregation analog. Approximate → rows-only check.
+    */
+  def approxDistinctParts(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+           approx_count_distinct(col("l_suppkey"), 0.01).as("approx_supps"))
+      .orderBy(col("l_returnflag"))
+
   /** Correlated-scalar-subquery shape: orders above their customer's
     * average order value (decorrelated by Catalyst into a join on the
     * grouped aggregate — no per-row subquery execution).

@@ -73,4 +73,64 @@ object Streams {
   def dedupStream(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
+
+  // — custom state: flatMapGroupsWithState sessionizer (§2.9) —
+
+  case class SessionInput(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class SessionState(start: Long, lastTs: Long, nEvents: Long, sumValue: Double)
+  case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+                        n_events: Long, sum_value: Double)
+
+  /** Event-time sessionization with explicit per-key state — the shape
+    * for session semantics `session_window` can't express (e.g. emitting
+    * per-session running value sums with custom close rules). Works on a
+    * stream (EventTimeTimeout closes sessions as the watermark passes)
+    * and in the specs via batch-equivalent grouping.
+    */
+  def sessionizeWithState(events: org.apache.spark.sql.Dataset[SessionInput],
+                          gapMinutes: Long)
+      : org.apache.spark.sql.Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapMs = gapMinutes * 60000L
+
+    def flush(userId: Long, s: SessionState): SessionOut =
+      SessionOut(userId, new java.sql.Timestamp(s.start), s.nEvents, s.sumValue)
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[SessionInput], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(flush(userId, _)).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastTs < gapMs =>
+                  cur = Some(s.copy(lastTs = t, nEvents = s.nEvents + 1,
+                    sumValue = s.sumValue + e.value))
+                case Some(s) =>
+                  closed += flush(userId, s)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // must register on every batch (watermark may still be 0 on
+              // the first one); clamp above the watermark as required
+              state.setTimeoutTimestamp(
+                math.max(s.lastTs + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            closed.result().iterator
+          }
+      }
+  }
 }

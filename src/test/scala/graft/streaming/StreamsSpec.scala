@@ -62,6 +62,30 @@ class StreamsSpec extends SparkSpec {
     assert(byUser(2L) == (2L, 2L)) // 5 | 50
   }
 
+  test("flatMapGroupsWithState sessionizer closes sessions as the watermark advances") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val in = mem.toDF().withWatermark("ts", "0 seconds")
+      .selectExpr("user_id", "ts", "value")
+      .as[Streams.SessionInput]
+    val q = Streams.sessionizeWithState(in, gapMinutes = 30)
+      .writeStream.format("memory").queryName("state_sessions")
+      .outputMode("append").start()
+    try {
+      mem.addData(events: _*)
+      q.processAllAvailable()
+      // sentinel far in the future pushes the watermark past every gap
+      mem.addData(Ev(99, Timestamp.valueOf("2024-01-02 00:00:00"), 999, "x", 0.0, "{}"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("state_sessions")
+      .filter($"user_id" < 100)
+      .select($"user_id", $"n_events", $"sum_value")
+      .as[(Long, Long, Double)].collect().toSet
+    // u1: sessions {1,2} (values 1+2) and {3}; u2: {4} and {5}
+    assert(out == Set((1L, 2L, 3.0), (1L, 1L, 3.0), (2L, 1L, 4.0), (2L, 1L, 5.0)), out)
+  }
+
   test("foreachBatch keyed-upsert sink applies idempotent _id semantics") {
     implicit val sqlCtx = spark.sqlContext
     val store = new java.util.concurrent.ConcurrentHashMap[Long, Double]()
