@@ -48,6 +48,9 @@ object SparkEntry {
     "q21_above_cust_avg"    -> (Relational.aboveCustomerAverage _),
     "q22_topk_per_group_agg" -> (Relational.topOrdersPerPriorityAgg _),
     "q23_approx_distinct"   -> (Relational.approxDistinctParts _),
+    "q24_sql_shipping_priority" -> (Relational.shippingPriority _),
+    "q25_from_json_events"  -> (Relational.fromJsonEvents _),
+    "q26_orders_year_quarter" -> (Relational.ordersByYearQuarter _),
     // — text analysis (SURVEY §2.5, §2.11) —
     "t01_normalize_pipeline" -> (TextAnalysis.normalizePipeline _),
     "t02_doc_quality"        -> (TextAnalysis.docQuality _),
@@ -205,6 +208,17 @@ object SparkEntry {
           |    ORDER BY o_totalprice DESC, o_orderkey) AS rank
           | FROM orders)
           |WHERE rank <= 3 ORDER BY o_orderpriority, rank""".stripMargin,
+      "q24_sql_shipping_priority" -> graft.operators.Relational.shippingPrioritySql,
+      "q25_from_json_events" ->
+        """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+          | count(*) AS n
+          |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+      "q26_orders_year_quarter" ->
+        """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr,
+          | CAST(EXTRACT(quarter FROM o_orderdate) AS INTEGER) AS qtr,
+          | count(*) AS n_orders,
+          | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+          |FROM orders GROUP BY 1, 2 ORDER BY yr, qtr""".stripMargin,
       "t01_normalize_pipeline" ->
         s"""SELECT doc_id, lang, ${norm("text")} AS text_norm
            |FROM documents WHERE lang IN ('en','fr') ORDER BY doc_id""".stripMargin,

@@ -291,6 +291,51 @@ object Relational {
            approx_count_distinct(col("l_suppkey"), 0.01).as("approx_supps"))
       .orderBy(col("l_returnflag"))
 
+  /** The engine's SQL surface: one SQL text, valid verbatim in BOTH
+    * Spark SQL and the DuckDB oracle (TPC-H Q3 shape — shipping
+    * priority). Views are registered per-call; Catalyst plans it like
+    * any DataFrame query.
+    */
+  val shippingPrioritySql: String =
+    """SELECT o_orderkey,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      | o_orderdate
+      |FROM customer
+      | JOIN orders ON c_custkey = o_custkey
+      | JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
+      |GROUP BY o_orderkey, o_orderdate
+      |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
+
+  def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    spark.sql(shippingPrioritySql)
+  }
+
+  /** F11: schema-directed JSON parse (`from_json`) of the events props
+    * payload, grouped on the extracted field.
+    */
+  def fromJsonEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(from_json(col("props"),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType))))
+        .getField("k").as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n"))
+      .orderBy(col("k"))
+
+  /** Date-part extraction histogram: orders per (year, quarter). */
+  def ordersByYearQuarter(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(year(col("o_orderdate")).as("yr"), quarter(col("o_orderdate")).as("qtr"))
+      .agg(count(lit(1)).as("n_orders"),
+           sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
+      .orderBy(col("yr"), col("qtr"))
+
   /** Correlated-scalar-subquery shape: orders above their customer's
     * average order value (decorrelated by Catalyst into a join on the
     * grouped aggregate — no per-row subquery execution).
