@@ -51,6 +51,11 @@ object SparkEntry {
     "q24_sql_shipping_priority" -> (Relational.shippingPriority _),
     "q25_from_json_events"  -> (Relational.fromJsonEvents _),
     "q26_orders_year_quarter" -> (Relational.ordersByYearQuarter _),
+    "q27_trailing_30d_revenue" -> (Relational.trailing30dRevenue _),
+    "q28_grouping_sets"     -> (Relational.groupingSets _),
+    "q29_pivot_status"      -> (Relational.pivotStatusCounts _),
+    "q30_price_quantiles"   -> (Relational.priceQuantiles _),
+    "e03_cosine_pairs_exact" -> (Similarity.cosinePairsExact _),
     // — text analysis (SURVEY §2.5, §2.11) —
     "t01_normalize_pipeline" -> (TextAnalysis.normalizePipeline _),
     "t02_doc_quality"        -> (TextAnalysis.docQuality _),
@@ -219,6 +224,31 @@ object SparkEntry {
           | count(*) AS n_orders,
           | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
           |FROM orders GROUP BY 1, 2 ORDER BY yr, qtr""".stripMargin,
+      "q27_trailing_30d_revenue" ->
+        """SELECT l_suppkey, l_orderkey, l_linenumber,
+          | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) OVER (
+          |   PARTITION BY l_suppkey ORDER BY CAST(epoch(l_shipdate) AS BIGINT)
+          |   RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_rev
+          |FROM lineitem WHERE l_suppkey <= 5
+          |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+      "q28_grouping_sets" -> graft.operators.Relational.groupingSetsSql,
+      "q29_pivot_status" ->
+        """SELECT o_orderpriority,
+          | count(*) FILTER (o_orderstatus = 'F') AS n_f,
+          | count(*) FILTER (o_orderstatus = 'O') AS n_o,
+          | count(*) FILTER (o_orderstatus = 'P') AS n_p
+          |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+      "q30_price_quantiles" ->
+        """SELECT l_returnflag,
+          | quantile_cont(l_extendedprice, 0.5) AS med_price,
+          | quantile_cont(l_extendedprice, 0.9) AS p90_price
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      "e03_cosine_pairs_exact" ->
+        """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          |FROM embeddings a, embeddings b
+          |WHERE a.vec_id < b.vec_id
+          |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+          |ORDER BY id_a, id_b""".stripMargin,
       "t01_normalize_pipeline" ->
         s"""SELECT doc_id, lang, ${norm("text")} AS text_norm
            |FROM documents WHERE lang IN ('en','fr') ORDER BY doc_id""".stripMargin,

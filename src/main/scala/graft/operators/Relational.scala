@@ -336,6 +336,59 @@ object Relational {
            sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
       .orderBy(col("yr"), col("qtr"))
 
+  /** §2.8 RANGE frame: trailing-30-day revenue per supplier, ordered by
+    * ship time in epoch seconds (value-based frame — deterministic under
+    * ties by construction).
+    */
+  def trailing30dRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("ship_s"))
+      .rangeBetween(-30L * 86400, 0)
+    Tables.lineitem(spark, dir)
+      .filter(col("l_suppkey") <= 5)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        unix_timestamp(col("l_shipdate")).as("ship_s"),
+        dec(col("l_extendedprice")).as("price_d"))
+      .withColumn("trailing_rev", sum(col("price_d")).over(w).cast("double"))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("trailing_rev"))
+      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** §2.4 GROUPING SETS — one SQL text shared verbatim with the oracle. */
+  val groupingSetsSql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority))
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    spark.sql(groupingSetsSql)
+  }
+
+  /** Pivot: order counts per priority pivoted across status columns
+    * (plans as a single conditional aggregation — no extra shuffle vs
+    * the CASE formulation the oracle uses).
+    */
+  def pivotStatusCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("o_orderpriority"), col("F").as("n_f"), col("O").as("n_o"), col("P").as("n_p"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Exact interpolated percentiles (continuous definition — matches
+    * DuckDB quantile_cont).
+    */
+  def priceQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("med_price"),
+           expr("percentile(l_extendedprice, 0.9)").as("p90_price"))
+      .orderBy(col("l_returnflag"))
+
   /** Correlated-scalar-subquery shape: orders above their customer's
     * average order value (decorrelated by Catalyst into a join on the
     * grouped aggregate — no per-row subquery execution).

@@ -90,6 +90,22 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Exact all-pairs cosine threshold join — the O(n²) baseline that
+    * [[graft.operators.Dedup.embeddingNearDupPairs]] approximates at
+    * scale. Kept as the oracle path (and for corpora small enough to
+    * broadcast one side).
+    */
+  def cosinePairsExact(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .filter(VectorFns.cosineSim(col("v_a"), col("v_b")) >= 0.4)
+      .select(col("id_a"), col("id_b"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   def knnLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     // 16 bands × 6 bits: ~65% band-level recall for cos≈0.4 neighbors
