@@ -1,0 +1,109 @@
+package graft.sources
+
+import java.util
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 keyed-upsert sink — the reference's ES `_bulk` indexing
+  * with explicit `_id` (SURVEY S6, `ingestion-elasticsearch.py:36-55`)
+  * as a Spark `BatchWrite`.
+  *
+  * Semantics: per-partition writers buffer (key → row) maps (later
+  * writes win within a task, matching bulk-request ordering); commit
+  * publishes each task's buffer into the keyed store with last-commit-
+  * wins per key. Because rows are keyed, re-executed tasks (speculation,
+  * retries) re-publish the same (key, row) pairs — the write is
+  * idempotent, which is exactly why the reference chose `_id`-keyed
+  * upsert over append.
+  *
+  * The store behind the sink is looked up in [[UpsertStoreRegistry]]
+  * (tests use an in-memory map; a production deployment would register a
+  * client for the real keyed store, e.g. an ES bulk endpoint).
+  *
+  * Usage: `df.write.format("graft.sources.OffresUpsertSink")
+  *   .option("store", name).option("keyColumn", "id").mode("append").save()`.
+  */
+class OffresUpsertSink extends TableProvider {
+  override def supportsExternalMetadata(): Boolean = true
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    new StructType() // schema comes from the DataFrame being written
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new UpsertTable(schema, new CaseInsensitiveStringMap(properties))
+}
+
+object UpsertStoreRegistry {
+  /** store name → (key → serialized row values) */
+  private val stores =
+    new ConcurrentHashMap[String, ConcurrentHashMap[String, Seq[Any]]]()
+  def store(name: String): ConcurrentHashMap[String, Seq[Any]] =
+    stores.computeIfAbsent(name, _ => new ConcurrentHashMap[String, Seq[Any]]())
+  def clear(name: String): Unit = stores.remove(name)
+}
+
+class UpsertTable(schema: StructType, options: CaseInsensitiveStringMap)
+    extends Table with SupportsWrite {
+  override def name(): String = s"upsert_store_${options.get("store")}"
+  override def schema(): StructType = schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.ACCEPT_ANY_SCHEMA)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new UpsertBatchWrite(options.get("store"),
+            Option(options.get("keyColumn")).getOrElse("id"),
+            info.schema())
+      }
+    }
+}
+
+class UpsertBatchWrite(storeName: String, keyColumn: String, schema: StructType)
+    extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new UpsertWriterFactory(storeName, keyColumn, schema)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+class UpsertWriterFactory(storeName: String, keyColumn: String, schema: StructType)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new UpsertDataWriter(storeName, keyColumn, schema)
+}
+
+/** Buffers the partition's rows keyed by `keyColumn` (within-task
+  * later-write-wins), publishes on commit — the `foreachPartition`
+  * bulk-writer pattern with idempotent keyed semantics.
+  */
+class UpsertDataWriter(storeName: String, keyColumn: String, schema: StructType)
+    extends DataWriter[InternalRow] {
+  private val keyIdx = schema.fieldIndex(keyColumn)
+  private val buffer = new scala.collection.mutable.LinkedHashMap[String, Seq[Any]]()
+
+  override def write(row: InternalRow): Unit = {
+    val values = schema.fields.zipWithIndex.map { case (f, i) =>
+      row.get(i, f.dataType) match {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+        case other => other
+      }
+    }.toSeq
+    buffer.put(values(keyIdx).toString, values)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    val store = UpsertStoreRegistry.store(storeName)
+    buffer.foreach { case (k, v) => store.put(k, v) }
+    new WriterCommitMessage {}
+  }
+
+  override def abort(): Unit = buffer.clear()
+  override def close(): Unit = ()
+}

@@ -1,0 +1,96 @@
+package graft
+
+import graft.functions.HashFns
+import graft.sources.AdaptivePlanner
+import graft.sources.AdaptivePlanner._
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Properties}
+
+/** ScalaCheck invariants over the pure (no-Spark-session) kernels —
+  * SURVEY §5.3's property-test layer.
+  */
+object PropertiesCheck extends Properties("graft") {
+
+  // — sortedJaccard ≡ set-based jaccard on sorted distinct inputs —
+  private val tokenGen = Gen.listOf(Gen.choose(0, 50).map(_.toString))
+  property("sortedJaccard matches set semantics") =
+    Prop.forAll(tokenGen, tokenGen) { (a, b) =>
+      val sa = a.distinct.sorted
+      val sb = b.distinct.sorted
+      val got = HashFns.sortedJaccard(
+        new GenericArrayData(sa.map(UTF8String.fromString).toArray[Any]),
+        new GenericArrayData(sb.map(UTF8String.fromString).toArray[Any]))
+      val (xs, ys) = (sa.toSet, sb.toSet)
+      val exp =
+        if (xs.union(ys).isEmpty) 0.0
+        else xs.intersect(ys).size.toDouble / xs.union(ys).size
+      math.abs(got - exp) < 1e-15
+    }
+
+  // — jaccard bounds + symmetry + identity —
+  property("sortedJaccard ∈ [0,1], symmetric, self=1") =
+    Prop.forAll(tokenGen) { a =>
+      val sa = a.distinct.sorted
+      val arr = new GenericArrayData(sa.map(UTF8String.fromString).toArray[Any])
+      val self = HashFns.sortedJaccard(arr, arr)
+      (sa.isEmpty && self == 0.0) || self == 1.0
+    }
+
+  // — minhash determinism + permutation sensitivity only via content —
+  private val strGen = Gen.alphaNumStr.suchThat(_.length >= 5)
+  property("minhash signature is deterministic and content-addressed") =
+    Prop.forAll(strGen) { s =>
+      val u = UTF8String.fromString(s)
+      val a = HashFns.minhashShingles(u, 5, 16).toLongArray()
+      val b = HashFns.minhashShingles(UTF8String.fromString(s), 5, 16).toLongArray()
+      a.sameElements(b)
+    }
+
+  // — simhash: equal token multisets → equal signature —
+  property("simhash is order-insensitive over tokens") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.alphaStr.suchThat(_.nonEmpty))) { toks =>
+      def sig(ts: Seq[String]) = HashFns.simhash64(
+        new GenericArrayData(ts.map(UTF8String.fromString).toArray[Any]))
+      sig(toks) == sig(scala.util.Random.shuffle(toks))
+    }
+
+  // — pagination covers [0, total) exactly, in pageSize steps (S4) —
+  property("pages tile the range exactly") =
+    Prop.forAll(Gen.choose(0L, 100000L), Gen.choose(1, 500)) { (total, pageSize) =>
+      val ps = AdaptivePlanner.pages(FetchFilter(), total, pageSize)
+      val covered = ps.map(p => p.range.end - p.range.start + 1L).sum
+      val contiguous = ps.map(_.range).sortBy(_.start)
+        .sliding(2).forall {
+          case Seq(a, b) => b.start == a.end + 1
+          case _ => true
+        }
+      covered == math.max(total, 0) && contiguous &&
+        ps.forall(p => p.range.end - p.range.start + 1 <= pageSize)
+    }
+
+  // — plan never silently drops rows: planned + overflowed == probed (A3) —
+  property("plan conserves counts (planned + overflow = total)") = {
+    val countsGen = for {
+      nR <- Gen.choose(1, 4)
+      counts <- Gen.listOfN(nR, Gen.choose(0L, 10000L))
+    } yield counts
+    Prop.forAll(countsGen) { regionCounts =>
+      val regions = regionCounts.indices.map(i => s"R$i")
+      val depts = regions.map(r => s"D$r" -> r).toMap
+      // every region's total lives in its single departement
+      val count: FetchFilter => Long = {
+        case FetchFilter(Some(r), None, None) => regionCounts(r.drop(1).toInt)
+        case FetchFilter(None, Some(d), None) => regionCounts(d.drop(2).toInt)
+        case FetchFilter(None, Some(d), Some(_)) => regionCounts(d.drop(2).toInt)
+        case _ => 0L
+      }
+      val plan = AdaptivePlanner.plan(count, regions, depts, Seq("M1"),
+        maxPerFilter = 3149, pageSize = 150)
+      // planned partitions + overflow totals must account for every
+      // region's probed count (overflow only at the leaf level)
+      val overflowTotal = plan.overflows.map(_.total).sum
+      plan.totalPlanned + overflowTotal == regionCounts.sum
+    }
+  }
+}
