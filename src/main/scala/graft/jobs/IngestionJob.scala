@@ -1,0 +1,50 @@
+package graft.jobs
+
+import graft.sources.{AdaptivePlanner, Offres, OffresApiRegistry}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The reference's full ingestion run (SURVEY §3 E1) as one Spark job:
+  *
+  *  1. global count probe (A1) against the API;
+  *  2. adaptive partitioned scan through the DSv2 source (S3-S5 —
+  *     planning, pagination, credential round-robin, backoff live in
+  *     the source);
+  *  3. dead-letter split for rows without an id (S7);
+  *  4. keyed dedup (S6) — overlapping fetch windows are harmless;
+  *  5. full-refresh overwrite of the offres / erreurs tables (S8);
+  *  6. run-metrics table with the count-reconciliation invariant (S9/A3).
+  */
+object IngestionJob {
+
+  case class Result(totalExpected: Long, collected: Long, erreurs: Long,
+                    reconciled: Boolean)
+
+  def run(spark: SparkSession, apiKey: String, tokens: Seq[String],
+          outDir: String): Result = {
+    val startS = System.currentTimeMillis() / 1000
+    val api = OffresApiRegistry.get(apiKey)
+    val totalExpected = api.count(AdaptivePlanner.FetchFilter()) // A1 probe
+
+    val raw = spark.read.format("graft.sources.OffresSource")
+      .option("api", apiKey).option("tokens", tokens.mkString(","))
+      .load()
+
+    val valid = raw.filter(col("id").isNotNull).dropDuplicates("id")
+    val dead = raw.filter(col("id").isNull)
+      .select(to_json(struct(raw.columns.map(col).toSeq: _*)).as("response"),
+        lit("offre without id").as("message"))
+
+    Offres.overwriteTable(valid, s"$outDir/offres")
+    Offres.overwriteTable(dead, s"$outDir/erreurs")
+
+    val collected = spark.read.parquet(s"$outDir/offres").count() // S12 recount
+    val nErr = dead.count()
+    val endS = System.currentTimeMillis() / 1000
+    val metrics = Offres.runMetrics(spark, startS, endS, totalExpected, collected)
+    metrics.write.mode("append").parquet(s"$outDir/ingestion")
+
+    Result(totalExpected, collected, nErr,
+      metrics.select(col("reconciled")).head().getBoolean(0))
+  }
+}

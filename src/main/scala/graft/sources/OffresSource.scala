@@ -56,6 +56,39 @@ trait OffresApi extends Serializable {
 class RateLimitedException(val retryAfterMs: Long)
   extends RuntimeException(s"rate limited, retry after ${retryAfterMs}ms")
 
+/** S1: OAuth2 client-credentials token lifecycle. The reference
+  * authenticates each key/secret pair once up front
+  * (`ingestion-elasticsearch.py:10-25,239-242`); this provider adds
+  * expiry-aware caching + re-auth, so long scans survive token expiry.
+  * `auth` is the network call (client-credentials POST → access token +
+  * TTL); tests inject a fake.
+  */
+class TokenProvider(credentials: Seq[(String, String)],
+                    auth: (String, String) => (String, Long),
+                    clock: () => Long = () => System.currentTimeMillis())
+    extends Serializable {
+  private case class Tok(value: String, expiresAtMs: Long)
+  @transient private lazy val cache =
+    new ConcurrentHashMap[Int, Tok]()
+
+  /** Token for credential slot i (round-robin index, F13); re-auths when
+    * within 60s of expiry.
+    */
+  def token(i: Int): String = {
+    val slot = math.floorMod(i, credentials.size)
+    val cached = cache.get(slot)
+    if (cached != null && cached.expiresAtMs - clock() > 60000L) cached.value
+    else {
+      val (key, secret) = credentials(slot)
+      val (tok, ttlMs) = auth(key, secret)
+      cache.put(slot, Tok(tok, clock() + ttlMs))
+      tok
+    }
+  }
+
+  def tokens: Seq[String] = credentials.indices.map(token)
+}
+
 object OffresApiRegistry {
   private val apis = new ConcurrentHashMap[String, OffresApi]()
   def register(key: String, api: OffresApi): Unit = apis.put(key, api)

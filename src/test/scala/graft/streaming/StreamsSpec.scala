@@ -86,6 +86,27 @@ class StreamsSpec extends SparkSpec {
     assert(out == Set((1L, 2L, 3.0), (1L, 1L, 3.0), (2L, 1L, 4.0), (2L, 1L, 5.0)), out)
   }
 
+  test("file-source streaming: events parquet replayed as a stream matches batch") {
+    val dir = sf // fixture dir; pathGlobFilter selects the events table
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = Streams.hourlyTypeCountsStream(stream)
+      .writeStream.format("memory").queryName("file_hourly")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("file_hourly").collect().toSet
+    val batch = Streams.hourlyTypeCounts(graft.Tables.events(spark, dir)).collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("foreachBatch keyed-upsert sink applies idempotent _id semantics") {
     implicit val sqlCtx = spark.sqlContext
     val store = new java.util.concurrent.ConcurrentHashMap[Long, Double]()
