@@ -63,6 +63,32 @@ object Dedup {
       .dropDuplicates("doc_a", "doc_b")
   }
 
+  /** Alternative candidate generation: one shuffle (groupBy bucket →
+    * collect ids → emit in-bucket pairs) instead of a self-join (which
+    * shuffles the banded frame twice). Wins when buckets are small;
+    * `maxBucket` guards the pathological hot bucket (a bucket that big
+    * means the band is degenerate — its pairs are overwhelmingly false
+    * candidates, and the remaining bands still cover true pairs).
+    */
+  private[graft] def lshCandidatesViaBuckets(sig: DataFrame, bands: Int, rows: Int,
+                                             maxBucket: Int = 10000): DataFrame = {
+    val banded = sig.select(col("id"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+                 hash(slice(col("sig"), b * rows + 1, rows)).as("bkey"))
+        }: _*)).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bkey").as("bkey"), col("id"))
+    banded
+      .groupBy(col("band"), col("bkey"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))), y =>
+          struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
   /** MinHash+LSH near-duplicate pairs.
     *
     * One-pass minhash signature (custom expression, byte 5-gram

@@ -61,6 +61,11 @@ object DebugPerf {
       .filter(col("est") >= 0.4)
       .select(col("doc_a"), col("doc_b"))
     time("prefiltered")(println("n_pref=" + pref.count()))
+    val candA = Dedup.lshCandidates(sig2, 8, 4)
+    time("cand self-join x3")((1 to 3).foreach(_ => candA.count()))
+    val candB = Dedup.lshCandidatesViaBuckets(sig2, 8, 4)
+    time("cand buckets x3")((1 to 3).foreach(_ => candB.count()))
+    println("bucket n_cand=" + candB.count())
     time("full d03 cold")(Dedup.minHashDedup(spark, dir).count())
     time("full d03 warm")(Dedup.minHashDedup(spark, dir).count())
     time("full d05")(Dedup.ngramJaccardDedup(spark, dir).count())

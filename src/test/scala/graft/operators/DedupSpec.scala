@@ -60,6 +60,18 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((0L, 1L)), s"got $pairs")
   }
 
+  test("bucket-collect candidate generation agrees with the band self-join") {
+    import graft.functions.{HashFns, TextFns}
+    val sig = graft.Tables.documents(spark, sf)
+      .select($"doc_id".as("id"),
+        HashFns.minhashSig(TextFns.normalizeText($"text"), 5, 32).as("sig"))
+    val a = Dedup.lshCandidates(sig, 8, 4)
+      .as[(Long, Long)].collect().toSet
+    val b = Dedup.lshCandidatesViaBuckets(sig, 8, 4)
+      .as[(Long, Long)].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("fingerprint dedup counts match exact dedup on the fixture corpus") {
     val a = Dedup.exactDedup(spark, sf).count()
     val b = Dedup.fingerprintDedup(spark, sf).count()
