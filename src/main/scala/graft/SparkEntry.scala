@@ -70,6 +70,7 @@ object SparkEntry {
     "d04_simhash"            -> (Dedup.simHashDedup _),
     "d05_ngram_jaccard"      -> (Dedup.ngramJaccardDedup _),
     "d06_embedding_neardup"  -> (Dedup.embeddingNearDup _),
+    "d07_curation_pipeline"  -> (graft.jobs.CurationJob.curate _),
     // — similarity search (SURVEY §2.11) —
     "e01_knn_brute"          -> (Similarity.knnBruteForce _),
     "e02_knn_lsh"            -> (Similarity.knnLsh _),

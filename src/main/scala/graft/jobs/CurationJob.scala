@@ -1,0 +1,72 @@
+package graft.jobs
+
+import graft.functions.TextFns
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Training-data curation pipeline over a document corpus — the
+  * LLM-data-pipeline composition of the engine's text + dedup operators
+  * (SURVEY §2.11; the reference's NLP-prep ambition, `README.md:10`):
+  *
+  *  1. per-doc quality metrics (token count, mean token length,
+  *     stopword ratio) — pure per-row expressions;
+  *  2. quality gate on configurable thresholds;
+  *  3. exact dedup by normalized-text fingerprint (group-by-hash);
+  *  4. near-dup removal via MinHash+LSH pairs: for every verified pair
+  *     the higher doc id drops. One-hop resolution — transitive
+  *     dup *chains* keep one doc per adjacent pair rather than per
+  *     cluster; full cluster collapse would run iterative
+  *     connected-components, overkill until near-dup rates are high;
+  *  5. emits the curated corpus + a per-stage attrition report (every
+  *     dropped doc is accounted for — the dead-letter discipline, S7).
+  */
+object CurationJob {
+
+  case class Thresholds(minTokens: Int = 5, maxTokens: Int = 100000,
+                        minMeanTokenLen: Double = 2.0,
+                        maxStopwordRatio: Double = 0.9,
+                        nearDupJaccard: Double = 0.6)
+
+  case class Report(input: Long, afterQuality: Long, afterExact: Long,
+                    afterNearDup: Long)
+
+  def run(docs: DataFrame, idCol: String, textCol: String,
+          t: Thresholds = Thresholds()): (DataFrame, Report) = {
+    val input = docs.count()
+
+    val toks = TextFns.tokens(TextFns.normalizeText(col(textCol)))
+    val scored = docs.select(col(idCol), col(textCol),
+      size(toks).as("n_tokens"),
+      TextFns.meanTokenLen(toks).as("mean_token_len"),
+      TextFns.stopwordRatio(toks, graft.operators.TextAnalysis.enStopwords)
+        .as("stopword_ratio"))
+
+    val quality = scored.filter(
+      col("n_tokens").between(t.minTokens, t.maxTokens) &&
+      col("mean_token_len") >= t.minMeanTokenLen &&
+      col("stopword_ratio") <= t.maxStopwordRatio)
+    val afterQuality = quality.count()
+
+    // exact dedup: keep min id per normalized-text fingerprint
+    val keepers = quality
+      .groupBy(TextFns.fingerprint64(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+    val exact = quality.join(keepers, idCol)
+    val afterExact = exact.count()
+
+    // near-dup: drop the larger id of each verified LSH pair
+    val dupIds = Dedup.minHashLshPairs(exact, idCol, textCol,
+        threshold = t.nearDupJaccard)
+      .select(col("doc_b").as(idCol)).distinct()
+    val curated = exact.join(dupIds, Seq(idCol), "left_anti")
+    val afterNearDup = curated.count()
+
+    (curated.select(col(idCol), col(textCol)).orderBy(col(idCol)),
+      Report(input, afterQuality, afterExact, afterNearDup))
+  }
+
+  def curate(spark: SparkSession, dir: String): DataFrame =
+    run(graft.Tables.documents(spark, dir), "doc_id", "text")._1
+}

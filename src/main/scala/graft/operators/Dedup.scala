@@ -9,7 +9,11 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Deduplication operators for large-scale training-data pipelines:
   * exact (hash group), MinHash+LSH banding, SimHash, n-gram Jaccard and
-  * embedding-cosine near-dup.
+  * embedding-cosine near-dup. The exact path generalizes the
+  * reference's `_id`-keyed idempotent bulk upsert
+  * (`ingestion-francetravail/ingestion-elasticsearch.py:36-55`); the
+  * near-dup family serves its NLP-prep goal (`README.md:10`) at corpus
+  * scale.
   *
   * Scale design: every signature (minhash, simhash, fingerprint) is a
   * pure per-row expression — computed map-side with zero shuffle. The

@@ -7,7 +7,15 @@ import org.apache.spark.sql.types.{ArrayType, DecimalType, FloatType}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** The relational operator surface (SURVEY.md §2.2-§2.8) expressed as
-  * named query builders over the fixture tables.
+  * named query builders over the fixture tables. Reference lineage:
+  * IN-list filter + projection mirror the Logstash `terms` + `_source`
+  * queries (`logstash/pipeline/csv-tech.conf:13-17`); the dim joins
+  * mirror the departement⋈region lookup
+  * (`ingestion-francetravail/ingestion-elasticsearch.py:148`) and the
+  * departement×métier matrix (`:180-181`); the grouped counts mirror
+  * the per-key fetch-plan probes (`:142-146,176-178,206-209`); the
+  * date-histogram/cardinality aggs are the Kibana dashboard surface
+  * (`README.md:8-9`).
   *
   * Design rules applied throughout:
   *  - money arithmetic is done in `decimal(18,2)` (exact — the fixture
