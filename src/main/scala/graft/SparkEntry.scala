@@ -74,6 +74,7 @@ object SparkEntry {
     // — similarity search (SURVEY §2.11) —
     "e01_knn_brute"          -> (Similarity.knnBruteForce _),
     "e02_knn_lsh"            -> (Similarity.knnLsh _),
+    "e04_knn_ivf"            -> (Similarity.knnIvf _),
     // — event-time / streaming-unified (SURVEY §2.9) —
     "s01_hourly_type_counts" -> (Streams.hourlyTypeCountsBatch _),
     "s02_sliding_counts"     -> (Streams.slidingTypeCountsBatch _),

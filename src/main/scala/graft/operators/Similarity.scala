@@ -4,7 +4,7 @@ import graft.Tables
 import graft.functions.VectorFns
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
@@ -104,6 +104,61 @@ object Similarity {
       .filter(VectorFns.cosineSim(col("v_a"), col("v_b")) >= 0.4)
       .select(col("id_a"), col("id_b"))
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** IVF (inverted-file) ANN: partition the corpus into cells around
+    * `nCells` seeded sample centroids (one assignment pass — argmax
+    * cosine against broadcast-inlined centroids), probe each query's
+    * `nProbe` nearest cells, exact re-rank within the probed cells.
+    *
+    * Scale shape: corpus shuffles once on cell id (bounded cells ≈
+    * |corpus|/nCells); a query touches nProbe/nCells of the data. The
+    * cell assignment is a pure per-row expression — centroids ride into
+    * codegen as literals, no shuffle, no model object.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    // deterministic centroids: a seeded pseudo-sample of corpus rows
+    val sample = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+      .orderBy(xxhash64(col("cid"), lit(seed)))
+      .limit(nCells)
+      .collect()
+      .map(r => r.getSeq[Float](1).toArray)
+
+    def centroidSims(v: Column): Column =
+      array(sample.zipWithIndex.map { case (c, i) =>
+        VectorFns.cosineSim(v, typedlit(c.toSeq).cast(ArrayType(FloatType)))
+      }: _*)
+
+    // corpus: argmax cell; queries: top-nProbe cells (multi-probe)
+    val withSims = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .withColumn("sims", centroidSims(col("c_vec")))
+    val cCells = withSims
+      .withColumn("cell", expr("array_position(sims, array_max(sims))").cast("int"))
+      .drop("sims")
+    val qCells = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("sims", centroidSims(col("q_vec")))
+      .withColumn("ranked", expr(
+        "transform(array_sort(zip_with(sims, sequence(1, size(sims)), (s, i) -> struct(-s AS negs, i AS idx))), p -> p.idx)"))
+      .withColumn("cell", explode(expr(s"slice(ranked, 1, $nProbe)")))
+      .select(col("query_id"), col("q_vec"), col("cell"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cCells.join(broadcast(qCells), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", VectorFns.cosineSim(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def knnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
   }
 
   def knnLsh(spark: SparkSession, dir: String): DataFrame = {
