@@ -70,6 +70,17 @@ object DebugPerf {
     time("full d03 warm")(Dedup.minHashDedup(spark, dir).count())
     time("full d05")(Dedup.ngramJaccardDedup(spark, dir).count())
     time("full d06")(Dedup.embeddingNearDup(spark, dir).count())
+
+    // 10x replicated corpus (ids offset per copy): scaling sanity — a
+    // near-linear time rise means no hidden quadratic stage. NB every
+    // doc gains 9 exact dups, so pair counts explode by design; we cap
+    // verification to the count.
+    val docs10 = (0 until 10).map { i =>
+      Tables.documents(spark, dir)
+        .select((col("doc_id") + lit(i * 10000000L)).as("doc_id"), col("text"))
+    }.reduce(_ unionByName _)
+    time("d03 on 10x corpus")(
+      println("pairs10x=" + Dedup.minHashLshPairs(docs10, "doc_id", "text").count()))
     spark.stop()
   }
 }

@@ -60,6 +60,21 @@ class OffresSpec extends SparkSpec {
     assert(m.getAs[Boolean]("reconciled"))
   }
 
+  test("NDJSON roundtrip: bulk-format lines read back through the explicit schema") {
+    val dir = java.nio.file.Files.createTempDirectory("graftjson").toString + "/offres"
+    val lines = Seq(goodJson,
+      goodJson.replace(""""id":"42"""", """"id":"43""""))
+    Seq(lines: _*).toDF("value").coalesce(1).write.text(dir)
+    // schema-directed read — no inference nondeterminism
+    val back = spark.read.schema(Offres.offreSchema).json(dir)
+    assert(back.count() == 2)
+    assert(back.select($"lieuTravail.commune").distinct().as[String].head() == "75101")
+    // PERMISSIVE mode: a malformed line becomes an all-null row, not a crash
+    Seq("{broken").toDF("value").coalesce(1).write.text(dir + "_bad")
+    val bad = spark.read.schema(Offres.offreSchema).json(dir + "_bad")
+    assert(bad.count() == 1 && bad.filter($"id".isNull).count() == 1)
+  }
+
   test("CSV sink: ordered fields, no header, comma sep (S11)") {
     val dir = java.nio.file.Files.createTempDirectory("graftcsv").toString + "/out"
     val (valid, _) = Offres.parseOffres(Seq(goodJson).toDF("json"))
