@@ -71,6 +71,10 @@ object DebugPerf {
     time("full d05")(Dedup.ngramJaccardDedup(spark, dir).count())
     time("full d06")(Dedup.embeddingNearDup(spark, dir).count())
 
+    time("e02 cold")(graft.operators.Similarity.knnLsh(spark, dir).count())
+    time("e02 warm")(graft.operators.Similarity.knnLsh(spark, dir).count())
+    time("e04 warm")(graft.operators.Similarity.knnIvf(spark, dir).count())
+
     // 10x replicated corpus (ids offset per copy): scaling sanity — a
     // near-linear time rise means no hidden quadratic stage. NB every
     // doc gains 9 exact dups, so pair counts explode by design; we cap
