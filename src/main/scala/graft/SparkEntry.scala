@@ -306,12 +306,12 @@ object SparkEntry {
           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
       "s02_sliding_counts" ->
         """SELECT win_start, event_type, count(*) AS n FROM (
-          | SELECT date_trunc('hour', ts) AS win_start, event_type FROM events
+          | SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start, event_type FROM events
           | UNION ALL
-          | SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS win_start, event_type FROM events)
+          | SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) - INTERVAL 1 HOUR AS win_start, event_type FROM events)
           |GROUP BY win_start, event_type ORDER BY win_start, event_type""".stripMargin,
       "s01_hourly_type_counts" ->
-        """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
           | count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
           |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
       "s03_user_sessions" ->

@@ -35,7 +35,7 @@ object Similarity {
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"))
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -86,7 +86,7 @@ object Similarity {
       .withColumn("cos", VectorFns.cosineSim(col("q_vec"), col("c_vec")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"), col("cos"))
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -152,7 +152,7 @@ object Similarity {
       .withColumn("cos", VectorFns.cosineSim(col("q_vec"), col("c_vec")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"), col("cos"))
       .orderBy(col("query_id"), col("rank"))
   }
 

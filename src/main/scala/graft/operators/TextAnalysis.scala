@@ -36,12 +36,12 @@ object TextAnalysis {
     Tables.documents(spark, dir)
       // project the token array once; the metric expressions share it
       // instead of re-running normalize+split per metric
-      .select(col("doc_id"), length(col("text")).as("n_chars"),
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
         tokens(normalizeText(col("text"))).as("toks"))
       .select(
         col("doc_id"),
         col("n_chars"),
-        size(col("toks")).as("n_tokens"),
+        size(col("toks")).cast("long").as("n_tokens"),
         meanTokenLen(col("toks")).as("mean_token_len"),
         stopwordRatio(col("toks"), enStopwords).as("stopword_ratio"))
       .orderBy(col("doc_id"))
@@ -50,8 +50,8 @@ object TextAnalysis {
   def tokenCounts(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"),
-        tokenCount(col("text")).as("ws_tokens"),
-        bpeishTokenCount(col("text")).as("bpeish_tokens"))
+        tokenCount(col("text")).cast("long").as("ws_tokens"),
+        bpeishTokenCount(col("text")).cast("long").as("bpeish_tokens"))
       .orderBy(col("doc_id"))
 
   /** Corpus term frequencies: explode tokens → count — top 25 terms.
