@@ -11,7 +11,7 @@ class SimilaritySpec extends SparkSpec {
     val emb = Tables.embeddings(spark, sf)
     val got = Similarity.knnBruteForce(spark, sf)
       .select($"query_id", $"rank", $"neighbor_id")
-      .as[(Long, Int, Long)].collect().toSeq
+      .as[(Long, Long, Long)].collect().toSeq
 
     val all = emb.select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
     def cos(a: Seq[Float], b: Seq[Float]): Double = {
@@ -25,7 +25,7 @@ class SimilaritySpec extends SparkSpec {
         .map { case (n, nv) => (n, cos(qv, nv)) }
         .sortBy { case (n, c) => (-c, n) }
         .take(5).zipWithIndex
-        .map { case ((n, _), i) => (q, i + 1, n) }
+        .map { case ((n, _), i) => (q, (i + 1).toLong, n) }
     }.toSeq.sortBy(t => (t._1, t._2))
     assert(got == exp)
   }
@@ -50,10 +50,10 @@ class SimilaritySpec extends SparkSpec {
 
   test("LSH candidates are a strict subset: no query returns itself, ranks dense") {
     val rows = Similarity.knnLsh(spark, sf)
-      .select($"query_id", $"rank", $"neighbor_id").as[(Long, Int, Long)].collect()
+      .select($"query_id", $"rank", $"neighbor_id").as[(Long, Long, Long)].collect()
     assert(rows.forall { case (q, _, n) => q != n })
     rows.groupBy(_._1).foreach { case (_, rs) =>
-      assert(rs.map(_._2).sorted.toSeq == (1 to rs.length))
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.length.toLong))
     }
   }
 }
