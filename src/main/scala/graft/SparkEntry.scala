@@ -55,6 +55,7 @@ object SparkEntry {
     "q28_grouping_sets"     -> (Relational.groupingSets _),
     "q29_pivot_status"      -> (Relational.pivotStatusCounts _),
     "q30_price_quantiles"   -> (Relational.priceQuantiles _),
+    "q31_asof_join"         -> (graft.operators.AsOf.purchasesWithPriorClick _),
     "e03_cosine_pairs_exact" -> (Similarity.cosinePairsExact _),
     // — text analysis (SURVEY §2.5, §2.11) —
     "t01_normalize_pipeline" -> (TextAnalysis.normalizePipeline _),
@@ -251,6 +252,12 @@ object SparkEntry {
           |WHERE a.vec_id < b.vec_id
           |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4
           |ORDER BY id_a, id_b""".stripMargin,
+      "q31_asof_join" ->
+        """SELECT p.event_id, p.user_id, c.event_id AS prior_click_id
+          |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+          |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          |  ON p.user_id = c.user_id AND p.ts >= c.ts
+          |ORDER BY p.event_id""".stripMargin,
       "t01_normalize_pipeline" ->
         s"""SELECT doc_id, lang, ${norm("text")} AS text_norm
            |FROM documents WHERE lang IN ('en','fr') ORDER BY doc_id""".stripMargin,
