@@ -56,6 +56,7 @@ object SparkEntry {
     "q29_pivot_status"      -> (Relational.pivotStatusCounts _),
     "q30_price_quantiles"   -> (Relational.priceQuantiles _),
     "q31_asof_join"         -> (graft.operators.AsOf.purchasesWithPriorClick _),
+    "q32_range_join"        -> (graft.operators.AsOf.purchaseClickProximity _),
     "e03_cosine_pairs_exact" -> (Similarity.cosinePairsExact _),
     // — text analysis (SURVEY §2.5, §2.11) —
     "t01_normalize_pipeline" -> (TextAnalysis.normalizePipeline _),
@@ -258,6 +259,13 @@ object SparkEntry {
           |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
           |  ON p.user_id = c.user_id AND p.ts >= c.ts
           |ORDER BY p.event_id""".stripMargin,
+      "q32_range_join" ->
+        """SELECT p.event_id, count(*) AS n_nearby_clicks
+          |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+          |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          |  ON p.user_id = c.user_id
+          |  AND abs(CAST(floor(epoch(p.ts)) AS BIGINT) - CAST(floor(epoch(c.ts)) AS BIGINT)) <= 3600
+          |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin,
       "t01_normalize_pipeline" ->
         s"""SELECT doc_id, lang, ${norm("text")} AS text_norm
            |FROM documents WHERE lang IN ('en','fr') ORDER BY doc_id""".stripMargin,

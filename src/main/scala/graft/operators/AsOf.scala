@@ -56,6 +56,43 @@ object AsOf {
         rightPayload.map(c => col(s"__r_$c").as(s"prior_$c")): _*)
   }
 
+  /** Bounded range join via time-bucketing: events of one type joined
+    * to events of another within ±window on the same key. The naive
+    * formulation (`a.join(b, key && abs(at - bt) <= w)`) degenerates to
+    * a per-key cross product; bucketing each probe row into the
+    * ceil(2w/bucket)+1 coarse buckets its window can touch turns it
+    * into an equi-join on (key, bucket) whose output is already
+    * window-bounded — the standard scalable shape for interval joins.
+    */
+  def rangeJoinCount(left: DataFrame, right: DataFrame, key: String,
+                     time: String, windowSec: Long): DataFrame = {
+    val bucket = windowSec // bucket width = window → probe touches 3 buckets
+    def bucketOf(c: Column): Column = floor(unix_timestamp(c) / bucket).cast("long")
+    val l = left
+      .withColumn("__b", explode(array(Seq(-1, 0, 1).map(d => bucketOf(col(time)) + d): _*)))
+    val r = right
+      .withColumn("__b", bucketOf(col(time)))
+      .select(col(key), col("__b"), col(time).as("__rt"))
+    l.join(r, Seq(key, "__b"))
+      .filter(abs(unix_timestamp(col(time)) - unix_timestamp(col("__rt"))) <= windowSec)
+      .drop("__b")
+  }
+
+  /** Range-join query: for each purchase, how many clicks the same user
+    * made within ±1 hour.
+    */
+  def purchaseClickProximity(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"))
+    rangeJoinCount(purchases, clicks, "user_id", "ts", 3600L)
+      .groupBy(col("event_id"))
+      .agg(count(lit(1)).as("n_nearby_clicks"))
+      .orderBy(col("event_id"))
+  }
+
   /** Flagship as-of query: each purchase enriched with the user's latest
     * prior (or simultaneous) click event id.
     */

@@ -32,6 +32,23 @@ class AsOfSpec extends SparkSpec {
     assert(got(103L).isEmpty)        // key never seen on the right
   }
 
+  test("bucketed range join equals the naive inequality join") {
+    val purchases = graft.Tables.events(spark, sf)
+      .filter($"event_type" === "purchase").select($"user_id", $"ts", $"event_id")
+    val clicks = graft.Tables.events(spark, sf)
+      .filter($"event_type" === "click").select($"user_id", $"ts")
+    val bucketed = AsOf.rangeJoinCount(purchases, clicks, "user_id", "ts", 3600L)
+      .groupBy($"event_id").count().as[(Long, Long)].collect().toMap
+    val naive = purchases.alias("p")
+      .join(clicks.alias("c"),
+        $"p.user_id" === $"c.user_id" &&
+        org.apache.spark.sql.functions.abs(
+          org.apache.spark.sql.functions.unix_timestamp($"p.ts") -
+          org.apache.spark.sql.functions.unix_timestamp($"c.ts")) <= 3600)
+      .groupBy($"event_id").count().as[(Long, Long)].collect().toMap
+    assert(bucketed == naive && bucketed.nonEmpty)
+  }
+
   test("asof enrichment over the fixture events is total on the left side") {
     val out = AsOf.purchasesWithPriorClick(spark, sf)
     val purchases = graft.Tables.events(spark, sf)
