@@ -13,11 +13,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     stopword ratio) — pure per-row expressions;
   *  2. quality gate on configurable thresholds;
   *  3. exact dedup by normalized-text fingerprint (group-by-hash);
-  *  4. near-dup removal via MinHash+LSH pairs: for every verified pair
-  *     the higher doc id drops. One-hop resolution — transitive
-  *     dup *chains* keep one doc per adjacent pair rather than per
-  *     cluster; full cluster collapse would run iterative
-  *     connected-components, overkill until near-dup rates are high;
+  *  4. near-dup removal via MinHash+LSH pairs resolved to full
+  *     transitive clusters (connected components,
+  *     [[graft.operators.Dedup.dupClusters]]); each cluster keeps its
+  *     min-id root;
   *  5. emits the curated corpus + a per-stage attrition report (every
   *     dropped doc is accounted for — the dead-letter discipline, S7).
   */
@@ -56,10 +55,13 @@ object CurationJob {
     val exact = quality.join(keepers, idCol)
     val afterExact = exact.count()
 
-    // near-dup: drop the larger id of each verified LSH pair
-    val dupIds = Dedup.minHashLshPairs(exact, idCol, textCol,
-        threshold = t.nearDupJaccard)
-      .select(col("doc_b").as(idCol)).distinct()
+    // near-dup: resolve full transitive clusters (connected components
+    // over the verified pairs), keep each cluster's min-id root
+    val pairs = Dedup.minHashLshPairs(exact, idCol, textCol,
+      threshold = t.nearDupJaccard)
+    val dupIds = Dedup.dupClusters(pairs)
+      .filter(col("doc_id") =!= col("cluster_id"))   // non-roots drop
+      .select(col("doc_id").as(idCol))
     val curated = exact.join(dupIds, Seq(idCol), "left_anti")
     val afterNearDup = curated.count()
 

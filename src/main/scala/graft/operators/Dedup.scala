@@ -251,6 +251,46 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Connected components over near-dup pairs: assigns every doc in a
+    * dup cluster the cluster's minimum id (label propagation to fixed
+    * point). Handles transitive chains (a~b, b~c ⇒ {a,b,c} one cluster)
+    * that pairwise drops miss.
+    *
+    * Each iteration is one join + aggregate on the edge list (both
+    * shuffles keyed by id); iterations needed = graph diameter, which
+    * for near-dup clusters is small. Intermediate results persist so an
+    * iteration reads the previous labels, not the whole lineage.
+    */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // undirected edge list + self edges
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst2"),
+          col("dst") === col("dst2"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("label")).as("nbr_label"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .filter(col("label") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame =
     embeddingNearDupPairs(Tables.embeddings(spark, dir), "vec_id", "embedding",
       dim = 64, threshold = 0.25)

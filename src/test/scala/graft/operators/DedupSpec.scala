@@ -72,6 +72,15 @@ class DedupSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("dupClusters collapses transitive chains to one cluster root") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val clusters = Dedup.dupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(clusters(_) == 1L)) // chain collapses
+    assert(clusters(10L) == 10L && clusters(11L) == 10L)  // separate cluster
+  }
+
   test("fingerprint dedup counts match exact dedup on the fixture corpus") {
     val a = Dedup.exactDedup(spark, sf).count()
     val b = Dedup.fingerprintDedup(spark, sf).count()
