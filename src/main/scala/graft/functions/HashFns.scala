@@ -201,6 +201,50 @@ object HashFns {
     GraftColumnBridge.column(SortedJaccard(GraftColumnBridge.expression(a),
                                            GraftColumnBridge.expression(b)))
 
+  /** Feature-hashing TF vector: one pass over the token array, murmur-
+    * free bucket assignment via xxhash64(token) mod dim, L2-normalized
+    * float output — the classic hashing-trick text vectorizer, turning
+    * any document into an `array<float>` the ANN/near-dup operators
+    * consume directly.
+    */
+  def hashingTf(arr: ArrayData, dim: Int): ArrayData = {
+    val v = new Array[Float](dim)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        v(java.lang.Math.floorMod(h, dim.toLong).toInt) += 1f
+      }
+      i += 1
+    }
+    var norm = 0.0
+    var j = 0
+    while (j < dim) { norm += v(j).toDouble * v(j); j += 1 }
+    if (norm > 0) {
+      val inv = (1.0 / math.sqrt(norm)).toFloat
+      j = 0
+      while (j < dim) { v(j) *= inv; j += 1 }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(v)
+  }
+
+  case class HashingTfVec(child: Expression, dim: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "hashing_tf"
+    override def nullSafeEval(input: Any): Any =
+      hashingTf(input.asInstanceOf[ArrayData], dim)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashFns.hashingTf($c, $dim)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def hashingTfVec(tokens: Column, dim: Int): Column =
+    GraftColumnBridge.column(HashingTfVec(GraftColumnBridge.expression(tokens), dim))
+
   /** MinHash signature (array<long> of k minima) over byte n-gram
     * shingles of a string column.
     */

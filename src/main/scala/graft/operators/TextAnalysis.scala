@@ -76,6 +76,20 @@ object TextAnalysis {
       .groupBy(col("lang"), col("lang_guess")).agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("lang_guess"))
 
+  /** Text → embedding bridge: hashing-trick TF vectors over normalized
+    * tokens, fed straight into the ANN operator — content-similar
+    * documents for the first 5 doc ids (top-3 each). The whole text
+    * modality plugs into the vector operators through one expression.
+    */
+  def docSimilarity(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.HashFns.hashingTfVec(
+          tokens(normalizeText(col("text"))), 64).as("vec"))
+    Similarity.bruteForceTopK(vecs, vecs.filter(col("doc_id") < 5),
+      "doc_id", "vec", k = 3)
+  }
+
   /** Document fingerprints (md5 of normalized text) — the exact-dedup /
     * provenance key.
     */
