@@ -30,10 +30,8 @@ object CurationJob {
   case class Report(input: Long, afterQuality: Long, afterExact: Long,
                     afterNearDup: Long)
 
-  def run(docs: DataFrame, idCol: String, textCol: String,
-          t: Thresholds = Thresholds()): (DataFrame, Report) = {
-    val input = docs.count()
-
+  private def stages(docs: DataFrame, idCol: String, textCol: String,
+                     t: Thresholds): (DataFrame, DataFrame, DataFrame) = {
     val toks = TextFns.tokens(TextFns.normalizeText(col(textCol)))
     val scored = docs.select(col(idCol), col(textCol),
       size(toks).as("n_tokens"),
@@ -45,15 +43,16 @@ object CurationJob {
       col("n_tokens").between(t.minTokens, t.maxTokens) &&
       col("mean_token_len") >= t.minMeanTokenLen &&
       col("stopword_ratio") <= t.maxStopwordRatio)
-    val afterQuality = quality.count()
 
-    // exact dedup: keep min id per normalized-text fingerprint
+    // exact dedup: keep min id per normalized-text fingerprint.
+    // `exact` feeds three consumers (LSH signature pass, shingle
+    // verification, final anti-join) → persist so the quality scan +
+    // dedup join run once, not per action.
     val keepers = quality
       .groupBy(TextFns.fingerprint64(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as(idCol))
       .select(col(idCol))
-    val exact = quality.join(keepers, idCol)
-    val afterExact = exact.count()
+    val exact = quality.join(keepers, idCol).persist()
 
     // near-dup: resolve full transitive clusters (connected components
     // over the verified pairs), keep each cluster's min-id root
@@ -63,12 +62,20 @@ object CurationJob {
       .filter(col("doc_id") =!= col("cluster_id"))   // non-roots drop
       .select(col("doc_id").as(idCol))
     val curated = exact.join(dupIds, Seq(idCol), "left_anti")
-    val afterNearDup = curated.count()
-
-    (curated.select(col(idCol), col(textCol)).orderBy(col(idCol)),
-      Report(input, afterQuality, afterExact, afterNearDup))
+      .select(col(idCol), col(textCol)).orderBy(col(idCol))
+    (quality, exact, curated)
   }
 
+  def run(docs: DataFrame, idCol: String, textCol: String,
+          t: Thresholds = Thresholds()): (DataFrame, Report) = {
+    val (quality, exact, curated) = stages(docs, idCol, textCol, t)
+    val report = Report(docs.count(), quality.count(), exact.count(), curated.count())
+    (curated, report)
+  }
+
+  /** Report-free path: one terminal action computes the curated corpus
+    * (the LSH collect inside cluster resolution is the only extra job).
+    */
   def curate(spark: SparkSession, dir: String): DataFrame =
-    run(graft.Tables.documents(spark, dir), "doc_id", "text")._1
+    stages(graft.Tables.documents(spark, dir), "doc_id", "text", Thresholds())._3
 }

@@ -261,14 +261,45 @@ object Dedup {
     * for near-dup clusters is small. Intermediate results persist so an
     * iteration reads the previous labels, not the whole lineage.
     */
-  def dupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
-    // undirected edge list + self edges
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .persist()
+  def dupClusters(pairs: DataFrame, maxIter: Int = 10,
+                  localLimit: Long = 5000000L): DataFrame = {
+    // Near-dup edge lists are tiny relative to the corpus (pairs are the
+    // OUTPUT of dedup, not the input): below `localLimit` edges, a
+    // driver-side union-find over the collected pairs beats ~diameter
+    // shuffle rounds by orders of magnitude. The iterative path remains
+    // for adversarial corpora where the pair set itself is huge.
+    val spark = pairs.sparkSession
+    val edgesRaw = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")).persist()
+    val nEdges = edgesRaw.count()
+    if (nEdges <= localLimit) {
+      import spark.implicits._
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      val collected = edgesRaw.as[(Long, Long)].collect()
+      edgesRaw.unpersist()
+      collected.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val ids = collected.flatMap(p => Seq(p._1, p._2)).distinct
+      return ids.toSeq.map(id => (id, find(id))).toDF("doc_id", "cluster_id")
+    }
+    // undirected edge list + self edges. localCheckpoint (not persist)
+    // on every iteration: the label frame is referenced twice per round
+    // (propagation + convergence check), so without lineage truncation
+    // the logical plan doubles each iteration — exponential plan growth.
+    val edges = edgesRaw
+      .union(edgesRaw.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .persist()
+      .localCheckpoint(true)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -277,13 +308,20 @@ object Dedup {
           col("dst") === col("dst2"))
         .groupBy(col("src").as("id"))
         .agg(min(col("label")).as("nbr_label"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
+      val stepped = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .persist()
+      // pointer jumping: also adopt the label OF the current label —
+      // propagation distance doubles per round, so convergence takes
+      // O(log diameter) rounds instead of O(diameter)
+      val next = stepped.alias("a")
+        .join(stepped.select(col("id").as("lid"), col("label").as("llabel")),
+          col("a.label") === col("lid"), "left")
+        .select(col("a.id").as("id"),
+          least(col("a.label"), coalesce(col("llabel"), col("a.label"))).as("label"))
+        .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
         .filter(col("label") =!= col("old")).limit(1).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1

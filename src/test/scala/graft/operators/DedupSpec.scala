@@ -81,6 +81,16 @@ class DedupSpec extends SparkSpec {
     assert(clusters(10L) == 10L && clusters(11L) == 10L)  // separate cluster
   }
 
+  test("distributed label propagation agrees with driver union-find") {
+    val rnd = new scala.util.Random(5)
+    val pairs = (1 to 60).map(_ => (rnd.nextInt(30).toLong, 30L + rnd.nextInt(30)))
+      .toDF("doc_a", "doc_b")
+    val local = Dedup.dupClusters(pairs).as[(Long, Long)].collect().toMap
+    val dist = Dedup.dupClusters(pairs, localLimit = 0L) // force iterative path
+      .as[(Long, Long)].collect().toMap
+    assert(local == dist && local.nonEmpty)
+  }
+
   test("fingerprint dedup counts match exact dedup on the fixture corpus") {
     val a = Dedup.exactDedup(spark, sf).count()
     val b = Dedup.fingerprintDedup(spark, sf).count()
