@@ -66,6 +66,7 @@ object SparkEntry {
     "t05_langid_confusion"   -> (TextAnalysis.langIdConfusion _),
     "t06_fingerprints"       -> (TextAnalysis.fingerprints _),
     "t07_doc_similarity"     -> (TextAnalysis.docSimilarity _),
+    "t08_winnowing"          -> (TextAnalysis.winnowingFingerprints _),
     // — dedup (SURVEY §2.11) —
     "d01_exact_dedup"        -> (Dedup.exactDedup _),
     "d02_fingerprint_dedup"  -> (Dedup.fingerprintDedup _),

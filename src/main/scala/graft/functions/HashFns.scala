@@ -201,6 +201,63 @@ object HashFns {
     GraftColumnBridge.column(SortedJaccard(GraftColumnBridge.expression(a),
                                            GraftColumnBridge.expression(b)))
 
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken's
+    * public MOSS algorithm): Rabin-Karp ROLLING hash over byte k-grams
+    * (O(1) per position — one multiply, one subtract, one add), then
+    * the minimum hash of each window of `w` consecutive k-gram hashes
+    * (rightmost minimum) is selected. The selected set is
+    * position-shift-robust: edits only perturb fingerprints within ±w
+    * positions, so shared-fingerprint counts localize duplication.
+    */
+  def winnow(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    if (n < k) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val B = 257L
+    var pow = 1L // B^(k-1)
+    var i = 1
+    while (i < k) { pow *= B; i += 1 }
+    val nGrams = n - k + 1
+    val hs = new Array[Long](nGrams)
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * B + (bytes(i) & 0xff); i += 1 }
+    hs(0) = h
+    i = 1
+    while (i < nGrams) {
+      h = (h - (bytes(i - 1) & 0xff) * pow) * B + (bytes(i + k - 1) & 0xff)
+      hs(i) = h
+      i += 1
+    }
+    if (nGrams <= w)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(hs.min))
+    val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+    i = 0
+    while (i + w <= nGrams) {
+      var minIdx = i
+      var j = i + 1
+      while (j < i + w) { if (hs(j) <= hs(minIdx)) minIdx = j; j += 1 }
+      out += hs(minIdx)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  case class Winnow(child: Expression, k: Int, w: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "winnow"
+    override def nullSafeEval(input: Any): Any =
+      winnow(input.asInstanceOf[UTF8String], k, w)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashFns.winnow($c, $k, $w)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4): Column =
+    GraftColumnBridge.column(Winnow(GraftColumnBridge.expression(text), k, w))
+
   /** Feature-hashing TF vector: one pass over the token array, murmur-
     * free bucket assignment via xxhash64(token) mod dim, L2-normalized
     * float output — the classic hashing-trick text vectorizer, turning

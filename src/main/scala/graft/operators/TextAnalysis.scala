@@ -97,4 +97,17 @@ object TextAnalysis {
     Tables.documents(spark, dir)
       .select(col("doc_id"), fingerprintMd5(col("text")).as("fp"))
       .orderBy(col("doc_id"))
+
+  /** Rolling-hash winnowing fingerprints (shift-robust MOSS selection):
+    * per doc, the count of selected fingerprints — localizable
+    * duplication evidence at a fraction of shingle-set size.
+    */
+  def winnowingFingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.HashFns.winnowFingerprints(
+          normalizeText(col("text"))).as("fps"))
+      .select(col("doc_id"), size(col("fps")).cast("long").as("n_fingerprints"),
+        col("fps"))
+      .orderBy(col("doc_id"))
 }

@@ -41,6 +41,18 @@ class HashFnsSpec extends SparkSpec {
     assert(sa.zip(sc).count { case (x, y) => x == y } == 0)
   }
 
+  test("winnowing fingerprints are shift-robust: shared set survives a prefix insert") {
+    val doc = "the quick brown fox jumps over the lazy dog and keeps running far away"
+    val shifted = "PREFIX INSERTED HERE " + doc
+    val Seq(a, b) = Seq(doc, shifted).toDF("t")
+      .select(HashFns.winnowFingerprints($"t", 8, 4)).as[Seq[Long]].collect().toSeq
+    val shared = a.toSet.intersect(b.toSet).size.toDouble / a.toSet.size
+    assert(shared >= 0.8, s"shared=$shared") // only the boundary region differs
+    // whole-document hashing would share nothing after the shift;
+    // rolling selection keeps the common suffix's fingerprints identical
+    assert(a.nonEmpty && b.toSet.size > a.toSet.size * 0.8)
+  }
+
   test("sortedJaccard equals set-based jaccard on sorted distinct arrays") {
     val rnd = new scala.util.Random(3)
     (1 to 20).foreach { _ =>
