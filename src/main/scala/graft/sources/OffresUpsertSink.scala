@@ -38,6 +38,12 @@ class OffresUpsertSink extends TableProvider {
     new UpsertTable(schema, new CaseInsensitiveStringMap(properties))
 }
 
+/** Task→driver commit message; a top-level case object so it carries no
+  * outer reference (an anonymous inner message would capture the writer,
+  * which is not serializable — fine in local mode, fatal on a cluster).
+  */
+case object UpsertCommitted extends WriterCommitMessage
+
 object UpsertStoreRegistry {
   /** store name → (key → serialized row values) */
   private val stores =
@@ -101,7 +107,7 @@ class UpsertDataWriter(storeName: String, keyColumn: String, schema: StructType)
   override def commit(): WriterCommitMessage = {
     val store = UpsertStoreRegistry.store(storeName)
     buffer.foreach { case (k, v) => store.put(k, v) }
-    new WriterCommitMessage {}
+    UpsertCommitted
   }
 
   override def abort(): Unit = buffer.clear()
