@@ -29,7 +29,7 @@ object SparkEntry {
     "q02_filter_project"    -> (Relational.filterProject _),
     "q03_revenue_by_nation" -> (Relational.revenueByNation _),
     "q04_customers_per_region" -> (Relational.customersPerRegion _),
-    "q05_region_supplier_matrix" -> (Relational.regionNationMatrix _),
+    "q05_region_supplier_matrix" -> (Relational.regionSupplierMatrix _),
     "q06_semi_join"         -> (Relational.semiJoin _),
     "q07_anti_join"         -> (Relational.antiJoin _),
     "q08_topk_orders"       -> (Relational.topKOrders _),

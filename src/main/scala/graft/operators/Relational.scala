@@ -99,7 +99,7 @@ object Relational {
   /** J2: cross join (the reference's departement×métier fetch matrix,
     * `ingestion-elasticsearch.py:180-181`). Dim×dim only — never a fact.
     */
-  def regionNationMatrix(spark: SparkSession, dir: String): DataFrame = {
+  def regionSupplierMatrix(spark: SparkSession, dir: String): DataFrame = {
     val r = Tables.region(spark, dir).select(col("r_name"))
     val s = Tables.supplier(spark, dir).select(col("s_name"))
     r.crossJoin(broadcast(s)).orderBy(col("r_name"), col("s_name"))
