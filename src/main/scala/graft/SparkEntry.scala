@@ -56,6 +56,8 @@ object SparkEntry {
     "q29_pivot_status"      -> (Relational.pivotStatusCounts _),
     "q30_price_quantiles"   -> (Relational.priceQuantiles _),
     "q31_asof_join"         -> (graft.operators.AsOf.purchasesWithPriorClick _),
+    "q33_exists_agg"        -> (Relational.priorityWithBigLines _),
+    "q34_order_distribution" -> (Relational.customerOrderDistribution _),
     "q32_range_join"        -> (graft.operators.AsOf.purchaseClickProximity _),
     "e03_cosine_pairs_exact" -> (Similarity.cosinePairsExact _),
     // — text analysis (SURVEY §2.5, §2.11) —
@@ -268,6 +270,17 @@ object SparkEntry {
           |  ON p.user_id = c.user_id
           |  AND abs(CAST(floor(epoch(p.ts)) AS BIGINT) - CAST(floor(epoch(c.ts)) AS BIGINT)) <= 3600
           |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin,
+      "q33_exists_agg" ->
+        """SELECT o_orderpriority, count(*) AS n_orders FROM orders
+          |WHERE EXISTS (SELECT 1 FROM lineitem
+          |  WHERE l_orderkey = o_orderkey AND l_quantity > 45.0)
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+      "q34_order_distribution" ->
+        """SELECT c_count, count(*) AS n_customers FROM (
+          | SELECT c_custkey, count(o_orderkey) AS c_count
+          | FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+          | GROUP BY c_custkey)
+          |GROUP BY c_count ORDER BY n_customers DESC, c_count DESC""".stripMargin,
       "t01_normalize_pipeline" ->
         s"""SELECT doc_id, lang, ${norm("text")} AS text_norm
            |FROM documents WHERE lang IN ('en','fr') ORDER BY doc_id""".stripMargin,

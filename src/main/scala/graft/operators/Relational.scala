@@ -397,6 +397,33 @@ object Relational {
            expr("percentile(l_extendedprice, 0.9)").as("p90_price"))
       .orderBy(col("l_returnflag"))
 
+  /** TPC-H Q4 shape: per-priority counts of orders having at least one
+    * qualifying lineitem (correlated EXISTS → left-semi join).
+    */
+  def priorityWithBigLines(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir).filter(col("l_quantity") > 45.0)
+    o.join(li, o("o_orderkey") === li("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** TPC-H Q13 shape: distribution of customers by order count —
+    * left outer join so zero-order customers land in bucket 0, then a
+    * second-level aggregation over the per-customer counts.
+    */
+  def customerOrderDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("n_customers").desc, col("c_count").desc)
+  }
+
   /** Correlated-scalar-subquery shape: orders above their customer's
     * average order value (decorrelated by Catalyst into a join on the
     * grouped aggregate — no per-row subquery execution).

@@ -91,6 +91,17 @@ class OffresSourceSpec extends SparkSpec {
     assert(df.count() == 2000)
   }
 
+  test("unregistered api key fails with a clear message, not a hang") {
+    val e = intercept[Exception] {
+      spark.read.format("graft.sources.OffresSource")
+        .option("api", "nope").load().count()
+    }
+    def chain(t: Throwable): List[String] =
+      if (t == null) Nil else t.getMessage :: chain(t.getCause)
+    assert(chain(e).exists(m => m != null && m.contains("no OffresApi registered")),
+      chain(e).toString)
+  }
+
   test("column pruning reaches the reader schema (P1)") {
     val df = read.load().select($"id")
     val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
