@@ -15,15 +15,18 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup on the smallest fixture: JIT + codegen + parquet
     // footer caches, so the first timed query doesn't absorb JVM startup.
-    try {
-      SparkEntry.queries.foreach { case (_, fn) =>
-        fn(spark, "/root/testdata/sf0.001").count()
-      }
-    } catch { case _: Throwable => () }
+    SparkEntry.queries.foreach { case (_, fn) =>
+      // per-query guard: one failing query must not abort warmup for
+      // the rest
+      try fn(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache() // drop per-query persists (untimed)
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -26,20 +26,33 @@ object IngestionJob {
     val api = OffresApiRegistry.get(apiKey)
     val totalExpected = api.count(AdaptivePlanner.FetchFilter()) // A1 probe
 
+    // persist: the REST scan must execute exactly once — the valid
+    // write, dead-letter write, and error count would otherwise each
+    // re-plan (count probes) and re-fetch every page against the
+    // rate-limited API, and could observe different API snapshots
     val raw = spark.read.format("graft.sources.OffresSource")
       .option("api", apiKey).option("tokens", tokens.mkString(","))
       .load()
+      .persist()
 
     val valid = raw.filter(col("id").isNotNull).dropDuplicates("id")
-    val dead = raw.filter(col("id").isNull)
+    val deadRows = raw.filter(col("id").isNull)
       .select(to_json(struct(raw.columns.map(col).toSeq: _*)).as("response"),
         lit("offre without id").as("message"))
 
     Offres.overwriteTable(valid, s"$outDir/offres")
+    // overflowed plan leaves → dead-letter rows (never silent loss, S7)
+    val overflowRows = graft.sources.OverflowLog.drain(apiKey).map { o =>
+      (o.toString, s"overflow: ${o.total} offers exceed the fetch cap")
+    }
+    import spark.implicits._
+    val dead = deadRows.unionByName(
+      overflowRows.toDF("response", "message"))
     Offres.overwriteTable(dead, s"$outDir/erreurs")
 
     val collected = spark.read.parquet(s"$outDir/offres").count() // S12 recount
-    val nErr = dead.count()
+    val nErr = spark.read.parquet(s"$outDir/erreurs").count()
+    raw.unpersist()
     val endS = System.currentTimeMillis() / 1000
     val metrics = Offres.runMetrics(spark, startS, endS, totalExpected, collected)
     metrics.write.mode("append").parquet(s"$outDir/ingestion")

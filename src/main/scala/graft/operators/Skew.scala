@@ -22,12 +22,21 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Skew {
 
+  /** Per-row salt independent of row CONTENT: identical duplicate rows
+    * (the classic hot-key shape) must still spread across buckets, so a
+    * content hash won't do — `monotonically_increasing_id` assigns by
+    * physical position. Any assignment is equally correct (the second
+    * aggregation phase / the join predicate absorbs it).
+    */
+  private def rowSalt(salt: Int): Column =
+    pmod(monotonically_increasing_id(), lit(salt.toLong))
+
   /** Two-phase salted count/sum aggregation on a possibly-skewed key.
     * `sums` maps output column name → column to sum (count = sum of 1).
     */
   def saltedAggregate(df: DataFrame, key: Column, salt: Int,
                       sums: Map[String, Column]): DataFrame = {
-    val saltCol = pmod(xxhash64(struct(df.columns.map(col).toSeq: _*)), lit(salt))
+    val saltCol = rowSalt(salt)
     val partials = sums.toSeq.map { case (name, c) => sum(c).as(name) }
     val finals = sums.keys.toSeq.map(name => sum(col(name)).as(name))
     df.groupBy(key.as("key"), saltCol.as("salt"))
@@ -43,8 +52,7 @@ object Skew {
     */
   def saltedJoin(large: DataFrame, small: DataFrame,
                  largeKey: Column, smallKey: Column, salt: Int): DataFrame = {
-    val saltedLarge = large.withColumn("__salt",
-      pmod(xxhash64(struct(large.columns.map(col).toSeq: _*)), lit(salt)))
+    val saltedLarge = large.withColumn("__salt", rowSalt(salt))
     val saltedSmall = small.withColumn("__salt",
       explode(sequence(lit(0L), lit(salt - 1L))))
     saltedLarge.join(saltedSmall,

@@ -95,11 +95,13 @@ object Offres {
 
   /** S6: `_id`-keyed idempotent upsert — keep the freshest row per id
     * (bulk-upsert semantics of `ingestion-elasticsearch.py:36-55`).
-    * Deterministic tiebreak on the whole tuple via a window.
+    * Same-date duplicates tiebreak on a hash of the whole tuple so the
+    * surviving row is deterministic run-to-run.
     */
   def upsertById(offres: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("id"))
-      .orderBy(col("dateActualisation").desc_nulls_last)
+      .orderBy(col("dateActualisation").desc_nulls_last,
+        xxhash64(struct(offres.columns.map(col).toSeq: _*)))
     offres.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")
   }

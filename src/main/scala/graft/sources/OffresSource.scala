@@ -97,6 +97,32 @@ object OffresApiRegistry {
       throw new IllegalArgumentException(s"no OffresApi registered under '$key'"))
 }
 
+/** Driver-side record of plan leaves that could not be fully fetched
+  * (the reference's skip-and-log overflow,
+  * `ingestion-elasticsearch.py:209-211`). Consumers ([[graft.jobs.IngestionJob]])
+  * drain this per api key into the dead-letter table so the loss is a
+  * row in `erreurs`, not just a log line.
+  */
+object OverflowLog {
+  // set-valued: Spark may call planInputPartitions more than once per
+  // query (planning + execution), so identical overflow records collapse
+  private val log =
+    new ConcurrentHashMap[String, ConcurrentHashMap[AdaptivePlanner.Overflow, Boolean]]()
+  def record(apiKey: String, o: AdaptivePlanner.Overflow): Unit =
+    log.computeIfAbsent(apiKey, _ => new ConcurrentHashMap()).put(o, true)
+  /** Returns and clears the overflows recorded for `apiKey`. */
+  def drain(apiKey: String): Seq[AdaptivePlanner.Overflow] = {
+    val m = log.remove(apiKey)
+    if (m == null) Seq.empty
+    else {
+      val it = m.keySet().iterator()
+      val b = Seq.newBuilder[AdaptivePlanner.Overflow]
+      while (it.hasNext) b += it.next()
+      b.result()
+    }
+  }
+}
+
 class OffresSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     OffresSource.flatSchema
@@ -137,8 +163,15 @@ class OffresScanBuilder(options: CaseInsensitiveStringMap)
   private var romeIn: Option[Seq[String]] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // a pushed departement bypasses the region level of the plan, so a
+    // simultaneous region predicate can NOT be claimed as pushed — it
+    // stays residual and Spark re-applies it on the returned rows
+    val hasDept = filters.exists {
+      case EqualTo("departement", _: String) => true
+      case _ => false
+    }
     val (pushed, residual) = filters.partition {
-      case EqualTo("region", _: String)      => true
+      case EqualTo("region", _: String)      => !hasDept
       case EqualTo("departement", _: String) => true
       case EqualTo("romeCode", _: String)    => true
       case In("romeCode", vs) if vs.forall(_.isInstanceOf[String]) => true
@@ -225,8 +258,9 @@ class OffresScan(options: CaseInsensitiveStringMap, schema: StructType,
     }
     val plan = Plan(plans.flatMap(_.partitions), plans.flatMap(_.overflows))
     plan.overflows.foreach { o =>
-      // skip-and-log semantics (ingestion-elasticsearch.py:209-211);
-      // surfaced in the log, recoverable via the dead-letter table
+      // skip-and-log semantics (ingestion-elasticsearch.py:209-211):
+      // recorded for dead-letter capture by the consumer + logged
+      OverflowLog.record(apiKey, o)
       System.err.println(s"[offres-source] OVERFLOW not fully fetchable: $o")
     }
     plan.partitions.zipWithIndex.map { case (p, i) =>

@@ -122,14 +122,23 @@ object Streams {
                   cur = Some(SessionState(t, t, 1, e.value))
               }
             }
-            cur.foreach { s =>
-              state.update(s)
-              // must register on every batch (watermark may still be 0 on
-              // the first one); clamp above the watermark as required
-              state.setTimeoutTimestamp(
-                math.max(s.lastTs + gapMs, state.getCurrentWatermarkMs() + 1))
+            val watermarked =
+              try { state.getCurrentWatermarkMs(); true }
+              catch { case _: UnsupportedOperationException => false }
+            if (watermarked) {
+              cur.foreach { s =>
+                state.update(s)
+                // must register on every batch (watermark may still be 0
+                // on the first one); clamp above the watermark as required
+                state.setTimeoutTimestamp(
+                  math.max(s.lastTs + gapMs, state.getCurrentWatermarkMs() + 1))
+              }
+              closed.result().iterator
+            } else {
+              // batch mode (no watermark): this is the only call for the
+              // group — emit the trailing open session too
+              (closed.result() ++ cur.map(flush(userId, _))).iterator
             }
-            closed.result().iterator
           }
       }
   }

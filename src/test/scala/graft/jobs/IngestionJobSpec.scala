@@ -28,6 +28,27 @@ class IngestionJobSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/ingestion").count() == 2) // metrics append per run
   }
 
+  test("overflowed plan leaves land in the dead-letter table, not just a log line") {
+    object SaturatedApi extends graft.sources.OffresApi {
+      import graft.sources.AdaptivePlanner._
+      override def count(filter: FetchFilter): Long = 10000L // saturated everywhere
+      override def fetch(filter: FetchFilter, range: PageRange, token: String) = Seq.empty
+      override def referentiel(name: String): Seq[String] = name match {
+        case "regions" => Seq("""{"code":"R"}""")
+        case "departements" => Seq("""{"code":"D","region":{"code":"R"}}""")
+        case "metiers" => Seq("""{"code":"M"}""")
+        case _ => Seq.empty
+      }
+    }
+    OffresApiRegistry.register("saturated", SaturatedApi)
+    val out = java.nio.file.Files.createTempDirectory("graft-ovf").toString
+    val r = IngestionJob.run(spark, "saturated", Seq("t"), out)
+    assert(r.collected == 0 && !r.reconciled)
+    val err = spark.read.parquet(s"$out/erreurs")
+    assert(err.filter(org.apache.spark.sql.functions.col("message")
+      .contains("overflow")).count() == 1)
+  }
+
   test("TokenProvider: caches until near expiry, re-auths after, round-robins slots") {
     var now = 0L
     var authCalls = 0

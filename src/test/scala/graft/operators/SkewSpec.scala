@@ -41,10 +41,17 @@ class SkewSpec extends SparkSpec {
     assert(salted.nonEmpty)
   }
 
-  test("salting spreads the hot key across partitions") {
-    val saltCol = pmod(xxhash64(struct(skewed.columns.map(col).toSeq: _*)), lit(8))
-    val spread = skewed.filter($"k" === "HOT")
-      .select(saltCol.as("salt")).distinct().count()
-    assert(spread == 8) // hot key occupies all salt buckets
+  test("salting spreads even BYTE-IDENTICAL hot rows across buckets") {
+    // identical rows defeat content-hash salting; positional salt must
+    // still fan them out
+    val identical = (1 to 1000).map(_ => ("HOT", 1.0)).toDF("k", "v")
+    val spread = Skew.saltedAggregate(identical, $"k", salt = 8,
+      Map("n" -> lit(1L)))
+    val total = spread.select($"n").as[Long].head()
+    assert(total == 1000)
+    val buckets = identical
+      .select(pmod(monotonically_increasing_id(), lit(8L)).as("salt"))
+      .distinct().count()
+    assert(buckets == 8)
   }
 }

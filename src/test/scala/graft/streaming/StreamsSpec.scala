@@ -107,6 +107,15 @@ class StreamsSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("sessionizeWithState in batch mode emits every session incl. the open tail") {
+    val in = events.toDF().selectExpr("user_id", "ts", "value")
+      .as[Streams.SessionInput]
+    val out = Streams.sessionizeWithState(in, gapMinutes = 30)
+      .collect().map(s => (s.user_id, s.n_events)).groupBy(_._1)
+    assert(out(1L).map(_._2).sorted.toSeq == Seq(1L, 2L)) // sessions {1,2} and {3}
+    assert(out(2L).map(_._2).sorted.toSeq == Seq(1L, 1L)) // {4} and {5}
+  }
+
   test("foreachBatch keyed-upsert sink applies idempotent _id semantics") {
     implicit val sqlCtx = spark.sqlContext
     val store = new java.util.concurrent.ConcurrentHashMap[Long, Double]()
