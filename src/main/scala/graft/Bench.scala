@@ -22,6 +22,10 @@ object Bench {
       try fn(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }
     }
+    // drop warmup persists BEFORE timing — otherwise query 1 runs with
+    // the whole warmup cache footprint (or outright hits it when sfDir
+    // is the warmup fixture) while queries 2..N run cold
+    spark.catalog.clearCache()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

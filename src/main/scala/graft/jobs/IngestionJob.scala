@@ -24,6 +24,9 @@ object IngestionJob {
           outDir: String): Result = {
     val startS = System.currentTimeMillis() / 1000
     val api = OffresApiRegistry.get(apiKey)
+    // discard overflow records leaked by a previously failed/aborted run
+    // for this api key — this run's erreurs must reflect THIS run
+    graft.sources.OverflowLog.drain(apiKey)
     val totalExpected = api.count(AdaptivePlanner.FetchFilter()) // A1 probe
 
     // persist: the REST scan must execute exactly once — the valid

@@ -42,10 +42,12 @@ object AsOf {
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         rightPayload.map(c => col(c).as(s"__r_$c")): _*)
 
-    // ordering includes the first payload column so ties among multiple
+    // ordering includes ALL payload columns so ties among multiple
     // right rows at the same (key, time) resolve deterministically
+    // (payload types must be orderable); safe for empty payload lists
     val w = Window.partitionBy(col(key))
-      .orderBy(col(time), col("__side"), col(s"__r_${rightPayload.head}"))
+      .orderBy(Seq(col(time), col("__side")) ++
+        rightPayload.map(c => col(s"__r_$c")): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l.unionByName(r)
       .select((Seq(col(key), col(time), col("__side")) ++

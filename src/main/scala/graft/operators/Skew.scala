@@ -17,26 +17,43 @@ import org.apache.spark.sql.{Column, DataFrame}
   *    scatters probe rows across the replicas, so one hot key spreads
   *    over `salt` tasks.
   *
-  * Salting is deterministic (hash of a caller-chosen scatter column, or
-  * a stable row hash) — results are reproducible run to run.
+  * Two salt strategies, with a real tradeoff:
+  *  - [[SaltStrategy.Content]] (default): hash of the whole row —
+  *    retry-deterministic (a recomputed map task reassigns identical
+  *    salts, the SPARK-23207 requirement for expressions feeding a
+  *    shuffle key), but byte-identical duplicate rows all land in one
+  *    bucket, so it cannot spread a hot key made of exact duplicates.
+  *  - [[SaltStrategy.Positional]]: `monotonically_increasing_id`-based —
+  *    spreads even identical rows, but the assignment depends on
+  *    physical row position, so a partial map-task recomputation after
+  *    a shuffle-fetch failure may re-salt rows differently (double
+  *    count / loss on that failure path). Use when duplicates dominate
+  *    the hot key AND the job can tolerate retry-window inconsistency
+  *    (or runs with full-stage retry).
   */
 object Skew {
 
-  /** Per-row salt independent of row CONTENT: identical duplicate rows
-    * (the classic hot-key shape) must still spread across buckets, so a
-    * content hash won't do — `monotonically_increasing_id` assigns by
-    * physical position. Any assignment is equally correct (the second
-    * aggregation phase / the join predicate absorbs it).
-    */
-  private def rowSalt(salt: Int): Column =
-    pmod(monotonically_increasing_id(), lit(salt.toLong))
+  sealed trait SaltStrategy
+  object SaltStrategy {
+    case object Content extends SaltStrategy
+    case object Positional extends SaltStrategy
+  }
+
+  private[operators] def saltColumn(df: DataFrame, strategy: SaltStrategy,
+                                    salt: Int): Column = strategy match {
+    case SaltStrategy.Content =>
+      pmod(xxhash64(struct(df.columns.map(col).toSeq: _*)), lit(salt.toLong))
+    case SaltStrategy.Positional =>
+      pmod(monotonically_increasing_id(), lit(salt.toLong))
+  }
 
   /** Two-phase salted count/sum aggregation on a possibly-skewed key.
     * `sums` maps output column name → column to sum (count = sum of 1).
     */
   def saltedAggregate(df: DataFrame, key: Column, salt: Int,
-                      sums: Map[String, Column]): DataFrame = {
-    val saltCol = rowSalt(salt)
+                      sums: Map[String, Column],
+                      strategy: SaltStrategy = SaltStrategy.Content): DataFrame = {
+    val saltCol = saltColumn(df, strategy, salt)
     val partials = sums.toSeq.map { case (name, c) => sum(c).as(name) }
     val finals = sums.keys.toSeq.map(name => sum(col(name)).as(name))
     df.groupBy(key.as("key"), saltCol.as("salt"))
@@ -51,8 +68,9 @@ object Skew {
     * that a hot `largeKey` value fans across `salt` reducers.
     */
   def saltedJoin(large: DataFrame, small: DataFrame,
-                 largeKey: Column, smallKey: Column, salt: Int): DataFrame = {
-    val saltedLarge = large.withColumn("__salt", rowSalt(salt))
+                 largeKey: Column, smallKey: Column, salt: Int,
+                 strategy: SaltStrategy = SaltStrategy.Content): DataFrame = {
+    val saltedLarge = large.withColumn("__salt", saltColumn(large, strategy, salt))
     val saltedSmall = small.withColumn("__salt",
       explode(sequence(lit(0L), lit(salt - 1L))))
     saltedLarge.join(saltedSmall,

@@ -163,29 +163,32 @@ class OffresScanBuilder(options: CaseInsensitiveStringMap)
   private var romeIn: Option[Seq[String]] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    // a pushed departement bypasses the region level of the plan, so a
-    // simultaneous region predicate can NOT be claimed as pushed — it
-    // stays residual and Spark re-applies it on the returned rows
+    // Claim AT MOST ONE predicate per column as pushed: the fetch
+    // filter holds a single value per field, so a second predicate on
+    // the same column must stay residual (Spark re-applies residuals;
+    // claiming both while keeping one returns wrong rows). A pushed
+    // departement bypasses the plan's region level, so a simultaneous
+    // region predicate stays residual for the same reason.
     val hasDept = filters.exists {
       case EqualTo("departement", _: String) => true
       case _ => false
     }
-    val (pushed, residual) = filters.partition {
-      case EqualTo("region", _: String)      => !hasDept
-      case EqualTo("departement", _: String) => true
-      case EqualTo("romeCode", _: String)    => true
-      case In("romeCode", vs) if vs.forall(_.isInstanceOf[String]) => true
-      case _ => false
+    val pushed = Array.newBuilder[Filter]
+    val residual = Array.newBuilder[Filter]
+    filters.foreach {
+      case f @ EqualTo("region", v: String) if !hasDept && regionEq.isEmpty =>
+        regionEq = Some(v); pushed += f
+      case f @ EqualTo("departement", v: String) if departementEq.isEmpty =>
+        departementEq = Some(v); pushed += f
+      case f @ EqualTo("romeCode", v: String) if romeIn.isEmpty =>
+        romeIn = Some(Seq(v)); pushed += f
+      case f @ In("romeCode", vs)
+          if romeIn.isEmpty && vs.forall(_.isInstanceOf[String]) =>
+        romeIn = Some(vs.map(_.toString)); pushed += f
+      case f => residual += f
     }
-    pushed.foreach {
-      case EqualTo("region", v: String)      => regionEq = Some(v)
-      case EqualTo("departement", v: String) => departementEq = Some(v)
-      case EqualTo("romeCode", v: String)    => romeIn = Some(Seq(v))
-      case In("romeCode", vs)                => romeIn = Some(vs.map(_.toString))
-      case _ => ()
-    }
-    pushedFilterList = pushed
-    residual // Spark re-applies anything we can't guarantee
+    pushedFilterList = pushed.result()
+    residual.result() // Spark re-applies anything we can't guarantee
   }
   override def pushedFilters(): Array[Filter] = pushedFilterList
 

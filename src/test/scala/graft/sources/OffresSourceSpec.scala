@@ -91,6 +91,19 @@ class OffresSourceSpec extends SparkSpec {
     assert(df.count() == 2000)
   }
 
+  test("conjunctions of predicates on one column stay correct (one pushed, rest residual)") {
+    // equality + IN on romeCode: only M1 satisfies both
+    val both = read.load()
+      .filter($"romeCode" === "M1" && $"romeCode".isin("M1", "M2"))
+    assert(both.count() == 3100)
+    assert(both.select($"romeCode").distinct().as[String].collect().toSeq == Seq("M1"))
+    // region + departement where the departement is NOT in that region →
+    // must be empty (region stays residual and filters the D21 rows out)
+    val cross = read.load()
+      .filter($"region" === "R1" && $"departement" === "D21")
+    assert(cross.count() == 0)
+  }
+
   test("unregistered api key fails with a clear message, not a hang") {
     val e = intercept[Exception] {
       spark.read.format("graft.sources.OffresSource")
