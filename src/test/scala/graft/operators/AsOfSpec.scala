@@ -49,6 +49,30 @@ class AsOfSpec extends SparkSpec {
     assert(bucketed == naive && bucketed.nonEmpty)
   }
 
+  test("asof join equals a driver-side reference on randomized data") {
+    val rnd = new scala.util.Random(17)
+    val lefts = (0 until 300).map { i =>
+      (rnd.nextInt(8).toLong, new Timestamp(1700000000000L + rnd.nextInt(1000000) * 1000L), i.toLong)
+    }
+    val rights = (0 until 300).map { i =>
+      (rnd.nextInt(8).toLong, new Timestamp(1700000000000L + rnd.nextInt(1000000) * 1000L), 1000L + i)
+    }
+    val got = AsOf.asofJoin(
+      lefts.toDF("user_id", "ts", "event_id"),
+      rights.toDF("user_id", "ts", "click_id"),
+      "user_id", "ts", Seq("click_id"))
+      .select($"event_id", $"prior_click_id")
+      .as[(Long, Option[Long])].collect().toMap
+    val exp = lefts.map { case (k, lt, id) =>
+      val candidates = rights.filter(r => r._1 == k && !r._2.after(lt))
+      // ties at equal (key, ts) resolve to the max payload (window keeps
+      // the LAST row in (ts, side, payload) order)
+      val best = candidates.sortBy(r => (r._2.getTime, r._3)).lastOption
+      id -> best.map(_._3)
+    }.toMap
+    assert(got == exp)
+  }
+
   test("asof enrichment over the fixture events is total on the left side") {
     val out = AsOf.purchasesWithPriorClick(spark, sf)
     val purchases = graft.Tables.events(spark, sf)
