@@ -74,6 +74,50 @@ object Streams {
     events.withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  // — custom state v2: transformWithState running totals (§2.9) —
+
+  case class RunningTotal(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Per-user running totals via the arbitrary-state v2 API
+    * (`transformWithState` + `StatefulProcessor` + `ValueState`): state
+    * survives across micro-batches, each batch emits the updated
+    * running aggregate per key — the modern replacement for
+    * `mapGroupsWithState`-style accumulators with typed, TTL-capable
+    * state handles.
+    */
+  class RunningTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, SessionInput, RunningTotal] {
+    @transient private var state:
+        org.apache.spark.sql.streaming.ValueState[(Long, Double)] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[(Long, Double)]("totals",
+        org.apache.spark.sql.Encoders.product[(Long, Double)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        userId: Long, rows: Iterator[SessionInput],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[RunningTotal] = {
+      val (n0, s0) = if (state.exists()) state.get() else (0L, 0.0)
+      var n = n0; var s = s0
+      rows.foreach { e => n += 1; s += e.value }
+      state.update((n, s))
+      Iterator.single(RunningTotal(userId, n, s))
+    }
+  }
+
+  def runningUserTotals(events: org.apache.spark.sql.Dataset[SessionInput])
+      : org.apache.spark.sql.Dataset[RunningTotal] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   // — custom state: flatMapGroupsWithState sessionizer (§2.9) —
 
   case class SessionInput(user_id: Long, ts: java.sql.Timestamp, value: Double)

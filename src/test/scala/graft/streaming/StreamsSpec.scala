@@ -107,6 +107,35 @@ class StreamsSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("transformWithState running totals accumulate across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    // the v2 state API needs column families → RocksDB state store
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Ev]
+    val in = mem.toDF().selectExpr("user_id", "ts", "value").as[Streams.SessionInput]
+    val q = Streams.runningUserTotals(in)
+      .writeStream.format("memory").queryName("tws_totals")
+      .outputMode("update").start()
+    try {
+      mem.addData(events.take(2): _*)    // u1: events 1,2 (values 1,2)
+      q.processAllAvailable()
+      mem.addData(events.drop(2): _*)    // u1: +event 3; u2: events 4,5
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    val rows = spark.table("tws_totals")
+      .select($"user_id", $"n_events", $"total_value")
+      .as[(Long, Long, Double)].collect().toSeq
+    // batch 1 emitted u1 -> (2, 3.0); batch 2 emitted u1 -> (3, 6.0)
+    // proving state carried across batches, and u2 -> (2, 9.0)
+    assert(rows.contains((1L, 2L, 3.0)))
+    assert(rows.contains((1L, 3L, 6.0)))
+    assert(rows.contains((2L, 2L, 9.0)))
+  }
+
   test("sessionizeWithState in batch mode emits every session incl. the open tail") {
     val in = events.toDF().selectExpr("user_id", "ts", "value")
       .as[Streams.SessionInput]
