@@ -86,7 +86,10 @@ object HashFns {
     var i = 0
     while (i < nWin) {
       val h1 = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET + i, win, 42L)
-      val h2 = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET + i, win, 1337L)
+      // force the KM stride odd (coprime to 2^64) so the k virtual hash
+      // functions cover the full residue ring — an even stride would
+      // confine them to a subgroup and correlate signature components
+      val h2 = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET + i, win, 1337L) | 1L
       var j = 0
       var h = h1
       while (j < k) {

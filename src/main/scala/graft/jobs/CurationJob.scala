@@ -32,32 +32,41 @@ object CurationJob {
 
   private def stages(docs: DataFrame, idCol: String, textCol: String,
                      t: Thresholds): (DataFrame, DataFrame, DataFrame) = {
-    val toks = TextFns.tokens(TextFns.normalizeText(col(textCol)))
-    val scored = docs.select(col(idCol), col(textCol),
-      size(toks).as("n_tokens"),
-      TextFns.meanTokenLen(toks).as("mean_token_len"),
-      TextFns.stopwordRatio(toks, graft.operators.TextAnalysis.enStopwords)
-        .as("stopword_ratio"))
+    // normalize ONCE and carry the result ("__norm") through the whole
+    // pipeline — quality metrics, the dedup fingerprint and the LSH
+    // signature pass all read it, so the 5-regex chain runs one time per
+    // document instead of once per stage.
+    val toks = TextFns.tokens(col("__norm"))
+    val scored = docs
+      .select(col(idCol), col(textCol),
+        TextFns.normalizeText(col(textCol)).as("__norm"))
+      .select(col(idCol), col(textCol), col("__norm"),
+        size(toks).as("n_tokens"),
+        TextFns.meanTokenLen(toks).as("mean_token_len"),
+        TextFns.stopwordRatio(toks, graft.operators.TextAnalysis.enStopwords)
+          .as("stopword_ratio"))
 
     val quality = scored.filter(
       col("n_tokens").between(t.minTokens, t.maxTokens) &&
       col("mean_token_len") >= t.minMeanTokenLen &&
       col("stopword_ratio") <= t.maxStopwordRatio)
 
-    // exact dedup: keep min id per normalized-text fingerprint.
-    // `exact` feeds three consumers (LSH signature pass, shingle
-    // verification, final anti-join) → persist so the quality scan +
-    // dedup join run once, not per action.
-    val keepers = quality
-      .groupBy(TextFns.fingerprint64(col(textCol)).as("fp"))
-      .agg(min(col(idCol)).as(idCol))
-      .select(col(idCol))
-    val exact = quality.join(keepers, idCol).persist()
+    // exact dedup: keep min id per normalized-text fingerprint — one
+    // window over one shuffle on the 8-byte fingerprint (a groupBy +
+    // join-back would evaluate the quality scan twice and shuffle twice).
+    // `exact` feeds two consumers (LSH pass, final anti-join) → persist.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(xxhash64(col("__norm"))).orderBy(col(idCol))
+    val exact = quality
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .persist()
 
     // near-dup: resolve full transitive clusters (connected components
-    // over the verified pairs), keep each cluster's min-id root
-    val pairs = Dedup.minHashLshPairs(exact, idCol, textCol,
-      threshold = t.nearDupJaccard)
+    // over the verified pairs), keep each cluster's min-id root.
+    // __norm rides in, so the LSH pass skips its own normalize chain.
+    val pairs = Dedup.minHashLshPairs(exact, idCol, "__norm",
+      threshold = t.nearDupJaccard, preNormalized = true)
     val dupIds = Dedup.dupClusters(pairs)
       .filter(col("doc_id") =!= col("cluster_id"))   // non-roots drop
       .select(col("doc_id").as(idCol))
@@ -68,14 +77,24 @@ object CurationJob {
 
   def run(docs: DataFrame, idCol: String, textCol: String,
           t: Thresholds = Thresholds()): (DataFrame, Report) = {
-    val (quality, exact, curated) = stages(docs, idCol, textCol, t)
+    val (quality, exact, curatedLazy) = stages(docs, idCol, textCol, t)
+    // materialize the (small) curated output, then release the cached
+    // intermediate — callers get a lineage-free frame and no cache leak
+    val curated = curatedLazy.localCheckpoint(true)
     val report = Report(docs.count(), quality.count(), exact.count(), curated.count())
+    exact.unpersist()
     (curated, report)
   }
 
   /** Report-free path: one terminal action computes the curated corpus
     * (the LSH collect inside cluster resolution is the only extra job).
+    * Eagerly materialized so the stage caches can be released here.
     */
-  def curate(spark: SparkSession, dir: String): DataFrame =
-    stages(graft.Tables.documents(spark, dir), "doc_id", "text", Thresholds())._3
+  def curate(spark: SparkSession, dir: String): DataFrame = {
+    val (_, exact, curatedLazy) =
+      stages(graft.Tables.documents(spark, dir), "doc_id", "text", Thresholds())
+    val curated = curatedLazy.localCheckpoint(true)
+    exact.unpersist()
+    curated
+  }
 }

@@ -44,7 +44,13 @@ object AsOf {
 
     // ordering includes ALL payload columns so ties among multiple
     // right rows at the same (key, time) resolve deterministically
-    // (payload types must be orderable); safe for empty payload lists
+    // (payload types must be orderable); safe for empty payload lists.
+    // NOTE: this picks the MAX payload at an exact (key, time) tie;
+    // SQL ASOF JOIN engines (e.g. DuckDB, the q31 oracle) leave that
+    // tie choice unspecified, so oracle agreement on tie-heavy data is
+    // not guaranteed — the nanos-timestamp fixture is effectively
+    // tie-free, which is what keeps q31 green. Canonicalize the right
+    // side (one row per key,time) upstream if ties matter.
     val w = Window.partitionBy(col(key))
       .orderBy(Seq(col(time), col("__side")) ++
         rightPayload.map(c => col(s"__r_$c")): _*)

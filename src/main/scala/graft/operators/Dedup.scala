@@ -102,12 +102,26 @@ object Dedup {
     *
     * Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold.
     */
+  /** @param preNormalized when true, `textCol` is already the output of
+    *                      [[graft.functions.TextFns.normalizeText]] and
+    *                      the chain is not re-applied — lets a pipeline
+    *                      that already carries normalized text (e.g.
+    *                      [[graft.jobs.CurationJob]]) skip a second
+    *                      5-regex pass over the corpus.
+    *
+    * The result is materialized eagerly (localCheckpoint) so the
+    * internal signature/shingle caches can be released before returning
+    * — callers get a small, lineage-free pair set and no leaked cache
+    * entries. Pair sets are the OUTPUT of dedup (tiny vs the corpus),
+    * so eager materialization is the right default at any scale.
+    */
   def minHashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       shingleLen: Int = 5, numHashes: Int = 32, bands: Int = 8,
-                      threshold: Double = 0.6): DataFrame = {
+                      threshold: Double = 0.6,
+                      preNormalized: Boolean = false): DataFrame = {
     val rows = numHashes / bands
-    val base = docs.select(col(idCol).as("id"),
-      normalizeText(col(textCol)).as("text_norm"))
+    val normed = if (preNormalized) col(textCol) else normalizeText(col(textCol))
+    val base = docs.select(col(idCol).as("id"), normed.as("text_norm"))
     // sig feeds four plan branches (both sides of the band self-join + the
     // two prefilter joins): persist so normalize+minhash run once, not
     // four times. At cluster scale this is the standard
@@ -115,9 +129,11 @@ object Dedup {
     val sig = base.select(col("id"),
       HashFns.minhashSig(col("text_norm"), shingleLen, numHashes).as("sig"))
       .persist()
-    // sorted shingle sets → exact jaccard is a single merge pass
+    // sorted shingle sets → exact jaccard is a single merge pass;
+    // persisted: the verification join references it twice (sh_a, sh_b)
     val shingled = base.select(col("id"),
       array_sort(charShingles(col("text_norm"), shingleLen)).as("sh"))
+      .persist()
 
     // Cheap signature-estimate prefilter (fraction of matching minhash
     // components ≈ jaccard, σ≈1/√k): kills the low-similarity bulk of
@@ -133,13 +149,17 @@ object Dedup {
       .filter(col("est") >= threshold - 0.2)
       .select(col("doc_a"), col("doc_b"))
 
-    prefiltered
+    val pairs = prefiltered
       .join(shingled.select(col("id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(shingled.select(col("id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("jaccard", HashFns.jaccardSorted(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
+      .localCheckpoint(true)
+    sig.unpersist()
+    shingled.unpersist()
+    pairs
   }
 
   def minHashDedup(spark: SparkSession, dir: String): DataFrame =
@@ -193,6 +213,7 @@ object Dedup {
       .persist()
     val shingled = base.select(col("id"),
       array_sort(wordShingles(col("toks"), n)).as("sh"))
+      .persist()
 
     val prefiltered = lshCandidates(sig, bands = 4, rows = 4)
       .join(sig.select(col("id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
@@ -204,13 +225,19 @@ object Dedup {
       .filter(col("est") >= threshold - 0.25)
       .select(col("doc_a"), col("doc_b"))
 
-    prefiltered
+    // eager materialize + release internals — same contract as
+    // [[minHashLshPairs]]: the pair set is small, the caches are not
+    val pairs = prefiltered
       .join(shingled.select(col("id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(shingled.select(col("id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("jaccard", HashFns.jaccardSorted(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
+      .localCheckpoint(true)
+    sig.unpersist()
+    shingled.unpersist()
+    pairs
   }
 
   def ngramJaccardDedup(spark: SparkSession, dir: String): DataFrame =
@@ -297,6 +324,7 @@ object Dedup {
     val edges = edgesRaw
       .union(edgesRaw.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)
+    edgesRaw.unpersist() // checkpointed copy owns the data from here on
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)

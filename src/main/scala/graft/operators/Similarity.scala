@@ -90,13 +90,27 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Largest corpus [[cosinePairsExact]] will accept: beyond this the
+    * O(n²) pair count stops being a "small-corpus oracle" and the LSH
+    * path ([[graft.operators.Dedup.embeddingNearDupPairs]]) is the only
+    * sane plan. 50k rows ⇒ ~1.25G candidate pairs, the outer edge of
+    * what a nested-loop join finishes in minutes on one box.
+    */
+  val maxExactPairRows: Long = 50000L
+
   /** Exact all-pairs cosine threshold join — the O(n²) baseline that
     * [[graft.operators.Dedup.embeddingNearDupPairs]] approximates at
     * scale. Kept as the oracle path (and for corpora small enough to
-    * broadcast one side).
+    * broadcast one side). Guarded: fails fast if the corpus exceeds
+    * [[maxExactPairRows]] instead of silently launching an n² join —
+    * callers at scale must use the LSH path.
     */
   def cosinePairsExact(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
+    val n = emb.count()
+    require(n <= maxExactPairRows,
+      s"cosinePairsExact is the small-corpus O(n²) oracle baseline; corpus has " +
+        s"$n rows > $maxExactPairRows. Use Dedup.embeddingNearDupPairs (LSH) at scale.")
     val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
     val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
     a.crossJoin(b)

@@ -101,6 +101,12 @@ object TextAnalysis {
   /** Rolling-hash winnowing fingerprints (shift-robust MOSS selection):
     * per doc, the count of selected fingerprints — localizable
     * duplication evidence at a fraction of shingle-set size.
+    *
+    * The registered output carries only scalar columns: the raw
+    * `array<long>` fingerprint set is reduced to a count plus an
+    * order-sensitive xxhash64 digest of its JSON encoding, so the full
+    * content is still pinned by the harness compare without shipping an
+    * array the driver cannot sort on.
     */
   def winnowingFingerprints(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -108,6 +114,6 @@ object TextAnalysis {
         graft.functions.HashFns.winnowFingerprints(
           normalizeText(col("text"))).as("fps"))
       .select(col("doc_id"), size(col("fps")).cast("long").as("n_fingerprints"),
-        col("fps"))
+        xxhash64(to_json(col("fps"))).as("fps_digest"))
       .orderBy(col("doc_id"))
 }
