@@ -129,11 +129,13 @@ object Dedup {
     val sig = base.select(col("id"),
       HashFns.minhashSig(col("text_norm"), shingleLen, numHashes).as("sig"))
       .persist()
-    // sorted shingle sets → exact jaccard is a single merge pass;
-    // persisted: the verification join references it twice (sh_a, sh_b)
+    // sorted shingle sets → exact jaccard is a single merge pass.
+    // NOT persisted even though the verification join reads it twice:
+    // shingle arrays are ~|text| small strings per row, so caching them
+    // deserialized costs far more (memory + GC) than re-running the
+    // codegen'd shingle expression — measured 5× slower when cached.
     val shingled = base.select(col("id"),
       array_sort(charShingles(col("text_norm"), shingleLen)).as("sh"))
-      .persist()
 
     // Cheap signature-estimate prefilter (fraction of matching minhash
     // components ≈ jaccard, σ≈1/√k): kills the low-similarity bulk of
@@ -158,7 +160,6 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
       .localCheckpoint(true)
     sig.unpersist()
-    shingled.unpersist()
     pairs
   }
 
@@ -211,9 +212,10 @@ object Dedup {
     val sig = base.select(col("id"),
       HashFns.minhashWordSig(col("toks"), n, numHashes).as("sig"))
       .persist()
+    // not persisted — same rationale as the char-shingle variant: the
+    // shingle expression is cheaper to re-run than to cache
     val shingled = base.select(col("id"),
       array_sort(wordShingles(col("toks"), n)).as("sh"))
-      .persist()
 
     val prefiltered = lshCandidates(sig, bands = 4, rows = 4)
       .join(sig.select(col("id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
@@ -236,7 +238,6 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
       .localCheckpoint(true)
     sig.unpersist()
-    shingled.unpersist()
     pairs
   }
 

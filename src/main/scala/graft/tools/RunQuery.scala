@@ -22,11 +22,16 @@ object RunQuery {
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val t0 = System.nanoTime()
-    val df = graft.SparkEntry.queries(name)(spark, sfDir)
-    val n = df.count()
-    val dt = (System.nanoTime() - t0) / 1e9
-    println(f"[runquery] $name rows=$n sec=$dt%.2f sf=$sfDir")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
+    var df: org.apache.spark.sql.DataFrame = null
+    (1 to reps).foreach { rep =>
+      val t0 = System.nanoTime()
+      df = graft.SparkEntry.queries(name)(spark, sfDir)
+      val n = df.count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[runquery] $name rep=$rep rows=$n sec=$dt%.2f sf=$sfDir")
+      spark.catalog.clearCache()
+    }
     if (args.length > 2 && args(2) == "show") df.show(50, truncate = false)
     spark.stop()
   }
