@@ -69,6 +69,7 @@ object SparkEntry {
     "t06_fingerprints"       -> (TextAnalysis.fingerprints _),
     "t07_doc_similarity"     -> (TextAnalysis.docSimilarity _),
     "t08_winnowing"          -> (TextAnalysis.winnowingFingerprints _),
+    "t09_text_match"         -> ((s: SparkSession, dir: String) => TextAnalysis.textMatch(s, dir)),
     // — dedup (SURVEY §2.11) —
     "d01_exact_dedup"        -> (Dedup.exactDedup _),
     "d02_fingerprint_dedup"  -> (Dedup.fingerprintDedup _),
@@ -77,6 +78,7 @@ object SparkEntry {
     "d05_ngram_jaccard"      -> (Dedup.ngramJaccardDedup _),
     "d06_embedding_neardup"  -> (Dedup.embeddingNearDup _),
     "d07_curation_pipeline"  -> (graft.jobs.CurationJob.curate _),
+    "d08_jaccard_exact_pairs" -> ((s: SparkSession, dir: String) => Dedup.jaccardExactPairs(s, dir)),
     // — similarity search (SURVEY §2.11) —
     "e01_knn_brute"          -> (Similarity.knnBruteForce _),
     "e02_knn_lsh"            -> (Similarity.knnLsh _),
@@ -318,6 +320,45 @@ object SparkEntry {
       "t06_fingerprints" ->
         s"""SELECT doc_id, md5(${norm("text")}) AS fp
            |FROM documents ORDER BY doc_id""".stripMargin,
+      // exact char-shingle jaccard: same shingle windows (1..len-n+1,
+      // short-text degenerate window included), same set semantics
+      // (distinct), same rational division — identical doubles on both
+      // engines, so the threshold predicate and the hash compare agree
+      "d08_jaccard_exact_pairs" ->
+        s"""WITH sh AS (
+           | SELECT doc_id, list_distinct(list_transform(
+           |   range(1, greatest(length(nt) - 3, 2)), i -> substr(nt, i, 5))) AS s
+           | FROM (SELECT doc_id, ${norm("text")} AS nt FROM documents WHERE doc_id < 300))
+           |SELECT doc_a, doc_b, jaccard FROM (
+           | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+           |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+           | FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+           |WHERE jaccard >= 0.5
+           |ORDER BY doc_a, doc_b""".stripMargin,
+      // tf-idf with rational idf (N/df) and fixed left-assoc summation:
+      // identical IEEE doubles on both engines
+      "t09_text_match" ->
+        s"""WITH tf AS (
+           | SELECT doc_id,
+           |  len(list_filter(${toks("text")}, t -> t = 'join')) AS tf_join,
+           |  len(list_filter(${toks("text")}, t -> t = 'hash')) AS tf_hash,
+           |  len(list_filter(${toks("text")}, t -> t = 'stream')) AS tf_stream
+           | FROM documents),
+           |st AS (
+           | SELECT count(*) AS n_docs,
+           |  CAST(sum(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_join,
+           |  CAST(sum(CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_hash,
+           |  CAST(sum(CASE WHEN tf_stream > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_stream
+           | FROM tf)
+           |SELECT doc_id, n_hits, score FROM (
+           | SELECT doc_id, tf_join + tf_hash + tf_stream AS n_hits,
+           |  CAST(tf_join AS DOUBLE) * (CAST(n_docs AS DOUBLE) / CAST(df_join AS DOUBLE))
+           |  + CAST(tf_hash AS DOUBLE) * (CAST(n_docs AS DOUBLE) / CAST(df_hash AS DOUBLE))
+           |  + CAST(tf_stream AS DOUBLE) * (CAST(n_docs AS DOUBLE) / CAST(df_stream AS DOUBLE)) AS score
+           | FROM tf, st)
+           |WHERE n_hits > 0
+           |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
       "d01_exact_dedup" ->
         s"""SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
            |FROM documents GROUP BY ${norm("text")} ORDER BY keeper_id""".stripMargin,

@@ -244,6 +244,31 @@ object Dedup {
   def ngramJaccardDedup(spark: SparkSession, dir: String): DataFrame =
     ngramJaccardPairs(Tables.documents(spark, dir), "doc_id", "text")
 
+  /** Exact char-shingle Jaccard threshold pairs over a bounded id slice —
+    * the DuckDB-checkable oracle anchor for the MinHash/LSH family:
+    * [[minHashLshPairs]] (d03) approximates exactly this semantic (same
+    * normalize chain, same 5-char shingle sets, same ≥-threshold pair
+    * predicate), so a green hash-match here pins the family's ground
+    * truth. Deliberately O(n²) over ≤`maxId` docs — the text analog of
+    * [[graft.operators.Similarity.cosinePairsExact]]; the LSH paths are
+    * the scale story.
+    */
+  def jaccardExactPairs(spark: SparkSession, dir: String, maxId: Long = 300L,
+                        shingleLen: Int = 5, threshold: Double = 0.5): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .filter(col("doc_id") < maxId)
+      .select(col("doc_id"),
+        array_sort(charShingles(normalizeText(col("text")), shingleLen)).as("sh"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.crossJoin(b)
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("jaccard", HashFns.jaccardSorted(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Embedding-cosine near-dup: banded random-hyperplane LSH (multi-
     * probe — a pair is a candidate if ANY band's bit-signature matches),
     * exact cosine verdict on candidates only. Seeded, deterministic.

@@ -90,6 +90,41 @@ object TextAnalysis {
       "doc_id", "vec", k = 3)
   }
 
+  /** Analyzed full-text term match with relevance scoring — the
+    * ES-analyzed-`text`-field capability the reference's store provides
+    * via dynamic mapping (its Logstash query uses `.keyword` precisely
+    * to BYPASS the analyzer — `csv-tech.conf:15` — implying the analyzed
+    * default; Kibana search, `docker-compose.yml:63-74`). Query terms
+    * are matched against the analyzed (normalize+tokenize) document
+    * body; per-doc relevance = Σ_t tf(t,d) · (N / df(t)) — tf-idf with a
+    * rational idf so the score stays float-exact across engines (no
+    * transcendentals, fixed left-assoc summation order).
+    *
+    * Scale shape: tf columns are per-row expressions; corpus stats
+    * (N, df) are one partial-agg reduce broadcast back — no
+    * single-partition window, no shuffle of the corpus.
+    */
+  def textMatch(spark: SparkSession, dir: String,
+                terms: Seq[String] = Seq("join", "hash", "stream")): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(normalizeText(col("text"))).as("toks"))
+    val withTf = base.select(col("doc_id") +: terms.map(t =>
+      size(filter(col("toks"), x => x === t)).cast("long").as(s"tf_$t")): _*)
+    val stats = withTf.agg(
+      count(lit(1)).as("n_docs"),
+      terms.map(t => sum((col(s"tf_$t") > 0).cast("long")).as(s"df_$t")): _*)
+    withTf.crossJoin(broadcast(stats))
+      .withColumn("n_hits", terms.map(t => col(s"tf_$t")).reduce(_ + _))
+      .filter(col("n_hits") > 0)
+      .withColumn("score", terms.map(t =>
+        col(s"tf_$t").cast("double") *
+          (col("n_docs").cast("double") / col(s"df_$t").cast("double")))
+        .reduce(_ + _))
+      .select(col("doc_id"), col("n_hits"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(50)
+  }
+
   /** Document fingerprints (md5 of normalized text) — the exact-dedup /
     * provenance key.
     */

@@ -96,4 +96,22 @@ class DedupSpec extends SparkSpec {
     val b = Dedup.fingerprintDedup(spark, sf).count()
     assert(a == b)
   }
+
+  test("exact jaccard pairs are a superset of LSH pairs at the same threshold") {
+    // d08 is the ground truth d03 approximates: every LSH-verified pair
+    // within the id slice must appear in the exact pair set, with the
+    // identical jaccard value (same shingling, same normalize chain)
+    val exact = Dedup.jaccardExactPairs(spark, sf, maxId = 300L, threshold = 0.6)
+      .select($"doc_a", $"doc_b", $"jaccard")
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    val lsh = Dedup.minHashLshPairs(
+        graft.Tables.documents(spark, sf).filter($"doc_id" < 300), "doc_id", "text",
+        threshold = 0.6)
+      .select($"doc_a", $"doc_b", $"jaccard")
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(lsh.nonEmpty, "fixture should contain planted near-dups under id 300")
+    lsh.foreach { case (pair, j) =>
+      assert(exact.get(pair).contains(j), s"pair $pair: exact=${exact.get(pair)} lsh=$j")
+    }
+  }
 }
