@@ -33,15 +33,20 @@ import org.apache.spark.unsafe.types.UTF8String
   *    `SupportsPushDownRequiredColumns` prunes the projected schema (P1,
   *    the `_source` list).
   *
-  * The API client is looked up in [[OffresApiRegistry]] by the `api`
-  * option — tests register an in-memory fake; a production deployment
-  * registers an HTTP client built from endpoint/credential options (in
-  * `local[*]` and in tests the registry lives in the shared JVM; on a
-  * real cluster the client must be constructible executor-side from the
-  * serialized options, which is why every option is a plain string).
+  * The API client is resolved per side by [[OffresApiResolver]]: an
+  * `endpoint` option constructs a real [[HttpOffresApi]]
+  * (`java.net.http`) from plain string options — on the driver for
+  * planning probes, independently on each executor for page fetches
+  * (nothing non-serializable crosses the boundary); an `api` option
+  * instead looks up the in-JVM [[OffresApiRegistry]] (test fakes,
+  * `local[*]`). Credentials: pre-issued `tokens`, or `authUrl` +
+  * `secrets` for the full OAuth2 client-credentials flow through
+  * [[TokenProvider]].
   *
   * Usage: `spark.read.format("graft.sources.OffresSource")
-  *   .option("api", key).option("tokens", "t1,t2").load()`.
+  *   .option("endpoint", "https://api...").option("authUrl", "https://...")
+  *   .option("secrets", "key1:secret1,key2:secret2").load()`
+  * (or `.option("api", key).option("tokens", "t1,t2")` for the registry).
   */
 trait OffresApi extends Serializable {
   /** Count probe for a filter (A1/A2; `Content-Range` total). */
@@ -205,9 +210,33 @@ class OffresScan(options: CaseInsensitiveStringMap, schema: StructType,
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
 
-  private def apiKey = options.get("api")
+  /** Plain-string option map: the serializable form the reader factory
+    * ships to executors, and what [[OffresApiResolver]] resolves from
+    * on either side (keys lowercase via CaseInsensitiveStringMap).
+    */
+  private val optMap: Map[String, String] = {
+    val it = options.entrySet().iterator()
+    val b = Map.newBuilder[String, String]
+    while (it.hasNext) { val e = it.next(); b += (e.getKey.toLowerCase -> e.getValue) }
+    b.result()
+  }
+  private def sourceKey = OffresApiResolver.sourceKey(optMap)
+
+  /** Credential slots (S1/F13): either pre-issued `tokens`, or the full
+    * OAuth2 flow — `authUrl` + `secrets` (`k1:s1,k2:s2`) authenticated
+    * driver-side through [[TokenProvider]] (expiry-aware), one token per
+    * credential, assigned round-robin to partitions.
+    */
   private def tokens: Seq[String] =
-    Option(options.get("tokens")).map(_.split(",").toSeq).getOrElse(Seq("anonymous"))
+    (Option(options.get("authUrl")), Option(options.get("secrets"))) match {
+      case (Some(url), Some(s)) =>
+        val creds = s.split(",").toSeq.map { p =>
+          val Array(k, sec) = p.split(":", 2); (k, sec)
+        }
+        new TokenProvider(creds, (k, sec) => HttpOffresApi.authenticate(url, k, sec)).tokens
+      case _ =>
+        Option(options.get("tokens")).map(_.split(",").toSeq).getOrElse(Seq("anonymous"))
+    }
   private def maxPerFilter = Option(options.get("maxPerFilter")).map(_.toInt).getOrElse(3149)
   private def pageSize = Option(options.get("pageSize")).map(_.toInt).getOrElse(150)
 
@@ -216,7 +245,13 @@ class OffresScan(options: CaseInsensitiveStringMap, schema: StructType,
     * BEFORE probing — partition pruning at plan time (P4).
     */
   override def planInputPartitions(): Array[InputPartition] = {
-    val api = OffresApiRegistry.get(apiKey)
+    // HTTP mode probes (count/referentiel) authenticate with the first
+    // credential slot; registry mode ignores the extra option
+    val toks = tokens
+    val planOpts =
+      if (optMap.contains("endpoint")) optMap + ("planningtoken" -> toks.head)
+      else optMap
+    val api = OffresApiResolver.resolve(planOpts)
     val mapper = new ObjectMapper()
     def codes(name: String): Seq[String] =
       api.referentiel(name).map(j => mapper.readTree(j).get("code").asText)
@@ -263,24 +298,24 @@ class OffresScan(options: CaseInsensitiveStringMap, schema: StructType,
     plan.overflows.foreach { o =>
       // skip-and-log semantics (ingestion-elasticsearch.py:209-211):
       // recorded for dead-letter capture by the consumer + logged
-      OverflowLog.record(apiKey, o)
+      OverflowLog.record(sourceKey, o)
       System.err.println(s"[offres-source] OVERFLOW not fully fetchable: $o")
     }
     plan.partitions.zipWithIndex.map { case (p, i) =>
-      OffresInputPartition(p, tokens(i % tokens.size)): InputPartition
+      OffresInputPartition(p, toks(i % toks.size)): InputPartition
     }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new OffresReaderFactory(apiKey, schema)
+    new OffresReaderFactory(optMap, schema)
 }
 
 case class OffresInputPartition(part: FetchPartition, token: String) extends InputPartition
 
-class OffresReaderFactory(apiKey: String, schema: StructType)
+class OffresReaderFactory(opts: Map[String, String], schema: StructType)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new OffresPartitionReader(apiKey, schema,
+    new OffresPartitionReader(opts, schema,
       partition.asInstanceOf[OffresInputPartition])
 }
 
@@ -288,7 +323,7 @@ class OffresReaderFactory(apiKey: String, schema: StructType)
   * rate-limit with the server-provided backoff (S5). JSON decoding via
   * Jackson; missing fields become nulls (dead-lettered downstream).
   */
-class OffresPartitionReader(apiKey: String, schema: StructType,
+class OffresPartitionReader(opts: Map[String, String], schema: StructType,
                             partition: OffresInputPartition)
     extends PartitionReader[InternalRow] {
   private val mapper = new ObjectMapper()
@@ -296,7 +331,9 @@ class OffresPartitionReader(apiKey: String, schema: StructType,
   private var current: InternalRow = _
 
   private def fetchWithBackoff(): Seq[String] = {
-    val api = OffresApiRegistry.get(apiKey)
+    // executor-side construction from plain string options (HTTP mode)
+    // or shared-JVM registry lookup (tests / local[*])
+    val api = OffresApiResolver.resolve(opts)
     var attempts = 0
     while (true) {
       try {
