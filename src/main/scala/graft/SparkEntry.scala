@@ -87,6 +87,7 @@ object SparkEntry {
     "s01_hourly_type_counts" -> (Streams.hourlyTypeCountsBatch _),
     "s02_sliding_counts"     -> (Streams.slidingTypeCountsBatch _),
     "s03_user_sessions"      -> (Streams.userSessionStats _),
+    "s04_streaming_hourly"   -> (Streams.hourlyTypeCountsStreamed _),
   )
 
   /** DuckDB-dialect oracle SQL: same table names (parquet fixtures),
@@ -382,6 +383,13 @@ object SparkEntry {
           | SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) - INTERVAL 1 HOUR AS win_start, event_type FROM events)
           |GROUP BY win_start, event_type ORDER BY win_start, event_type""".stripMargin,
       "s01_hourly_type_counts" ->
+        """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
+          | count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+          |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+      // s04 executes through a real readStream+foreachBatch run; complete
+      // mode ⇒ the read-back result equals the batch aggregation, so the
+      // s01 oracle applies verbatim
+      "s04_streaming_hourly" ->
         """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
           | count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
           |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,

@@ -70,6 +70,42 @@ object Streams {
   def hourlyTypeCountsStream(events: DataFrame): DataFrame =
     hourlyTypeCounts(events.withWatermark("ts", "2 hours"))
 
+  /** s04: the hourly aggregation executed through a REAL streaming query
+    * — `readStream` over the events parquet, watermark + complete-mode
+    * aggregation, `foreachBatch` parquet sink, result read back. The
+    * stream drains under `Trigger.AvailableNow` and complete mode emits
+    * the full aggregate, so the result is batch-equivalent and
+    * DuckDB-checkable: the streaming engine itself (source planning,
+    * state store, sink commit) sits inside the driver's correctness
+    * gate instead of only inside specs.
+    */
+  def hourlyTypeCountsStreamed(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    // events.parquet carries TIMESTAMP(NANOS) → read as long
+    // (nanosAsLong) and convert, exactly like Tables.events
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val outDir = java.nio.file.Files.createTempDirectory("graft_s04_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_s04_ckpt").toString
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = hourlyTypeCounts(stream.withWatermark("ts", "2 hours"))
+      .writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(outDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir).orderBy(col("hour_start"), col("event_type"))
+  }
+
   def dedupStream(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
