@@ -335,7 +335,7 @@ object SparkEntry {
            |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
            |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
            | FROM sh a, sh b WHERE a.doc_id < b.doc_id)
-           |WHERE jaccard >= 0.5
+           |WHERE jaccard >= 0.25
            |ORDER BY doc_a, doc_b""".stripMargin,
       // tf-idf with rational idf (N/df) and fixed left-assoc summation:
       // identical IEEE doubles on both engines

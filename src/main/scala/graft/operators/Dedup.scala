@@ -254,11 +254,16 @@ object Dedup {
     * the scale story.
     */
   def jaccardExactPairs(spark: SparkSession, dir: String, maxId: Long = 300L,
-                        shingleLen: Int = 5, threshold: Double = 0.5): DataFrame = {
+                        shingleLen: Int = 5, threshold: Double = 0.25): DataFrame = {
+    // materialize the (≤maxId-row) shingled frame BEFORE the self cross
+    // join: without the barrier Catalyst pushes the projection past the
+    // join and re-evaluates normalize+shingle+sort once per PAIR
+    // (O(n²) expression evaluations) instead of once per row
     val sh = Tables.documents(spark, dir)
       .filter(col("doc_id") < maxId)
       .select(col("doc_id"),
         array_sort(charShingles(normalizeText(col("text")), shingleLen)).as("sh"))
+      .localCheckpoint(true)
     val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     a.crossJoin(b)
