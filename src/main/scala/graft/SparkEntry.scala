@@ -59,6 +59,8 @@ object SparkEntry {
     "q33_exists_agg"        -> (Relational.priorityWithBigLines _),
     "q34_order_distribution" -> (Relational.customerOrderDistribution _),
     "q32_range_join"        -> (graft.operators.AsOf.purchaseClickProximity _),
+    "q35_salted_agg"        -> (graft.operators.Skew.saltedReturnflagAgg _),
+    "q36_salted_join"       -> (graft.operators.Skew.saltedSupplierRevenue _),
     "e03_cosine_pairs_exact" -> (Similarity.cosinePairsExact _),
     // — text analysis (SURVEY §2.5, §2.11) —
     "t01_normalize_pipeline" -> (TextAnalysis.normalizePipeline _),
@@ -70,6 +72,7 @@ object SparkEntry {
     "t07_doc_similarity"     -> (TextAnalysis.docSimilarity _),
     "t08_winnowing"          -> (TextAnalysis.winnowingFingerprints _),
     "t09_text_match"         -> ((s: SparkSession, dir: String) => TextAnalysis.textMatch(s, dir)),
+    "t10_bm25"               -> ((s: SparkSession, dir: String) => TextAnalysis.bm25Rank(s, dir)),
     // — dedup (SURVEY §2.11) —
     "d01_exact_dedup"        -> (Dedup.exactDedup _),
     "d02_fingerprint_dedup"  -> (Dedup.fingerprintDedup _),
@@ -79,6 +82,9 @@ object SparkEntry {
     "d06_embedding_neardup"  -> (Dedup.embeddingNearDup _),
     "d07_curation_pipeline"  -> (graft.jobs.CurationJob.curate _),
     "d08_jaccard_exact_pairs" -> ((s: SparkSession, dir: String) => Dedup.jaccardExactPairs(s, dir)),
+    // — multimodal columns (SURVEY §2.11; decode = documented stub) —
+    "m01_media_ann"          -> (graft.operators.Multimodal.mediaAnn _),
+    "m02_media_dedup"        -> (graft.operators.Multimodal.mediaDedup _),
     // — similarity search (SURVEY §2.11) —
     "e01_knn_brute"          -> (Similarity.knnBruteForce _),
     "e02_knn_lsh"            -> (Similarity.knnLsh _),
@@ -284,6 +290,42 @@ object SparkEntry {
           | FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
           | GROUP BY c_custkey)
           |GROUP BY c_count ORDER BY n_customers DESC, c_count DESC""".stripMargin,
+      // salted queries: the salt must be invisible in the result — the
+      // oracle IS the plain unsalted SQL
+      "q35_salted_agg" ->
+        """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      "q36_salted_join" ->
+        """SELECT s_name, count(*) AS n_items,
+          | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+          |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+          |GROUP BY s_name ORDER BY s_name""".stripMargin,
+      // BM25 with rational idf (no log): every step is integer-derived
+      // double arithmetic in a fixed order — bit-identical across engines
+      "t10_bm25" ->
+        s"""WITH tf AS (
+           | SELECT doc_id, len(toks) AS dl,
+           |  len(list_filter(toks, t -> t = 'join')) AS tf_join,
+           |  len(list_filter(toks, t -> t = 'hash')) AS tf_hash,
+           |  len(list_filter(toks, t -> t = 'stream')) AS tf_stream
+           | FROM (SELECT doc_id, ${toks("text")} AS toks FROM documents)),
+           |st AS (
+           | SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
+           |  CAST(sum(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_join,
+           |  CAST(sum(CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_hash,
+           |  CAST(sum(CASE WHEN tf_stream > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_stream
+           | FROM tf)
+           |SELECT doc_id, dl, score FROM (
+           | SELECT doc_id, dl,
+           |  ((CAST(n_docs AS DOUBLE) - CAST(df_join AS DOUBLE) + 0.5) / (CAST(df_join AS DOUBLE) + 0.5))
+           |    * ((CAST(tf_join AS DOUBLE) * 2.2) / (CAST(tf_join AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))
+           |  + ((CAST(n_docs AS DOUBLE) - CAST(df_hash AS DOUBLE) + 0.5) / (CAST(df_hash AS DOUBLE) + 0.5))
+           |    * ((CAST(tf_hash AS DOUBLE) * 2.2) / (CAST(tf_hash AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))
+           |  + ((CAST(n_docs AS DOUBLE) - CAST(df_stream AS DOUBLE) + 0.5) / (CAST(df_stream AS DOUBLE) + 0.5))
+           |    * ((CAST(tf_stream AS DOUBLE) * 2.2) / (CAST(tf_stream AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))) AS score
+           | FROM tf, (SELECT *, CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl FROM st)
+           | WHERE tf_join + tf_hash + tf_stream > 0)
+           |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
       "t01_normalize_pipeline" ->
         s"""SELECT doc_id, lang, ${norm("text")} AS text_norm
            |FROM documents WHERE lang IN ('en','fr') ORDER BY doc_id""".stripMargin,

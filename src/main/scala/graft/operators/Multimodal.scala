@@ -138,4 +138,28 @@ object Multimodal {
     Similarity.bruteForceTopK(feats, feats.filter(col("media_id") < 5),
       "media_id", "feature", k)
   }
+
+  // — registered queries (rows-only: payload decode is the documented
+  //   stub, and content hashes are engine-specific) — the binary-column
+  //   plumbing itself runs inside the driver gate —
+
+  /** m01: media → feature extraction (mapPartitions batch shape) → ANN
+    * top-3 per probe item. The synthetic fixture stands in for a media
+    * table; `dir` is unused.
+    */
+  def mediaAnn(spark: SparkSession, dir: String): DataFrame =
+    nearestMedia(syntheticMedia(spark, 300), k = 3)
+
+  /** m02: exact content dedup over opaque payloads with planted binary
+    * duplicates (first 20 items re-ingested under new ids) — every
+    * keeper is accounted for, dup groups have n_copies = 2.
+    */
+  def mediaDedup(spark: SparkSession, dir: String): DataFrame = {
+    val media = syntheticMedia(spark, 300)
+    val redelivered = media.filter(col("media_id") < 20)
+      .withColumn("media_id", col("media_id") + 1000L)
+    dedupByContent(media.unionByName(redelivered))
+      .select(col("keeper_id"), col("n_copies"))
+      .orderBy(col("keeper_id"))
+  }
 }

@@ -1,7 +1,8 @@
 package graft.operators
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Skew-mitigation utilities (SURVEY §4 "adaptive partitioning / skew
   * handling").
@@ -76,5 +77,38 @@ object Skew {
     saltedLarge.join(saltedSmall,
         largeKey === smallKey && saltedLarge("__salt") === saltedSmall("__salt"))
       .drop("__salt")
+  }
+
+  // — registered queries: salting must be INVISIBLE in the result, so
+  //   both are oracle-checked against the plain (unsalted) SQL —
+
+  /** q35: two-phase salted aggregation over lineitem's 3-value
+    * returnflag — the worst-case hot-key shape (every row is one of 3
+    * keys; an unsalted final agg puts a third of the table on one
+    * reducer; the salted partial spreads it over 8× as many).
+    */
+  def saltedReturnflagAgg(spark: SparkSession, dir: String): DataFrame =
+    saltedAggregate(graft.Tables.lineitem(spark, dir), col("l_returnflag"),
+      salt = 8,
+      sums = scala.collection.immutable.ListMap(
+        "n" -> lit(1L),
+        "sum_qty" -> col("l_quantity")))
+      .select(col("key").as("l_returnflag"), col("n"), col("sum_qty"))
+      .orderBy(col("l_returnflag"))
+
+  /** q36: salted equi-join lineitem ⋈ supplier + revenue rollup —
+    * result identical to the plain join (oracle), with the hot probe
+    * keys fanned across salt replicas.
+    */
+  def saltedSupplierRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = graft.Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"), col("l_extendedprice"))
+    val sup = graft.Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_name"))
+    saltedJoin(li, sup, col("l_suppkey"), col("s_suppkey"), salt = 8)
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("revenue"))
+      .orderBy(col("s_name"))
   }
 }

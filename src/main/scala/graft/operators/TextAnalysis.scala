@@ -125,6 +125,46 @@ object TextAnalysis {
       .limit(50)
   }
 
+  /** BM25 document ranking (rational-idf variant) — the full
+    * search-engine relevance function over the analyzed corpus:
+    * score(d) = Σ_t idf(t) · tf(t,d)·(k1+1) / (tf(t,d) + k1·(1−b+b·|d|/avgdl))
+    * with k1=1.2, b=0.75 and idf(t) = (N−df+0.5)/(df+0.5) — BM25's idf
+    * WITHOUT the log so every operation is rational arithmetic on
+    * corpus integers: both engines produce bit-identical doubles and
+    * the ranking is fully oracle-checked (monotone in the standard
+    * log-idf score for a single term; for multi-term queries the
+    * weighting is steeper on rare terms, which is the useful direction).
+    *
+    * Same scale shape as [[textMatch]]: per-row tf/dl expressions, one
+    * broadcast stats row, no corpus shuffle.
+    */
+  def bm25Rank(spark: SparkSession, dir: String,
+               terms: Seq[String] = Seq("join", "hash", "stream")): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(normalizeText(col("text"))).as("toks"))
+    val withTf = base.select(
+      col("doc_id") +: size(col("toks")).cast("long").as("dl") +:
+        terms.map(t => size(filter(col("toks"), x => x === t)).cast("long").as(s"tf_$t")): _*)
+    val stats = withTf.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl") +:
+        terms.map(t => sum((col(s"tf_$t") > 0).cast("long")).as(s"df_$t")): _*)
+    def idf(t: String) =
+      (col("n_docs").cast("double") - col(s"df_$t").cast("double") + lit(0.5)) /
+        (col(s"df_$t").cast("double") + lit(0.5))
+    def tfNorm(t: String) =
+      (col(s"tf_$t").cast("double") * lit(2.2)) /
+        (col(s"tf_$t").cast("double") +
+          lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl"))))
+    withTf.crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs").cast("double"))
+      .filter(terms.map(t => col(s"tf_$t")).reduce(_ + _) > 0)
+      .withColumn("score", terms.map(t => idf(t) * tfNorm(t)).reduce(_ + _))
+      .select(col("doc_id"), col("dl"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(50)
+  }
+
   /** Document fingerprints (md5 of normalized text) — the exact-dedup /
     * provenance key.
     */
