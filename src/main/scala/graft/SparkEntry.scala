@@ -73,6 +73,7 @@ object SparkEntry {
     "t08_winnowing"          -> (TextAnalysis.winnowingFingerprints _),
     "t09_text_match"         -> ((s: SparkSession, dir: String) => TextAnalysis.textMatch(s, dir)),
     "t10_bm25"               -> ((s: SparkSession, dir: String) => TextAnalysis.bm25Rank(s, dir)),
+    "t11_heavy_hitters"      -> ((s: SparkSession, dir: String) => TextAnalysis.heavyHitters(s, dir)),
     // — dedup (SURVEY §2.11) —
     "d01_exact_dedup"        -> (Dedup.exactDedup _),
     "d02_fingerprint_dedup"  -> (Dedup.fingerprintDedup _),

@@ -165,6 +165,30 @@ object TextAnalysis {
       .limit(50)
   }
 
+  /** Approximate heavy hitters over corpus terms via the Misra-Gries
+    * typed Aggregator ([[graft.functions.Aggregators.FrequentItemsAgg]]):
+    * each partition holds ≤k counters, the shuffle carries ≤k counters
+    * per partition — the sketch-shaped alternative to the exact
+    * explode→groupBy of [[termFrequencies]] when |distinct terms| is too
+    * large to shuffle (the ES `terms` agg `shard_size` analog).
+    * Registered rows-only: estimates depend on partition merge order;
+    * the MG guarantees (never overcounts, every >n/(k+1) term survives)
+    * are asserted against exact counts in `AggregatorsSpec`.
+    */
+  def heavyHitters(spark: SparkSession, dir: String, k: Int = 32): DataFrame = {
+    import spark.implicits._
+    val terms = Tables.documents(spark, dir)
+      .select(explode(tokens(normalizeText(col("text")))).as("term"))
+      .filter(length(col("term")) > 0)
+      .as[String]
+    terms
+      .select(graft.functions.Aggregators.frequentItems(k).toColumn.name("items"))
+      .toDF("items")
+      .withColumn("item", explode(col("items")))
+      .select(col("item._1").as("term"), col("item._2").as("est_count"))
+      .orderBy(col("est_count").desc, col("term"))
+  }
+
   /** Document fingerprints (md5 of normalized text) — the exact-dedup /
     * provenance key.
     */
