@@ -372,7 +372,7 @@ object SparkEntry {
         s"""WITH sh AS (
            | SELECT doc_id, list_distinct(list_transform(
            |   range(1, greatest(length(nt) - 3, 2)), i -> substr(nt, i, 5))) AS s
-           | FROM (SELECT doc_id, ${norm("text")} AS nt FROM documents WHERE doc_id < 300))
+           | FROM (SELECT doc_id, ${norm("text")} AS nt FROM documents WHERE doc_id < 250))
            |SELECT doc_a, doc_b, jaccard FROM (
            | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)

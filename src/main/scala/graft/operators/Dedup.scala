@@ -253,7 +253,7 @@ object Dedup {
     * [[graft.operators.Similarity.cosinePairsExact]]; the LSH paths are
     * the scale story.
     */
-  def jaccardExactPairs(spark: SparkSession, dir: String, maxId: Long = 300L,
+  def jaccardExactPairs(spark: SparkSession, dir: String, maxId: Long = 250L,
                         shingleLen: Int = 5, threshold: Double = 0.25): DataFrame = {
     // materialize the (≤maxId-row) shingled frame BEFORE the self cross
     // join: without the barrier Catalyst pushes the projection past the
