@@ -1,6 +1,15 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** clearCache only unpersists cached datasets; localCheckpoint blocks
+    * (eagerly-materialized pair sets etc.) live as persistent RDDs
+    * outside the cache manager — drop those too so no query runs with a
+    * predecessor's storage resident.
+    */
+  def dropAllStorage(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -36,12 +45,12 @@ object Bench {
     // drop warmup persists BEFORE timing — otherwise query 1 runs with
     // the whole warmup cache footprint (or outright hits it when sfDir
     // is the warmup fixture) while queries 2..N run cold
-    spark.catalog.clearCache()
+    dropAllStorage(spark)
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache() // drop per-query persists (untimed)
+      dropAllStorage(spark) // drop per-query persists + checkpoint blocks (untimed)
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

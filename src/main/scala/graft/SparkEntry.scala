@@ -397,9 +397,9 @@ object SparkEntry {
            | FROM tf)
            |SELECT doc_id, n_hits, score FROM (
            | SELECT doc_id, tf_join + tf_hash + tf_stream AS n_hits,
-           |  CAST(tf_join AS DOUBLE) * (CAST(n_docs AS DOUBLE) / CAST(df_join AS DOUBLE))
-           |  + CAST(tf_hash AS DOUBLE) * (CAST(n_docs AS DOUBLE) / CAST(df_hash AS DOUBLE))
-           |  + CAST(tf_stream AS DOUBLE) * (CAST(n_docs AS DOUBLE) / CAST(df_stream AS DOUBLE)) AS score
+           |  (CASE WHEN df_join > 0 THEN CAST(tf_join AS DOUBLE) * (CAST(n_docs AS DOUBLE) / CAST(df_join AS DOUBLE)) ELSE 0.0 END)
+           |  + (CASE WHEN df_hash > 0 THEN CAST(tf_hash AS DOUBLE) * (CAST(n_docs AS DOUBLE) / CAST(df_hash AS DOUBLE)) ELSE 0.0 END)
+           |  + (CASE WHEN df_stream > 0 THEN CAST(tf_stream AS DOUBLE) * (CAST(n_docs AS DOUBLE) / CAST(df_stream AS DOUBLE)) ELSE 0.0 END) AS score
            | FROM tf, st)
            |WHERE n_hits > 0
            |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,

@@ -24,8 +24,8 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // release per-query persists (LSH signature caches etc.)
-      spark.catalog.clearCache()
+      // release per-query persists + checkpoint blocks (LSH caches etc.)
+      Bench.dropAllStorage(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -86,6 +86,15 @@ object CurationJob {
     (curated, report)
   }
 
+  /** Lazy final-stage plan for inspection (`DumpPlans`): the curated
+    * frame WITHOUT the eager checkpoint — keeps the quality scan,
+    * fingerprint window dedup and the final anti-join visible in the
+    * dumped plan. Leaves the stage cache for the caller's session to
+    * clear.
+    */
+  private[graft] def curatePlan(spark: SparkSession, dir: String): DataFrame =
+    stages(graft.Tables.documents(spark, dir), "doc_id", "text", Thresholds())._3
+
   /** Report-free path: one terminal action computes the curated corpus
     * (the LSH collect inside cluster resolution is the only extra job).
     * Eagerly materialized so the stage caches can be released here.

@@ -113,12 +113,16 @@ object Dedup {
     * internal signature/shingle caches can be released before returning
     * — callers get a small, lineage-free pair set and no leaked cache
     * entries. Pair sets are the OUTPUT of dedup (tiny vs the corpus),
-    * so eager materialization is the right default at any scale.
+    * so eager materialization is the right default at any scale. Pass
+    * `materialize = false` for the lazy plan (plan inspection / callers
+    * that manage caching themselves — the sig cache is then theirs to
+    * release).
     */
   def minHashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       shingleLen: Int = 5, numHashes: Int = 32, bands: Int = 8,
                       threshold: Double = 0.6,
-                      preNormalized: Boolean = false): DataFrame = {
+                      preNormalized: Boolean = false,
+                      materialize: Boolean = true): DataFrame = {
     val rows = numHashes / bands
     val normed = if (preNormalized) col(textCol) else normalizeText(col(textCol))
     val base = docs.select(col(idCol).as("id"), normed.as("text_norm"))
@@ -151,16 +155,19 @@ object Dedup {
       .filter(col("est") >= threshold - 0.2)
       .select(col("doc_a"), col("doc_b"))
 
-    val pairs = prefiltered
+    val lazyPairs = prefiltered
       .join(shingled.select(col("id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(shingled.select(col("id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("jaccard", HashFns.jaccardSorted(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
-      .localCheckpoint(true)
-    sig.unpersist()
-    pairs
+    if (!materialize) lazyPairs
+    else {
+      val pairs = lazyPairs.localCheckpoint(true)
+      sig.unpersist()
+      pairs
+    }
   }
 
   def minHashDedup(spark: SparkSession, dir: String): DataFrame =

@@ -107,10 +107,12 @@ object Similarity {
     */
   def cosinePairsExact(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val n = emb.count()
+    // bounded probe: scanning maxExactPairRows+1 rows answers the guard
+    // without a full count of an arbitrarily large corpus
+    val n = emb.limit((maxExactPairRows + 1).toInt).count()
     require(n <= maxExactPairRows,
       s"cosinePairsExact is the small-corpus O(n²) oracle baseline; corpus has " +
-        s"$n rows > $maxExactPairRows. Use Dedup.embeddingNearDupPairs (LSH) at scale.")
+        s"> $maxExactPairRows rows. Use Dedup.embeddingNearDupPairs (LSH) at scale.")
     val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
     val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
     a.crossJoin(b)

@@ -116,9 +116,12 @@ object TextAnalysis {
     withTf.crossJoin(broadcast(stats))
       .withColumn("n_hits", terms.map(t => col(s"tf_$t")).reduce(_ + _))
       .filter(col("n_hits") > 0)
+      // df=0 guard: an absent term must contribute 0, not 0·(N/0)=NaN
       .withColumn("score", terms.map(t =>
-        col(s"tf_$t").cast("double") *
-          (col("n_docs").cast("double") / col(s"df_$t").cast("double")))
+        when(col(s"df_$t") > 0,
+          col(s"tf_$t").cast("double") *
+            (col("n_docs").cast("double") / col(s"df_$t").cast("double")))
+          .otherwise(lit(0.0)))
         .reduce(_ + _))
       .select(col("doc_id"), col("n_hits"), col("score"))
       .orderBy(col("score").desc, col("doc_id"))

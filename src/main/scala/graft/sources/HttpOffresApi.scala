@@ -33,8 +33,15 @@ import graft.sources.AdaptivePlanner.{FetchFilter, PageRange}
   * outer guard, and the ingestion job's dead-letter capture records the
   * failure (S7).
   */
-class HttpOffresApi(endpoint: String, planningToken: Option[String] = None)
+class HttpOffresApi(endpoint: String,
+                    @volatile private var planningTokenValue: String = null)
     extends OffresApi {
+
+  /** Driver-side probe token — updated on re-auth (instances are cached
+    * per endpoint, so a token rotation must not require a new client).
+    */
+  def setPlanningToken(t: String): Unit = planningTokenValue = t
+  private def planningToken: Option[String] = Option(planningTokenValue)
 
   @transient private lazy val client: HttpClient = HttpClient.newBuilder()
     .connectTimeout(Duration.ofSeconds(10))
@@ -58,9 +65,24 @@ class HttpOffresApi(endpoint: String, planningToken: Option[String] = None)
     client.send(b.build(), HttpResponse.BodyHandlers.ofString())
   }
 
+  /** RFC 9110 allows both delta-seconds and an HTTP-date; fall back to
+    * 1s if the header is absent or unparseable — never let a malformed
+    * backoff hint bypass the 429 path.
+    */
   private def retryAfterMs(res: HttpResponse[String]): Long = {
     val h = res.headers().firstValue("Retry-After")
-    if (h.isPresent) h.get.trim.toLong * 1000L else 1000L
+    if (!h.isPresent) 1000L
+    else {
+      val v = h.get.trim
+      v.toLongOption.map(_ * 1000L).getOrElse {
+        try {
+          val at = java.time.ZonedDateTime.parse(v,
+            java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME)
+          math.max(java.time.Duration.between(
+            java.time.ZonedDateTime.now(at.getZone), at).toMillis, 0L)
+        } catch { case _: java.time.format.DateTimeParseException => 1000L }
+      }
+    }
   }
 
   /** `Content-Range: offres a-b/total` → total. */
@@ -156,14 +178,31 @@ object HttpOffresApi {
   * CaseInsensitiveStringMap normalizes them).
   */
 object OffresApiResolver {
-  private val cache = new ConcurrentHashMap[String, OffresApi]()
+  // keyed by endpoint ONLY: token rotations update the cached instance
+  // instead of leaking a new HttpClient per token
+  private val cache = new ConcurrentHashMap[String, HttpOffresApi]()
+
+  /** Per-JVM token providers for executor-side re-auth, keyed by
+    * (authUrl, secrets): a partition reader outliving the token TTL
+    * re-authenticates through the expiry-aware [[TokenProvider]]
+    * instead of failing on a frozen token.
+    */
+  private val providers = new ConcurrentHashMap[String, TokenProvider]()
+
+  def tokenProvider(authUrl: String, secrets: String): TokenProvider =
+    providers.computeIfAbsent(s"$authUrl|$secrets", _ => {
+      val creds = secrets.split(",").toSeq.map { p =>
+        val Array(k, sec) = p.split(":", 2); (k, sec)
+      }
+      new TokenProvider(creds, (k, sec) => HttpOffresApi.authenticate(authUrl, k, sec))
+    })
 
   def resolve(opts: Map[String, String]): OffresApi =
     opts.get("endpoint") match {
       case Some(ep) =>
-        val tok = opts.get("planningtoken")
-        cache.computeIfAbsent(s"$ep|${tok.getOrElse("")}",
-          _ => new HttpOffresApi(ep, tok))
+        val api = cache.computeIfAbsent(ep, _ => new HttpOffresApi(ep))
+        opts.get("planningtoken").foreach(api.setPlanningToken)
+        api
       case None =>
         OffresApiRegistry.get(opts.getOrElse("api",
           throw new IllegalArgumentException(

@@ -224,16 +224,16 @@ class OffresScan(options: CaseInsensitiveStringMap, schema: StructType,
 
   /** Credential slots (S1/F13): either pre-issued `tokens`, or the full
     * OAuth2 flow — `authUrl` + `secrets` (`k1:s1,k2:s2`) authenticated
-    * driver-side through [[TokenProvider]] (expiry-aware), one token per
-    * credential, assigned round-robin to partitions.
+    * through the per-JVM shared [[TokenProvider]] (expiry-aware: repeat
+    * plannings reuse unexpired tokens instead of re-running OAuth), one
+    * token per credential, assigned round-robin to partitions. Readers
+    * carry the SLOT, not just the token — an executor whose fetch
+    * outlives the token TTL re-authenticates its slot (see
+    * [[OffresPartitionReader.bearerToken]]).
     */
   private def tokens: Seq[String] =
     (Option(options.get("authUrl")), Option(options.get("secrets"))) match {
-      case (Some(url), Some(s)) =>
-        val creds = s.split(",").toSeq.map { p =>
-          val Array(k, sec) = p.split(":", 2); (k, sec)
-        }
-        new TokenProvider(creds, (k, sec) => HttpOffresApi.authenticate(url, k, sec)).tokens
+      case (Some(url), Some(s)) => OffresApiResolver.tokenProvider(url, s).tokens
       case _ =>
         Option(options.get("tokens")).map(_.split(",").toSeq).getOrElse(Seq("anonymous"))
     }
@@ -302,7 +302,7 @@ class OffresScan(options: CaseInsensitiveStringMap, schema: StructType,
       System.err.println(s"[offres-source] OVERFLOW not fully fetchable: $o")
     }
     plan.partitions.zipWithIndex.map { case (p, i) =>
-      OffresInputPartition(p, toks(i % toks.size)): InputPartition
+      OffresInputPartition(p, toks(i % toks.size), i % toks.size): InputPartition
     }.toArray
   }
 
@@ -310,7 +310,8 @@ class OffresScan(options: CaseInsensitiveStringMap, schema: StructType,
     new OffresReaderFactory(optMap, schema)
 }
 
-case class OffresInputPartition(part: FetchPartition, token: String) extends InputPartition
+case class OffresInputPartition(part: FetchPartition, token: String,
+                                slot: Int = 0) extends InputPartition
 
 class OffresReaderFactory(opts: Map[String, String], schema: StructType)
     extends PartitionReaderFactory {
@@ -330,6 +331,20 @@ class OffresPartitionReader(opts: Map[String, String], schema: StructType,
   private var rows: Iterator[String] = _
   private var current: InternalRow = _
 
+  /** Bearer token for this partition's credential slot. With
+    * `authUrl`/`secrets` in the options, the per-JVM [[TokenProvider]]
+    * re-authenticates executor-side when the cached token nears expiry
+    * — a fetch loop that outlives the token TTL keeps working (the S1
+    * expiry-aware claim, now on both sides of the boundary). Otherwise
+    * the planner-assigned token is used as-is.
+    */
+  private def bearerToken: String =
+    (opts.get("authurl"), opts.get("secrets")) match {
+      case (Some(url), Some(s)) =>
+        OffresApiResolver.tokenProvider(url, s).token(partition.slot)
+      case _ => partition.token
+    }
+
   private def fetchWithBackoff(): Seq[String] = {
     // executor-side construction from plain string options (HTTP mode)
     // or shared-JVM registry lookup (tests / local[*])
@@ -337,7 +352,7 @@ class OffresPartitionReader(opts: Map[String, String], schema: StructType,
     var attempts = 0
     while (true) {
       try {
-        return api.fetch(partition.part.filter, partition.part.range, partition.token)
+        return api.fetch(partition.part.filter, partition.part.range, bearerToken)
       } catch {
         case e: RateLimitedException if attempts < 10 =>
           attempts += 1

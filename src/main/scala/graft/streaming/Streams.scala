@@ -103,6 +103,16 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // the checkpoint (offsets/commits/state) is dead once the query
+    // drains — delete it; outDir must outlive this call (the returned
+    // frame reads it lazily)
+    def rm(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).iterator().asScala.foreach(rm)
+      java.nio.file.Files.deleteIfExists(p)
+    }
+    rm(java.nio.file.Paths.get(ckpt))
     spark.read.parquet(outDir).orderBy(col("hour_start"), col("event_type"))
   }
 
