@@ -1,6 +1,6 @@
 package graft.jobs
 
-import graft.sources.{AdaptivePlanner, Offres, OffresApiRegistry}
+import graft.sources.{AdaptivePlanner, Offres, OffresApiResolver}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -20,13 +20,34 @@ object IngestionJob {
   case class Result(totalExpected: Long, collected: Long, erreurs: Long,
                     reconciled: Boolean)
 
+  /** Registry-mode entry (in-JVM API fakes / `local[*]`). */
   def run(spark: SparkSession, apiKey: String, tokens: Seq[String],
-          outDir: String): Result = {
+          outDir: String): Result =
+    runWithOptions(spark,
+      Map("api" -> apiKey, "tokens" -> tokens.mkString(",")), outDir)
+
+  /** Options-mode entry — the same job over any client the source can
+    * resolve, notably the production HTTP client (`endpoint` +
+    * `authUrl`/`secrets`): the reference's `__main__` run, network and
+    * all.
+    */
+  def runWithOptions(spark: SparkSession, options: Map[String, String],
+                     outDir: String): Result = {
     val startS = System.currentTimeMillis() / 1000
-    val api = OffresApiRegistry.get(apiKey)
+    val lower = options.map { case (k, v) => k.toLowerCase -> v }
+    // HTTP-mode planning probes authenticate with the first credential
+    // slot, exactly like OffresScan.planInputPartitions
+    val planOpts =
+      (lower.get("endpoint"), lower.get("authurl"), lower.get("secrets")) match {
+        case (Some(_), Some(url), Some(s)) =>
+          lower + ("planningtoken" -> OffresApiResolver.tokenProvider(url, s).token(0))
+        case _ => lower
+      }
+    val api = OffresApiResolver.resolve(planOpts)
+    val sourceKey = OffresApiResolver.sourceKey(lower)
     // discard overflow records leaked by a previously failed/aborted run
-    // for this api key — this run's erreurs must reflect THIS run
-    graft.sources.OverflowLog.drain(apiKey)
+    // for this source — this run's erreurs must reflect THIS run
+    graft.sources.OverflowLog.drain(sourceKey)
     val totalExpected = api.count(AdaptivePlanner.FetchFilter()) // A1 probe
 
     // persist: the REST scan must execute exactly once — the valid
@@ -34,7 +55,7 @@ object IngestionJob {
     // re-plan (count probes) and re-fetch every page against the
     // rate-limited API, and could observe different API snapshots
     val raw = spark.read.format("graft.sources.OffresSource")
-      .option("api", apiKey).option("tokens", tokens.mkString(","))
+      .options(options)
       .load()
       .persist()
 
@@ -45,7 +66,7 @@ object IngestionJob {
 
     Offres.overwriteTable(valid, s"$outDir/offres")
     // overflowed plan leaves → dead-letter rows (never silent loss, S7)
-    val overflowRows = graft.sources.OverflowLog.drain(apiKey).map { o =>
+    val overflowRows = graft.sources.OverflowLog.drain(sourceKey).map { o =>
       (o.toString, s"overflow: ${o.total} offers exceed the fetch cap")
     }
     import spark.implicits._

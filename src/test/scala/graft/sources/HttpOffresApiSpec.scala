@@ -166,6 +166,20 @@ class HttpOffresApiSpec extends SparkSpec with BeforeAndAfterAll {
     assert(page.size == 50)
   }
 
+  test("IngestionJob runs the full E1 lifecycle over HTTP: collect, dead-letter, reconcile") {
+    rateLimited429.set(false) // re-arm: one page of this run gets throttled
+    val out = java.nio.file.Files.createTempDirectory("graft_ingest_http").toString
+    val res = graft.jobs.IngestionJob.runWithOptions(spark, Map(
+      "endpoint" -> base,
+      "authUrl" -> s"$base/token",
+      "secrets" -> "k1:s-k1,k2:s-k2",
+      "maxPerFilter" -> "100",
+      "pageSize" -> "50"), out)
+    assert(res.totalExpected == 200 && res.collected == 200, res)
+    assert(res.reconciled && res.erreurs == 0, res)
+    assert(spark.read.parquet(s"$out/offres").count() == 200)
+  }
+
   test("bad credentials fail fast with a clear auth error") {
     val e = intercept[RuntimeException] {
       HttpOffresApi.authenticate(s"$base/token", "k1", "wrong")
