@@ -90,6 +90,7 @@ object SparkEntry {
     "e01_knn_brute"          -> (Similarity.knnBruteForce _),
     "e02_knn_lsh"            -> (Similarity.knnLsh _),
     "e04_knn_ivf"            -> (Similarity.knnIvf _),
+    "e05_cosine_range"       -> (Similarity.knnRange _),
     // — event-time / streaming-unified (SURVEY §2.9) —
     "s01_hourly_type_counts" -> (Streams.hourlyTypeCountsBatch _),
     "s02_sliding_counts"     -> (Streams.slidingTypeCountsBatch _),
@@ -411,6 +412,12 @@ object SparkEntry {
       "d02_fingerprint_dedup" ->
         s"""SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
            |FROM documents GROUP BY ${norm("text")} ORDER BY keeper_id""".stripMargin,
+      "e05_cosine_range" ->
+        """SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id
+          |FROM embeddings q, embeddings e
+          |WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id
+          |  AND list_cosine_similarity(q.embedding, e.embedding) >= 0.3
+          |ORDER BY query_id, neighbor_id""".stripMargin,
       "e01_knn_brute" ->
         """SELECT qid AS query_id, rank, nid AS neighbor_id FROM (
           | SELECT q.vec_id qid, e.vec_id nid,

@@ -172,6 +172,28 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Cosine range search (radius query): all corpus vectors within
+    * `minCos` of each query vector — the vector-DB companion to top-k.
+    * Same scale shape as [[bruteForceTopK]]: queries broadcast, corpus
+    * streams once, no corpus shuffle; swap in the LSH banding for the
+    * approximate scale path exactly as with top-k.
+    */
+  def cosineRange(corpus: DataFrame, queries: DataFrame,
+                  idCol: String, vecCol: String, minCos: Double): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .filter(VectorFns.cosineSim(col("q_vec"), col("c_vec")) >= minCos)
+      .select(col("query_id"), col("neighbor_id"))
+      .orderBy(col("query_id"), col("neighbor_id"))
+  }
+
+  def knnRange(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    cosineRange(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", minCos = 0.3)
+  }
+
   def knnIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)

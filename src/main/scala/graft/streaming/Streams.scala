@@ -120,6 +120,25 @@ object Streams {
     events.withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: each purchase joined to the same
+    * user's clicks within ±1 hour. Both sides carry watermarks and the
+    * join condition bounds the time skew, so the state store holds only
+    * the watermark-window tail of each side — the streaming analog of
+    * [[graft.operators.AsOf.rangeJoinCount]]'s bucketed range join, and
+    * batch-equivalent on a drained stream (asserted in `StreamsSpec`).
+    */
+  def purchaseClickJoinStream(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("ts", "2 hours")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id"))
+    val c = clicks.withWatermark("ts", "2 hours")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    p.join(c,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("event_id"), col("user_id"), col("c_ts"))
+  }
+
   // — custom state v2: transformWithState running totals (§2.9) —
 
   case class RunningTotal(user_id: Long, n_events: Long, total_value: Double)

@@ -53,4 +53,29 @@ class EntrySpec extends SparkSpec {
     assert(plan.contains("partial_sum"), plan)      // map-side combine
     assert("""\*\(\d+\) HashAggregate""".r.findFirstIn(plan).isDefined, plan) // *(n) = codegen span
   }
+
+  test("salted aggregation plans two hash-aggregate phases over the salt") {
+    val plan = operators.Skew.saltedReturnflagAgg(spark, sf)
+      .queryExecution.executedPlan.toString
+    // partial over (key, salt), final over key: ≥2 HashAggregate pairs
+    assert("HashAggregate".r.findAllIn(plan).size >= 4, plan)
+    // the content-hash salt expression feeds the first grouping
+    assert(plan.contains("pmod(xxhash64"), plan)
+  }
+
+  test("bm25/text-match broadcast the one-row stats frame; top-k is TakeOrdered") {
+    val plan = operators.TextAnalysis.bm25Rank(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan) // 1-row stats × corpus
+    assert(plan.contains("TakeOrderedAndProject"), plan)   // top-50 without full sort
+  }
+
+  test("exact-jaccard pairs read the shingled frame from a one-time materialization") {
+    val plan = operators.Dedup.jaccardExactPairs(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the checkpointed shingle frame enters the cross join as an RDD
+    // scan — the shingle expression cannot re-run per pair
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("ExistingRDD") || plan.contains("LogicalRDD"), plan)
+  }
 }

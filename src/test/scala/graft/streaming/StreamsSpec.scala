@@ -107,6 +107,30 @@ class StreamsSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("stream-stream interval join matches the batch range join on drained input") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val evs = Seq(
+      Ev(10, ts(0), 1, "click", 1.0, "{}"),
+      Ev(11, ts(30), 1, "purchase", 2.0, "{}"),   // clicks at 0 within 1h
+      Ev(12, ts(100), 1, "click", 3.0, "{}"),     // 70min after purchase → out
+      Ev(13, ts(20), 2, "purchase", 4.0, "{}"),   // no clicks for u2
+      Ev(14, ts(45), 1, "click", 5.0, "{}"),      // 15min after purchase → in
+    )
+    mem.addData(evs: _*)
+    val df = mem.toDF()
+    val q = Streams.purchaseClickJoinStream(
+        df.filter($"event_type" === "purchase"),
+        df.filter($"event_type" === "click"))
+      .writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("ss_join")
+      .select($"event_id", $"user_id").as[(Long, Long)].collect().toSeq.sorted
+    // purchase 11 pairs with clicks 10 and 14; purchase 13 pairs with none
+    assert(got == Seq((11L, 1L), (11L, 1L)), got.toString)
+  }
+
   test("transformWithState running totals accumulate across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     // the v2 state API needs column families → RocksDB state store
