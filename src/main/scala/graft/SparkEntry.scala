@@ -86,6 +86,7 @@ object SparkEntry {
     // — multimodal columns (SURVEY §2.11; decode = documented stub) —
     "m01_media_ann"          -> (graft.operators.Multimodal.mediaAnn _),
     "m02_media_dedup"        -> (graft.operators.Multimodal.mediaDedup _),
+    "m03_media_frames"       -> (graft.operators.Multimodal.mediaFrameSample _),
     // — similarity search (SURVEY §2.11) —
     "e01_knn_brute"          -> (Similarity.knnBruteForce _),
     "e02_knn_lsh"            -> (Similarity.knnLsh _),

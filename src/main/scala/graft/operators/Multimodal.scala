@@ -150,6 +150,16 @@ object Multimodal {
   def mediaAnn(spark: SparkSession, dir: String): DataFrame =
     nearestMedia(syntheticMedia(spark, 300), k = 3)
 
+  /** m03: frame sampling for the video rows (every 5th frame index,
+    * explode-based, shuffle-free) rolled up to a per-media frame count
+    * — deterministic over the seeded fixture.
+    */
+  def mediaFrameSample(spark: SparkSession, dir: String): DataFrame =
+    sampleFrames(syntheticMedia(spark, 300), stride = 5)
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_sampled"), max(col("frame_idx")).as("max_idx"))
+      .orderBy(col("media_id"))
+
   /** m02: exact content dedup over opaque payloads with planted binary
     * duplicates (first 20 items re-ingested under new ids) — every
     * keeper is accounted for, dup groups have n_copies = 2.
