@@ -1,7 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.classic.GraftColumnBridge
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Text-normalization + text-analysis scalar functions.
   *
@@ -30,14 +35,80 @@ object TextFns {
   /** Full normalization chain for description-like fields (F1-F5,
     * `csv-tech.conf:35-39`): lowercase → CR strip → `&nbsp` strip →
     * punctuation → whitespace-class → whitespace collapse → trim.
+    *
+    * `lower` stays the builtin (exact Unicode-casing semantics); the
+    * four regex passes + trim fuse into ONE custom codegen'd pass
+    * ([[NormalizeRest]]) — each regex pass allocates a matcher and a
+    * full rewritten string per row, so the fused kernel does in one
+    * traversal what cost five. Char-for-char equivalence with the
+    * reference regex chain is property-tested (`TextFnsSpec`) and
+    * pinned by every oracle-checked query that normalizes.
     */
-  def normalizeText(c: Column): Column = {
+  def normalizeText(c: Column): Column =
+    GraftColumnBridge.column(NormalizeRest(
+      GraftColumnBridge.expression(lower(c))))
+
+  /** The original composed-regex formulation — kept as the equivalence
+    * reference for the fused kernel.
+    */
+  def normalizeTextRegex(c: Column): Column = {
     val lowered = lower(c)
     val noCr    = regexp_replace(lowered, "\\r", " ")
     val noNbsp  = regexp_replace(noCr, "&nbsp", " ")
     val noPunct = regexp_replace(noNbsp, PunctClass, " ")
     val noWs    = regexp_replace(noPunct, "\\s", " ")
     trim(regexp_replace(noWs, " +", " "))
+  }
+
+  /** Reference punct codepoints (`csv-tech.conf:30`): the `*-.` range
+    * (codepoints 42-46) plus the literals, incl. the multibyte
+    * `« » ✔ ➡ ¿ ·`.
+    */
+  private val punctCps: Set[Int] =
+    Set(',', ':', ';', '«', '»', '✔', '➡', '¿', '\\', '"', '·', '?', '!', '(', ')', '/')
+      .map(_.toInt) ++ (42 to 46) // * + , - .
+
+  /** Single-pass fused kernel for the post-lowercase chain. Semantics
+    * (verified char-for-char against the regex chain):
+    *  - `&nbsp` (contiguous 5-char literal) → one space;
+    *  - any reference-punct char or Java-regex `\s` char
+    *    (space \t \n \x0B \f \r — ASCII only, NBSP untouched) → space;
+    *  - space runs collapse to one; leading/trailing spaces dropped.
+    */
+  def normalizeRest(s: UTF8String): UTF8String = {
+    val str = s.toString
+    val n = str.length
+    val out = new java.lang.StringBuilder(n)
+    var pendingSpace = false // a space to emit before the next real char
+    var i = 0
+    while (i < n) {
+      val ch = str.charAt(i)
+      val isNbsp = ch == '&' && i + 4 < n && str.charAt(i + 1) == 'n' &&
+        str.charAt(i + 2) == 'b' && str.charAt(i + 3) == 's' && str.charAt(i + 4) == 'p'
+      if (isNbsp) { pendingSpace = out.length() > 0; i += 5 }
+      else if (punctCps.contains(ch.toInt) || ch == ' ' || ch == '\t' ||
+        ch == '\n' || ch == '\u000B' || ch == '\f' || ch == '\r') {
+        pendingSpace = out.length() > 0
+        i += 1
+      } else {
+        if (pendingSpace) { out.append(' '); pendingSpace = false }
+        out.append(ch)
+        i += 1
+      }
+    }
+    UTF8String.fromString(out.toString)
+  }
+
+  case class NormalizeRest(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "normalize_rest"
+    override def nullSafeEval(input: Any): Any =
+      normalizeRest(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextFns.normalizeRest($c)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
   }
 
   /** Whitespace tokenizer over normalized text. */

@@ -52,4 +52,29 @@ class TextFnsSpec extends SparkSpec {
       .toDF("t").select(TextFns.fingerprintMd5($"t")).as[String].collect()
     assert(fp.distinct.length == 1)
   }
+
+  test("fused normalize kernel is char-identical to the regex chain") {
+    // adversarial fixed cases: &nbsp variants (incl. uppercase pre-lower,
+    // overlap, ends), punct runs, every whitespace class char, NBSP
+    // (NOT java \s — must survive), multibyte punct, empty-ish inputs
+    val fixed = Seq(
+      "", " ", "\r\n\t\f", "....", "&nbsp", "&nbs", "x&nbspy", "&&nbsp",
+      "&nbsp&nbsp", "a&NBSPb", "  a  b  ", "é«à»ç", "a b", "&nbspz",
+      "tail&nbs", "&", "nbsp", "a*+,-.b", "✔➡¿·", "A&Nbsp;B")
+    val rnd = new scala.util.Random(7)
+    val alphabet = "ab YZ09é&nbsp*,.-:;«»✔➡¿·\\\"?!()/ \t\r\n\f "
+    val random = (1 to 500).map(_ =>
+      (1 to rnd.nextInt(40)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val df = (fixed ++ random).toDF("t")
+      .select(TextFns.normalizeText($"t").as("fused"),
+        TextFns.normalizeTextRegex($"t").as("chain"))
+    val diff = df.filter($"fused" =!= $"chain").collect()
+    assert(diff.isEmpty, diff.take(5).mkString("; "))
+    // and over the real fixture corpus
+    val corpusDiff = graft.Tables.documents(spark, sf)
+      .select(TextFns.normalizeText($"text").as("fused"),
+        TextFns.normalizeTextRegex($"text").as("chain"))
+      .filter($"fused" =!= $"chain").count()
+    assert(corpusDiff == 0)
+  }
 }
