@@ -305,6 +305,53 @@ object HashFns {
   def hashingTfVec(tokens: Column, dim: Int): Column =
     GraftColumnBridge.column(HashingTfVec(GraftColumnBridge.expression(tokens), dim))
 
+  /** Sorted, de-duplicated char n-gram shingle set in one pass — the
+    * fused form of `array_sort(array_distinct(transform(sequence(...),
+    * substr)))`, which allocates an index array, one UTF8String per
+    * window, a distinct hash table and a sort per row. Semantics are
+    * identical to [[graft.functions.TextFns.charShingles]] + array_sort
+    * (char windows, short-text degenerate window, UTF8String binary
+    * order — equivalence spec in `TextFnsSpec`), so the exact-jaccard
+    * oracle agreement is unchanged.
+    */
+  def sortedShingles(s: UTF8String, n: Int): ArrayData = {
+    val str = s.toString
+    val len = str.length
+    val nWin = math.max(len - n + 1, 1)
+    val arr = new Array[UTF8String](nWin)
+    var i = 0
+    while (i < nWin) {
+      arr(i) = UTF8String.fromString(str.substring(i, math.min(i + n, len)))
+      i += 1
+    }
+    java.util.Arrays.sort(arr, (a: UTF8String, b: UTF8String) => a.compareTo(b))
+    // adjacent dedup on the sorted array
+    var w = 0
+    i = 0
+    while (i < nWin) {
+      if (w == 0 || arr(i).compareTo(arr(w - 1)) != 0) { arr(w) = arr(i); w += 1 }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(arr.asInstanceOf[Array[AnyRef]], w))
+  }
+
+  case class SortedCharShingles(child: Expression, n: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "sorted_char_shingles"
+    override def nullSafeEval(input: Any): Any =
+      sortedShingles(input.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashFns.sortedShingles($c, $n)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def sortedShingleSet(text: Column, n: Int): Column =
+    GraftColumnBridge.column(
+      SortedCharShingles(GraftColumnBridge.expression(text), n))
+
   /** MinHash signature (array<long> of k minima) over byte n-gram
     * shingles of a string column.
     */

@@ -137,9 +137,9 @@ object Dedup {
     // NOT persisted even though the verification join reads it twice:
     // shingle arrays are ~|text| small strings per row, so caching them
     // deserialized costs far more (memory + GC) than re-running the
-    // codegen'd shingle expression — measured 5× slower when cached.
+    // fused one-pass shingle kernel — measured 5× slower when cached.
     val shingled = base.select(col("id"),
-      array_sort(charShingles(col("text_norm"), shingleLen)).as("sh"))
+      HashFns.sortedShingleSet(col("text_norm"), shingleLen).as("sh"))
 
     // Cheap signature-estimate prefilter (fraction of matching minhash
     // components ≈ jaccard, σ≈1/√k): kills the low-similarity bulk of
@@ -269,7 +269,7 @@ object Dedup {
     val sh = Tables.documents(spark, dir)
       .filter(col("doc_id") < maxId)
       .select(col("doc_id"),
-        array_sort(charShingles(normalizeText(col("text")), shingleLen)).as("sh"))
+        HashFns.sortedShingleSet(normalizeText(col("text")), shingleLen).as("sh"))
       .localCheckpoint(true)
     val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))

@@ -77,4 +77,22 @@ class TextFnsSpec extends SparkSpec {
       .filter($"fused" =!= $"chain").count()
     assert(corpusDiff == 0)
   }
+
+  test("fused sorted shingle set equals array_sort(charShingles) everywhere") {
+    val rnd = new scala.util.Random(13)
+    val alphabet = "abcdeé «»01"
+    val strs = Seq("", "a", "abcd", "ababab", "ééééééé") ++
+      (1 to 300).map(_ =>
+        (1 to rnd.nextInt(30)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val diff = strs.toDF("t")
+      .select(HashFns.sortedShingleSet($"t", 5).as("fused"),
+        array_sort(TextFns.charShingles($"t", 5)).as("hof"))
+      .filter($"fused" =!= $"hof").collect()
+    assert(diff.isEmpty, diff.take(5).mkString("; "))
+    val corpusDiff = graft.Tables.documents(spark, sf)
+      .select(HashFns.sortedShingleSet(TextFns.normalizeText($"text"), 5).as("fused"),
+        array_sort(TextFns.charShingles(TextFns.normalizeText($"text"), 5)).as("hof"))
+      .filter($"fused" =!= $"hof").count()
+    assert(corpusDiff == 0)
+  }
 }
