@@ -33,13 +33,15 @@ object Bench {
     }
     // The hash-kernel queries (minhash/shingle/vector loops) need more
     // iterations than sf0.001 provides before C2 compiles the hot loops
-    // — without this, whichever of them is timed first absorbs ~2x JIT
-    // cost. One extra warmup pass at sf0.01 (still untimed).
+    // — without this, whichever of them is timed first absorbs 2-3x JIT
+    // cost (and profiles gathered on tiny inputs can deoptimize at the
+    // target size). One extra untimed warmup pass at the TARGET scale
+    // factor: the timed runs then measure steady state.
     SparkEntry.queries
       .filter { case (name, _) => name.startsWith("d") || name.startsWith("e") ||
         name == "t07_doc_similarity" }
       .foreach { case (_, fn) =>
-        try fn(spark, "/root/testdata/sf0.01").count()
+        try fn(spark, sfDir).count()
         catch { case _: Throwable => () }
       }
     // drop warmup persists BEFORE timing — otherwise query 1 runs with

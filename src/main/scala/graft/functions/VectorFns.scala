@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.GraftColumnBridge
 import org.apache.spark.sql.functions._
@@ -137,4 +137,54 @@ object VectorFns {
     */
   def hyperplaneBit(v: Column, plane: Array[Float]): Column =
     (dot(v, array(plane.map(lit(_)): _*).cast(ArrayType(FloatType))) >= 0.0).cast("int")
+
+  /** ALL hyperplane band keys in one fused pass: `planes` is the flat
+    * band-major plane list (bands·bits rows); key_b = Σ_j [dot(v,
+    * plane_{b·bits+j}) ≥ 0] << j — bit-for-bit the composition of
+    * [[hyperplaneBit]] · (1 << j) sums, but one generated call instead
+    * of bands·bits separate dot-product expressions per row.
+    */
+  def hyperplaneBandKeys(v: ArrayData, planes: Array[Array[Float]], bits: Int): ArrayData = {
+    val bands = planes.length / bits
+    val keys = new Array[Int](bands)
+    var b = 0
+    while (b < bands) {
+      var key = 0
+      var j = 0
+      while (j < bits) {
+        val p = planes(b * bits + j)
+        val n = math.min(v.numElements(), p.length)
+        var dot = 0.0
+        var i = 0
+        while (i < n) { dot += v.getFloat(i).toDouble * p(i).toDouble; i += 1 }
+        if (dot >= 0.0) key |= (1 << j)
+        j += 1
+      }
+      keys(b) = key
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(keys)
+  }
+
+  case class HyperplaneBands(child: Expression, planes: Seq[Seq[Float]], bits: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "hyperplane_bands"
+    @transient private lazy val planesArr: Array[Array[Float]] =
+      planes.map(_.toArray).toArray
+    override def nullSafeEval(input: Any): Any =
+      hyperplaneBandKeys(input.asInstanceOf[ArrayData], planesArr, bits)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("planes", planesArr, "float[][]")
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.VectorFns.hyperplaneBandKeys($c, $ref, $bits)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def bandKeys(v: Column, planes: Array[Array[Float]], bits: Int): Column =
+    GraftColumnBridge.column(HyperplaneBands(
+      GraftColumnBridge.expression(v), planes.map(_.toSeq).toSeq, bits))
 }

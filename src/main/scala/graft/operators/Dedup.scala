@@ -291,18 +291,17 @@ object Dedup {
                             dim: Int, threshold: Double = 0.95,
                             bands: Int = 8, bitsPerBand: Int = 6,
                             seed: Long = 42L): DataFrame = {
+    // same plane-generation sequence as the per-band formulation;
+    // one fused expression emits every band key (VectorFns.bandKeys)
     val rnd = new scala.util.Random(seed)
-    val bandCols = (0 until bands).map { b =>
-      val planes = Array.fill(bitsPerBand)(Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat))
-      val sigBits = planes.zipWithIndex.map { case (p, i) =>
-        VectorFns.hyperplaneBit(col("v"), p) * (1 << i)
-      }.reduce(_ + _)
-      struct(lit(b).as("band"), sigBits.as("bkey"))
-    }
+    val planes = Array.fill(bands * bitsPerBand)(
+      Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat))
     val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
     val sig = vecs
-      .select(col("id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("bb.band").as("band"), col("bb.bkey").as("bkey"), col("id"))
+      .select(col("id"),
+        posexplode(VectorFns.bandKeys(col("v"), planes, bitsPerBand))
+          .as(Seq("band", "bkey")))
+      .select(col("band"), col("bkey"), col("id"))
     val a = sig.select(col("band"), col("bkey"), col("id").as("id_a"))
     val b = sig.select(col("band"), col("bkey"), col("id").as("id_b"))
     a.join(b, Seq("band", "bkey"))

@@ -53,25 +53,23 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, dim: Int, k: Int,
               bands: Int = 8, bitsPerBand: Int = 8, seed: Long = 42L): DataFrame = {
+    // flat band-major plane list — same generation sequence as the
+    // per-band formulation, so signatures are unchanged; ALL band keys
+    // come out of one fused expression pass (VectorFns.bandKeys)
     val rnd = new scala.util.Random(seed)
-    def signature(): org.apache.spark.sql.Column = {
-      val planes = Array.fill(bitsPerBand)(Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat))
-      planes.zipWithIndex.map { case (p, i) =>
-        VectorFns.hyperplaneBit(col("v"), p) * (1 << i)
-      }.reduce(_ + _)
-    }
-    val bandCols = (0 until bands).map(b => struct(lit(b).as("band"), signature().as("bkey")))
+    val planes = Array.fill(bands * bitsPerBand)(
+      Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat))
+    def keysOf(v: org.apache.spark.sql.Column) =
+      VectorFns.bandKeys(v, planes, bitsPerBand)
 
     // band on ids only — vectors never enter the LSH shuffle; they are
     // re-joined by id for the exact re-rank (query side broadcastable).
     val cVecs = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
     val qVecs = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("v"))
-      .select(col("neighbor_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("neighbor_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      .select(col("neighbor_id"), posexplode(keysOf(col("v"))).as(Seq("band", "bkey")))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("v"))
-      .select(col("query_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("query_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      .select(col("query_id"), posexplode(keysOf(col("v"))).as(Seq("band", "bkey")))
 
     val candidates = c.join(broadcast(q), Seq("band", "bkey"))
       .filter(col("neighbor_id") =!= col("query_id"))
