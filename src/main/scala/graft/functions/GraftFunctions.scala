@@ -31,6 +31,25 @@ object GraftFunctions {
       case es => throw new IllegalArgumentException(
         s"minhash_word_sig(tokens, n, numHashes), got ${es.size} args")
     })
+    // — round-2 fused kernels —
+    GraftColumnBridge.registerFunction(spark, "normalize_text",
+      es => TextFns.NormalizeRest(
+        org.apache.spark.sql.catalyst.expressions.Lower(es.head)))
+    GraftColumnBridge.registerFunction(spark, "sorted_shingles", {
+      case Seq(c, n) => HashFns.SortedCharShingles(c, lit(n))
+      case es => throw new IllegalArgumentException(
+        s"sorted_shingles(text, n), got ${es.size} args")
+    })
+    GraftColumnBridge.registerFunction(spark, "winnow_fps", {
+      case Seq(c, k, w) => HashFns.Winnow(c, lit(k), lit(w))
+      case es => throw new IllegalArgumentException(
+        s"winnow_fps(text, k, w), got ${es.size} args")
+    })
+    GraftColumnBridge.registerFunction(spark, "hashing_tf", {
+      case Seq(c, d) => HashFns.HashingTfVec(c, lit(d))
+      case es => throw new IllegalArgumentException(
+        s"hashing_tf(tokens, dim), got ${es.size} args")
+    })
   }
 
   private def lit(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =

@@ -32,4 +32,22 @@ class GraftFunctionsSpec extends SparkSpec {
     val viaCol = df.select(VectorFns.cosineSim($"a", $"b")).as[Double].head()
     assert(viaSql == viaCol)
   }
+
+  test("round-2 fused kernels are callable from SQL text") {
+    GraftFunctions.registerAll(spark)
+    Seq("Développeur (H/F)&nbsp— Java!!").toDF("t").createOrReplaceTempView("txt")
+    val norm = spark.sql("SELECT normalize_text(t) AS n FROM txt").as[String].head()
+    val viaCol = Seq("Développeur (H/F)&nbsp— Java!!").toDF("t")
+      .select(TextFns.normalizeText($"t")).as[String].head()
+    assert(norm == viaCol && norm == "développeur h f — java")
+    val sh = spark.sql("SELECT sorted_shingles(normalize_text(t), 3) AS s FROM txt")
+      .as[Seq[String]].head()
+    assert(sh.nonEmpty && sh == sh.sorted && sh.distinct == sh)
+    val fps = spark.sql("SELECT size(winnow_fps(t, 4, 2)) AS n FROM txt").as[Int].head()
+    assert(fps > 0)
+    val tf = spark.sql(
+      "SELECT hashing_tf(split(normalize_text(t), ' '), 16) AS v FROM txt")
+      .as[Seq[Float]].head()
+    assert(tf.size == 16 && math.abs(tf.map(x => x * x).sum - 1.0) < 1e-5)
+  }
 }
