@@ -148,10 +148,7 @@ object Dedup {
     val prefiltered = lshCandidates(sig, bands, rows)
       .join(sig.select(col("id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
       .join(sig.select(col("id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
-      .withColumn("est",
-        aggregate(zip_with(col("sig_a"), col("sig_b"),
-            (x, y) => (x === y).cast("int")),
-          lit(0), (acc, v) => acc + v).cast("double") / numHashes)
+      .withColumn("est", HashFns.signatureMatchFraction(col("sig_a"), col("sig_b")))
       .filter(col("est") >= threshold - 0.2)
       .select(col("doc_a"), col("doc_b"))
 
@@ -227,10 +224,7 @@ object Dedup {
     val prefiltered = lshCandidates(sig, bands = 4, rows = 4)
       .join(sig.select(col("id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
       .join(sig.select(col("id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
-      .withColumn("est",
-        aggregate(zip_with(col("sig_a"), col("sig_b"),
-            (x, y) => (x === y).cast("int")),
-          lit(0), (acc, v) => acc + v).cast("double") / numHashes)
+      .withColumn("est", HashFns.signatureMatchFraction(col("sig_a"), col("sig_b")))
       .filter(col("est") >= threshold - 0.25)
       .select(col("doc_a"), col("doc_b"))
 

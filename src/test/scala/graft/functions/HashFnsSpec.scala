@@ -18,6 +18,20 @@ class HashFnsSpec extends SparkSpec {
     assert(ham(r(0), r(2)) <= 12)
   }
 
+  test("fused sig-match-fraction kernel equals the driver-side component count") {
+    val rnd = new scala.util.Random(3)
+    val pairs = (1 to 50).map { _ =>
+      val a = Seq.fill(32)(rnd.nextInt(8).toLong)
+      val b = Seq.fill(32)(rnd.nextInt(8).toLong)
+      (a, b)
+    }
+    val got = pairs.toDF("a", "b")
+      .select(HashFns.signatureMatchFraction($"a", $"b")).as[Double].collect()
+    val exp = pairs.map { case (a, b) =>
+      a.zip(b).count { case (x, y) => x == y }.toDouble / 32 }
+    assert(got.toSeq == exp)
+  }
+
   test("minhash signature-match fraction estimates jaccard") {
     // two strings sharing ~half their shingles
     val a = "abcdefghijklmnopqrstuvwxyz0123456789"
