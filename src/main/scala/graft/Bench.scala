@@ -8,7 +8,8 @@ object Bench {
     */
   def dropAllStorage(spark: SparkSession): Unit = {
     spark.catalog.clearCache()
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    // blocking: the next timed window must not overlap async eviction
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
   }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

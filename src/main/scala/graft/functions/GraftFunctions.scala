@@ -32,9 +32,12 @@ object GraftFunctions {
         s"minhash_word_sig(tokens, n, numHashes), got ${es.size} args")
     })
     // — round-2 fused kernels —
-    GraftColumnBridge.registerFunction(spark, "normalize_text",
-      es => TextFns.NormalizeRest(
-        org.apache.spark.sql.catalyst.expressions.Lower(es.head)))
+    GraftColumnBridge.registerFunction(spark, "normalize_text", {
+      case Seq(c) => TextFns.NormalizeRest(
+        org.apache.spark.sql.catalyst.expressions.Lower(c))
+      case es => throw new IllegalArgumentException(
+        s"normalize_text(text), got ${es.size} args")
+    })
     GraftColumnBridge.registerFunction(spark, "sorted_shingles", {
       case Seq(c, n) => HashFns.SortedCharShingles(c, lit(n))
       case es => throw new IllegalArgumentException(

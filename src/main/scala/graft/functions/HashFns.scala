@@ -350,13 +350,16 @@ object HashFns {
     * oracle agreement is unchanged.
     */
   def sortedShingles(s: UTF8String, n: Int): ArrayData = {
-    val str = s.toString
-    val len = str.length
+    // windows over CODEPOINTS via UTF8String.substring — the same unit
+    // Spark's length()/substr() (and the DuckDB oracle) count, so
+    // supplementary-plane chars shingle identically to charShingles;
+    // also avoids the toString round-trip entirely
+    val len = s.numChars()
     val nWin = math.max(len - n + 1, 1)
     val arr = new Array[UTF8String](nWin)
     var i = 0
     while (i < nWin) {
-      arr(i) = UTF8String.fromString(str.substring(i, math.min(i + n, len)))
+      arr(i) = s.substring(i, i + n) // clamps at the end (short-text window)
       i += 1
     }
     java.util.Arrays.sort(arr, (a: UTF8String, b: UTF8String) => a.compareTo(b))

@@ -36,13 +36,18 @@ object IngestionJob {
     val startS = System.currentTimeMillis() / 1000
     val lower = options.map { case (k, v) => k.toLowerCase -> v }
     // HTTP-mode planning probes authenticate with the first credential
-    // slot, exactly like OffresScan.planInputPartitions
-    val planOpts =
-      (lower.get("endpoint"), lower.get("authurl"), lower.get("secrets")) match {
-        case (Some(_), Some(url), Some(s)) =>
-          lower + ("planningtoken" -> OffresApiResolver.tokenProvider(url, s).token(0))
-        case _ => lower
-      }
+    // slot, exactly like OffresScan.planInputPartitions — whether the
+    // credentials come from the OAuth flow or pre-issued tokens
+    val planOpts = lower.get("endpoint") match {
+      case Some(_) =>
+        val planTok = (lower.get("authurl"), lower.get("secrets")) match {
+          case (Some(url), Some(s)) =>
+            Some(OffresApiResolver.tokenProvider(url, s).token(0))
+          case _ => lower.get("tokens").map(_.split(",").head)
+        }
+        planTok.map(t => lower + ("planningtoken" -> t)).getOrElse(lower)
+      case None => lower
+    }
     val api = OffresApiResolver.resolve(planOpts)
     val sourceKey = OffresApiResolver.sourceKey(lower)
     // discard overflow records leaked by a previously failed/aborted run

@@ -74,14 +74,17 @@ class HttpOffresApi(endpoint: String,
     if (!h.isPresent) 1000L
     else {
       val v = h.get.trim
-      v.toLongOption.map(_ * 1000L).getOrElse {
-        try {
-          val at = java.time.ZonedDateTime.parse(v,
-            java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME)
-          math.max(java.time.Duration.between(
-            java.time.ZonedDateTime.now(at.getZone), at).toMillis, 0L)
-        } catch { case _: java.time.format.DateTimeParseException => 1000L }
-      }
+      // clamp to [0, 1 day]: a negative or absurd delta must neither
+      // crash Thread.sleep nor park a task forever
+      v.toLongOption.map(sec => math.min(math.max(sec, 0L), 86400L) * 1000L)
+        .getOrElse {
+          try {
+            val at = java.time.ZonedDateTime.parse(v,
+              java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME)
+            math.min(math.max(java.time.Duration.between(
+              java.time.ZonedDateTime.now(at.getZone), at).toMillis, 0L), 86400000L)
+          } catch { case _: java.time.format.DateTimeParseException => 1000L }
+        }
     }
   }
 

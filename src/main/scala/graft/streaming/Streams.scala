@@ -108,8 +108,11 @@ object Streams {
     // frame reads it lazily)
     def rm(p: java.nio.file.Path): Unit = {
       import scala.jdk.CollectionConverters._
-      if (java.nio.file.Files.isDirectory(p))
-        java.nio.file.Files.list(p).iterator().asScala.foreach(rm)
+      if (java.nio.file.Files.isDirectory(p)) {
+        val listing = java.nio.file.Files.list(p)
+        try listing.iterator().asScala.foreach(rm)
+        finally listing.close() // directory stream holds an open FD
+      }
       java.nio.file.Files.deleteIfExists(p)
     }
     rm(java.nio.file.Paths.get(ckpt))

@@ -81,7 +81,10 @@ class TextFnsSpec extends SparkSpec {
   test("fused sorted shingle set equals array_sort(charShingles) everywhere") {
     val rnd = new scala.util.Random(13)
     val alphabet = "abcdeé «»01"
-    val strs = Seq("", "a", "abcd", "ababab", "ééééééé") ++
+    // incl. supplementary-plane chars: windows must count CODEPOINTS
+    // (like Spark length/substr and the DuckDB oracle), not UTF-16 units
+    val strs = Seq("", "a", "abcd", "ababab", "ééééééé",
+      "𝄞abcd", "a😀b😁cdef") ++
       (1 to 300).map(_ =>
         (1 to rnd.nextInt(30)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
     val diff = strs.toDF("t")
