@@ -60,6 +60,8 @@ object SparkEntry {
     "q34_order_distribution" -> (Relational.customerOrderDistribution _),
     "q32_range_join"        -> (graft.operators.AsOf.purchaseClickProximity _),
     "q35_salted_agg"        -> (graft.operators.Skew.saltedReturnflagAgg _),
+    "q37_csv_roundtrip"     -> (Relational.csvRoundTrip _),
+    "q38_json_roundtrip"    -> (Relational.jsonRoundTrip _),
     "q36_salted_join"       -> (graft.operators.Skew.saltedSupplierRevenue _),
     "e03_cosine_pairs_exact" -> (Similarity.cosinePairsExact _),
     // — text analysis (SURVEY §2.5, §2.11) —
@@ -293,6 +295,12 @@ object SparkEntry {
           | FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
           | GROUP BY c_custkey)
           |GROUP BY c_count ORDER BY n_customers DESC, c_count DESC""".stripMargin,
+      // round-trip queries: the oracle is the ORIGINAL table — any
+      // escaping asymmetry between the sink and source hash-fails
+      "q37_csv_roundtrip" ->
+        "SELECT doc_id, lang, text FROM documents ORDER BY doc_id",
+      "q38_json_roundtrip" ->
+        "SELECT doc_id, lang, text FROM documents ORDER BY doc_id",
       // salted queries: the salt must be invisible in the result — the
       // oracle IS the plain unsalted SQL
       "q35_salted_agg" ->

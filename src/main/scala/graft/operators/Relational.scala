@@ -437,4 +437,41 @@ object Relational {
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       .orderBy(col("o_orderkey"))
   }
+
+  // — file-format round trips (S11/F11 through the gate): the sink and
+  //   the matching source must be LOSSLESS on messy text — quotes,
+  //   embedded commas/newlines, unicode. The oracle is a plain SELECT
+  //   from the original table, so any escaping asymmetry hash-fails. —
+
+  /** q37: documents → CSV (quoted/escaped) → read back with explicit
+    * schema, multiLine for embedded newlines.
+    */
+  def csvRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q37_csv").toString
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .write.mode("overwrite").option("header", "false").csv(tmp)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("lang", StringType), StructField("text", StringType)))
+    spark.read.schema(schema)
+      .option("header", "false").option("multiLine", "true")
+      .csv(tmp)
+      .orderBy(col("doc_id"))
+  }
+
+  /** q38: documents → JSON lines → read back with explicit schema
+    * (string escaping covers control chars; one JSON object per line).
+    */
+  def jsonRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q38_json").toString
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .write.mode("overwrite").json(tmp)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("lang", StringType), StructField("text", StringType)))
+    spark.read.schema(schema).json(tmp)
+      .orderBy(col("doc_id"))
+  }
 }
