@@ -47,6 +47,46 @@ object PropertiesCheck extends Properties("graft") {
       a.sameElements(b)
     }
 
+  // — fused normalizeRest kernel ≡ the reference regex chain, over
+  //   arbitrary valid-unicode strings (surrogate halves excluded: they
+  //   cannot occur in parquet UTF-8 data) —
+  private val uniCharGen: Gen[Char] = Gen.frequency(
+    6 -> Gen.oneOf("ab YZ09é&nbsp*,.-:;«»✔➡¿·\\\"?!()/\t\r\n\f —".toSeq),
+    1 -> Gen.choose(32, 0xD7FF).map(_.toChar))
+  private val uniStrGen: Gen[String] = Gen.listOf(uniCharGen).map(_.mkString)
+  private def chainNormalize(lowered: String): String = {
+    val noCr = lowered.replaceAll("\\r", " ")
+    val noNbsp = noCr.replaceAll("&nbsp", " ")
+    val noPunct = noNbsp.replaceAll("[,*-.:;«»✔➡¿\\\\\"·?!()/]", " ")
+    val noWs = noPunct.replaceAll("\\s", " ")
+    noWs.replaceAll(" +", " ").replaceAll("^ | $", "")
+  }
+  property("fused normalizeRest matches the java-regex chain") =
+    Prop.forAll(uniStrGen) { s =>
+      // kernel input is post-lower, like the composed expression
+      val lowered = UTF8String.fromString(s).toLowerCase.toString
+      graft.functions.TextFns.normalizeRest(
+        UTF8String.fromString(lowered)).toString == chainNormalize(lowered)
+    }
+
+  // — fused sorted shingle set ≡ distinct+sorted codepoint windows —
+  property("sortedShingles = sorted distinct codepoint windows") =
+    Prop.forAll(uniStrGen, Gen.choose(1, 6)) { (s, n) =>
+      val u = UTF8String.fromString(s)
+      val got = {
+        val a = graft.functions.HashFns.sortedShingles(u, n)
+        (0 until a.numElements()).map(a.getUTF8String(_).toString)
+      }
+      val cps = s.codePoints().toArray
+      val nWin = math.max(cps.length - n + 1, 1)
+      val exp = (0 until nWin)
+        .map(i => new String(cps, i, math.min(n, cps.length - i).max(0)))
+        .distinct
+        .map(UTF8String.fromString).sorted(Ordering.fromLessThan[UTF8String](_.compareTo(_) < 0))
+        .map(_.toString)
+      got == exp
+    }
+
   // — simhash: equal token multisets → equal signature —
   property("simhash is order-insensitive over tokens") =
     Prop.forAll(Gen.nonEmptyListOf(Gen.alphaStr.suchThat(_.nonEmpty))) { toks =>
