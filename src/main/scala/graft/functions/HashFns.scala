@@ -350,16 +350,28 @@ object HashFns {
     * oracle agreement is unchanged.
     */
   def sortedShingles(s: UTF8String, n: Int): ArrayData = {
-    // windows over CODEPOINTS via UTF8String.substring — the same unit
-    // Spark's length()/substr() (and the DuckDB oracle) count, so
-    // supplementary-plane chars shingle identically to charShingles;
-    // also avoids the toString round-trip entirely
-    val len = s.numChars()
+    // windows over CODEPOINTS — the unit Spark's length()/substr() (and
+    // the DuckDB oracle) count, so supplementary-plane chars shingle
+    // identically to charShingles. Codepoint byte offsets are computed
+    // ONCE and windows slice the byte array directly: O(len + windows),
+    // not the O(len²) of per-window UTF8String.substring scans.
+    val bytes = s.getBytes
+    val offsets = new Array[Int](bytes.length + 1)
+    var len = 0 // codepoint count
+    var pos = 0
+    while (pos < bytes.length) {
+      offsets(len) = pos
+      pos += UTF8String.numBytesForFirstByte(bytes(pos))
+      len += 1
+    }
+    offsets(len) = bytes.length
     val nWin = math.max(len - n + 1, 1)
     val arr = new Array[UTF8String](nWin)
     var i = 0
     while (i < nWin) {
-      arr(i) = s.substring(i, i + n) // clamps at the end (short-text window)
+      val start = offsets(i)
+      val end = offsets(math.min(i + n, len))
+      arr(i) = UTF8String.fromBytes(bytes, start, end - start)
       i += 1
     }
     java.util.Arrays.sort(arr, (a: UTF8String, b: UTF8String) => a.compareTo(b))

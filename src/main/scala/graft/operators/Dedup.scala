@@ -52,7 +52,15 @@ object Dedup {
     * 100 TB that is the difference between shuffling 8×|corpus| ids and
     * 8×|corpus| documents). Payloads are re-joined by id afterwards.
     */
-  private[graft] def lshCandidates(sig: DataFrame, bands: Int, rows: Int): DataFrame = {
+  private[graft] def lshCandidates(sig: DataFrame, bands: Int, rows: Int): DataFrame =
+    lshCandidatesRaw(sig, bands, rows).dropDuplicates("doc_a", "doc_b")
+
+  /** Candidate pairs WITHOUT the cross-band dedup shuffle: only a few
+    * percent of candidates collide in more than one band, so pipelines
+    * that verify candidates anyway dedup AFTER the (much smaller)
+    * verified set instead of shuffling the full candidate stream.
+    */
+  private[graft] def lshCandidatesRaw(sig: DataFrame, bands: Int, rows: Int): DataFrame = {
     val banded = sig.select(col("id"),
         explode(array((0 until bands).map { b =>
           struct(lit(b).as("band"),
@@ -64,7 +72,6 @@ object Dedup {
     a.join(b, Seq("band", "bkey"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
   }
 
   /** Alternative candidate generation: one shuffle (groupBy bucket →
@@ -145,7 +152,10 @@ object Dedup {
     // components ≈ jaccard, σ≈1/√k): kills the low-similarity bulk of
     // the candidate set before the expensive exact set comparison.
     // Margin 0.2 ≈ 2.3σ below threshold → <1% missed true pairs.
-    val prefiltered = lshCandidates(sig, bands, rows)
+    // raw candidates: duplicate (a,b) pairs from multi-band collisions
+    // are verified redundantly (a few %) and deduped at the END, where
+    // the set is hundreds of rows — not shuffled at candidate volume
+    val prefiltered = lshCandidatesRaw(sig, bands, rows)
       .join(sig.select(col("id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
       .join(sig.select(col("id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
       .withColumn("est", HashFns.signatureMatchFraction(col("sig_a"), col("sig_b")))
@@ -158,6 +168,7 @@ object Dedup {
       .withColumn("jaccard", HashFns.jaccardSorted(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .dropDuplicates("doc_a", "doc_b")
       .orderBy(col("doc_a"), col("doc_b"))
     if (!materialize) lazyPairs
     else {
@@ -221,7 +232,7 @@ object Dedup {
     val shingled = base.select(col("id"),
       array_sort(wordShingles(col("toks"), n)).as("sh"))
 
-    val prefiltered = lshCandidates(sig, bands = 4, rows = 4)
+    val prefiltered = lshCandidatesRaw(sig, bands = 4, rows = 4)
       .join(sig.select(col("id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
       .join(sig.select(col("id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
       .withColumn("est", HashFns.signatureMatchFraction(col("sig_a"), col("sig_b")))
@@ -236,6 +247,7 @@ object Dedup {
       .withColumn("jaccard", HashFns.jaccardSorted(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .dropDuplicates("doc_a", "doc_b")
       .orderBy(col("doc_a"), col("doc_b"))
       .localCheckpoint(true)
     sig.unpersist()
