@@ -187,4 +187,54 @@ object VectorFns {
   def bandKeys(v: Column, planes: Array[Array[Float]], bits: Int): Column =
     GraftColumnBridge.column(HyperplaneBands(
       GraftColumnBridge.expression(v), planes.map(_.toSeq).toSeq, bits))
+
+  /** Cosine similarity against EVERY centroid in one fused pass (the
+    * IVF assignment/probe kernel): per centroid the same
+    * dot-and-norms accumulation as [[CosineSimF32]], one generated call
+    * instead of |centroids| expressions each re-traversing the vector.
+    * Accumulation order matches CosineSimF32 exactly → identical
+    * doubles, identical cell assignments.
+    */
+  def centroidCosines(v: ArrayData, centroids: Array[Array[Float]]): ArrayData = {
+    val out = new Array[Double](centroids.length)
+    var c = 0
+    while (c < centroids.length) {
+      val cen = centroids(c)
+      val n = math.min(v.numElements(), cen.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val xv = v.getFloat(i).toDouble
+        val yv = cen(i).toDouble
+        dot += xv * yv; na += xv * xv; nb += yv * yv
+        i += 1
+      }
+      out(c) = if (na == 0.0 || nb == 0.0) 0.0
+        else dot / (math.sqrt(na) * math.sqrt(nb))
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  case class CentroidCosines(child: Expression, centroids: Seq[Seq[Float]])
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "centroid_cosines"
+    @transient private lazy val centroidsArr: Array[Array[Float]] =
+      centroids.map(_.toArray).toArray
+    override def nullSafeEval(input: Any): Any =
+      centroidCosines(input.asInstanceOf[ArrayData], centroidsArr)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("centroids", centroidsArr, "float[][]")
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.VectorFns.centroidCosines($c, $ref)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def centroidSimsCol(v: Column, centroids: Array[Array[Float]]): Column =
+    GraftColumnBridge.column(CentroidCosines(
+      GraftColumnBridge.expression(v), centroids.map(_.toSeq).toSeq))
 }

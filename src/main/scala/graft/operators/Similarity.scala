@@ -133,7 +133,6 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
               nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
-    import org.apache.spark.sql.types.{ArrayType, FloatType}
     // deterministic centroids: a seeded pseudo-sample of corpus rows
     val sample = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
       .orderBy(xxhash64(col("cid"), lit(seed)))
@@ -141,10 +140,9 @@ object Similarity {
       .collect()
       .map(r => r.getSeq[Float](1).toArray)
 
-    def centroidSims(v: Column): Column =
-      array(sample.zipWithIndex.map { case (c, i) =>
-        VectorFns.cosineSim(v, typedlit(c.toSeq).cast(ArrayType(FloatType)))
-      }: _*)
+    // one fused pass per row computes the similarity to EVERY centroid
+    // (identical accumulation to cosineSim → identical assignments)
+    def centroidSims(v: Column): Column = VectorFns.centroidSimsCol(v, sample)
 
     // corpus: argmax cell; queries: top-nProbe cells (multi-probe)
     val withSims = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
