@@ -61,6 +61,7 @@ object SparkEntry {
     "q32_range_join"        -> (graft.operators.AsOf.purchaseClickProximity _),
     "q35_salted_agg"        -> (graft.operators.Skew.saltedReturnflagAgg _),
     "q37_csv_roundtrip"     -> (Relational.csvRoundTrip _),
+    "q39_value_distribution" -> (Relational.orderValueDistribution _),
     "q38_json_roundtrip"    -> (Relational.jsonRoundTrip _),
     "q36_salted_join"       -> (graft.operators.Skew.saltedSupplierRevenue _),
     "e03_cosine_pairs_exact" -> (Similarity.cosinePairsExact _),
@@ -99,6 +100,7 @@ object SparkEntry {
     "s02_sliding_counts"     -> (Streams.slidingTypeCountsBatch _),
     "s03_user_sessions"      -> (Streams.userSessionStats _),
     "s04_streaming_hourly"   -> (Streams.hourlyTypeCountsStreamed _),
+    "s05_streaming_dedup"    -> (Streams.streamingDedup _),
   )
 
   /** DuckDB-dialect oracle SQL: same table names (parquet fixtures),
@@ -295,6 +297,22 @@ object SparkEntry {
           | FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
           | GROUP BY c_custkey)
           |GROUP BY c_count ORDER BY n_customers DESC, c_count DESC""".stripMargin,
+      // distribution windows: ntile/percent_rank/cume_dist are rational
+      // functions of integer ranks and counts — oracle-exact doubles
+      "q39_value_distribution" ->
+        """SELECT o_orderpriority, o_orderkey,
+          | CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+          | percent_rank() OVER w AS pct_rank,
+          | cume_dist() OVER w AS cume
+          |FROM orders WHERE o_custkey <= 100
+          |WINDOW w AS (PARTITION BY o_orderpriority
+          |  ORDER BY o_totalprice, o_orderkey)
+          |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+      // streaming dedup (append mode, real readStream run): fixture
+      // event ids are unique, so the drained result is the projection
+      "s05_streaming_dedup" ->
+        """SELECT event_id, user_id, event_type FROM events
+          |ORDER BY event_id""".stripMargin,
       // round-trip queries: the oracle is the ORIGINAL table — any
       // escaping asymmetry between the sink and source hash-fails
       "q37_csv_roundtrip" ->

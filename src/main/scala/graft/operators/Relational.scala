@@ -438,6 +438,23 @@ object Relational {
       .orderBy(col("o_orderkey"))
   }
 
+  /** q39: the distribution-window primitives — ntile quartiles,
+    * percent_rank and cume_dist over order values per priority. All
+    * three are rational functions of integer ranks/counts, so the
+    * doubles are oracle-exact.
+    */
+  def orderValueDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .filter(col("o_custkey") <= 100) // bounded slice: output stays reviewable
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy(col("o_orderpriority"), col("o_orderkey"))
+  }
+
   // — file-format round trips (S11/F11 through the gate): the sink and
   //   the matching source must be LOSSLESS on messy text — quotes,
   //   embedded commas/newlines, unicode. The oracle is a plain SELECT

@@ -70,6 +70,49 @@ object Streams {
   def hourlyTypeCountsStream(events: DataFrame): DataFrame =
     hourlyTypeCounts(events.withWatermark("ts", "2 hours"))
 
+  /** s05: watermarked streaming dedup executed through a REAL streaming
+    * query in APPEND mode — `readStream` → `dropDuplicatesWithinWatermark`
+    * (the `_id`-upsert S6 analog) → foreachBatch parquet APPEND, read
+    * back. Fixture event ids are unique, so the drained result equals
+    * the plain projection — DuckDB-checkable while the state-store-backed
+    * dedup operator does the work.
+    */
+  def streamingDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val outDir = java.nio.file.Files.createTempDirectory("graft_s05_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_s05_ckpt").toString
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = dedupStream(stream)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(outDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    def rm(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.isDirectory(p)) {
+        val listing = java.nio.file.Files.list(p)
+        try listing.iterator().asScala.foreach(rm)
+        finally listing.close()
+      }
+      java.nio.file.Files.deleteIfExists(p)
+    }
+    rm(java.nio.file.Paths.get(ckpt))
+    spark.read.parquet(outDir).orderBy(col("event_id"))
+  }
+
   /** s04: the hourly aggregation executed through a REAL streaming query
     * — `readStream` over the events parquet, watermark + complete-mode
     * aggregation, `foreachBatch` parquet sink, result read back. The
