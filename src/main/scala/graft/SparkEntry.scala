@@ -62,6 +62,7 @@ object SparkEntry {
     "q35_salted_agg"        -> (graft.operators.Skew.saltedReturnflagAgg _),
     "q37_csv_roundtrip"     -> (Relational.csvRoundTrip _),
     "q39_value_distribution" -> (Relational.orderValueDistribution _),
+    "q40_promo_revenue"     -> (Relational.revenueByPartType _),
     "q38_json_roundtrip"    -> (Relational.jsonRoundTrip _),
     "q36_salted_join"       -> (graft.operators.Skew.saltedSupplierRevenue _),
     "e03_cosine_pairs_exact" -> (Similarity.cosinePairsExact _),
@@ -297,6 +298,12 @@ object SparkEntry {
           | FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
           | GROUP BY c_custkey)
           |GROUP BY c_count ORDER BY n_customers DESC, c_count DESC""".stripMargin,
+      "q40_promo_revenue" ->
+        """SELECT p_type, count(*) AS n_items,
+          | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+          | CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_retail
+          |FROM lineitem JOIN part ON l_partkey = p_partkey
+          |GROUP BY p_type ORDER BY p_type""".stripMargin,
       // distribution windows: ntile/percent_rank/cume_dist are rational
       // functions of integer ranks and counts — oracle-exact doubles
       "q39_value_distribution" ->

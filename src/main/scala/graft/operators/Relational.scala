@@ -438,6 +438,23 @@ object Relational {
       .orderBy(col("o_orderkey"))
   }
 
+  /** q40: TPC-H Q14 shape — revenue by part type through the
+    * lineitem ⋈ part equi-join (broadcast dim), decimal-exact money.
+    * Exercises the one fixture table no other query touches.
+    */
+  def revenueByPartType(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_type"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(dec(col("l_extendedprice")) * (dec(lit(1)) - dec(col("l_discount"))))
+          .cast("double").as("revenue"),
+        // decimal-exact mean: float partial sums are order-dependent
+        (sum(dec(col("p_retailprice"))).cast("double") / count(lit(1)))
+          .as("avg_retail"))
+      .orderBy(col("p_type"))
+
   /** q39: the distribution-window primitives — ntile quartiles,
     * percent_rank and cume_dist over order values per priority. All
     * three are rational functions of integer ranks/counts, so the
