@@ -70,6 +70,64 @@ object Streams {
   def hourlyTypeCountsStream(events: DataFrame): DataFrame =
     hourlyTypeCounts(events.withWatermark("ts", "2 hours"))
 
+  // — real-streaming-run gate entries (shared scaffolding) —
+
+  /** The events fixture's on-disk schema (`ts` is TIMESTAMP(NANOS),
+    * read as long under nanosAsLong and converted like Tables.events).
+    */
+  private val eventsFileSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventsFileSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+  private def rmTree(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.isDirectory(p)) {
+      val listing = java.nio.file.Files.list(p)
+      try listing.iterator().asScala.foreach(rmTree)
+      finally listing.close() // directory stream holds an open FD
+    }
+    java.nio.file.Files.deleteIfExists(p)
+  }
+
+  /** Drain one streaming query into a parquet dir and read it back.
+    * The output dir is DETERMINISTIC per (tag, input dir) and wiped at
+    * the start of each run — repeated gate/bench invocations reuse one
+    * directory instead of accumulating copies; the checkpoint is
+    * deleted even when the query fails (it is useless without its
+    * output dir's batch state anyway).
+    */
+  private def drainToParquet(spark: SparkSession, tag: String, dir: String,
+                             build: DataFrame => DataFrame,
+                             mode: String, outputMode: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val outDir = tmp.resolve(s"graft_${tag}_out_${math.abs(dir.hashCode)}")
+    val ckpt = java.nio.file.Files.createTempDirectory(s"graft_${tag}_ckpt")
+    rmTree(outDir)
+    try {
+      val q = build(eventsStream(spark, dir))
+        .writeStream
+        .outputMode(outputMode)
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode(mode).parquet(outDir.toString)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally rmTree(ckpt)
+    spark.read.parquet(outDir.toString)
+  }
+
   /** s05: watermarked streaming dedup executed through a REAL streaming
     * query in APPEND mode — `readStream` → `dropDuplicatesWithinWatermark`
     * (the `_id`-upsert S6 analog) → foreachBatch parquet APPEND, read
@@ -77,41 +135,11 @@ object Streams {
     * the plain projection — DuckDB-checkable while the state-store-backed
     * dedup operator does the work.
     */
-  def streamingDedup(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
-    import org.apache.spark.sql.types._
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    val outDir = java.nio.file.Files.createTempDirectory("graft_s05_out").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_s05_ckpt").toString
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    val q = dedupStream(stream)
-      .select(col("event_id"), col("user_id"), col("event_type"))
-      .writeStream
-      .outputMode("append")
-      .option("checkpointLocation", ckpt)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(outDir)
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    def rm(p: java.nio.file.Path): Unit = {
-      import scala.jdk.CollectionConverters._
-      if (java.nio.file.Files.isDirectory(p)) {
-        val listing = java.nio.file.Files.list(p)
-        try listing.iterator().asScala.foreach(rm)
-        finally listing.close()
-      }
-      java.nio.file.Files.deleteIfExists(p)
-    }
-    rm(java.nio.file.Paths.get(ckpt))
-    spark.read.parquet(outDir).orderBy(col("event_id"))
-  }
+  def streamingDedup(spark: SparkSession, dir: String): DataFrame =
+    drainToParquet(spark, "s05", dir,
+      s => dedupStream(s).select(col("event_id"), col("user_id"), col("event_type")),
+      mode = "append", outputMode = "append")
+      .orderBy(col("event_id"))
 
   /** s04: the hourly aggregation executed through a REAL streaming query
     * — `readStream` over the events parquet, watermark + complete-mode
@@ -122,45 +150,11 @@ object Streams {
     * state store, sink commit) sits inside the driver's correctness
     * gate instead of only inside specs.
     */
-  def hourlyTypeCountsStreamed(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
-    import org.apache.spark.sql.types._
-    // events.parquet carries TIMESTAMP(NANOS) → read as long
-    // (nanosAsLong) and convert, exactly like Tables.events
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    val outDir = java.nio.file.Files.createTempDirectory("graft_s04_out").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_s04_ckpt").toString
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    val q = hourlyTypeCounts(stream.withWatermark("ts", "2 hours"))
-      .writeStream
-      .outputMode("complete")
-      .option("checkpointLocation", ckpt)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("overwrite").parquet(outDir)
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    // the checkpoint (offsets/commits/state) is dead once the query
-    // drains — delete it; outDir must outlive this call (the returned
-    // frame reads it lazily)
-    def rm(p: java.nio.file.Path): Unit = {
-      import scala.jdk.CollectionConverters._
-      if (java.nio.file.Files.isDirectory(p)) {
-        val listing = java.nio.file.Files.list(p)
-        try listing.iterator().asScala.foreach(rm)
-        finally listing.close() // directory stream holds an open FD
-      }
-      java.nio.file.Files.deleteIfExists(p)
-    }
-    rm(java.nio.file.Paths.get(ckpt))
-    spark.read.parquet(outDir).orderBy(col("hour_start"), col("event_type"))
-  }
+  def hourlyTypeCountsStreamed(spark: SparkSession, dir: String): DataFrame =
+    drainToParquet(spark, "s04", dir,
+      s => hourlyTypeCounts(s.withWatermark("ts", "2 hours")),
+      mode = "overwrite", outputMode = "complete")
+      .orderBy(col("hour_start"), col("event_type"))
 
   def dedupStream(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour")

@@ -61,7 +61,7 @@ object DebugPerf {
       .filter(col("est") >= 0.4)
       .select(col("doc_a"), col("doc_b"))
     time("prefiltered")(println("n_pref=" + pref.count()))
-    val candA = Dedup.lshCandidates(sig2, 8, 4)
+    val candA = Dedup.lshCandidatesRaw(sig2, 8, 4) // the shipped d03/d05 path
     time("cand self-join x3")((1 to 3).foreach(_ => candA.count()))
     val candB = Dedup.lshCandidatesViaBuckets(sig2, 8, 4)
     time("cand buckets x3")((1 to 3).foreach(_ => candB.count()))
