@@ -482,7 +482,7 @@ object Relational {
     */
   def csvRoundTrip(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q37_csv").toString
+    val tmp = graft.util.Scratch.dir(spark, "q37_csv", dir).toString
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("text"))
       .write.mode("overwrite").option("header", "false").csv(tmp)
@@ -499,7 +499,7 @@ object Relational {
     */
   def jsonRoundTrip(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q38_json").toString
+    val tmp = graft.util.Scratch.dir(spark, "q38_json", dir).toString
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("text"))
       .write.mode("overwrite").json(tmp)

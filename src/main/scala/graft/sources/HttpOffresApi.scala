@@ -34,13 +34,14 @@ import graft.sources.AdaptivePlanner.{FetchFilter, PageRange}
   * failure (S7).
   */
 class HttpOffresApi(endpoint: String,
-                    @volatile private var planningTokenValue: String = null)
+                    planningTokenValue: String = null)
     extends OffresApi {
 
-  /** Driver-side probe token — updated on re-auth (instances are cached
-    * per endpoint, so a token rotation must not require a new client).
+  /** Driver-side probe token — immutable per instance; the resolver
+    * caches instances per (endpoint, planning token), so two scans
+    * planning concurrently with different credentials never see each
+    * other's token.
     */
-  def setPlanningToken(t: String): Unit = planningTokenValue = t
   private def planningToken: Option[String] = Option(planningTokenValue)
 
   @transient private lazy val client: HttpClient = HttpClient.newBuilder()
@@ -181,8 +182,12 @@ object HttpOffresApi {
   * CaseInsensitiveStringMap normalizes them).
   */
 object OffresApiResolver {
-  // keyed by endpoint ONLY: token rotations update the cached instance
-  // instead of leaking a new HttpClient per token
+  // keyed by (endpoint, planning token): concurrent plans with
+  // different credentials get distinct instances instead of racing on
+  // one mutable token. Executor-side fetch paths carry no planning
+  // token (the bearer token is passed per fetch call), so they all
+  // share the single ("endpoint", "") client; driver-side entries are
+  // bounded by the credential count per token TTL.
   private val cache = new ConcurrentHashMap[String, HttpOffresApi]()
 
   /** Per-JVM token providers for executor-side re-auth, keyed by
@@ -203,9 +208,9 @@ object OffresApiResolver {
   def resolve(opts: Map[String, String]): OffresApi =
     opts.get("endpoint") match {
       case Some(ep) =>
-        val api = cache.computeIfAbsent(ep, _ => new HttpOffresApi(ep))
-        opts.get("planningtoken").foreach(api.setPlanningToken)
-        api
+        val tok = opts.getOrElse("planningtoken", "")
+        cache.computeIfAbsent(s"$ep|$tok",
+          _ => new HttpOffresApi(ep, if (tok.isEmpty) null else tok))
       case None =>
         OffresApiRegistry.get(opts.getOrElse("api",
           throw new IllegalArgumentException(

@@ -88,31 +88,22 @@ object Streams {
       .option("pathGlobFilter", "events.parquet").parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
 
-  private def rmTree(p: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    if (java.nio.file.Files.isDirectory(p)) {
-      val listing = java.nio.file.Files.list(p)
-      try listing.iterator().asScala.foreach(rmTree)
-      finally listing.close() // directory stream holds an open FD
-    }
-    java.nio.file.Files.deleteIfExists(p)
-  }
-
   /** Drain one streaming query into a parquet dir and read it back.
-    * The output dir is DETERMINISTIC per (tag, input dir) and wiped at
-    * the start of each run — repeated gate/bench invocations reuse one
-    * directory instead of accumulating copies; the checkpoint is
-    * deleted even when the query fails (it is useless without its
-    * output dir's batch state anyway).
+    * The output dir is DETERMINISTIC per (tag, input dir, session) and
+    * wiped at the start of each run — repeated gate/bench invocations
+    * reuse one directory instead of accumulating copies, and the
+    * session discriminator keeps concurrent runs against the same
+    * fixture dir from deleting each other's in-flight output; the
+    * checkpoint is deleted even when the query fails (it is useless
+    * without its output dir's batch state anyway).
     */
   private def drainToParquet(spark: SparkSession, tag: String, dir: String,
                              build: DataFrame => DataFrame,
                              mode: String, outputMode: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-    val outDir = tmp.resolve(s"graft_${tag}_out_${math.abs(dir.hashCode)}")
+    import graft.util.Scratch.rmTree
+    val outDir = graft.util.Scratch.dir(spark, s"${tag}_out", dir)
     val ckpt = java.nio.file.Files.createTempDirectory(s"graft_${tag}_ckpt")
-    rmTree(outDir)
     try {
       val q = build(eventsStream(spark, dir))
         .writeStream

@@ -30,7 +30,10 @@ object RunQuery {
       val n = df.count()
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"[runquery] $name rep=$rep rows=$n sec=$dt%.2f sf=$sfDir")
-      spark.catalog.clearCache()
+      // full storage drop (incl. localCheckpoint blocks), matching
+      // Bench/Verify — later reps must not run with a predecessor's
+      // storage resident
+      graft.Bench.dropAllStorage(spark)
     }
     if (args.length > 2 && args(2) == "show") df.show(50, truncate = false)
     spark.stop()

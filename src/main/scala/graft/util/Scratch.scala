@@ -1,0 +1,37 @@
+package graft.util
+
+import java.nio.file.{Files, Path, Paths}
+import org.apache.spark.sql.SparkSession
+
+/** Session-scoped scratch directories for operators that materialize
+  * through the filesystem (file-format round trips, streaming drains).
+  *
+  * Deterministic per (tag, input dir, Spark application): repeated
+  * gate/bench/verify repetitions reuse ONE directory — wiped at the
+  * start of each call — instead of leaking a fresh copy of the data per
+  * invocation, and the applicationId discriminator keeps two concurrent
+  * sessions pointed at the same fixture dir from wiping each other's
+  * in-flight output.
+  */
+object Scratch {
+
+  /** Resolve (and wipe) the scratch dir for `tag` over `inputDir`. */
+  def dir(spark: SparkSession, tag: String, inputDir: String): Path = {
+    val tmp = Paths.get(System.getProperty("java.io.tmpdir"))
+    val p = tmp.resolve(
+      s"graft_${tag}_${spark.sparkContext.applicationId}_${math.abs(inputDir.hashCode)}")
+    rmTree(p)
+    p
+  }
+
+  /** Recursive delete; closes the directory stream (it holds an FD). */
+  def rmTree(p: Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (Files.isDirectory(p)) {
+      val listing = Files.list(p)
+      try listing.iterator().asScala.foreach(rmTree)
+      finally listing.close()
+    }
+    Files.deleteIfExists(p)
+  }
+}
