@@ -65,6 +65,15 @@ object SparkEntry {
     "q40_promo_revenue"     -> (Relational.revenueByPartType _),
     "q38_json_roundtrip"    -> (Relational.jsonRoundTrip _),
     "q36_salted_join"       -> (graft.operators.Skew.saltedSupplierRevenue _),
+    // — curation: deterministic splits / balanced sampling (SURVEY §2.11) —
+    "q41_deterministic_split" -> (graft.operators.Curation.deterministicSplit _),
+    "q42_balanced_sample"   -> ((s: SparkSession, dir: String) => graft.operators.Curation.balancedSample(s, dir)),
+    // — physical layout: format round trip, partition pruning, bucketed
+    //   co-located join, Z-order clustering —
+    "q43_orc_roundtrip"     -> (graft.operators.Layout.orcRoundTrip _),
+    "q44_partitioned_prune" -> (graft.operators.Layout.partitionedPrune _),
+    "q45_bucketed_join"     -> (graft.operators.Layout.bucketedJoin _),
+    "q46_zorder_scan"       -> (graft.operators.Layout.zOrderScan _),
     "e03_cosine_pairs_exact" -> (Similarity.cosinePairsExact _),
     // — text analysis (SURVEY §2.5, §2.11) —
     "t01_normalize_pipeline" -> (TextAnalysis.normalizePipeline _),
@@ -78,6 +87,9 @@ object SparkEntry {
     "t09_text_match"         -> ((s: SparkSession, dir: String) => TextAnalysis.textMatch(s, dir)),
     "t10_bm25"               -> ((s: SparkSession, dir: String) => TextAnalysis.bm25Rank(s, dir)),
     "t11_heavy_hitters"      -> ((s: SparkSession, dir: String) => TextAnalysis.heavyHitters(s, dir)),
+    "t12_heavy_hitters_exact" -> ((s: SparkSession, dir: String) => TextAnalysis.heavyHittersExact(s, dir)),
+    "t13_pii_redaction"      -> (TextAnalysis.piiRedaction _),
+    "t14_repetition"         -> (TextAnalysis.repetitionSignals _),
     // — dedup (SURVEY §2.11) —
     "d01_exact_dedup"        -> (Dedup.exactDedup _),
     "d02_fingerprint_dedup"  -> (Dedup.fingerprintDedup _),
@@ -87,6 +99,7 @@ object SparkEntry {
     "d06_embedding_neardup"  -> (Dedup.embeddingNearDup _),
     "d07_curation_pipeline"  -> (graft.jobs.CurationJob.curate _),
     "d08_jaccard_exact_pairs" -> ((s: SparkSession, dir: String) => Dedup.jaccardExactPairs(s, dir)),
+    "d09_priority_dedup"     -> (graft.operators.Curation.priorityDedup _),
     // — multimodal columns (SURVEY §2.11; decode = documented stub) —
     "m01_media_ann"          -> (graft.operators.Multimodal.mediaAnn _),
     "m02_media_dedup"        -> (graft.operators.Multimodal.mediaDedup _),
@@ -477,6 +490,95 @@ object SparkEntry {
         """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
           | count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
           |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+      // curation: md5 is bit-identical across engines (lowercase hex),
+      // so hash-keyed splits/samples/priority-dedup are oracle-exact
+      "q41_deterministic_split" ->
+        """SELECT doc_id,
+          | CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+          |  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+          |  ELSE 'test' END AS split
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "q42_balanced_sample" ->
+        """SELECT doc_id, lang, rn FROM (
+          | SELECT doc_id, lang,
+          |  CAST(row_number() OVER (PARTITION BY lang
+          |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
+          | FROM documents)
+          |WHERE rn <= 50 ORDER BY lang, rn""".stripMargin,
+      "d09_priority_dedup" ->
+        s"""SELECT keeper_id, lang, n_copies FROM (
+           | SELECT doc_id AS keeper_id, lang,
+           |  row_number() OVER (PARTITION BY md5(${norm("text")})
+           |    ORDER BY CASE lang WHEN 'en' THEN 0 WHEN 'fr' THEN 1 ELSE 2 END, doc_id) AS rn,
+           |  count(*) OVER (PARTITION BY md5(${norm("text")})) AS n_copies
+           | FROM documents)
+          |WHERE rn = 1 ORDER BY keeper_id""".stripMargin,
+      // t12: the sketch prefilter is exact-recovered (MG superset +
+      // recount), so the oracle is the plain exact heavy-hitter query
+      "t12_heavy_hitters_exact" ->
+        s"""WITH t AS (SELECT unnest(${toks("text")}) AS term FROM documents),
+           |tf AS (SELECT term, count(*) AS n_count FROM t
+           |  WHERE length(term) > 0 GROUP BY term),
+           |tot AS (SELECT CAST(sum(n_count) AS BIGINT) AS n_total FROM tf)
+           |SELECT term, n_count FROM tf, tot WHERE n_count * 32 > n_total
+           |ORDER BY n_count DESC, term""".stripMargin,
+      // t13: identical planted-PII expression and identical patterns
+      // (common Java-regex/RE2 subset) on both engines
+      "t13_pii_redaction" -> {
+        val planted =
+          """text || ' contact user' || CAST(doc_id AS VARCHAR)
+            | || '@example.com tel +33 6 12 34 56 '
+            | || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+            | || ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'"""
+            .stripMargin.replace("\n", "")
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+        val phone = "\\+\\d{1,3}[ ]\\d(?:[ ]?\\d){7,}"
+        s"""SELECT doc_id,
+           | CAST(len(regexp_extract_all(p, '$email')) AS BIGINT) AS n_emails,
+           | CAST(len(regexp_extract_all(p, '$phone')) AS BIGINT) AS n_phones,
+           | CAST(len(regexp_extract_all(p, '$ip')) AS BIGINT) AS n_ips,
+           | md5(regexp_replace(regexp_replace(regexp_replace(p,
+           |   '$email', '<EMAIL>', 'g'), '$phone', '<PHONE>', 'g'), '$ip', '<IP>', 'g')) AS redacted_fp
+           |FROM (SELECT doc_id, $planted AS p FROM documents)
+           |ORDER BY doc_id""".stripMargin
+      },
+      // t14: rational functions of integer counts, single fixed
+      // division — bit-identical doubles on both engines
+      "t14_repetition" ->
+        """SELECT doc_id, n_tokens,
+          | CASE WHEN len(bigrams) > 0
+          |  THEN CAST(len(bigrams) - len(list_distinct(bigrams)) AS DOUBLE)
+          |    / CAST(len(bigrams) AS DOUBLE)
+          |  ELSE 0.0 END AS dup_bigram_frac,
+          | CAST(top_tok AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_token_frac
+          |FROM (
+          | SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+          |  CASE WHEN len(toks) >= 2
+          |   THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+          |   ELSE [] END AS bigrams,
+          |  list_max(list_transform(list_distinct(toks),
+          |    t -> len(list_filter(toks, x -> x = t)))) AS top_tok
+          | FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+          |ORDER BY doc_id""".stripMargin,
+      // layout family: the physical layout must be invisible in the
+      // result — every oracle is the plain query over the original table
+      "q43_orc_roundtrip" ->
+        "SELECT doc_id, lang, text FROM documents ORDER BY doc_id",
+      "q44_partitioned_prune" ->
+        """SELECT date_trunc('month', o_orderdate) AS month, count(*) AS n_orders
+          |FROM orders WHERE o_orderpriority = '1-URGENT'
+          |GROUP BY 1 ORDER BY month""".stripMargin,
+      "q45_bucketed_join" ->
+        """SELECT o_orderpriority, count(*) AS n_items,
+          | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+      "q46_zorder_scan" ->
+        """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+          |WHERE o_custkey BETWEEN 100 AND 200
+          |  AND o_totalprice BETWEEN 50000.0 AND 150000.0
+          |ORDER BY o_orderkey""".stripMargin,
       "s03_user_sessions" ->
         """SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions,
           | count(*) AS n_events

@@ -1,20 +1,35 @@
 package graft.operators
 
+import graft.Tables
+import graft.util.Scratch
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
-/** Physical data-layout utilities — the two storage-side levers that
-  * decide whether a 100 TB join/scan shuffles (SURVEY §4):
+/** Physical-layout operators: the storage-side levers that decide
+  * whether a 100 TB table is scanned or skipped, shuffled or zipped
+  * (SURVEY §4):
   *
   *  - **bucketing**: write both fact tables bucketed by the join key →
   *    the join plans with zero `Exchange` (bucket-local sort-merge);
   *    the shuffle is paid once at write time, amortized over every
   *    subsequent join.
-  *  - **partitioned layout**: write partitioned by a coarse key
-  *    (e.g. event date) → predicates on that key prune whole
-  *    directories at planning time (`PartitionFilters`, no I/O).
+  *  - **partitioned layout**: write partitioned by a coarse key →
+  *    predicates on that key prune whole directories at planning time
+  *    (`PartitionFilters`, no I/O).
+  *  - **Z-order clustering**: sort by an interleaved multi-column key →
+  *    row-group min/max stats stay tight on ALL clustered columns.
+  *  - plus the ORC leg of the format round-trip family (q37 CSV /
+  *    q38 JSON / q43 ORC).
+  *
+  * The generic utilities take any DataFrame; the `q4x` entry points
+  * perform the real write + read-back against the fixture tables so the
+  * driver gate pins losslessness / result-invariance. Plan-shape
+  * guarantees (PartitionFilters, no Exchange, PushedFilters) are
+  * asserted in `LayoutSpec`.
   */
 object Layout {
+
+  // — generic utilities (spec-exercised over arbitrary frames) —
 
   /** Write `df` as a bucketed managed table (requires a warehouse dir;
     * bucket count should target HDFS-block-sized buckets at scale).
@@ -45,4 +60,124 @@ object Layout {
   def readPartitionPruned(spark: SparkSession, path: String,
                           date: String): DataFrame =
     spark.read.parquet(path).filter(col("p_date") === lit(date))
+
+  // — driver-gate entry points (write + read-back over the fixtures) —
+
+  /** q43: documents → ORC → read back. Same lossless contract as the
+    * CSV/JSON round trips: the oracle is the original table, so any
+    * type or encoding asymmetry in the ORC sink/source hash-fails.
+    */
+  def orcRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val tmp = Scratch.dir(spark, "q43_orc", dir).toString
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .write.mode("overwrite").orc(tmp)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("lang", StringType), StructField("text", StringType)))
+    spark.read.schema(schema).orc(tmp)
+      .orderBy(col("doc_id"))
+  }
+
+  /** q44: hive-style partitioned write + partition-pruned read. Orders
+    * land under `o_orderpriority=<v>/` directories; the subsequent
+    * filter never opens the other partitions' files (directory-level
+    * pruning — `PartitionFilters` in the scan, asserted in LayoutSpec).
+    * At 100 TB this is the difference between listing 1/5 of the files
+    * and scanning everything; the oracle (plain filter over the
+    * unpartitioned table) pins that pruning loses no rows.
+    */
+  def partitionedPrune(spark: SparkSession, dir: String): DataFrame = {
+    val out = Scratch.dir(spark, "q44_part", dir).toString
+    Tables.orders(spark, dir)
+      .write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+    prunedAgg(spark.read.parquet(out))
+  }
+
+  /** The read side of q44, split out so the spec can assert the plan. */
+  def prunedAgg(orders: DataFrame): DataFrame =
+    orders.filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("month"))
+
+  /** q45: bucketed co-located join over the fixture fact tables. Both
+    * sides are written bucketed ×8 on the join key, so the join needs
+    * NO shuffle of either side: each task reads bucket i of both
+    * tables. At 100 TB this converts the dominant all-to-all exchange
+    * of a fact-fact join into a zip of pre-aligned files — the
+    * Spark-native analog of co-partitioned storage. LayoutSpec asserts
+    * the join subtree is Exchange-free; the oracle is the plain join.
+    */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    writeBucketedFixtures(spark, dir)
+    bucketedRevenueAgg(bucketedJoinBare(spark))
+  }
+
+  /** Session-discriminated table names (same rationale as
+    * [[graft.util.Scratch]]: concurrent sessions against one warehouse
+    * dir must not overwrite each other's buckets).
+    */
+  private def tbl(spark: SparkSession, base: String): String =
+    base + "_" + spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+
+  private[operators] def writeBucketedFixtures(spark: SparkSession, dir: String): Unit = {
+    writeBucketed(Tables.orders(spark, dir),
+      tbl(spark, "g_orders_bucketed"), "o_orderkey", 8)
+    writeBucketed(Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_extendedprice")),
+      tbl(spark, "g_lineitem_bucketed"), "l_orderkey", 8)
+  }
+
+  private[operators] def bucketedJoinBare(spark: SparkSession): DataFrame =
+    bucketedJoin(spark, tbl(spark, "g_lineitem_bucketed"),
+      tbl(spark, "g_orders_bucketed"), "l_orderkey", "o_orderkey")
+
+  private[operators] def bucketedRevenueAgg(joined: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    joined
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Interleave the low 16 bits of `a` and `b` into one 32-bit Z-value
+    * (bit i of `a` → position 2i+1, bit i of `b` → position 2i).
+    * Unrolled to a 32-term bitwise-OR chain — a single codegen'd
+    * expression, no UDF.
+    */
+  def interleave16(a: Column, b: Column): Column = {
+    val al = a.cast("long"); val bl = b.cast("long")
+    (0 until 16).map { i =>
+      val abit = shiftleft(shiftright(al, i).bitwiseAND(1L), 2 * i + 1)
+      val bbit = shiftleft(shiftright(bl, i).bitwiseAND(1L), 2 * i)
+      abit.bitwiseOR(bbit)
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** q46: Z-order clustering. Orders are range-partitioned and sorted
+    * by the interleaved (o_custkey, o_totalprice-bucket) Z-value before
+    * the write, so parquet row-group min/max stats are simultaneously
+    * tight on BOTH columns — a filter on either (or both) skips most
+    * row groups, where a single-column sort helps only its own column.
+    * The layout is invisible in the result (oracle = the same filter on
+    * the unclustered table); LayoutSpec asserts both predicates reach
+    * the scan as PushedFilters.
+    */
+  def zOrderScan(spark: SparkSession, dir: String): DataFrame = {
+    val out = Scratch.dir(spark, "q46_zorder", dir).toString
+    val z = interleave16(col("o_custkey"),
+      (col("o_totalprice") / 8192.0).cast("long")) // ~16-bit price bucket
+    Tables.orders(spark, dir)
+      .withColumn("zv", z)
+      .repartitionByRange(8, col("zv"))
+      .sortWithinPartitions(col("zv"))
+      .drop("zv")
+      .write.mode("overwrite").parquet(out)
+    spark.read.parquet(out)
+      .filter(col("o_custkey").between(100, 200) &&
+        col("o_totalprice").between(50000.0, 150000.0))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
 }

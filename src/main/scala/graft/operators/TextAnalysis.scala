@@ -218,4 +218,93 @@ object TextAnalysis {
       .select(col("doc_id"), size(col("fps")).cast("long").as("n_fingerprints"),
         xxhash64(to_json(col("fps"))).as("fps_digest"))
       .orderBy(col("doc_id"))
+
+  /** t12: EXACT heavy hitters via sketch-prefilter + recount — the
+    * two-pass pattern that makes the MG sketch ([[heavyHitters]])
+    * production-grade at 100 TB. Pass 1 runs the k-counter sketch
+    * (shuffle ≤k counters per partition) and collects the ≤k candidate
+    * terms to the driver — bounded, like an IVF centroid sample. Pass 2
+    * recounts ONLY the candidates exactly (the IN-list filter drops
+    * every other term map-side, so the shuffle carries ≤k keys) and
+    * keeps terms with `count·k > n`. MG guarantees every term above
+    * n/k survives pass 1, so the result equals the exact heavy-hitter
+    * query — which is precisely what the oracle computes, with no
+    * sketch at all.
+    */
+  def heavyHittersExact(spark: SparkSession, dir: String, k: Int = 32): DataFrame = {
+    import spark.implicits._
+    val candidates: Seq[String] =
+      heavyHitters(spark, dir, k).select(col("term")).as[String].collect().toSeq
+    val terms = Tables.documents(spark, dir)
+      .select(explode(tokens(normalizeText(col("text")))).as("term"))
+      .filter(length(col("term")) > 0)
+    val total = terms.agg(count(lit(1)).as("n_total"))
+    terms
+      .filter(col("term").isin(candidates: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("n_count"))
+      .crossJoin(broadcast(total))
+      // integer-exact threshold: count > n/k without a double division
+      .filter(col("n_count") * k > col("n_total"))
+      .select(col("term"), col("n_count"))
+      .orderBy(col("n_count").desc, col("term"))
+  }
+
+  // — PII redaction (t13): the scrubbing stage of a training-data
+  //   pipeline. Patterns are written in the common Java-regex/RE2
+  //   subset (character classes, bounded repetition, \b) so the oracle
+  //   applies the literally-identical pattern. —
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phoneRe = "\\+\\d{1,3}[ ]\\d(?:[ ]?\\d){7,}"
+
+  /** t13: PII detection + redaction. The fixture text carries no PII,
+    * so the query plants a deterministic contact line derived from
+    * doc_id (same expression in the oracle), then counts and redacts
+    * emails → phone numbers → IPs in that order (emails first — they
+    * embed digits the broader patterns could claim). Pure per-row
+    * regex chain: map-only, codegen'd, linear at any scale. The
+    * registered output pins the redacted text via md5 so the compare
+    * stays scalar.
+    */
+  def piiRedaction(spark: SparkSession, dir: String): DataFrame = {
+    val planted = concat(col("text"),
+      lit(" contact user"), col("doc_id"), lit("@example.com tel +33 6 12 34 56 "),
+      lpad(pmod(col("doc_id"), lit(100)).cast("string"), 2, "0"),
+      lit(" host 10.0."), pmod(col("doc_id"), lit(256)), lit(".7"))
+    val redacted =
+      regexp_replace(regexp_replace(regexp_replace(planted,
+        emailRe, "<EMAIL>"), phoneRe, "<PHONE>"), ipRe, "<IP>")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(regexp_extract_all(planted, lit(emailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(planted, lit(phoneRe), lit(0))).cast("long").as("n_phones"),
+        size(regexp_extract_all(planted, lit(ipRe), lit(0))).cast("long").as("n_ips"),
+        md5(redacted.cast("binary")).as("redacted_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** t14: repetition signals — the Gopher-style quality heuristics for
+    * machine-generated/boilerplate text: the fraction of duplicate word
+    * bigrams and the frequency share of the single most-common token.
+    * Both are rational functions of integer counts (fixed single
+    * division), so the doubles are bit-identical across engines. All
+    * array work is per-row over a ~100-token list — map-only at scale.
+    */
+  def repetitionSignals(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        when(size(col("toks")) >= 2,
+          expr("transform(sequence(1, size(toks) - 1), i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+          .otherwise(array().cast("array<string>")).as("bigrams"),
+        expr("array_max(transform(array_distinct(toks), t -> size(filter(toks, x -> x = t))))")
+          .as("top_tok"))
+      .select(col("doc_id"), col("n_tokens"),
+        when(size(col("bigrams")) > 0,
+          (size(col("bigrams")) - size(array_distinct(col("bigrams")))).cast("double")
+            / size(col("bigrams")).cast("double"))
+          .otherwise(lit(0.0)).as("dup_bigram_frac"),
+        (col("top_tok").cast("double") / col("n_tokens").cast("double")).as("top_token_frac"))
+      .orderBy(col("doc_id"))
 }

@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("deterministic split: total coverage, sane fractions, growth-stable") {
+    val assigned = Curation.deterministicSplit(spark, sf)
+    val n = Tables.documents(spark, sf).count()
+    assert(assigned.count() == n) // every doc gets exactly one split
+    val byS = assigned.groupBy($"split").count().as[(String, Long)].collect().toMap
+    // 75 / 12.5 / 12.5 nominal; allow wide slack at 500 docs
+    assert(byS("train") > n * 6 / 10 && byS("train") < n * 9 / 10, byS)
+    assert(byS.keySet == Set("train", "val", "test"), byS)
+    // growth-stability: assignments over a PREFIX of the corpus agree
+    // with assignments over the full corpus (hash depends only on the
+    // row itself — the leak-free-eval property)
+    val full = assigned.as[(Long, String)].collect().toMap
+    val prefix = Curation.deterministicSplit(spark, sf)
+      .filter($"doc_id" < 100).as[(Long, String)].collect().toMap
+    prefix.foreach { case (id, s) => assert(full(id) == s) }
+  }
+
+  test("balanced sample caps every group and is deterministic") {
+    val s1 = Curation.balancedSample(spark, sf, cap = 20)
+    val sizes = s1.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    assert(sizes.values.forall(_ <= 20), sizes)
+    // every lang with >=20 docs is fully capped (docs per lang ~60+)
+    assert(sizes.values.forall(_ == 20), sizes)
+    val s2 = Curation.balancedSample(spark, sf, cap = 20)
+    assert(s1.collect().toSeq == s2.collect().toSeq)
+  }
+
+  test("priority dedup keeps the highest-priority copy per content key") {
+    // planted: same normalized content in three langs; en must win.
+    // Distinct content per group via the index suffix.
+    val docs = Seq(
+      (10L, "zh", "shared content alpha"), (11L, "en", "shared content alpha"),
+      (12L, "fr", "shared content alpha"),
+      (20L, "fr", "shared content beta"), (21L, "es", "shared content beta"),
+      (30L, "de", "unique content gamma"),
+    ).toDF("doc_id", "lang", "text")
+    docs.createOrReplaceTempView("curation_spec_docs")
+    // exercise the same expression chain as d09 against the planted frame
+    val prio = when($"lang" === "en", 0).when($"lang" === "fr", 1).otherwise(2)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"ckey").orderBy($"prio", $"doc_id")
+    val kept = docs
+      .select($"doc_id", $"lang", prio.as("prio"),
+        md5(graft.functions.TextFns.normalizeText($"text").cast("binary")).as("ckey"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"lang").as[(Long, String)].collect().toMap
+    assert(kept == Map(11L -> "en", 20L -> "fr", 30L -> "de"), kept)
+    // fixture entry point: one keeper per content key, copies accounted
+    val d09 = Curation.priorityDedup(spark, sf)
+    val total = d09.agg(sum($"n_copies")).as[Long].head()
+    assert(total == Tables.documents(spark, sf).count())
+  }
+}

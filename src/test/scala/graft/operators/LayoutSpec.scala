@@ -27,6 +27,52 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("interleave16 places bits at even/odd positions (Z-curve identity)") {
+    val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (3L, 0L), (0L, 3L),
+      (65535L, 0L), (0L, 65535L), (65535L, 65535L)).toDF("a", "b")
+      .select(Layout.interleave16($"a", $"b").as("z")).as[Long].collect().toSeq
+    assert(rows == Seq(0L, 2L, 1L, 3L, 10L, 5L,
+      0xAAAAAAAAL, 0x55555555L, 0xFFFFFFFFL), rows)
+  }
+
+  test("q44 partition-pruned read: PartitionFilters on the scan, rows intact") {
+    val df = Layout.partitionedPrune(spark, sf)
+    df.collect()
+    val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString)
+      .find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scan.contains("o_orderpriority"), scan)
+    val expected = Tables.orders(spark, sf)
+      .filter($"o_orderpriority" === "1-URGENT")
+      .groupBy(date_trunc("month", $"o_orderdate")).count().count()
+    assert(df.count() == expected)
+  }
+
+  test("q45 fixture join subtree is Exchange-free (co-located buckets)") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Layout.writeBucketedFixtures(spark, sf)
+      val bare = Layout.bucketedJoinBare(spark)
+      bare.collect()
+      val plan = bare.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"), plan)
+      assert(bare.count() == Tables.lineitem(spark, sf).count())
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("q46 z-order scan: both predicates pushed to the parquet scan") {
+    val df = Layout.zOrderScan(spark, sf)
+    df.collect()
+    val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString)
+      .find(_.contains("PushedFilters")).getOrElse("")
+    assert(scan.contains("o_custkey") && scan.contains("o_totalprice"), scan)
+    // layout is invisible in the result
+    val expected = Tables.orders(spark, sf)
+      .filter($"o_custkey".between(100, 200) && $"o_totalprice".between(50000.0, 150000.0))
+      .count()
+    assert(df.count() == expected)
+  }
+
   test("date-partitioned layout prunes partitions at plan time") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString + "/events"
     Layout.writeDatePartitioned(Tables.events(spark, sf), "ts", dir)

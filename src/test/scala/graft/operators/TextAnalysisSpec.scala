@@ -71,4 +71,62 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r1 == r2 && r1.nonEmpty)
     assert(r1.forall(_._2 >= 0), "fingerprint counts are non-negative")
   }
+
+  test("sketch-prefiltered exact heavy hitters equal the direct exact query") {
+    import graft.functions.TextFns._
+    val viaSketch = TextAnalysis.heavyHittersExact(spark, sf, k = 32)
+      .as[(String, Long)].collect().toSeq
+    // direct exact computation, no sketch anywhere
+    val terms = graft.Tables.documents(spark, sf)
+      .select(explode(tokens(normalizeText($"text"))).as("term"))
+      .filter(length($"term") > 0)
+    val n = terms.count()
+    val direct = terms.groupBy($"term").agg(count(lit(1)).as("n_count"))
+      .filter($"n_count" * 32 > n)
+      .orderBy($"n_count".desc, $"term")
+      .as[(String, Long)].collect().toSeq
+    assert(viaSketch == direct, s"sketch path diverged: $viaSketch vs $direct")
+    assert(viaSketch.nonEmpty)
+  }
+
+  test("pii redaction removes every planted pattern and counts them") {
+    val out = TextAnalysis.piiRedaction(spark, sf)
+    val rows = out.as[(Long, Long, Long, Long, String)].collect()
+    assert(rows.nonEmpty)
+    // one planted email/phone/ip per doc, all found
+    assert(rows.forall(r => r._2 == 1 && r._3 == 1 && r._4 == 1),
+      rows.take(3).toSeq.toString)
+    // redaction is idempotent evidence: no residual matches after replace
+    val residual = graft.Tables.documents(spark, sf)
+      .select(regexp_replace(regexp_replace(regexp_replace(
+        concat($"text", lit(" contact user"), $"doc_id",
+          lit("@example.com tel +33 6 12 34 56 "),
+          lpad(pmod($"doc_id", lit(100)).cast("string"), 2, "0"),
+          lit(" host 10.0."), pmod($"doc_id", lit(256)), lit(".7")),
+        TextAnalysis.emailRe, "<EMAIL>"),
+        TextAnalysis.phoneRe, "<PHONE>"),
+        TextAnalysis.ipRe, "<IP>").as("red"))
+      .filter($"red".rlike(TextAnalysis.emailRe) ||
+        $"red".rlike(TextAnalysis.phoneRe) || $"red".rlike(TextAnalysis.ipRe))
+      .count()
+    assert(residual == 0, s"$residual rows still match a PII pattern after redaction")
+  }
+
+  test("repetition signals: hand-computed example + bounds on the fixture") {
+    val planted = Seq(
+      (0L, "a b a b a b"),        // bigrams: ab ba ab ba ab → 5 total, 2 distinct
+      (1L, "w x y z"),            // all distinct
+      (2L, "solo"),               // degenerate: no bigrams
+    ).toDF("doc_id", "text")
+    planted.write.mode("overwrite").parquet("/tmp/graft_rep_test/documents.parquet")
+    val r = TextAnalysis.repetitionSignals(spark, "/tmp/graft_rep_test")
+      .as[(Long, Long, Double, Double)].collect().map(t => t._1 -> t).toMap
+    assert(r(0L)._3 == 3.0 / 5.0, r(0L)) // 5 bigrams, 2 distinct → 3/5 dup
+    assert(r(0L)._4 == 3.0 / 6.0, r(0L)) // 'a' ×3 of 6 tokens
+    assert(r(1L)._3 == 0.0 && r(1L)._4 == 1.0 / 4.0, r(1L))
+    assert(r(2L)._3 == 0.0 && r(2L)._4 == 1.0, r(2L))
+    val fixture = TextAnalysis.repetitionSignals(spark, sf)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(fixture.forall(t => t._3 >= 0 && t._3 <= 1 && t._4 > 0 && t._4 <= 1))
+  }
 }
