@@ -122,7 +122,10 @@ object Layout {
     base + "_" + spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
 
   private[operators] def writeBucketedFixtures(spark: SparkSession, dir: String): Unit = {
-    writeBucketed(Tables.orders(spark, dir),
+    // project each side to the columns the downstream joins need BEFORE
+    // the bucketed write: bucket files store (and the write shuffles)
+    // only those bytes
+    writeBucketed(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderpriority")),
       tbl(spark, "g_orders_bucketed"), "o_orderkey", 8)
     writeBucketed(Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_extendedprice")),
       tbl(spark, "g_lineitem_bucketed"), "l_orderkey", 8)
