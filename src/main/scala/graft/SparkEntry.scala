@@ -74,6 +74,9 @@ object SparkEntry {
     "q44_partitioned_prune" -> (graft.operators.Layout.partitionedPrune _),
     "q45_bucketed_join"     -> (graft.operators.Layout.bucketedJoin _),
     "q46_zorder_scan"       -> (graft.operators.Layout.zOrderScan _),
+    // — warehouse maintenance: MERGE + SCD2 history —
+    "q47_merge_upsert"      -> (Relational.mergeUpsert _),
+    "q48_scd2_intervals"    -> (Relational.scd2Intervals _),
     "e03_cosine_pairs_exact" -> (Similarity.cosinePairsExact _),
     // — text analysis (SURVEY §2.5, §2.11) —
     "t01_normalize_pipeline" -> (TextAnalysis.normalizePipeline _),
@@ -100,6 +103,7 @@ object SparkEntry {
     "d07_curation_pipeline"  -> (graft.jobs.CurationJob.curate _),
     "d08_jaccard_exact_pairs" -> ((s: SparkSession, dir: String) => Dedup.jaccardExactPairs(s, dir)),
     "d09_priority_dedup"     -> (graft.operators.Curation.priorityDedup _),
+    "d10_dup_clusters"       -> ((s: SparkSession, dir: String) => Dedup.dupClustersQuery(s, dir)),
     // — multimodal columns (SURVEY §2.11; decode = documented stub) —
     "m01_media_ann"          -> (graft.operators.Multimodal.mediaAnn _),
     "m02_media_dedup"        -> (graft.operators.Multimodal.mediaDedup _),
@@ -579,6 +583,56 @@ object SparkEntry {
           |WHERE o_custkey BETWEEN 100 AND 200
           |  AND o_totalprice BETWEEN 50000.0 AND 150000.0
           |ORDER BY o_orderkey""".stripMargin,
+      // q47: MERGE semantics spelled out relationally — update matched,
+      // delete matched-with-predicate, insert not-matched
+      "q47_merge_upsert" ->
+        """WITH upd AS (SELECT o_custkey AS k, count(*) AS n_urgent
+          |  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1)
+          |SELECT c_custkey, c_name,
+          | CAST(CAST(c_acctbal AS DECIMAL(18,2)) + COALESCE(n_urgent, 0) * 10 AS DOUBLE) AS acctbal
+          |FROM customer LEFT JOIN upd ON c_custkey = k
+          |WHERE NOT (c_mktsegment = 'MACHINERY' AND n_urgent IS NULL)
+          |UNION ALL
+          |SELECT s_suppkey + 1000000 AS c_custkey, s_name AS c_name,
+          | CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
+          |FROM supplier
+          |ORDER BY c_custkey""".stripMargin,
+      // q48: epoch-micros interval bounds are integer-exact in both
+      // engines (events ns timestamps are whole microseconds)
+      "q48_scd2_intervals" ->
+        """SELECT user_id, event_id, value,
+          | epoch_us(ts) AS valid_from_us,
+          | lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_us
+          |FROM events
+          |ORDER BY user_id, valid_from_us, event_id""".stripMargin,
+      // d10: connected components via transitive closure (recursive
+      // CTE) over the same deterministic exact-jaccard edges as d08 —
+      // cluster id = min id reachable in the component
+      "d10_dup_clusters" -> {
+        val shingled =
+          s"""SELECT doc_id, list_distinct(list_transform(
+             |   range(1, greatest(length(nt) - 3, 2)), i -> substr(nt, i, 5))) AS s
+             | FROM (SELECT doc_id, ${norm("text")} AS nt FROM documents WHERE doc_id < 250)"""
+            .stripMargin
+        s"""WITH RECURSIVE sh AS ($shingled),
+           |pairs AS (
+           | SELECT doc_a, doc_b FROM (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |   CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+           |     / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+           |  FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+           | WHERE jaccard >= 0.25),
+           |edges AS (
+           | SELECT doc_a AS s, doc_b AS d FROM pairs
+           | UNION SELECT doc_b, doc_a FROM pairs),
+           |reach AS (
+           | SELECT s, d FROM edges
+           | UNION
+           | SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+           |SELECT doc_id, cluster_id FROM (
+           | SELECT s AS doc_id, least(s, min(d)) AS cluster_id FROM reach GROUP BY s)
+           |ORDER BY doc_id""".stripMargin
+      },
       "s03_user_sessions" ->
         """SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions,
           | count(*) AS n_events

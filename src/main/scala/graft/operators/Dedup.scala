@@ -403,4 +403,15 @@ object Dedup {
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame =
     embeddingNearDupPairs(Tables.embeddings(spark, dir), "vec_id", "embedding",
       dim = 64, threshold = 0.25)
+
+  /** d10: dup-cluster resolution through the driver gate — connected
+    * components ([[dupClusters]]) over the DETERMINISTIC exact-jaccard
+    * edge list of [[jaccardExactPairs]], so the transitive-closure
+    * semantics themselves are oracle-checked (DuckDB recursive CTE over
+    * the identical edges). Emits (doc_id, cluster_id = min id in the
+    * component) for every doc that has at least one near-dup partner.
+    */
+  def dupClustersQuery(spark: SparkSession, dir: String): DataFrame =
+    dupClusters(jaccardExactPairs(spark, dir))
+      .orderBy(col("doc_id"))
 }

@@ -472,6 +472,53 @@ object Relational {
       .orderBy(col("o_orderpriority"), col("o_orderkey"))
   }
 
+  /** q47: SQL-MERGE-style maintenance of a keyed table — one pass
+    * applies a change batch as UPDATE (matched), DELETE (matched +
+    * predicate), and INSERT (not matched). Composed as
+    * left-join + filter + unionByName: the join shuffles on the merge
+    * key exactly once (broadcast when the change batch is small, as
+    * dims are here), which is the plan a Delta/Iceberg MERGE compiles
+    * to minus the file-rewrite bookkeeping. Change batch is derived
+    * deterministically from the fixtures: urgent-order counts bump
+    * account balances, MACHINERY customers without urgent orders are
+    * retired, suppliers arrive as new customer rows.
+    */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(spark, dir)
+    val upd = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy(col("o_custkey").as("k"))
+      .agg(count(lit(1)).as("n_urgent"))
+    val inserts = Tables.supplier(spark, dir)
+      .select((col("s_suppkey") + 1000000L).as("c_custkey"),
+        col("s_name").as("c_name"),
+        dec(col("s_acctbal")).cast("double").as("acctbal"))
+    base.join(broadcast(upd), base("c_custkey") === upd("k"), "left")
+      .filter(!(col("c_mktsegment") === "MACHINERY" && col("n_urgent").isNull))
+      .select(col("c_custkey"), col("c_name"),
+        (dec(col("c_acctbal")) + coalesce(col("n_urgent"), lit(0L)) * 10)
+          .cast("double").as("acctbal"))
+      .unionByName(inserts)
+      .orderBy(col("c_custkey"))
+  }
+
+  /** q48: SCD-type-2 history build — turn a change log (events per
+    * user) into validity intervals: each row is valid from its own
+    * timestamp until the next change for the same key (NULL = current).
+    * One shuffle on the key, one ordered sweep per partition (`lead`);
+    * emitted as integer epoch-micros so the interval bounds are
+    * integer-exact across engines.
+    */
+  def scd2Intervals(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("value"), col("ts"))
+      .withColumn("valid_from_us", unix_micros(col("ts")))
+      .withColumn("valid_to_us", unix_micros(lead(col("ts"), 1).over(w)))
+      .drop("ts")
+      .orderBy(col("user_id"), col("valid_from_us"), col("event_id"))
+  }
+
   // — file-format round trips (S11/F11 through the gate): the sink and
   //   the matching source must be LOSSLESS on messy text — quotes,
   //   embedded commas/newlines, unicode. The oracle is a plain SELECT

@@ -91,6 +91,21 @@ class DedupSpec extends SparkSpec {
     assert(local == dist && local.nonEmpty)
   }
 
+  test("d10 gate entry: cluster labels are component minima over the exact pairs") {
+    val pairs = Dedup.jaccardExactPairs(spark, sf)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+    val labels = Dedup.dupClustersQuery(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    // every endpoint of a pair is labeled, label ≤ id, label is in the map
+    pairs.foreach { case (a, b) =>
+      assert(labels.contains(a) && labels.contains(b))
+      assert(labels(a) == labels(b), s"pair ($a,$b) split across clusters")
+    }
+    labels.foreach { case (id, c) =>
+      assert(c <= id && labels(c) == c, s"label $c of $id is not a root")
+    }
+  }
+
   test("fingerprint dedup counts match exact dedup on the fixture corpus") {
     val a = Dedup.exactDedup(spark, sf).count()
     val b = Dedup.fingerprintDedup(spark, sf).count()
