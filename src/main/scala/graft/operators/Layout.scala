@@ -129,6 +129,14 @@ object Layout {
       tbl(spark, "g_orders_bucketed"), "o_orderkey", 8)
     writeBucketed(Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_extendedprice")),
       tbl(spark, "g_lineitem_bucketed"), "l_orderkey", 8)
+    // the session-suffixed warehouse dirs outlive the in-memory catalog
+    // — register them for the same at-exit removal as scratch dirs
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    Seq("g_orders_bucketed", "g_lineitem_bucketed").foreach { base =>
+      Scratch.registerForCleanup(
+        java.nio.file.Paths.get(wh).resolve(tbl(spark, base)))
+    }
   }
 
   private[operators] def bucketedJoinBare(spark: SparkSession): DataFrame =

@@ -34,15 +34,19 @@ import graft.sources.AdaptivePlanner.{FetchFilter, PageRange}
   * failure (S7).
   */
 class HttpOffresApi(endpoint: String,
-                    planningTokenValue: String = null)
+                    planningTokenSupplier: () => Option[String] = () => None)
     extends OffresApi {
 
-  /** Driver-side probe token — immutable per instance; the resolver
-    * caches instances per (endpoint, planning token), so two scans
-    * planning concurrently with different credentials never see each
-    * other's token.
+  /** Driver-side probe token, fetched per probe from the supplier the
+    * resolver bound at construction: rotation-aware in auth mode (the
+    * supplier consults the expiry-aware [[TokenProvider]]), constant in
+    * static-token mode. Instances are cached per (endpoint,
+    * credentials), so two scans planning concurrently with different
+    * credentials never see each other's token, and a token ROTATION
+    * reuses the same instance/HttpClient instead of leaking one per
+    * TTL.
     */
-  private def planningToken: Option[String] = Option(planningTokenValue)
+  private def planningToken: Option[String] = planningTokenSupplier()
 
   @transient private lazy val client: HttpClient = HttpClient.newBuilder()
     .connectTimeout(Duration.ofSeconds(10))
@@ -182,12 +186,14 @@ object HttpOffresApi {
   * CaseInsensitiveStringMap normalizes them).
   */
 object OffresApiResolver {
-  // keyed by (endpoint, planning token): concurrent plans with
-  // different credentials get distinct instances instead of racing on
-  // one mutable token. Executor-side fetch paths carry no planning
-  // token (the bearer token is passed per fetch call), so they all
-  // share the single ("endpoint", "") client; driver-side entries are
-  // bounded by the credential count per token TTL.
+  // keyed by (endpoint, CREDENTIALS — not the rotating token):
+  // concurrent plans with different credentials get distinct instances
+  // instead of racing on one mutable token, while token rotations
+  // within one credential set reuse the cached instance/HttpClient
+  // (entries are bounded by |endpoints| × |credential sets|, which is
+  // static for a deployment). Executor-side fetch paths carry no
+  // planning option at all, so they share the ("endpoint", "") client;
+  // the bearer token is passed per fetch call.
   private val cache = new ConcurrentHashMap[String, HttpOffresApi]()
 
   /** Per-JVM token providers for executor-side re-auth, keyed by
@@ -208,9 +214,18 @@ object OffresApiResolver {
   def resolve(opts: Map[String, String]): OffresApi =
     opts.get("endpoint") match {
       case Some(ep) =>
-        val tok = opts.getOrElse("planningtoken", "")
-        cache.computeIfAbsent(s"$ep|$tok",
-          _ => new HttpOffresApi(ep, if (tok.isEmpty) null else tok))
+        // auth mode: key by the (stable) secrets, supply the CURRENT
+        // token per probe via the expiry-aware provider. Static mode:
+        // the token string is the credential — it never rotates.
+        val (credsKey, supplier): (String, () => Option[String]) =
+          (opts.get("authurl"), opts.get("secrets")) match {
+            case (Some(url), Some(s)) =>
+              (s"auth|$url|$s", () => Some(tokenProvider(url, s).token(0)))
+            case _ =>
+              val tok = opts.get("planningtoken")
+              (s"static|${tok.getOrElse("")}", () => tok)
+          }
+        cache.computeIfAbsent(s"$ep|$credsKey", _ => new HttpOffresApi(ep, supplier))
       case None =>
         OffresApiRegistry.get(opts.getOrElse("api",
           throw new IllegalArgumentException(

@@ -32,8 +32,10 @@ object RunQuery {
       println(f"[runquery] $name rep=$rep rows=$n sec=$dt%.2f sf=$sfDir")
       // full storage drop (incl. localCheckpoint blocks), matching
       // Bench/Verify — later reps must not run with a predecessor's
-      // storage resident
-      graft.Bench.dropAllStorage(spark)
+      // storage resident. NOT after the last rep: `show` re-executes
+      // the returned plan, which may read its own (lineage-truncated)
+      // localCheckpoint blocks.
+      if (rep < reps) graft.Bench.dropAllStorage(spark)
     }
     if (args.length > 2 && args(2) == "show") df.show(50, truncate = false)
     spark.stop()

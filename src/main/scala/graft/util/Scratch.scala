@@ -15,14 +15,31 @@ import org.apache.spark.sql.SparkSession
   */
 object Scratch {
 
+  // every path handed out (or registered) this JVM, removed by one
+  // shutdown hook — without this, the applicationId discriminator would
+  // leak one full data copy per JVM run into the tmpdir
+  private val created =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Path]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      created.forEach(p => try rmTree(p) catch { case _: Exception => () })
+    }, "graft-scratch-cleanup"))
+  }
+
   /** Resolve (and wipe) the scratch dir for `tag` over `inputDir`. */
   def dir(spark: SparkSession, tag: String, inputDir: String): Path = {
     val tmp = Paths.get(System.getProperty("java.io.tmpdir"))
     val p = tmp.resolve(
       s"graft_${tag}_${spark.sparkContext.applicationId}_${math.abs(inputDir.hashCode)}")
     rmTree(p)
+    created.add(p)
     p
   }
+
+  /** Register an externally-created session-scoped path (e.g. a managed
+    * table's warehouse dir) for the same at-exit cleanup.
+    */
+  def registerForCleanup(p: Path): Unit = created.add(p)
 
   /** Recursive delete; closes the directory stream (it holds an FD). */
   def rmTree(p: Path): Unit = {

@@ -14,12 +14,18 @@ class CurationSpec extends SparkSpec {
     // 75 / 12.5 / 12.5 nominal; allow wide slack at 500 docs
     assert(byS("train") > n * 6 / 10 && byS("train") < n * 9 / 10, byS)
     assert(byS.keySet == Set("train", "val", "test"), byS)
-    // growth-stability: assignments over a PREFIX of the corpus agree
-    // with assignments over the full corpus (hash depends only on the
-    // row itself — the leak-free-eval property)
+    // growth-stability: run the split over a PHYSICALLY SMALLER corpus
+    // (the first 100 docs written as their own table) — a corpus-
+    // dependent assignment (ntile, percent_rank, count-based) would
+    // diverge from the full-corpus assignment; hash-prefix assignment
+    // cannot (the leak-free-eval property)
     val full = assigned.as[(Long, String)].collect().toMap
-    val prefix = Curation.deterministicSplit(spark, sf)
-      .filter($"doc_id" < 100).as[(Long, String)].collect().toMap
+    val small = graft.util.Scratch.dir(spark, "split_prefix_docs", sf)
+    Tables.documents(spark, sf).filter($"doc_id" < 100)
+      .write.parquet(small.resolve("documents.parquet").toString)
+    val prefix = Curation.deterministicSplit(spark, small.toString)
+      .as[(Long, String)].collect().toMap
+    assert(prefix.size == 100)
     prefix.foreach { case (id, s) => assert(full(id) == s) }
   }
 
@@ -42,7 +48,6 @@ class CurationSpec extends SparkSpec {
       (20L, "fr", "shared content beta"), (21L, "es", "shared content beta"),
       (30L, "de", "unique content gamma"),
     ).toDF("doc_id", "lang", "text")
-    docs.createOrReplaceTempView("curation_spec_docs")
     // exercise the same expression chain as d09 against the planted frame
     val prio = when($"lang" === "en", 0).when($"lang" === "fr", 1).otherwise(2)
     val w = org.apache.spark.sql.expressions.Window

@@ -55,8 +55,9 @@ class TextAnalysisSpec extends SparkSpec {
 
   test("textMatch with an absent query term keeps scores finite (df=0 guard)") {
     val docs = Seq((0L, "join things"), (1L, "other stuff")).toDF("doc_id", "text")
-    docs.write.mode("overwrite").parquet("/tmp/graft_df0_test/documents.parquet")
-    val out = TextAnalysis.textMatch(spark, "/tmp/graft_df0_test",
+    val dir = graft.util.Scratch.dir(spark, "df0_docs", "planted").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.textMatch(spark, dir,
       terms = Seq("join", "zzznotincorpus"))
       .as[(Long, Long, Double)].collect()
     assert(out.map(_._1).toSeq == Seq(0L))
@@ -118,8 +119,9 @@ class TextAnalysisSpec extends SparkSpec {
       (1L, "w x y z"),            // all distinct
       (2L, "solo"),               // degenerate: no bigrams
     ).toDF("doc_id", "text")
-    planted.write.mode("overwrite").parquet("/tmp/graft_rep_test/documents.parquet")
-    val r = TextAnalysis.repetitionSignals(spark, "/tmp/graft_rep_test")
+    val dir = graft.util.Scratch.dir(spark, "rep_docs", "planted").toString
+    planted.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = TextAnalysis.repetitionSignals(spark, dir)
       .as[(Long, Long, Double, Double)].collect().map(t => t._1 -> t).toMap
     assert(r(0L)._3 == 3.0 / 5.0, r(0L)) // 5 bigrams, 2 distinct → 3/5 dup
     assert(r(0L)._4 == 3.0 / 6.0, r(0L)) // 'a' ×3 of 6 tokens

@@ -153,7 +153,7 @@ class HttpOffresApiSpec extends SparkSpec with BeforeAndAfterAll {
   test("HttpOffresApi unit behavior: Content-Range count, 429 fetch throws, referentiel") {
     val (tok, ttl) = HttpOffresApi.authenticate(s"$base/token", "k1", "s-k1")
     assert(tok == "tok-k1" && ttl == 3600000L)
-    val api = new HttpOffresApi(base, tok)
+    val api = new HttpOffresApi(base, () => Some(tok))
     assert(api.count(FetchFilter(region = Some("R1"))) == 80L)
     assert(api.count(FetchFilter()) == 200L)
     assert(api.referentiel("metiers").size == 2)
