@@ -77,6 +77,12 @@ object SparkEntry {
     // — warehouse maintenance: MERGE + SCD2 history —
     "q47_merge_upsert"      -> (Relational.mergeUpsert _),
     "q48_scd2_intervals"    -> (Relational.scd2Intervals _),
+    "q49_compaction"        -> (graft.operators.Layout.compaction _),
+    "q50_inverted_index"    -> ((s: SparkSession, dir: String) => TextAnalysis.invertedIndexQuery(s, dir)),
+    // — data quality: profiling, constraints, snapshot diff —
+    "q51_profile_orders"    -> (graft.operators.DataQuality.profileOrders _),
+    "q52_constraint_checks" -> (graft.operators.DataQuality.constraintChecks _),
+    "q53_snapshot_diff"     -> (graft.operators.DataQuality.snapshotDiff _),
     "e03_cosine_pairs_exact" -> (Similarity.cosinePairsExact _),
     // — text analysis (SURVEY §2.5, §2.11) —
     "t01_normalize_pipeline" -> (TextAnalysis.normalizePipeline _),
@@ -605,6 +611,77 @@ object SparkEntry {
           | lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_us
           |FROM events
           |ORDER BY user_id, valid_from_us, event_id""".stripMargin,
+      // q49: compaction is a pure layout change — oracle = the original
+      "q49_compaction" ->
+        "SELECT doc_id, lang, text FROM documents ORDER BY doc_id",
+      // q50: the index answer must equal the brute-force token scan
+      "q50_inverted_index" ->
+        s"""SELECT doc_id, CAST(len(m) AS BIGINT) AS n_terms_matched,
+           | array_to_string(list_sort(m), ',') AS terms
+           |FROM (SELECT doc_id,
+           |  list_intersect(list_distinct(${toks("text")}), ['hash','join','stream']) AS m
+           | FROM documents)
+           |WHERE len(m) > 0 ORDER BY doc_id""".stripMargin,
+      "q51_profile_orders" ->
+        """SELECT * FROM (
+          | SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+          |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+          |  count(DISTINCT o_orderkey) AS n_distinct,
+          |  CAST(min(o_orderkey) AS DOUBLE) AS min_num, CAST(max(o_orderkey) AS DOUBLE) AS max_num
+          | FROM orders
+          | UNION ALL
+          | SELECT 'o_custkey', count(*),
+          |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+          |  count(DISTINCT o_custkey),
+          |  CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE)
+          | FROM orders
+          | UNION ALL
+          | SELECT 'o_totalprice', count(*),
+          |  CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+          |  count(DISTINCT o_totalprice),
+          |  CAST(min(o_totalprice) AS DOUBLE), CAST(max(o_totalprice) AS DOUBLE)
+          | FROM orders
+          | UNION ALL
+          | SELECT 'o_orderpriority', count(*),
+          |  CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+          |  count(DISTINCT o_orderpriority),
+          |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+          | FROM orders)
+          |ORDER BY col_name""".stripMargin,
+      "q52_constraint_checks" ->
+        """SELECT * FROM (
+          | SELECT 'customer_acctbal_notnull' AS rule, count(*) AS n_violations
+          |  FROM customer WHERE c_acctbal IS NULL
+          | UNION ALL
+          | SELECT 'lineitem_quantity_range', count(*)
+          |  FROM lineitem WHERE l_quantity <= 0.0 OR l_quantity > 50.0
+          | UNION ALL
+          | SELECT 'orders_custkey_fk', count(*)
+          |  FROM orders WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+          | UNION ALL
+          | SELECT 'orders_orderkey_unique', CAST(COALESCE(sum(n), 0) AS BIGINT)
+          |  FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey HAVING count(*) > 1))
+          |ORDER BY rule""".stripMargin,
+      "q53_snapshot_diff" ->
+        """WITH upd AS (SELECT o_custkey AS k, count(*) AS n_urgent
+          |  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+          |after_t AS (
+          | SELECT c_custkey AS k_after,
+          |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) + COALESCE(n_urgent, 0) * 10 AS DOUBLE) AS v_after
+          | FROM customer LEFT JOIN upd ON c_custkey = k
+          | WHERE NOT (c_mktsegment = 'MACHINERY' AND n_urgent IS NULL)
+          | UNION ALL
+          | SELECT s_suppkey + 1000000, CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE)
+          | FROM supplier),
+          |before_t AS (SELECT c_custkey AS k_before,
+          |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS v_before FROM customer)
+          |SELECT change_type, count(*) AS n FROM (
+          | SELECT CASE WHEN k_before IS NULL THEN 'inserted'
+          |   WHEN k_after IS NULL THEN 'deleted'
+          |   WHEN v_before <> v_after THEN 'updated'
+          |   ELSE 'unchanged' END AS change_type
+          | FROM before_t FULL OUTER JOIN after_t ON k_before = k_after)
+          |GROUP BY change_type ORDER BY change_type""".stripMargin,
       // d10: connected components via transitive closure (recursive
       // CTE) over the same deterministic exact-jaccard edges as d08 —
       // cluster id = min id reachable in the component

@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Data-quality operators — the validation layer of a production
+  * pipeline (the reference's analog is its run-end reconciliation
+  * count, `ingestion-elasticsearch.py:298-308`, generalized here to
+  * column profiling, declarative constraint checks, and snapshot
+  * diffing).
+  */
+object DataQuality {
+
+  /** q51: column profiler — per-column row/null/distinct counts plus
+    * numeric min/max, computed in ONE pass over the table (a single
+    * aggregate emits every stat; the per-column rows are unpivoted from
+    * that one row afterwards). At 100 TB the one-pass shape matters:
+    * profiling N columns must not cost N scans.
+    */
+  def profileOrders(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val stats = o.agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("o_orderkey").isNull.cast("long")).as("nn_orderkey"),
+      countDistinct(col("o_orderkey")).as("nd_orderkey"),
+      min(col("o_orderkey")).cast("double").as("min_orderkey"),
+      max(col("o_orderkey")).cast("double").as("max_orderkey"),
+      sum(col("o_custkey").isNull.cast("long")).as("nn_custkey"),
+      countDistinct(col("o_custkey")).as("nd_custkey"),
+      min(col("o_custkey")).cast("double").as("min_custkey"),
+      max(col("o_custkey")).cast("double").as("max_custkey"),
+      sum(col("o_totalprice").isNull.cast("long")).as("nn_totalprice"),
+      countDistinct(col("o_totalprice")).as("nd_totalprice"),
+      min(col("o_totalprice")).cast("double").as("min_totalprice"),
+      max(col("o_totalprice")).cast("double").as("max_totalprice"),
+      sum(col("o_orderpriority").isNull.cast("long")).as("nn_orderpriority"),
+      countDistinct(col("o_orderpriority")).as("nd_orderpriority"))
+    stats.selectExpr(
+      """stack(4,
+        | 'o_orderkey',      n_rows, nn_orderkey,      nd_orderkey,      min_orderkey,   max_orderkey,
+        | 'o_custkey',       n_rows, nn_custkey,       nd_custkey,       min_custkey,    max_custkey,
+        | 'o_totalprice',    n_rows, nn_totalprice,    nd_totalprice,    min_totalprice, max_totalprice,
+        | 'o_orderpriority', n_rows, nn_orderpriority, nd_orderpriority, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+        |) AS (col_name, n_rows, n_nulls, n_distinct, min_num, max_num)""".stripMargin)
+      .orderBy(col("col_name"))
+  }
+
+  /** q52: declarative constraint checks — FK integrity, key uniqueness,
+    * range and not-null rules, each reported as a violation count. Each
+    * rule is its own aggregate/anti-join over the narrowest projection
+    * (keys only), so a rule pass costs a fraction of a table scan and
+    * the checks parallelize as independent jobs.
+    */
+  def constraintChecks(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    val fk = o.select(col("o_custkey"))
+      .join(broadcast(c.select(col("c_custkey"))),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .select(lit("orders_custkey_fk").as("rule"), col("n_violations"))
+    val uniq = o.groupBy(col("o_orderkey")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n_violations"))
+      .select(lit("orders_orderkey_unique").as("rule"), col("n_violations"))
+    val range = li.filter(col("l_quantity") <= 0.0 || col("l_quantity") > 50.0)
+      .agg(count(lit(1)).as("n_violations"))
+      .select(lit("lineitem_quantity_range").as("rule"), col("n_violations"))
+    val nn = c.filter(col("c_acctbal").isNull)
+      .agg(count(lit(1)).as("n_violations"))
+      .select(lit("customer_acctbal_notnull").as("rule"), col("n_violations"))
+    fk.unionByName(uniq).unionByName(range).unionByName(nn)
+      .orderBy(col("rule"))
+  }
+
+  /** q53: snapshot diff — derive a changelog between a table version
+    * and its successor (here: customer before/after the q47 MERGE) via
+    * one full outer join on the key: the CDC stream a downstream
+    * incremental consumer would ingest. Emits per-change-type counts;
+    * the same join, un-aggregated, is the row-level changelog.
+    */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val before = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("k_before"),
+        col("c_acctbal").cast(DecimalType(18, 2)).cast("double").as("v_before"))
+    val after = Relational.mergeUpsert(spark, dir)
+      .select(col("c_custkey").as("k_after"), col("acctbal").as("v_after"))
+    before.join(after, col("k_before") === col("k_after"), "full_outer")
+      .select(
+        when(col("k_before").isNull, "inserted")
+          .when(col("k_after").isNull, "deleted")
+          .when(col("v_before") =!= col("v_after"), "updated")
+          .otherwise("unchanged").as("change_type"))
+      .groupBy(col("change_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("change_type"))
+  }
+}

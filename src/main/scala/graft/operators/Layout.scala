@@ -152,6 +152,47 @@ object Layout {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** q49: small-file compaction — the maintenance pass every long-lived
+    * 100 TB table needs (streaming sinks and partitioned writes emit
+    * file counts proportional to [micro-batches × partitions], and scan
+    * task-planning cost is per-file). The fixture table is deliberately
+    * fragmented into 64 shards, then rewritten into a file count sized
+    * from the MEASURED bytes (≈128 MB targets at scale; floor 4 here).
+    * Compaction must be a pure layout change — the oracle (plain select
+    * from the original table) pins that not one row was lost or duped.
+    */
+  def compaction(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val frag = Scratch.dir(spark, "q49_frag", dir)
+    val comp = Scratch.dir(spark, "q49_comp", dir)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .repartition(64) // the small-files problem, manufactured
+      .write.parquet(frag.toString)
+    val targetBytes = 128L * 1024 * 1024
+    val totalBytes = withWalk(frag)(_.filter(p => p.toString.endsWith(".parquet"))
+      .map(java.nio.file.Files.size).sum)
+    val nFiles = math.max(4, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(frag.toString)
+      .coalesce(nFiles) // no shuffle: readers just concatenate shards
+      .write.parquet(comp.toString)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("lang", StringType), StructField("text", StringType)))
+    spark.read.schema(schema).parquet(comp.toString)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Walk a tree with the stream closed afterwards (it holds FDs). */
+  private def withWalk[A](p: java.nio.file.Path)(f: Seq[java.nio.file.Path] => A): A = {
+    val s = java.nio.file.Files.walk(p)
+    try f(s.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path]))
+    finally s.close()
+  }
+
+  /** Parquet data-file count under a directory (spec evidence). */
+  private[operators] def parquetFileCount(p: java.nio.file.Path): Int =
+    withWalk(p)(_.count(q => q.toString.endsWith(".parquet")))
+
   /** Interleave the low 16 bits of `a` and `b` into one 32-bit Z-value
     * (bit i of `a` → position 2i+1, bit i of `b` → position 2i).
     * Unrolled to a 32-term bitwise-OR chain — a single codegen'd

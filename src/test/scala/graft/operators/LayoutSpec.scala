@@ -73,6 +73,25 @@ class LayoutSpec extends SparkSpec {
     assert(df.count() == expected)
   }
 
+  test("q49 compaction shrinks the file count without touching a row") {
+    val out = Layout.compaction(spark, sf)
+    out.collect()
+    val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    def count(tag: String) = Layout.parquetFileCount(
+      tmp.resolve(s"graft_${tag}_${spark.sparkContext.applicationId}_${math.abs(sf.hashCode)}"))
+    assert(count("q49_frag") == 64, "manufactured fragmentation")
+    assert(count("q49_comp") <= 8, "compacted file count")
+    assert(out.count() == Tables.documents(spark, sf).count())
+  }
+
+  test("q50 term lookup is pushed into the posting-table scan") {
+    val df = TextAnalysis.invertedIndexQuery(spark, sf)
+    df.collect()
+    val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString)
+      .find(_.contains("PushedFilters")).getOrElse("")
+    assert(scan.contains("In(term") || scan.contains("EqualTo(term"), scan)
+  }
+
   test("date-partitioned layout prunes partitions at plan time") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString + "/events"
     Layout.writeDatePartitioned(Tables.events(spark, sf), "ts", dir)
