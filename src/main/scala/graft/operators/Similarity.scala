@@ -139,10 +139,42 @@ object Similarity {
       .limit(nCells)
       .collect()
       .map(r => r.getSeq[Float](1).toArray)
+    ivfTopKWithCentroids(corpus, queries, idCol, vecCol, k, sample, nProbe)
+  }
 
+  /** IVF with TRAINED centroids: Lloyd-iterated k-means (Spark MLlib —
+    * part of the Spark distribution, each iteration one map-side
+    * partial-sum pass + tiny driver update) instead of the sampled
+    * seeds of [[ivfTopK]]. Trained cells track the data distribution,
+    * so cell populations are balanced and probing nProbe cells recovers
+    * more true neighbors at the same cost — the index-BUILD/index-QUERY
+    * split every vector store at scale uses (train once on a sample,
+    * assign the full corpus with the frozen centroids).
+    */
+  def kmeansIvfTopK(corpus: DataFrame, queries: DataFrame,
+                    idCol: String, vecCol: String, k: Int,
+                    nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val train = corpus.select(array_to_vector(col(vecCol)).as("features"))
+    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("features").fit(train)
+    val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))
+    ivfTopKWithCentroids(corpus, queries, idCol, vecCol, k, centroids, nProbe)
+  }
+
+  /** Shared IVF cell-assign / multi-probe / exact-re-rank machinery —
+    * centroids arrive as plain arrays and ride into codegen as
+    * literals, so assignment stays a fused map-only expression whether
+    * the centroids were sampled or trained.
+    */
+  private def ivfTopKWithCentroids(corpus: DataFrame, queries: DataFrame,
+                                   idCol: String, vecCol: String, k: Int,
+                                   centroids: Array[Array[Float]],
+                                   nProbe: Int): DataFrame = {
     // one fused pass per row computes the similarity to EVERY centroid
     // (identical accumulation to cosineSim → identical assignments)
-    def centroidSims(v: Column): Column = VectorFns.centroidSimsCol(v, sample)
+    def centroidSims(v: Column): Column = VectorFns.centroidSimsCol(v, centroids)
 
     // corpus: argmax cell; queries: top-nProbe cells (multi-probe)
     val withSims = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
@@ -193,6 +225,11 @@ object Similarity {
   def knnIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+  }
+
+  def knnIvfKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    kmeansIvfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
   }
 
   def knnLsh(spark: SparkSession, dir: String): DataFrame = {

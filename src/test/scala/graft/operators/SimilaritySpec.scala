@@ -48,6 +48,15 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.4, s"recall=$recall")
   }
 
+  test("KMeans-trained IVF achieves >=40% top-5 recall vs brute force") {
+    val brute = Similarity.knnBruteForce(spark, sf)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.knnIvfKmeans(spark, sf)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall >= 0.4, s"recall=$recall")
+  }
+
   test("LSH candidates are a strict subset: no query returns itself, ranks dense") {
     val rows = Similarity.knnLsh(spark, sf)
       .select($"query_id", $"rank", $"neighbor_id").as[(Long, Long, Long)].collect()
