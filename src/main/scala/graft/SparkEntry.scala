@@ -68,6 +68,7 @@ object SparkEntry {
     // — curation: deterministic splits / balanced sampling (SURVEY §2.11) —
     "q41_deterministic_split" -> (graft.operators.Curation.deterministicSplit _),
     "q42_balanced_sample"   -> ((s: SparkSession, dir: String) => graft.operators.Curation.balancedSample(s, dir)),
+    "q54_weighted_mix"      -> ((s: SparkSession, dir: String) => graft.operators.Curation.weightedMix(s, dir)),
     // — physical layout: format round trip, partition pruning, bucketed
     //   co-located join, Z-order clustering —
     "q43_orc_roundtrip"     -> (graft.operators.Layout.orcRoundTrip _),
@@ -516,6 +517,15 @@ object SparkEntry {
           |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
           | FROM documents)
           |WHERE rn <= 50 ORDER BY lang, rn""".stripMargin,
+      // q54: two-char lowercase hex prefixes compare lexicographically
+      // == numerically, so the weight thresholds are string literals
+      // shared verbatim with the Spark side (en 256/256, fr 192/256,
+      // default 128/256)
+      "q54_weighted_mix" ->
+        """SELECT doc_id, lang FROM documents
+          |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+          |  CASE WHEN lang = 'en' THEN 'g' WHEN lang = 'fr' THEN 'c0' ELSE '80' END
+          |ORDER BY doc_id""".stripMargin,
       "d09_priority_dedup" ->
         s"""SELECT keeper_id, lang, n_copies FROM (
            | SELECT doc_id AS keeper_id, lang,

@@ -58,6 +58,33 @@ object Curation {
       .orderBy(col("lang"), col("rn"))
   }
 
+  /** q54: weighted corpus mixing — downsample each group to a target
+    * fraction (the "mixture weights" stage of training-data assembly:
+    * e.g. keep all English, half of everything else). The keep decision
+    * compares the doc's hash prefix against the group's weight
+    * threshold: map-only, no shuffle, and — like [[deterministicSplit]]
+    * — stable under corpus growth, so re-mixing an extended corpus
+    * never flips previously-kept documents. Weights are expressed in
+    * 256ths via the first hash byte (hex chars 1-2).
+    */
+  def weightedMix(spark: SparkSession, dir: String,
+                  weights256: Map[String, Int] = Map("en" -> 256, "fr" -> 192),
+                  default256: Int = 128): DataFrame = {
+    // two-char lowercase hex compares lexicographically == numerically,
+    // so the keep test is a pure string comparison that is literally
+    // identical in the oracle; w ≥ 256 = keep-all ("g" > every hex pair)
+    def hx(w: Int): String = if (w >= 256) "g" else f"$w%02x"
+    val byte0 = substring(idHash(col("doc_id")), 1, 2)
+    val threshold = weights256.toSeq.sortBy(_._1)
+      .foldLeft(lit(hx(default256))) { case (acc, (lang, w)) =>
+        when(col("lang") === lang, hx(w)).otherwise(acc)
+      }
+    Tables.documents(spark, dir)
+      .filter(byte0 < threshold)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
   /** d09: priority-source deduplication — when the same content arrives
     * from several sources, keep the copy from the most-trusted source
     * (here: lang as the source surrogate, en > fr > rest; ties broken

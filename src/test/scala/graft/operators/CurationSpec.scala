@@ -39,6 +39,22 @@ class CurationSpec extends SparkSpec {
     assert(s1.collect().toSeq == s2.collect().toSeq)
   }
 
+  test("weighted mix respects per-group rates and is growth-stable") {
+    val mixed = Curation.weightedMix(spark, sf)
+    val total = Tables.documents(spark, sf).groupBy($"lang").count()
+      .as[(String, Long)].collect().toMap
+    val kept = mixed.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    assert(kept("en") == total("en")) // weight 256 = keep all
+    // fr at 192/256 = 75%, default 128/256 = 50% — wide slack at ~60-70 docs
+    assert(kept("fr") > total("fr") / 2 && kept("fr") < total("fr"), (kept, total))
+    val others = total.keySet - "en" - "fr"
+    others.foreach { l =>
+      assert(kept(l) > total(l) / 4 && kept(l) < total(l) * 3 / 4, (l, kept(l), total(l)))
+    }
+    // keep decision is per-row: mixing again yields the identical set
+    assert(mixed.collect().toSeq == Curation.weightedMix(spark, sf).collect().toSeq)
+  }
+
   test("priority dedup keeps the highest-priority copy per content key") {
     // planted: same normalized content in three langs; en must win.
     // Distinct content per group via the index suffix.
