@@ -14,10 +14,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object DataQuality {
 
   /** q51: column profiler — per-column row/null/distinct counts plus
-    * numeric min/max, computed in ONE pass over the table (a single
-    * aggregate emits every stat; the per-column rows are unpivoted from
-    * that one row afterwards). At 100 TB the one-pass shape matters:
-    * profiling N columns must not cost N scans.
+    * numeric min/max from a single aggregate, unpivoted to per-column
+    * rows. One SCAN; note the shuffle caveat: multiple exact
+    * `countDistinct`s make Catalyst rewrite through an Expand that
+    * emits one projection per distinct column (~5× the row volume into
+    * the shuffle). Exact counts are kept here because the oracle gate
+    * hash-compares them; at 100 TB swap `approx_count_distinct` in
+    * (the q23 pattern) and the profile collapses back to a true
+    * single-projection partial aggregate.
     */
   def profileOrders(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
@@ -53,10 +57,15 @@ object DataQuality {
     * (keys only), so a rule pass costs a fraction of a table scan and
     * the checks parallelize as independent jobs.
     */
-  def constraintChecks(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(spark, dir)
-    val c = Tables.customer(spark, dir)
-    val li = Tables.lineitem(spark, dir)
+  def constraintChecks(spark: SparkSession, dir: String): DataFrame =
+    constraintChecksOn(Tables.orders(spark, dir),
+      Tables.customer(spark, dir), Tables.lineitem(spark, dir))
+
+  /** The rule expressions over arbitrary frames — the spec injects
+    * planted-dirt tables through THIS path, so the production rules
+    * themselves are what detect the violations.
+    */
+  def constraintChecksOn(o: DataFrame, c: DataFrame, li: DataFrame): DataFrame = {
     val fk = o.select(col("o_custkey"))
       .join(broadcast(c.select(col("c_custkey"))),
         col("o_custkey") === col("c_custkey"), "left_anti")

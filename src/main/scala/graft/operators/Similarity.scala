@@ -153,11 +153,18 @@ object Similarity {
     */
   def kmeansIvfTopK(corpus: DataFrame, queries: DataFrame,
                     idCol: String, vecCol: String, k: Int,
-                    nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
+                    nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L,
+                    trainFraction: Double = 0.25): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val train = corpus.select(array_to_vector(col(vecCol)).as("features"))
+    // train on a bounded sample (an index build must not Lloyd-iterate
+    // over the full 100 TB corpus), with the SAME metric the probe side
+    // uses — euclidean-trained cells are magnitude-skewed and would not
+    // be cosine-coherent
+    val train = corpus.sample(withReplacement = false, trainFraction, seed)
+      .select(array_to_vector(col(vecCol)).as("features"))
     val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10)
+      .setDistanceMeasure("cosine")
       .setFeaturesCol("features").fit(train)
     val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))
     ivfTopKWithCentroids(corpus, queries, idCol, vecCol, k, centroids, nProbe)

@@ -26,11 +26,17 @@ object Scratch {
     }, "graft-scratch-cleanup"))
   }
 
+  /** The scratch path for `tag` over `inputDir`, WITHOUT wiping it —
+    * for code (specs, file-count evidence) that inspects a dir some
+    * operator already populated.
+    */
+  def resolve(spark: SparkSession, tag: String, inputDir: String): Path =
+    Paths.get(System.getProperty("java.io.tmpdir")).resolve(
+      s"graft_${tag}_${spark.sparkContext.applicationId}_${math.abs(inputDir.hashCode)}")
+
   /** Resolve (and wipe) the scratch dir for `tag` over `inputDir`. */
   def dir(spark: SparkSession, tag: String, inputDir: String): Path = {
-    val tmp = Paths.get(System.getProperty("java.io.tmpdir"))
-    val p = tmp.resolve(
-      s"graft_${tag}_${spark.sparkContext.applicationId}_${math.abs(inputDir.hashCode)}")
+    val p = resolve(spark, tag, inputDir)
     rmTree(p)
     created.add(p)
     p

@@ -24,17 +24,19 @@ class DataQualitySpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(clean.size == 4 && clean.values.forall(_ == 0L), clean)
 
-    // planted dirty tables through the same rule expressions
+    // planted dirty tables flow through the PRODUCTION rule expressions
     val dirtyO = Seq((1L, 10L, "1-URGENT"), (1L, 11L, "2-HIGH"), (2L, 999L, "3-MEDIUM"))
       .toDF("o_orderkey", "o_custkey", "o_orderpriority")
     val dirtyC = Seq((10L, Some(1.0)), (11L, None: Option[Double]))
       .toDF("c_custkey", "c_acctbal")
-    val fkViol = dirtyO.join(broadcast(dirtyC.select($"c_custkey")),
-      $"o_custkey" === $"c_custkey", "left_anti").count()
-    assert(fkViol == 1) // custkey 999 is an orphan
-    val dupViol = dirtyO.groupBy($"o_orderkey").count().filter($"count" > 1).count()
-    assert(dupViol == 1) // orderkey 1 appears twice
-    assert(dirtyC.filter($"c_acctbal".isNull).count() == 1)
+    val dirtyLi = Seq((1L, 10.0), (1L, -3.0), (2L, 51.0))
+      .toDF("l_orderkey", "l_quantity")
+    val dirty = DataQuality.constraintChecksOn(dirtyO, dirtyC, dirtyLi)
+      .as[(String, Long)].collect().toMap
+    assert(dirty("orders_custkey_fk") == 1, dirty)        // custkey 999 orphan
+    assert(dirty("orders_orderkey_unique") == 2, dirty)   // orderkey 1 twice
+    assert(dirty("lineitem_quantity_range") == 2, dirty)  // -3 and 51
+    assert(dirty("customer_acctbal_notnull") == 1, dirty)
   }
 
   test("snapshot diff change types reconcile with the merge clauses") {

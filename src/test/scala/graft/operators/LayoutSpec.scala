@@ -76,9 +76,8 @@ class LayoutSpec extends SparkSpec {
   test("q49 compaction shrinks the file count without touching a row") {
     val out = Layout.compaction(spark, sf)
     out.collect()
-    val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
     def count(tag: String) = Layout.parquetFileCount(
-      tmp.resolve(s"graft_${tag}_${spark.sparkContext.applicationId}_${math.abs(sf.hashCode)}"))
+      graft.util.Scratch.resolve(spark, tag, sf))
     assert(count("q49_frag") == 64, "manufactured fragmentation")
     assert(count("q49_comp") <= 8, "compacted file count")
     assert(out.count() == Tables.documents(spark, sf).count())
