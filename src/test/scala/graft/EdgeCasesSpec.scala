@@ -54,6 +54,37 @@ class EdgeCasesSpec extends SparkSpec {
     assert(v.length == 8 && v.forall(_ == 0f))
   }
 
+  test("interleave16 uses only the low 16 bits of each input (explicit truncation)") {
+    val r = Seq((65536L + 3L, 0L), (3L, 0L), (-1L, 0L))
+      .toDF("a", "b")
+      .select(graft.operators.Layout.interleave16($"a", $"b").as("z"))
+      .as[Long].collect()
+    assert(r(0) == r(1), "bit 16+ must not leak into the z-value")
+    assert(r(2) == 0xAAAAAAAAL, "negative input truncates to its low 16 bits")
+  }
+
+  test("weighted mix extremes: weight 0 keeps nothing, 256 keeps everything") {
+    val docs = Seq((1L, "en"), (2L, "fr"), (3L, "zh")).toDF("doc_id", "lang")
+    val dir = graft.util.Scratch.dir(spark, "mix_edge_docs", "planted")
+    docs.withColumn("text", lit("x"))
+      .write.parquet(dir.resolve("documents.parquet").toString)
+    val kept = graft.operators.Curation
+      .weightedMix(spark, dir.toString, weights256 = Map("en" -> 256, "fr" -> 0),
+        default256 = 0)
+      .select($"lang").as[String].collect().toSeq
+    assert(kept == Seq("en"), kept)
+  }
+
+  test("repetition signals on an empty-text doc are defined (no NaN/div-zero)") {
+    val dir = graft.util.Scratch.dir(spark, "rep_edge_docs", "planted")
+    Seq((0L, "")).toDF("doc_id", "text")
+      .write.parquet(dir.resolve("documents.parquet").toString)
+    val r = graft.operators.TextAnalysis.repetitionSignals(spark, dir.toString)
+      .as[(Long, Long, Double, Double)].head()
+    assert(r._2 == 1L) // split("", " ") = [""] — one empty token
+    assert(!r._3.isNaN && !r._4.isNaN && r._3 == 0.0 && r._4 == 1.0)
+  }
+
   test("upsertById with all-null dates keeps exactly one deterministic row per id") {
     val df = Seq(("a", "x"), ("a", "y"), ("b", "z")).toDF("id", "payload")
       .withColumn("dateActualisation", lit(null).cast("timestamp"))
