@@ -82,6 +82,7 @@ object SparkEntry {
     "q50_inverted_index"    -> ((s: SparkSession, dir: String) => TextAnalysis.invertedIndexQuery(s, dir)),
     // — data quality: profiling, constraints, snapshot diff —
     "q51_profile_orders"    -> (graft.operators.DataQuality.profileOrders _),
+    "q55_bloom_join"        -> (Relational.bloomFilteredRevenue _),
     "q52_constraint_checks" -> (graft.operators.DataQuality.constraintChecks _),
     "q53_snapshot_diff"     -> (graft.operators.DataQuality.snapshotDiff _),
     "e03_cosine_pairs_exact" -> (Similarity.cosinePairsExact _),
@@ -659,6 +660,14 @@ object SparkEntry {
           |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
           | FROM orders)
           |ORDER BY col_name""".stripMargin,
+      // q55: the Bloom prefilter admits no false negatives and the
+      // exact join removes false positives — oracle = the plain join
+      "q55_bloom_join" ->
+        """SELECT s_name, count(*) AS n_items,
+          | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+          |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+          |WHERE s_nationkey < 5
+          |GROUP BY s_name ORDER BY s_name""".stripMargin,
       "q52_constraint_checks" ->
         """SELECT * FROM (
           | SELECT 'customer_acctbal_notnull' AS rule, count(*) AS n_violations

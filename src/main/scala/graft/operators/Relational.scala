@@ -502,6 +502,32 @@ object Relational {
       .orderBy(col("c_custkey"))
   }
 
+  /** q55: Bloom-prefiltered join — an explicit runtime join filter
+    * (what `spark.sql.optimizer.runtime.bloomFilter.enabled` injects
+    * automatically): build an 8 KiB Bloom filter over the FILTERED
+    * dim keys with one distributed aggregate, then drop non-matching
+    * fact rows MAP-SIDE (a codegen'd expression of two murmur3 hashes)
+    * before any join machinery runs. At 100 TB the fact rows that
+    * would be dropped by the join never reach the shuffle/broadcast
+    * probe at all. No false negatives + exact join after ⇒ result ≡
+    * plain join, which is exactly what the oracle checks.
+    */
+  def bloomFilteredRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Bloom
+    val dim = Tables.supplier(spark, dir).filter(col("s_nationkey") < 5)
+    val bits: Array[Long] = dim.select(col("s_suppkey")).as[Long]
+      .select(Bloom.bloomAgg.toColumn.name("bits"))
+      .head()
+    Tables.lineitem(spark, dir)
+      .filter(Bloom.mightContain(col("l_suppkey"), bits))
+      .join(broadcast(dim), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("revenue"))
+      .orderBy(col("s_name"))
+  }
+
   /** q48: SCD-type-2 history build — turn a change log (events per
     * user) into validity intervals: each row is valid from its own
     * timestamp until the next change for the same key (NULL = current).
