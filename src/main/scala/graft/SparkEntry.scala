@@ -78,11 +78,12 @@ object SparkEntry {
     // — warehouse maintenance: MERGE + SCD2 history —
     "q47_merge_upsert"      -> (Relational.mergeUpsert _),
     "q48_scd2_intervals"    -> (Relational.scd2Intervals _),
+    // — runtime join filtering —
+    "q55_bloom_join"        -> (Relational.bloomFilteredRevenue _),
     "q49_compaction"        -> (graft.operators.Layout.compaction _),
     "q50_inverted_index"    -> ((s: SparkSession, dir: String) => TextAnalysis.invertedIndexQuery(s, dir)),
     // — data quality: profiling, constraints, snapshot diff —
     "q51_profile_orders"    -> (graft.operators.DataQuality.profileOrders _),
-    "q55_bloom_join"        -> (Relational.bloomFilteredRevenue _),
     "q52_constraint_checks" -> (graft.operators.DataQuality.constraintChecks _),
     "q53_snapshot_diff"     -> (graft.operators.DataQuality.snapshotDiff _),
     "e03_cosine_pairs_exact" -> (Similarity.cosinePairsExact _),
@@ -615,6 +616,14 @@ object SparkEntry {
           | CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
           |FROM supplier
           |ORDER BY c_custkey""".stripMargin,
+      // q55: the Bloom prefilter admits no false negatives and the
+      // exact join removes false positives — oracle = the plain join
+      "q55_bloom_join" ->
+        """SELECT s_name, count(*) AS n_items,
+          | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+          |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+          |WHERE s_nationkey < 5
+          |GROUP BY s_name ORDER BY s_name""".stripMargin,
       // q48: epoch-micros interval bounds are integer-exact in both
       // engines (events ns timestamps are whole microseconds)
       "q48_scd2_intervals" ->
@@ -660,14 +669,6 @@ object SparkEntry {
           |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
           | FROM orders)
           |ORDER BY col_name""".stripMargin,
-      // q55: the Bloom prefilter admits no false negatives and the
-      // exact join removes false positives — oracle = the plain join
-      "q55_bloom_join" ->
-        """SELECT s_name, count(*) AS n_items,
-          | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-          |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-          |WHERE s_nationkey < 5
-          |GROUP BY s_name ORDER BY s_name""".stripMargin,
       "q52_constraint_checks" ->
         """SELECT * FROM (
           | SELECT 'customer_acctbal_notnull' AS rule, count(*) AS n_violations

@@ -41,45 +41,73 @@ object Bloom {
   private val Salt: Int = 0x9747b28c
 
   /** h1/h2 for double hashing, as Spark built-ins: murmur3 of the key
-    * alone and murmur3 of (key, salt). Matches the Scala-side build
-    * because both sides evaluate the same Murmur3Hash function —
-    * asserted bit-for-bit in BloomSpec.
+    * alone and murmur3 of (key, salt). The key is pinned to LongType
+    * before hashing — the build side always hashes longs, and murmur3
+    * of the same value at a different width (hashInt vs hashLong)
+    * yields different bits, which would be silent false negatives.
+    * Cross-side parity is asserted bit-for-bit in BloomSpec.
     */
-  private def h1(key: Column): Column = hash(key).cast("long")
-  private def h2(key: Column): Column = hash(key, lit(Salt)).cast("long")
+  private def h1(key: Column): Column = hash(key.cast("long")).cast("long")
+  private def h2(key: Column): Column = hash(key.cast("long"), lit(Salt)).cast("long")
 
   /** The i-th bit position: (h1 + i·h2) masked to [0, MBits). */
   private def pos(key: Column, i: Int): Column =
     (h1(key) + lit(i.toLong) * h2(key)).bitwiseAND(lit((MBits - 1).toLong))
 
+  /** Hash-once fact-side prefilter — the form the hot path should use:
+    * h1/h2 are projected ONCE per row and the 5 bit probes consume the
+    * projected values (FilterExec codegen does not CSE across the
+    * conjuncts of [[mightContain]], which re-derives both hashes per
+    * probe — 10 murmur3s per row instead of 2).
+    */
+  def prefilter(df: org.apache.spark.sql.DataFrame, keyCol: String,
+                bits: Array[Long]): org.apache.spark.sql.DataFrame = {
+    require(bits.length == words, s"expected $words words, got ${bits.length}")
+    val arr = lit(bits)
+    df.withColumn("__bloom_h1", h1(col(keyCol)))
+      .withColumn("__bloom_h2", h2(col(keyCol)))
+      .filter((0 until KHashes).map { i =>
+        val p = (col("__bloom_h1") + lit(i.toLong) * col("__bloom_h2"))
+          .bitwiseAND(lit((MBits - 1).toLong))
+        testBit(arr, p)
+      }.reduce(_ && _))
+      .drop("__bloom_h1", "__bloom_h2")
+  }
+
   /** Probe expression over a DRIVER-BUILT bitset literal (the filter is
     * a few KB — it rides into the plan like a broadcast variable, and
-    * `element_at` on an array literal is codegen'd).
+    * `element_at` on an array literal is codegen'd). Unit/spec form:
+    * prefer [[prefilter]] on hot paths (hashes once per row).
     */
   def mightContain(key: Column, bits: Array[Long]): Column = {
     require(bits.length == words, s"expected $words words, got ${bits.length}")
-    import org.apache.spark.sql.classic.GraftColumnBridge.{column, expression}
-    // variable-distance shift: the public `shiftleft` only accepts a
-    // literal Int distance, but the Catalyst expression takes any
-    // expression — bridge it (same shim the custom kernels use)
-    def shiftL(base: Column, dist: Column): Column = column(
-      org.apache.spark.sql.catalyst.expressions.ShiftLeft(
-        expression(base), expression(dist)))
     val arr = lit(bits)
-    (0 until KHashes).map { i =>
-      val p = pos(key, i)
-      val word = element_at(arr, (shiftright(p, 6) + 1).cast("int"))
-      val mask = shiftL(lit(1L), p.bitwiseAND(63L).cast("int"))
-      word.bitwiseAND(mask) =!= 0L
-    }.reduce(_ && _)
+    (0 until KHashes).map(i => testBit(arr, pos(key, i))).reduce(_ && _)
+  }
+
+  /** Is bit `p` set in the literal bitset? `element_at` on the array
+    * literal + a bridged variable-distance ShiftLeft (the public
+    * `shiftleft` only accepts a literal Int distance; the Catalyst
+    * expression takes any expression — same shim the custom kernels
+    * use).
+    */
+  private def testBit(arr: Column, p: Column): Column = {
+    import org.apache.spark.sql.classic.GraftColumnBridge.{column, expression}
+    val word = element_at(arr, (shiftright(p, 6) + 1).cast("int"))
+    val mask = column(org.apache.spark.sql.catalyst.expressions.ShiftLeft(
+      expression(lit(1L)), expression(p.bitwiseAND(63L).cast("int"))))
+    word.bitwiseAND(mask) =!= 0L
   }
 
   /** Scala-side bit positions for one key — MUST match [[pos]]. Spark's
-    * `hash(c1, c2)` folds Murmur3 over the children (the untruncated
-    * long accumulator seeds the next child; the expression output is
-    * the final value truncated to int). We call Catalyst's own
-    * `Murmur3HashFunction` with that exact fold — no re-implementation
-    * to drift. Equality with the Column path is asserted in BloomSpec.
+    * `hash(c1, c2)` folds Murmur3 over the children; the inter-child
+    * accumulator is effectively the SIGN-EXTENDED INT result
+    * (`Murmur3HashFunction.hash` truncates its seed argument to Int
+    * internally), and the expression output is the final value as Int.
+    * We call Catalyst's own `Murmur3HashFunction` with the same fold —
+    * no re-implementation to drift; anyone swapping the hash family
+    * must preserve the Int-accumulator semantics or the Column path
+    * diverges (BloomSpec's parity test catches it).
     */
   private[functions] def positions(key: Long): Seq[Int] = {
     import org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction

@@ -519,8 +519,7 @@ object Relational {
     val bits: Array[Long] = dim.select(col("s_suppkey")).as[Long]
       .select(Bloom.bloomAgg.toColumn.name("bits"))
       .head()
-    Tables.lineitem(spark, dir)
-      .filter(Bloom.mightContain(col("l_suppkey"), bits))
+    Bloom.prefilter(Tables.lineitem(spark, dir), "l_suppkey", bits)
       .join(broadcast(dim), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_name"))
       .agg(count(lit(1)).as("n_items"),
