@@ -55,23 +55,40 @@ object Bloom {
     (h1(key) + lit(i.toLong) * h2(key)).bitwiseAND(lit((MBits - 1).toLong))
 
   /** Hash-once fact-side prefilter — the form the hot path should use:
-    * h1/h2 are projected ONCE per row and the 5 bit probes consume the
-    * projected values (FilterExec codegen does not CSE across the
-    * conjuncts of [[mightContain]], which re-derives both hashes per
-    * probe — 10 murmur3s per row instead of 2).
+    * one fused [[BloomContains]] expression per row (both murmur3s
+    * computed once, bitset held once as a codegen reference object).
+    * The composed [[mightContain]] formulation re-derives both hashes
+    * per probe — 10 murmur3s per row instead of 2 — and repeats the
+    * 8 KiB bitset literal per conjunct in the plan (FilterExec does
+    * not CSE across split conjuncts, and CollapseProject inlines any
+    * pre-projected hash columns right back into the filter).
     */
   def prefilter(df: org.apache.spark.sql.DataFrame, keyCol: String,
-                bits: Array[Long]): org.apache.spark.sql.DataFrame = {
+                bits: Array[Long]): org.apache.spark.sql.DataFrame =
+    df.filter(containsCol(col(keyCol), bits))
+
+  /** The fused probe as a Column. */
+  def containsCol(key: Column, bits: Array[Long]): Column = {
     require(bits.length == words, s"expected $words words, got ${bits.length}")
-    val arr = lit(bits)
-    df.withColumn("__bloom_h1", h1(col(keyCol)))
-      .withColumn("__bloom_h2", h2(col(keyCol)))
-      .filter((0 until KHashes).map { i =>
-        val p = (col("__bloom_h1") + lit(i.toLong) * col("__bloom_h2"))
-          .bitwiseAND(lit((MBits - 1).toLong))
-        testBit(arr, p)
-      }.reduce(_ && _))
-      .drop("__bloom_h1", "__bloom_h2")
+    import org.apache.spark.sql.classic.GraftColumnBridge
+    GraftColumnBridge.column(BloomContains(
+      GraftColumnBridge.expression(key.cast("long")), bits.toSeq))
+  }
+
+  /** Row-level probe kernel shared by interpreted eval and codegen —
+    * both hashes computed exactly once.
+    */
+  def contains(key: Long, bits: Array[Long]): Boolean = {
+    import org.apache.spark.unsafe.hash.Murmur3_x86_32
+    val m1 = Murmur3_x86_32.hashLong(key, 42)
+    val m2 = Murmur3_x86_32.hashInt(Salt, m1)
+    var i = 0
+    while (i < KHashes) {
+      val p = ((m1.toLong + i.toLong * m2.toLong) & (MBits - 1)).toInt
+      if ((bits(p >> 6) & (1L << (p & 63))) == 0L) return false
+      i += 1
+    }
+    true
   }
 
   /** Probe expression over a DRIVER-BUILT bitset literal (the filter is
@@ -101,21 +118,18 @@ object Bloom {
 
   /** Scala-side bit positions for one key — MUST match [[pos]]. Spark's
     * `hash(c1, c2)` folds Murmur3 over the children; the inter-child
-    * accumulator is effectively the SIGN-EXTENDED INT result
-    * (`Murmur3HashFunction.hash` truncates its seed argument to Int
-    * internally), and the expression output is the final value as Int.
-    * We call Catalyst's own `Murmur3HashFunction` with the same fold —
-    * no re-implementation to drift; anyone swapping the hash family
-    * must preserve the Int-accumulator semantics or the Column path
-    * diverges (BloomSpec's parity test catches it).
+    * accumulator is the INT hash result (`Murmur3HashFunction.hash`
+    * truncates its seed argument to Int internally), so the fold is
+    * exactly `hashInt(Salt, hashLong(key, 42))` — the same direct
+    * `Murmur3_x86_32` calls Catalyst compiles to. Anyone swapping the
+    * hash family must preserve the Int-accumulator semantics or the
+    * Column path diverges (BloomSpec's parity test catches it).
     */
   private[functions] def positions(key: Long): Seq[Int] = {
-    import org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
-    import org.apache.spark.sql.types.{IntegerType, LongType}
-    val acc = Murmur3HashFunction.hash(key, LongType, 42L)
-    val m1 = acc.toInt.toLong
-    val m2 = Murmur3HashFunction.hash(Salt, IntegerType, acc).toInt.toLong
-    (0 until KHashes).map(i => ((m1 + i * m2) & (MBits - 1)).toInt)
+    import org.apache.spark.unsafe.hash.Murmur3_x86_32
+    val m1 = Murmur3_x86_32.hashLong(key, 42)
+    val m2 = Murmur3_x86_32.hashInt(Salt, m1)
+    (0 until KHashes).map(i => ((m1.toLong + i.toLong * m2.toLong) & (MBits - 1)).toInt)
   }
 
   final case class BloomBuf(bits: Array[Long])
@@ -143,4 +157,30 @@ object Bloom {
   }
 
   def bloomAgg = new BloomAgg
+
+  /** Fused probe expression: both murmur3s once per row, the bitset
+    * held once as a codegen reference object (never inlined into the
+    * plan text five times like the composed-conjunct form). Same
+    * codegen pattern as the other custom kernels
+    * (`VectorFns.CentroidCosines`).
+    */
+  case class BloomContains(child: org.apache.spark.sql.catalyst.expressions.Expression,
+                           bits: Seq[Long])
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    import org.apache.spark.sql.catalyst.expressions.Expression
+    import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+    override def dataType: org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.BooleanType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "bloom_contains"
+    @transient private lazy val bitsArr: Array[Long] = bits.toArray
+    override def nullSafeEval(input: Any): Any =
+      contains(input.asInstanceOf[Long], bitsArr)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bloomBits", bitsArr, "long[]")
+      defineCodeGen(ctx, ev, c => s"graft.functions.Bloom.contains($c, $ref)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
 }

@@ -23,6 +23,17 @@ class BloomSpec extends SparkSpec {
     }
   }
 
+  test("fused BloomContains agrees with the composed built-in formulation") {
+    val inserted = (0L until 2000L).map(_ * 7919L)
+    val bits = buildBits(inserted)
+    val probes = (-5000L to 5000L).toDF("k")
+    val disagree = probes
+      .select($"k", Bloom.containsCol($"k", bits).as("fused"),
+        Bloom.mightContain($"k", bits).as("composed"))
+      .filter($"fused" =!= $"composed").count()
+    assert(disagree == 0)
+  }
+
   test("no false negatives over the aggregated build") {
     val keys = (0L until 5000L).map(_ * 7919L)
     val bits = buildBits(keys)
