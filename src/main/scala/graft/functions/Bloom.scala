@@ -95,11 +95,16 @@ object Bloom {
     * a few KB — it rides into the plan like a broadcast variable, and
     * `element_at` on an array literal is codegen'd). Unit/spec form:
     * prefer [[prefilter]] on hot paths (hashes once per row).
+    * NULL keys are rejected outright (`isNotNull` guard) so the
+    * composed and fused forms agree: a NULL key can never match an
+    * equi-join anyway, and Spark's `hash(NULL)` would otherwise map
+    * every null to one arbitrary bucket.
     */
   def mightContain(key: Column, bits: Array[Long]): Column = {
     require(bits.length == words, s"expected $words words, got ${bits.length}")
     val arr = lit(bits)
-    (0 until KHashes).map(i => testBit(arr, pos(key, i))).reduce(_ && _)
+    (Seq(key.isNotNull) ++
+      (0 until KHashes).map(i => testBit(arr, pos(key, i)))).reduce(_ && _)
   }
 
   /** Is bit `p` set in the literal bitset? `element_at` on the array
@@ -159,9 +164,13 @@ object Bloom {
   def bloomAgg = new BloomAgg
 
   /** Fused probe expression: both murmur3s once per row, the bitset
-    * held once as a codegen reference object (never inlined into the
-    * plan text five times like the composed-conjunct form). Same
-    * codegen pattern as the other custom kernels
+    * evaluated through one codegen reference object instead of one
+    * array-literal copy PER CONJUNCT like the composed form (tree
+    * equality/canonicalization still compares the words — semantic
+    * equality requires it — and the rendered plan text is truncated to
+    * a digest via [[toString]]). `nullIntolerant` ⇒ NULL key → NULL →
+    * filter drops the row, agreeing with [[mightContain]]'s isNotNull
+    * guard. Same codegen pattern as the other custom kernels
     * (`VectorFns.CentroidCosines`).
     */
   case class BloomContains(child: org.apache.spark.sql.catalyst.expressions.Expression,
@@ -171,6 +180,11 @@ object Bloom {
     import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
     override def dataType: org.apache.spark.sql.types.DataType =
       org.apache.spark.sql.types.BooleanType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType == org.apache.spark.sql.types.LongType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"bloom_contains needs a BIGINT key (the build side hashes longs), got ${child.dataType}")
     override def nullIntolerant: Boolean = true
     override def prettyName: String = "bloom_contains"
     @transient private lazy val bitsArr: Array[Long] = bits.toArray
@@ -180,6 +194,8 @@ object Bloom {
       val ref = ctx.addReferenceObj("bloomBits", bitsArr, "long[]")
       defineCodeGen(ctx, ev, c => s"graft.functions.Bloom.contains($c, $ref)")
     }
+    override def toString: String =
+      s"bloom_contains($child, <$MBits-bit filter, ${bits.count(_ != 0L)} words set>)"
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
   }

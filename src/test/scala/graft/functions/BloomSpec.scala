@@ -34,6 +34,13 @@ class BloomSpec extends SparkSpec {
     assert(disagree == 0)
   }
 
+  test("null keys are dropped by both the fused and composed prefilter forms") {
+    val bits = buildBits(Seq(1L, 2L, 3L))
+    val df = Seq[Option[Long]](Some(1L), None, Some(2L)).toDF("k")
+    assert(df.filter(Bloom.containsCol($"k", bits)).count() == 2)
+    assert(df.filter(Bloom.mightContain($"k", bits)).count() == 2)
+  }
+
   test("no false negatives over the aggregated build") {
     val keys = (0L until 5000L).map(_ * 7919L)
     val bits = buildBits(keys)
