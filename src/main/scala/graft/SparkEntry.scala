@@ -75,6 +75,7 @@ object SparkEntry {
     "q44_partitioned_prune" -> (graft.operators.Layout.partitionedPrune _),
     "q45_bucketed_join"     -> (graft.operators.Layout.bucketedJoin _),
     "q46_zorder_scan"       -> (graft.operators.Layout.zOrderScan _),
+    "q56_partition_overwrite" -> (graft.operators.Layout.partitionOverwrite _),
     // — warehouse maintenance: MERGE + SCD2 history —
     "q47_merge_upsert"      -> (Relational.mergeUpsert _),
     "q48_scd2_intervals"    -> (Relational.scd2Intervals _),
@@ -102,6 +103,7 @@ object SparkEntry {
     "t12_heavy_hitters_exact" -> ((s: SparkSession, dir: String) => TextAnalysis.heavyHittersExact(s, dir)),
     "t13_pii_redaction"      -> (TextAnalysis.piiRedaction _),
     "t14_repetition"         -> (TextAnalysis.repetitionSignals _),
+    "t15_collocations"       -> ((s: SparkSession, dir: String) => TextAnalysis.collocations(s, dir)),
     // — dedup (SURVEY §2.11) —
     "d01_exact_dedup"        -> (Dedup.exactDedup _),
     "d02_fingerprint_dedup"  -> (Dedup.fingerprintDedup _),
@@ -584,6 +586,37 @@ object SparkEntry {
           |    t -> len(list_filter(toks, x -> x = t)))) AS top_tok
           | FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
           |ORDER BY doc_id""".stripMargin,
+      // t15: rational PMI core (no log — monotone, ranking unchanged);
+      // identical left-assoc double arithmetic on both engines. The
+      // DuckDB side groups string bigrams "a b" (tokens contain no
+      // spaces) and splits back — bijective with the struct grouping.
+      "t15_collocations" ->
+        s"""WITH tk AS (SELECT list_filter(${toks("text")}, t -> length(t) > 0) AS tk FROM documents),
+           |uni AS (SELECT tok, count(*) AS n_tok
+           |  FROM (SELECT unnest(tk) AS tok FROM tk) GROUP BY tok),
+           |tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS n_uni_total FROM uni),
+           |bi AS (SELECT bg, count(*) AS n_ab FROM (
+           |   SELECT unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1])) AS bg
+           |   FROM tk WHERE len(tk) >= 2)
+           |  GROUP BY bg HAVING count(*) >= 5),
+           |btot AS (SELECT CAST(sum(n_ab) AS BIGINT) AS n_bi_total FROM bi)
+           |SELECT a, b, n_ab, assoc FROM (
+           | SELECT string_split(bg, ' ')[1] AS a, string_split(bg, ' ')[2] AS b, n_ab,
+           |  (CAST(n_ab AS DOUBLE) * CAST(n_uni_total AS DOUBLE) * CAST(n_uni_total AS DOUBLE))
+           |   / (CAST(n_bi_total AS DOUBLE) * CAST(ua.n_tok AS DOUBLE) * CAST(ub.n_tok AS DOUBLE)) AS assoc
+           | FROM bi CROSS JOIN tot CROSS JOIN btot
+           |  JOIN uni ua ON string_split(bg, ' ')[1] = ua.tok
+           |  JOIN uni ub ON string_split(bg, ' ')[2] = ub.tok)
+           |ORDER BY assoc DESC, a, b LIMIT 25""".stripMargin,
+      // q56: dynamic partition overwrite must change exactly the
+      // rewritten slice — oracle = the CASE projection over the
+      // original table
+      "q56_partition_overwrite" ->
+        """SELECT o_orderkey,
+          | CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice * 2
+          |  ELSE o_totalprice END AS o_totalprice,
+          | o_orderpriority
+          |FROM orders ORDER BY o_orderkey""".stripMargin,
       // layout family: the physical layout must be invisible in the
       // result — every oracle is the plain query over the original table
       "q43_orc_roundtrip" ->

@@ -182,6 +182,37 @@ object Layout {
       .orderBy(col("doc_id"))
   }
 
+  /** q56: dynamic partition overwrite — reprocess ONE slice of a
+    * partitioned table in place (the incremental-pipeline fix-up: a
+    * late-data or bug-fix rerun rewrites only the affected partition).
+    * Under `partitionOverwriteMode=dynamic` the overwrite deletes only
+    * the partitions present in the incoming frame; sibling partitions'
+    * files are untouched (asserted in LayoutSpec by mtime). The oracle
+    * is the equivalent CASE projection over the original table, so the
+    * gate pins that exactly the urgent slice changed and no row was
+    * lost across the rewrite.
+    */
+  def partitionOverwrite(spark: SparkSession, dir: String): DataFrame = {
+    val out = Scratch.dir(spark, "q56_dynpart", dir).toString
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    orders.write.partitionBy("o_orderpriority").parquet(out)
+    // the reprocessed slice: urgent orders, price doubled (×2 is exact
+    // on doubles — no decimal detour needed)
+    val fixed = orders.filter(col("o_orderpriority") === "1-URGENT")
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try fixed.write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    spark.read.parquet(out)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Walk a tree with the stream closed afterwards (it holds FDs). */
   private def withWalk[A](p: java.nio.file.Path)(f: Seq[java.nio.file.Path] => A): A = {
     val s = java.nio.file.Files.walk(p)

@@ -312,6 +312,43 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** t15: collocation mining — corpus-level bigram association scores
+    * (the phrase-detection stage of a tokenizer/corpus pipeline). The
+    * score is the RATIONAL pointwise-mutual-information core
+    * `P(ab)/(P(a)P(b)) = n_ab·N_uni² / (N_bi·n_a·n_b)` with no
+    * logarithm, so every arithmetic step is integer-derived and the
+    * doubles are bit-identical across engines (the log is monotone —
+    * ranking is unchanged). Two explode→count aggregates + two
+    * broadcast joins of tiny count tables onto the bigram counts;
+    * min-count 5 prunes the long tail before the joins.
+    */
+  def collocations(spark: SparkSession, dir: String, minCount: Long = 5L): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(tokens(normalizeText(col("text"))).as("toks"))
+      .select(expr("filter(toks, t -> length(t) > 0)").as("toks"))
+    val uni = toks.select(explode(col("toks")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n_tok"))
+    val bi = toks
+      .select(when(size(col("toks")) >= 2,
+        expr("transform(sequence(1, size(toks) - 1), i -> struct(element_at(toks, i) AS a, element_at(toks, i + 1) AS b))"))
+        .otherwise(expr("array()")).as("bgs"))
+      .select(explode(col("bgs")).as("bg"))
+      .select(col("bg.a").as("a"), col("bg.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    val nUni = uni.agg(sum(col("n_tok")).as("n_uni_total"))
+    val nBi = bi.agg(sum(col("n_ab")).as("n_bi_total"))
+    bi.join(broadcast(uni.select(col("tok").as("a"), col("n_tok").as("n_a"))), Seq("a"))
+      .join(broadcast(uni.select(col("tok").as("b"), col("n_tok").as("n_b"))), Seq("b"))
+      .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
+      .withColumn("assoc",
+        (col("n_ab").cast("double") * col("n_uni_total").cast("double") * col("n_uni_total").cast("double"))
+          / (col("n_bi_total").cast("double") * col("n_a").cast("double") * col("n_b").cast("double")))
+      .select(col("a"), col("b"), col("n_ab"), col("assoc"))
+      .orderBy(col("assoc").desc, col("a"), col("b"))
+      .limit(25)
+  }
+
   /** t14: repetition signals — the Gopher-style quality heuristics for
     * machine-generated/boilerplate text: the fraction of duplicate word
     * bigrams and the frequency share of the single most-common token.

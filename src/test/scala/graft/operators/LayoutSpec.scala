@@ -91,6 +91,29 @@ class LayoutSpec extends SparkSpec {
     assert(scan.contains("In(term") || scan.contains("EqualTo(term"), scan)
   }
 
+  test("q56 dynamic overwrite rewrites only the targeted partition's files") {
+    val out = Layout.partitionOverwrite(spark, sf)
+    out.collect()
+    val base = graft.util.Scratch.resolve(spark, "q56_dynpart", sf)
+    // the non-urgent partitions' data files must be the ORIGINAL ones:
+    // the second (dynamic-overwrite) write only touched 1-URGENT
+    def files(p: String) = {
+      val d = base.resolve(s"o_orderpriority=$p")
+      val s = java.nio.file.Files.list(d)
+      try s.toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.toString.endsWith(".parquet")).map(java.nio.file.Files.getLastModifiedTime(_))
+      finally s.close()
+    }
+    val urgent = files("1-URGENT").map(_.toMillis).min
+    val sibling = files("3-MEDIUM").map(_.toMillis).max
+    assert(sibling < urgent,
+      s"sibling partition rewritten: sibling=$sibling urgent=$urgent")
+    // content: urgent doubled, others untouched
+    val changed = out.filter($"o_orderpriority" === "1-URGENT").count()
+    val expect = Tables.orders(spark, sf).filter($"o_orderpriority" === "1-URGENT").count()
+    assert(changed == expect && out.count() == Tables.orders(spark, sf).count())
+  }
+
   test("date-partitioned layout prunes partitions at plan time") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString + "/events"
     Layout.writeDatePartitioned(Tables.events(spark, sf), "ts", dir)

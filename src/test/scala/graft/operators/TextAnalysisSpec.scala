@@ -113,6 +113,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(residual == 0, s"$residual rows still match a PII pattern after redaction")
   }
 
+  test("collocations rank a planted phrase above independent co-occurrence") {
+    // "alpha beta" always adjacent (perfect collocation); "gamma" and
+    // "delta" both frequent but never adjacent; filler varies
+    val docs = (0 until 40).map { i =>
+      (i.toLong, s"alpha beta gamma filler$i delta end$i gamma delta start$i")
+    }.toDF("doc_id", "text")
+    val dir = graft.util.Scratch.dir(spark, "colloc_docs", "planted").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    val top = graft.operators.TextAnalysis.collocations(spark, dir, minCount = 5)
+      .select($"a", $"b", $"assoc").as[(String, String, Double)].collect()
+    assert(top.nonEmpty)
+    val byPair = top.map(t => (t._1, t._2) -> t._3).toMap
+    assert(byPair.contains(("alpha", "beta")))
+    // the always-adjacent pair outranks the merely-frequent pair
+    byPair.get(("gamma", "delta")).foreach { gd =>
+      assert(byPair(("alpha", "beta")) > gd, byPair)
+    }
+    assert(top.forall(_._3 > 0))
+  }
+
   test("repetition signals: hand-computed example + bounds on the fixture") {
     val planted = Seq(
       (0L, "a b a b a b"),        // bigrams: ab ba ab ba ab → 5 total, 2 distinct
