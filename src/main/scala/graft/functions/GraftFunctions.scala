@@ -8,52 +8,60 @@ import org.apache.spark.sql.classic.GraftColumnBridge
   * `dot_f32`, `cosine_f32`, `simhash64`, `minhash_sig`, `minhash_word_sig`
   * and `sorted_jaccard` — the full extension surface is reachable from
   * `spark.sql(...)`, not only the Column API.
+  *
+  * The same builder list backs [[graft.GraftExtensions]], the
+  * `spark.sql.extensions`-loadable entry point — a user needs no code
+  * at all to get the functions, only the config.
   */
 object GraftFunctions {
-  def registerAll(spark: SparkSession): Unit = {
-    GraftColumnBridge.registerFunction(spark, "dot_f32",
-      es => VectorFns.DotProductF32(es(0), es(1)))
-    GraftColumnBridge.registerFunction(spark, "cosine_f32",
-      es => VectorFns.CosineSimF32(es(0), es(1)))
-    GraftColumnBridge.registerFunction(spark, "simhash64",
-      es => HashFns.SimHash64(es.head))
-    GraftColumnBridge.registerFunction(spark, "sorted_jaccard",
-      es => HashFns.SortedJaccard(es(0), es(1)))
-    GraftColumnBridge.registerFunction(spark, "minhash_sig", {
-      case Seq(c, n, k) =>
-        HashFns.MinHashShingleSig(c, lit(n), lit(k))
+  type Builder =
+    Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+      org.apache.spark.sql.catalyst.expressions.Expression
+
+  /** Every custom SQL function, name → expression builder. */
+  val builders: Seq[(String, Builder)] = Seq(
+    "dot_f32" -> (es => VectorFns.DotProductF32(es(0), es(1))),
+    "cosine_f32" -> (es => VectorFns.CosineSimF32(es(0), es(1))),
+    "simhash64" -> (es => HashFns.SimHash64(es.head)),
+    "sorted_jaccard" -> (es => HashFns.SortedJaccard(es(0), es(1))),
+    "minhash_sig" -> {
+      case Seq(c, n, k) => HashFns.MinHashShingleSig(c, lit(n), lit(k))
       case es => throw new IllegalArgumentException(
         s"minhash_sig(text, shingleLen, numHashes), got ${es.size} args")
-    })
-    GraftColumnBridge.registerFunction(spark, "minhash_word_sig", {
-      case Seq(c, n, k) =>
-        HashFns.MinHashWordSig(c, lit(n), lit(k))
+    },
+    "minhash_word_sig" -> {
+      case Seq(c, n, k) => HashFns.MinHashWordSig(c, lit(n), lit(k))
       case es => throw new IllegalArgumentException(
         s"minhash_word_sig(tokens, n, numHashes), got ${es.size} args")
-    })
+    },
     // — round-2 fused kernels —
-    GraftColumnBridge.registerFunction(spark, "normalize_text", {
+    "normalize_text" -> {
       case Seq(c) => TextFns.NormalizeRest(
         org.apache.spark.sql.catalyst.expressions.Lower(c))
       case es => throw new IllegalArgumentException(
         s"normalize_text(text), got ${es.size} args")
-    })
-    GraftColumnBridge.registerFunction(spark, "sorted_shingles", {
+    },
+    "sorted_shingles" -> {
       case Seq(c, n) => HashFns.SortedCharShingles(c, lit(n))
       case es => throw new IllegalArgumentException(
         s"sorted_shingles(text, n), got ${es.size} args")
-    })
-    GraftColumnBridge.registerFunction(spark, "winnow_fps", {
+    },
+    "winnow_fps" -> {
       case Seq(c, k, w) => HashFns.Winnow(c, lit(k), lit(w))
       case es => throw new IllegalArgumentException(
         s"winnow_fps(text, k, w), got ${es.size} args")
-    })
-    GraftColumnBridge.registerFunction(spark, "hashing_tf", {
+    },
+    "hashing_tf" -> {
       case Seq(c, d) => HashFns.HashingTfVec(c, lit(d))
       case es => throw new IllegalArgumentException(
         s"hashing_tf(tokens, dim), got ${es.size} args")
-    })
-  }
+    },
+  )
+
+  def registerAll(spark: SparkSession): Unit =
+    builders.foreach { case (name, b) =>
+      GraftColumnBridge.registerFunction(spark, name, b)
+    }
 
   private def lit(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
     e match {
