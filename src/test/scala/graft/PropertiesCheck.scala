@@ -133,4 +133,36 @@ object PropertiesCheck extends Properties("graft") {
       plan.totalPlanned + overflowTotal == regionCounts.sum
     }
   }
+
+  // — Bloom filter (via the PRODUCTION Aggregator reduce/merge path) —
+  private val keysGen = Gen.listOf(Gen.chooseNum(Long.MinValue, Long.MaxValue))
+  private def bloomBuild(keys: Seq[Long]): Array[Long] = {
+    val agg = graft.functions.Bloom.bloomAgg
+    agg.finish(keys.foldLeft(agg.zero)((b, k) => agg.reduce(b, k)))
+  }
+
+  property("bloom admits no false negatives for any inserted key set") =
+    Prop.forAll(keysGen) { keys =>
+      val bits = bloomBuild(keys)
+      keys.forall(graft.functions.Bloom.contains(_, bits))
+    }
+
+  // — the OR-merge of the distributed build preserves both sides'
+  //   keys (mergeable-summary invariant) —
+  property("bloom merge preserves every key from both partitions") =
+    Prop.forAll(keysGen, keysGen) { (ka, kb) =>
+      val agg = graft.functions.Bloom.bloomAgg
+      val merged = agg.finish(agg.merge(
+        ka.foldLeft(agg.zero)((b, k) => agg.reduce(b, k)),
+        kb.foldLeft(agg.zero)((b, k) => agg.reduce(b, k))))
+      (ka ++ kb).forall(graft.functions.Bloom.contains(_, merged))
+    }
+
+  // — probe is deterministic —
+  property("bloom contains is deterministic per (key, bitset)") =
+    Prop.forAll(keysGen, Gen.chooseNum(Long.MinValue, Long.MaxValue)) { (keys, probe) =>
+      val bits = bloomBuild(keys)
+      graft.functions.Bloom.contains(probe, bits) ==
+        graft.functions.Bloom.contains(probe, bits)
+    }
 }
