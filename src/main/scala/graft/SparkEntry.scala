@@ -124,6 +124,7 @@ object SparkEntry {
     "e02_knn_lsh"            -> (Similarity.knnLsh _),
     "e04_knn_ivf"            -> (Similarity.knnIvf _),
     "e06_knn_ivf_kmeans"     -> (Similarity.knnIvfKmeans _),
+    "e07_knn_pq"             -> (Similarity.knnPq _),
     "e05_cosine_range"       -> (Similarity.knnRange _),
     // — event-time / streaming-unified (SURVEY §2.9) —
     "s01_hourly_type_counts" -> (Streams.hourlyTypeCountsBatch _),

@@ -1,0 +1,176 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.classic.GraftColumnBridge
+import org.apache.spark.sql.types._
+
+/** Product quantization — the vector-compression path of ANN at scale:
+  * a D-dim float vector (D·4 bytes) becomes `m` small codebook indices
+  * (m bytes at k ≤ 256), a 32× memory/scan reduction at D=64, m=8.
+  * The index pipeline is the standard PQ shape:
+  *
+  *  - TRAIN ([[train]]): per-subspace k-means on a bounded sample,
+  *    driver-side (the codebook is m·k·(D/m) floats — a few KB).
+  *  - ENCODE ([[PqEncode]]): per corpus row, argmin-distance subcode
+  *    per subspace — a fused map-only expression with the codebooks as
+  *    codegen reference objects; the corpus's float payload never
+  *    travels again, only the codes.
+  *  - SCORE ([[PqAdcDist]]): asymmetric distance computation — the
+  *    UNquantized query against the centroid each code names. One
+  *    fused expression per (query, code) pair.
+  *
+  * PQ distances are approximations; like the LSH/IVF operators the
+  * end-to-end query re-ranks a shortlist exactly, so approximation
+  * costs recall (asserted in spec), never correctness of the final
+  * ordering criterion.
+  */
+object Pq {
+
+  /** Per-subspace Lloyd k-means over a driver-side sample.
+    * Deterministic: seeded initial centers drawn by index stride,
+    * fixed iteration count, ties to the lowest index.
+    * Returns codebooks(m)(k)(subDim).
+    */
+  def train(sample: Array[Array[Float]], m: Int = 8, k: Int = 16,
+            iters: Int = 10): Array[Array[Array[Float]]] = {
+    require(sample.nonEmpty, "PQ training needs a non-empty sample")
+    val d = sample.head.length
+    require(d % m == 0, s"dim $d not divisible into $m subspaces")
+    val sub = d / m
+    Array.tabulate(m) { j =>
+      val vecs = sample.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub))
+      // initial centers: evenly-strided sample rows (deterministic)
+      var centers = Array.tabulate(math.min(k, vecs.length)) { c =>
+        vecs((c.toLong * vecs.length / math.min(k, vecs.length)).toInt).clone()
+      }
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(centers.length)(new Array[Double](sub))
+        val counts = new Array[Long](centers.length)
+        vecs.foreach { v =>
+          val c = nearest(v, centers)
+          counts(c) += 1
+          var i = 0
+          while (i < sub) { sums(c)(i) += v(i); i += 1 }
+        }
+        centers = centers.indices.map { c =>
+          if (counts(c) == 0) centers(c) // empty cell keeps its center
+          else Array.tabulate(sub)(i => (sums(c)(i) / counts(c)).toFloat)
+        }.toArray
+        it += 1
+      }
+      centers
+    }
+  }
+
+  private def nearest(v: Array[Float], centers: Array[Array[Float]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < centers.length) {
+      var dist = 0.0; var i = 0
+      while (i < v.length) {
+        val diff = v(i).toDouble - centers(c)(i).toDouble
+        dist += diff * diff; i += 1
+      }
+      if (dist < bestD) { bestD = dist; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Row kernel: encode one vector to its m subcodes. */
+  def encode(v: ArrayData, cb: Array[Array[Array[Float]]]): ArrayData = {
+    val m = cb.length
+    val sub = cb(0)(0).length
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      val centers = cb(j)
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < centers.length) {
+        var dist = 0.0; var i = 0
+        while (i < sub) {
+          val diff = v.getFloat(j * sub + i).toDouble - centers(c)(i).toDouble
+          dist += diff * diff; i += 1
+        }
+        if (dist < bestD) { bestD = dist; best = c }
+        c += 1
+      }
+      out(j) = best
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Row kernel: ADC — squared L2 from the raw query to the centroids
+    * the code names, summed over subspaces.
+    */
+  def adcDist(q: ArrayData, code: ArrayData, cb: Array[Array[Array[Float]]]): Double = {
+    val m = cb.length
+    val sub = cb(0)(0).length
+    var total = 0.0
+    var j = 0
+    while (j < m) {
+      val cen = cb(j)(code.getInt(j))
+      var i = 0
+      while (i < sub) {
+        val diff = q.getFloat(j * sub + i).toDouble - cen(i).toDouble
+        total += diff * diff; i += 1
+      }
+      j += 1
+    }
+    total
+  }
+
+  case class PqEncode(child: Expression, codebooks: Seq[Seq[Seq[Float]]])
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "pq_encode"
+    @transient private lazy val cb: Array[Array[Array[Float]]] =
+      codebooks.map(_.map(_.toArray).toArray).toArray
+    override def nullSafeEval(input: Any): Any =
+      encode(input.asInstanceOf[ArrayData], cb)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("pqCodebooks", cb, "float[][][]")
+      defineCodeGen(ctx, ev, c => s"graft.functions.Pq.encode($c, $ref)")
+    }
+    override def toString: String =
+      s"pq_encode($child, <${codebooks.length}x${codebooks.head.length} codebook>)"
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  case class PqAdcDist(left: Expression, right: Expression,
+                       codebooks: Seq[Seq[Seq[Float]]])
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "pq_adc_dist"
+    @transient private lazy val cb: Array[Array[Array[Float]]] =
+      codebooks.map(_.map(_.toArray).toArray).toArray
+    override def nullSafeEval(a: Any, b: Any): Any =
+      adcDist(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], cb)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("pqCodebooks", cb, "float[][][]")
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Pq.adcDist($a, $b, $ref)")
+    }
+    override def toString: String =
+      s"pq_adc_dist($left, $right, <${codebooks.length}x${codebooks.head.length} codebook>)"
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def encodeCol(v: Column, cb: Array[Array[Array[Float]]]): Column =
+    GraftColumnBridge.column(PqEncode(GraftColumnBridge.expression(v),
+      cb.map(_.map(_.toSeq).toSeq).toSeq))
+
+  def adcDistCol(q: Column, code: Column, cb: Array[Array[Array[Float]]]): Column =
+    GraftColumnBridge.column(PqAdcDist(GraftColumnBridge.expression(q),
+      GraftColumnBridge.expression(code), cb.map(_.map(_.toSeq).toSeq).toSeq))
+}

@@ -239,6 +239,68 @@ object Similarity {
     kmeansIvfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
   }
 
+  /** L2-normalize an array<float> column (unit vectors make squared-L2
+    * ordering identical to cosine ordering: ‖a−b‖² = 2 − 2·cos).
+    */
+  private def l2normalize(v: Column): Column = {
+    val n = sqrt(graft.functions.VectorFns.dot(v, v))
+    when(n === 0.0, v)
+      .otherwise(transform(v, x => (x / n).cast("float")))
+  }
+
+  /** e07: PQ-compressed ANN ([[graft.functions.Pq]]) — the memory-bound
+    * scale path: after a driver-side codebook training pass on a
+    * bounded sample, the corpus is encoded to m=8 subcodes (8 ints;
+    * conceptually 4 bits each at k=16 — a 32× payload reduction from
+    * the 64-float vectors), and queries scan CODES, not vectors, via
+    * the fused asymmetric-distance kernel. Vectors are normalized
+    * before encode so the ADC L2 ordering agrees with the cosine
+    * criterion; the exact cosine re-rank on a 4k-deep shortlist makes
+    * quantization cost recall only (asserted in spec), never final
+    * ordering correctness.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame,
+             idCol: String, vecCol: String, k: Int,
+             m: Int = 8, codebookK: Int = 16, shortlistFactor: Int = 4,
+             sampleN: Int = 1000, seed: Long = 42L): DataFrame = {
+    val normed = corpus.select(col(idCol).as("neighbor_id"),
+      l2normalize(col(vecCol)).as("nv"))
+    val sample = normed
+      .orderBy(xxhash64(col("neighbor_id"), lit(seed)))
+      .limit(sampleN)
+      .collect().map(_.getSeq[Float](1).toArray)
+    val cb = graft.functions.Pq.train(sample, m, codebookK)
+    // the corpus's float payload stops here: only (id, 8 subcodes)
+    // flows into the scan
+    val codes = normed.select(col("neighbor_id"),
+      graft.functions.Pq.encodeCol(col("nv"), cb).as("code"))
+    val q = queries.select(col(idCol).as("query_id"),
+      l2normalize(col(vecCol)).as("q_vec"))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("neighbor_id"))
+    val short = codes.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc", graft.functions.Pq.adcDistCol(col("q_vec"), col("code"), cb))
+      .withColumn("arank", row_number().over(wAdc))
+      .filter(col("arank") <= k * shortlistFactor)
+      .select(col("query_id"), col("q_vec"), col("neighbor_id"))
+    val vecs = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    short.join(vecs, Seq("neighbor_id"))
+      .withColumn("cos", VectorFns.cosineSim(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def knnPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    pqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+  }
+
   def knnLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     // 16 bands × 6 bits: ~65% band-level recall for cos≈0.4 neighbors

@@ -57,6 +57,27 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.4, s"recall=$recall")
   }
 
+  test("PQ ANN: >=40% top-5 recall, deterministic, codes stay in range") {
+    val brute = Similarity.knnBruteForce(spark, sf)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val pq1 = Similarity.knnPq(spark, sf)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+    val recall = brute.intersect(pq1.toSet).size.toDouble / brute.size
+    assert(recall >= 0.4, s"recall=$recall")
+    val pq2 = Similarity.knnPq(spark, sf)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+    assert(pq1.toSeq == pq2.toSeq, "PQ pipeline must be deterministic")
+    // encode kernel: m subcodes, each within the codebook
+    val emb = graft.Tables.embeddings(spark, sf)
+    val sample = emb.limit(200).select($"embedding")
+      .collect().map(_.getSeq[Float](0).toArray)
+    val cb = graft.functions.Pq.train(sample, m = 8, k = 16)
+    val codes = emb.select(
+      graft.functions.Pq.encodeCol($"embedding", cb).as("code"))
+      .as[Seq[Int]].collect()
+    assert(codes.forall(c => c.length == 8 && c.forall(x => x >= 0 && x < 16)))
+  }
+
   test("LSH candidates are a strict subset: no query returns itself, ranks dense") {
     val rows = Similarity.knnLsh(spark, sf)
       .select($"query_id", $"rank", $"neighbor_id").as[(Long, Long, Long)].collect()
