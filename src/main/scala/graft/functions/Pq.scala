@@ -18,9 +18,11 @@ import org.apache.spark.sql.types._
   *    per subspace — a fused map-only expression with the codebooks as
   *    codegen reference objects; the corpus's float payload never
   *    travels again, only the codes.
-  *  - SCORE ([[PqAdcDist]]): asymmetric distance computation — the
-  *    UNquantized query against the centroid each code names. One
-  *    fused expression per (query, code) pair.
+  *  - SCORE ([[PqAdcTable]] + [[PqAdcLookup]]): asymmetric distance —
+  *    the UNquantized query against the centroid each code names. The
+  *    per-query m·k distance table is fused once on the (broadcast)
+  *    query side; the hot corpus-×-queries path then costs m table
+  *    lookups per code, not m·subDim float ops.
   *
   * PQ distances are approximations; like the LSH/IVF operators the
   * end-to-end query re-ranks a shortlist exactly, so approximation
@@ -82,10 +84,10 @@ object Pq {
   }
 
   /** Row kernel: encode one vector to its m subcodes. */
-  def encode(v: ArrayData, cb: Array[Array[Array[Float]]]): ArrayData = {
+  def encode(v: ArrayData, cb: Array[Array[Array[Float]]]): Array[Byte] = {
     val m = cb.length
     val sub = cb(0)(0).length
-    val out = new Array[Int](m)
+    val out = new Array[Byte](m)
     var j = 0
     while (j < m) {
       val centers = cb(j)
@@ -100,22 +102,23 @@ object Pq {
         if (dist < bestD) { bestD = dist; best = c }
         c += 1
       }
-      out(j) = best
+      out(j) = best.toByte
       j += 1
     }
-    new GenericArrayData(out)
+    out
   }
 
-  /** Row kernel: ADC — squared L2 from the raw query to the centroids
-    * the code names, summed over subspaces.
+  /** Reference ADC (recomputes sub-distances from the raw query) —
+    * kept for the lookup-table equivalence spec; the hot path is
+    * [[adcTable]] + [[adcLookup]].
     */
-  def adcDist(q: ArrayData, code: ArrayData, cb: Array[Array[Array[Float]]]): Double = {
+  def adcDist(q: ArrayData, code: Array[Byte], cb: Array[Array[Array[Float]]]): Double = {
     val m = cb.length
     val sub = cb(0)(0).length
     var total = 0.0
     var j = 0
     while (j < m) {
-      val cen = cb(j)(code.getInt(j))
+      val cen = cb(j)(code(j).toInt)
       var i = 0
       while (i < sub) {
         val diff = q.getFloat(j * sub + i).toDouble - cen(i).toDouble
@@ -126,9 +129,48 @@ object Pq {
     total
   }
 
+  /** Per-QUERY lookup table: table[j·k + c] = ‖q_j − C_j[c]‖² — the
+    * defining ADC optimization. Computed once per query row (m·k
+    * entries); every corpus code is then scored with m table lookups
+    * instead of m·subDim float ops.
+    */
+  def adcTable(q: ArrayData, cb: Array[Array[Array[Float]]]): ArrayData = {
+    val m = cb.length
+    val k = cb(0).length
+    val sub = cb(0)(0).length
+    val out = new Array[Double](m * k)
+    var j = 0
+    while (j < m) {
+      var c = 0
+      while (c < k) {
+        val cen = cb(j)(c)
+        var dist = 0.0; var i = 0
+        while (i < sub) {
+          val diff = q.getFloat(j * sub + i).toDouble - cen(i).toDouble
+          dist += diff * diff; i += 1
+        }
+        out(j * k + c) = dist
+        c += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Score one code against a query's precomputed table: m lookups. */
+  def adcLookup(table: ArrayData, code: Array[Byte], k: Int): Double = {
+    var total = 0.0
+    var j = 0
+    while (j < code.length) {
+      total += table.getDouble(j * k + code(j).toInt)
+      j += 1
+    }
+    total
+  }
+
   case class PqEncode(child: Expression, codebooks: Seq[Seq[Seq[Float]]])
       extends UnaryExpression {
-    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def dataType: DataType = BinaryType
     override def nullIntolerant: Boolean = true
     override def prettyName: String = "pq_encode"
     @transient private lazy val cb: Array[Array[Array[Float]]] =
@@ -145,22 +187,34 @@ object Pq {
       copy(child = newChild)
   }
 
-  case class PqAdcDist(left: Expression, right: Expression,
-                       codebooks: Seq[Seq[Seq[Float]]])
+  case class PqAdcTable(child: Expression, codebooks: Seq[Seq[Seq[Float]]])
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "pq_adc_table"
+    @transient private lazy val cb: Array[Array[Array[Float]]] =
+      codebooks.map(_.map(_.toArray).toArray).toArray
+    override def nullSafeEval(input: Any): Any =
+      adcTable(input.asInstanceOf[ArrayData], cb)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("pqCodebooks", cb, "float[][][]")
+      defineCodeGen(ctx, ev, c => s"graft.functions.Pq.adcTable($c, $ref)")
+    }
+    override def toString: String =
+      s"pq_adc_table($child, <${codebooks.length}x${codebooks.head.length} codebook>)"
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  case class PqAdcLookup(left: Expression, right: Expression, k: Int)
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def nullIntolerant: Boolean = true
-    override def prettyName: String = "pq_adc_dist"
-    @transient private lazy val cb: Array[Array[Array[Float]]] =
-      codebooks.map(_.map(_.toArray).toArray).toArray
+    override def prettyName: String = "pq_adc_lookup"
     override def nullSafeEval(a: Any, b: Any): Any =
-      adcDist(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], cb)
-    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-      val ref = ctx.addReferenceObj("pqCodebooks", cb, "float[][][]")
-      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Pq.adcDist($a, $b, $ref)")
-    }
-    override def toString: String =
-      s"pq_adc_dist($left, $right, <${codebooks.length}x${codebooks.head.length} codebook>)"
+      adcLookup(a.asInstanceOf[ArrayData], b.asInstanceOf[Array[Byte]], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Pq.adcLookup($a, $b, $k)")
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): Expression =
       copy(left = newLeft, right = newRight)
@@ -170,7 +224,11 @@ object Pq {
     GraftColumnBridge.column(PqEncode(GraftColumnBridge.expression(v),
       cb.map(_.map(_.toSeq).toSeq).toSeq))
 
-  def adcDistCol(q: Column, code: Column, cb: Array[Array[Array[Float]]]): Column =
-    GraftColumnBridge.column(PqAdcDist(GraftColumnBridge.expression(q),
-      GraftColumnBridge.expression(code), cb.map(_.map(_.toSeq).toSeq).toSeq))
+  def adcTableCol(q: Column, cb: Array[Array[Array[Float]]]): Column =
+    GraftColumnBridge.column(PqAdcTable(GraftColumnBridge.expression(q),
+      cb.map(_.map(_.toSeq).toSeq).toSeq))
+
+  def adcLookupCol(table: Column, code: Column, k: Int): Column =
+    GraftColumnBridge.column(PqAdcLookup(GraftColumnBridge.expression(table),
+      GraftColumnBridge.expression(code), k))
 }

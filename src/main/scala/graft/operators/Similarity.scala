@@ -239,14 +239,19 @@ object Similarity {
     kmeansIvfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
   }
 
-  /** L2-normalize an array<float> column (unit vectors make squared-L2
-    * ordering identical to cosine ordering: ‖a−b‖² = 2 − 2·cos).
+  /** L2-normalize the `vecCol` of `df` into `outCol` (unit vectors make
+    * squared-L2 ordering identical to cosine ordering:
+    * ‖a−b‖² = 2 − 2·cos). The norm is PROJECTED once per row before the
+    * divide — referencing `sqrt(dot(v,v))` inside the transform lambda
+    * would re-evaluate the full dot loop per element (O(d²)/row on
+    * interpreted HOF eval).
     */
-  private def l2normalize(v: Column): Column = {
-    val n = sqrt(graft.functions.VectorFns.dot(v, v))
-    when(n === 0.0, v)
-      .otherwise(transform(v, x => (x / n).cast("float")))
-  }
+  private def withL2Normalized(df: DataFrame, vecCol: Column, outCol: String): DataFrame =
+    df.withColumn("__nrm", sqrt(graft.functions.VectorFns.dot(vecCol, vecCol)))
+      .withColumn(outCol,
+        when(col("__nrm") === 0.0, vecCol)
+          .otherwise(transform(vecCol, x => (x / col("__nrm")).cast("float"))))
+      .drop("__nrm")
 
   /** e07: PQ-compressed ANN ([[graft.functions.Pq]]) — the memory-bound
     * scale path: after a driver-side codebook training pass on a
@@ -263,31 +268,43 @@ object Similarity {
              idCol: String, vecCol: String, k: Int,
              m: Int = 8, codebookK: Int = 16, shortlistFactor: Int = 4,
              sampleN: Int = 1000, seed: Long = 42L): DataFrame = {
-    val normed = corpus.select(col(idCol).as("neighbor_id"),
-      l2normalize(col(vecCol)).as("nv"))
+    val normed = withL2Normalized(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("v")),
+      col("v"), "nv").select(col("neighbor_id"), col("nv"))
     val sample = normed
       .orderBy(xxhash64(col("neighbor_id"), lit(seed)))
       .limit(sampleN)
       .collect().map(_.getSeq[Float](1).toArray)
     val cb = graft.functions.Pq.train(sample, m, codebookK)
-    // the corpus's float payload stops here: only (id, 8 subcodes)
+    // the corpus's float payload stops here: only (id, m code bytes)
     // flows into the scan
     val codes = normed.select(col("neighbor_id"),
       graft.functions.Pq.encodeCol(col("nv"), cb).as("code"))
-    val q = queries.select(col(idCol).as("query_id"),
-      l2normalize(col(vecCol)).as("q_vec"))
+    // the per-query ADC table is fused ONCE on the broadcast query
+    // side; the hot corpus path does m lookups per code
+    val q = withL2Normalized(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("v")),
+      col("v"), "q_vec")
+      .select(col("query_id"),
+        graft.functions.Pq.adcTableCol(col("q_vec"), cb).as("adc_table"))
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adc"), col("neighbor_id"))
+    // ids only through the shortlist shuffle — vectors re-join by id
+    // afterwards (the lshTopK pattern)
     val short = codes.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("adc", graft.functions.Pq.adcDistCol(col("q_vec"), col("code"), cb))
+      .withColumn("adc",
+        graft.functions.Pq.adcLookupCol(col("adc_table"), col("code"), codebookK))
+      .select(col("query_id"), col("neighbor_id"), col("adc"))
       .withColumn("arank", row_number().over(wAdc))
       .filter(col("arank") <= k * shortlistFactor)
-      .select(col("query_id"), col("q_vec"), col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
     val vecs = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val qVecs = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
     val wExact = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     short.join(vecs, Seq("neighbor_id"))
+      .join(broadcast(qVecs), Seq("query_id"))
       .withColumn("cos", VectorFns.cosineSim(col("q_vec"), col("c_vec")))
       .withColumn("rank", row_number().over(wExact))
       .filter(col("rank") <= k)

@@ -67,15 +67,30 @@ class SimilaritySpec extends SparkSpec {
     val pq2 = Similarity.knnPq(spark, sf)
       .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
     assert(pq1.toSeq == pq2.toSeq, "PQ pipeline must be deterministic")
-    // encode kernel: m subcodes, each within the codebook
+    // encode kernel: m code BYTES (the 32× payload claim), each within
+    // the codebook
     val emb = graft.Tables.embeddings(spark, sf)
     val sample = emb.limit(200).select($"embedding")
       .collect().map(_.getSeq[Float](0).toArray)
     val cb = graft.functions.Pq.train(sample, m = 8, k = 16)
     val codes = emb.select(
       graft.functions.Pq.encodeCol($"embedding", cb).as("code"))
-      .as[Seq[Int]].collect()
+      .as[Array[Byte]].collect()
     assert(codes.forall(c => c.length == 8 && c.forall(x => x >= 0 && x < 16)))
+    // the table-lookup fast path scores exactly like the direct ADC
+    val pairs = emb.limit(20)
+      .select($"embedding",
+        graft.functions.Pq.encodeCol($"embedding", cb).as("code"))
+      .collect()
+    pairs.foreach { r =>
+      val v = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        r.getSeq[Float](0).toArray[Float].map(x => x: Any))
+      val code = r.getAs[Array[Byte]](1)
+      val direct = graft.functions.Pq.adcDist(v, code, cb)
+      val viaTable = graft.functions.Pq.adcLookup(
+        graft.functions.Pq.adcTable(v, cb), code, 16)
+      assert(math.abs(direct - viaTable) < 1e-12, s"$direct vs $viaTable")
+    }
   }
 
   test("LSH candidates are a strict subset: no query returns itself, ranks dense") {
