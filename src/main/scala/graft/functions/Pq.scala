@@ -118,7 +118,9 @@ object Pq {
     var total = 0.0
     var j = 0
     while (j < m) {
-      val cen = cb(j)(code(j).toInt)
+      // codes are unsigned bytes: mask before indexing or any codebook
+      // with k > 128 sign-extends into negative indices
+      val cen = cb(j)(code(j) & 0xFF)
       var i = 0
       while (i < sub) {
         val diff = q.getFloat(j * sub + i).toDouble - cen(i).toDouble
@@ -162,7 +164,7 @@ object Pq {
     var total = 0.0
     var j = 0
     while (j < code.length) {
-      total += table.getDouble(j * k + code(j).toInt)
+      total += table.getDouble(j * k + (code(j) & 0xFF))
       j += 1
     }
     total

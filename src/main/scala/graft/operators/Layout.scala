@@ -187,7 +187,8 @@ object Layout {
     * late-data or bug-fix rerun rewrites only the affected partition).
     * Under `partitionOverwriteMode=dynamic` the overwrite deletes only
     * the partitions present in the incoming frame; sibling partitions'
-    * files are untouched (asserted in LayoutSpec by mtime). The oracle
+    * files are untouched (asserted in LayoutSpec by write-job UUID in
+    * the part-file names). The oracle
     * is the equivalent CASE projection over the original table, so the
     * gate pins that exactly the urgent slice changed and no row was
     * lost across the rewrite.

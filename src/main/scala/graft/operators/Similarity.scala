@@ -294,7 +294,10 @@ object Similarity {
     val short = codes.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("adc",
-        graft.functions.Pq.adcLookupCol(col("adc_table"), col("code"), codebookK))
+        // stride by the TRAINED center count (train caps k at the
+        // sample size), not the requested codebookK — a small sample
+        // would otherwise misalign every table lookup
+        graft.functions.Pq.adcLookupCol(col("adc_table"), col("code"), cb(0).length))
       .select(col("query_id"), col("neighbor_id"), col("adc"))
       .withColumn("arank", row_number().over(wAdc))
       .filter(col("arank") <= k * shortlistFactor)

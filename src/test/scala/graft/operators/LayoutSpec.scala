@@ -101,12 +101,19 @@ class LayoutSpec extends SparkSpec {
       val d = base.resolve(s"o_orderpriority=$p")
       val s = java.nio.file.Files.list(d)
       try s.toArray.map(_.asInstanceOf[java.nio.file.Path])
-        .filter(_.toString.endsWith(".parquet")).map(java.nio.file.Files.getLastModifiedTime(_))
+        .filter(_.toString.endsWith(".parquet")).map(_.getFileName.toString)
       finally s.close()
     }
-    val urgent = files("1-URGENT").map(_.toMillis).min
-    val sibling = files("3-MEDIUM").map(_.toMillis).max
-    assert(sibling < urgent,
+    // every part file of one write JOB shares the job's UUID
+    // (part-NNNNN-<uuid>-c000...): siblings still carrying a UUID
+    // disjoint from the urgent partition's proves the second
+    // (dynamic-overwrite) job never touched them — unlike an mtime
+    // compare, this is immune to coarse filesystem timestamp ticks
+    def jobUuids(names: Seq[String]) =
+      names.map(_.split("-").drop(1).dropRight(1).mkString("-")).toSet
+    val urgent = jobUuids(files("1-URGENT"))
+    val sibling = jobUuids(files("3-MEDIUM"))
+    assert(sibling.size == 1 && urgent.size == 1 && sibling != urgent,
       s"sibling partition rewritten: sibling=$sibling urgent=$urgent")
     // content: urgent doubled, others untouched
     val changed = out.filter($"o_orderpriority" === "1-URGENT").count()

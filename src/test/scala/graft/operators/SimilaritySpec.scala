@@ -93,6 +93,41 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("PQ codebooks beyond 128 centers survive the signed-byte boundary") {
+    // codes above 127 are negative as JVM bytes: the & 0xFF mask in
+    // adcDist/adcLookup is what makes the documented k <= 256 true
+    val emb = graft.Tables.embeddings(spark, sf)
+    val sample = emb.limit(400).select($"embedding")
+      .collect().map(_.getSeq[Float](0).toArray)
+    val cb = graft.functions.Pq.train(sample, m = 8, k = 200, iters = 2)
+    assert(cb(0).length == 200)
+    val pairs = emb.limit(50)
+      .select($"embedding",
+        graft.functions.Pq.encodeCol($"embedding", cb).as("code"))
+      .collect()
+    assert(pairs.exists(_.getAs[Array[Byte]](1).exists(_ < 0)),
+      "fixture must actually exercise codes > 127")
+    pairs.foreach { r =>
+      val vec = r.getSeq[Float](0).toArray
+      val v = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        vec.map(x => x: Any))
+      val code = r.getAs[Array[Byte]](1)
+      // exact reference: sum over subspaces of ||v_j - C_j[code_j]||^2
+      val sub = vec.length / 8
+      val exact = (0 until 8).map { j =>
+        val cen = cb(j)(code(j) & 0xFF)
+        (0 until sub).map { i =>
+          val d = vec(j * sub + i).toDouble - cen(i).toDouble; d * d
+        }.sum
+      }.sum
+      val direct = graft.functions.Pq.adcDist(v, code, cb)
+      val viaTable = graft.functions.Pq.adcLookup(
+        graft.functions.Pq.adcTable(v, cb), code, 200)
+      assert(math.abs(direct - exact) < 1e-9, s"$direct vs $exact")
+      assert(math.abs(viaTable - exact) < 1e-9, s"$viaTable vs $exact")
+    }
+  }
+
   test("LSH candidates are a strict subset: no query returns itself, ranks dense") {
     val rows = Similarity.knnLsh(spark, sf)
       .select($"query_id", $"rank", $"neighbor_id").as[(Long, Long, Long)].collect()
