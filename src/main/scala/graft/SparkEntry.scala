@@ -126,6 +126,11 @@ object SparkEntry {
     "e06_knn_ivf_kmeans"     -> (Similarity.knnIvfKmeans _),
     "e07_knn_pq"             -> (Similarity.knnPq _),
     "e05_cosine_range"       -> (Similarity.knnRange _),
+    // — ingestion layer (SURVEY §2.1 S1-S5/S7/S9/S12, §3 E1): the
+    //   production DSv2 + java.net.http path against an in-process
+    //   reference-protocol stub whose offers derive from `customer` —
+    "i01_ingest_offres"      -> (graft.jobs.IngestionGate.ingestOffres _),
+    "i02_ingest_reconciliation" -> (graft.jobs.IngestionGate.ingestReconciliation _),
     // — event-time / streaming-unified (SURVEY §2.9) —
     "s01_hourly_type_counts" -> (Streams.hourlyTypeCountsBatch _),
     "s02_sliding_counts"     -> (Streams.slidingTypeCountsBatch _),
@@ -765,6 +770,29 @@ object SparkEntry {
            | SELECT s AS doc_id, least(s, min(d)) AS cluster_id FROM reach GROUP BY s)
            |ORDER BY doc_id""".stripMargin
       },
+      // i01: the stub API serves a pure function of `customer`, so the
+      // oracle re-derives the landed offres table in SQL — a hash match
+      // proves the OAuth + planning + paged fetch + backoff path lost
+      // and duplicated nothing
+      "i01_ingest_offres" ->
+        """SELECT CAST(c_custkey AS VARCHAR) AS id,
+          | c_name AS intitule,
+          | c_name || ' (' || c_mktsegment || ')' AS description,
+          | c_mktsegment AS romeCode,
+          | 'R' || CAST(c_custkey % 3 AS VARCHAR) AS region,
+          | 'R' || CAST(c_custkey % 3 AS VARCHAR) || 'D' || CAST(c_custkey % 2 AS VARCHAR) AS departement
+          |FROM customer ORDER BY id""".stripMargin,
+      // i02: integer-exact run invariants — every 50th customer is
+      // served id-less and must surface as a dead-letter row, and the
+      // ledger must balance (accounted = 1)
+      "i02_ingest_reconciliation" ->
+        """SELECT 'collected' AS metric, count(*) AS value
+          | FROM customer WHERE c_custkey % 50 <> 0
+          |UNION ALL SELECT 'dead_letter', count(*)
+          | FROM customer WHERE c_custkey % 50 = 0
+          |UNION ALL SELECT 'expected', count(*) FROM customer
+          |UNION ALL SELECT 'accounted', CAST(1 AS BIGINT)
+          |ORDER BY metric""".stripMargin,
       "s03_user_sessions" ->
         """SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions,
           | count(*) AS n_events
