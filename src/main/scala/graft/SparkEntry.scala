@@ -111,7 +111,11 @@ object SparkEntry {
     "d04_simhash"            -> (Dedup.simHashDedup _),
     "d05_ngram_jaccard"      -> (Dedup.ngramJaccardDedup _),
     "d06_embedding_neardup"  -> (Dedup.embeddingNearDup _),
-    "d07_curation_pipeline"  -> (graft.jobs.CurationJob.curate _),
+    // d07 = the flagship pipeline on the exact-Jaccard kernel over the
+    // bounded slice (fully oracle-checked); d11 = the identical
+    // pipeline with MinHash+LSH near-dup — the scale path, rows-only
+    "d07_curation_pipeline"  -> ((s: SparkSession, dir: String) => graft.jobs.CurationJob.curateExact(s, dir)),
+    "d11_curation_lsh"       -> (graft.jobs.CurationJob.curate _),
     "d08_jaccard_exact_pairs" -> ((s: SparkSession, dir: String) => Dedup.jaccardExactPairs(s, dir)),
     "d09_priority_dedup"     -> (graft.operators.Curation.priorityDedup _),
     "d10_dup_clusters"       -> ((s: SparkSession, dir: String) => Dedup.dupClustersQuery(s, dir)),
@@ -793,6 +797,58 @@ object SparkEntry {
           |UNION ALL SELECT 'expected', count(*) FROM customer
           |UNION ALL SELECT 'accounted', CAST(1 AS BIGINT)
           |ORDER BY metric""".stripMargin,
+      // d07: the WHOLE curation pipeline in SQL — quality metrics +
+      // gate (the t02 expressions), exact dedup (min id per normalized
+      // text), all-pairs exact Jaccard >= 0.6 on 5-char shingles of
+      // the normalized text, transitive clusters (recursive CTE, the
+      // d10 pattern), keep each cluster's min-id root
+      "d07_curation_pipeline" -> {
+        val shingled =
+          s"""SELECT doc_id, text, list_distinct(list_transform(
+             |   range(1, greatest(length(nt) - 3, 2)), i -> substr(nt, i, 5))) AS s
+             | FROM exact""".stripMargin
+        s"""WITH RECURSIVE base AS (
+           | SELECT doc_id, text, ${norm("text")} AS nt
+           | FROM documents WHERE doc_id < 250),
+           |scored AS (
+           | SELECT doc_id, text, nt, len(toks) AS n_tokens,
+           |  CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS DOUBLE)
+           |    / len(toks) AS mean_token_len,
+           |  CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS DOUBLE)
+           |    / len(toks) AS stopword_ratio
+           | FROM (SELECT doc_id, text, nt, string_split(nt, ' ') AS toks FROM base)),
+           |quality AS (
+           | SELECT doc_id, text, nt FROM scored
+           | WHERE n_tokens BETWEEN 5 AND 100000
+           |  AND mean_token_len >= 2.0 AND stopword_ratio <= 0.9),
+           |exact AS (
+           | SELECT doc_id, text, nt FROM (
+           |  SELECT doc_id, text, nt,
+           |   row_number() OVER (PARTITION BY nt ORDER BY doc_id) AS rn
+           |  FROM quality) WHERE rn = 1),
+           |sh AS ($shingled),
+           |pairs AS (
+           | SELECT doc_a, doc_b FROM (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |   CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+           |     / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+           |  FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+           | WHERE jaccard >= 0.6),
+           |edges AS (
+           | SELECT doc_a AS s, doc_b AS d FROM pairs
+           | UNION SELECT doc_b, doc_a FROM pairs),
+           |reach AS (
+           | SELECT s, d FROM edges
+           | UNION
+           | SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+           |nonroots AS (
+           | SELECT doc_id FROM (
+           |  SELECT s AS doc_id, least(s, min(d)) AS cluster_id FROM reach GROUP BY s)
+           | WHERE doc_id <> cluster_id)
+           |SELECT doc_id, text FROM exact
+           |WHERE doc_id NOT IN (SELECT doc_id FROM nonroots)
+           |ORDER BY doc_id""".stripMargin
+      },
       "s03_user_sessions" ->
         """SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions,
           | count(*) AS n_events

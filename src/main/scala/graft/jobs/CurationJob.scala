@@ -31,7 +31,8 @@ object CurationJob {
                     afterNearDup: Long)
 
   private def stages(docs: DataFrame, idCol: String, textCol: String,
-                     t: Thresholds): (DataFrame, DataFrame, DataFrame) = {
+                     t: Thresholds, exactKernel: Boolean = false)
+      : (DataFrame, DataFrame, DataFrame) = {
     // normalize ONCE and carry the result ("__norm") through the whole
     // pipeline — quality metrics, the dedup fingerprint and the LSH
     // signature pass all read it, so the 5-regex chain runs one time per
@@ -65,8 +66,28 @@ object CurationJob {
     // near-dup: resolve full transitive clusters (connected components
     // over the verified pairs), keep each cluster's min-id root.
     // __norm rides in, so the LSH pass skips its own normalize chain.
-    val pairs = Dedup.minHashLshPairs(exact, idCol, "__norm",
-      threshold = t.nearDupJaccard, preNormalized = true)
+    // The LSH path (default) approximates EXACTLY the semantics the
+    // exact kernel computes — same 5-char shingles over __norm, same
+    // ≥-threshold Jaccard pair predicate — so the exact variant is the
+    // oracle anchor for the whole pipeline, not a different pipeline.
+    val pairs =
+      if (exactKernel) {
+        // all-pairs exact Jaccard — only sane over a bounded slice
+        // (callers gate the input); localCheckpoint stops Catalyst
+        // pushing the shingle projection past the join and
+        // re-evaluating it once per PAIR
+        val sh = exact.select(col(idCol),
+            graft.functions.HashFns.sortedShingleSet(col("__norm"), 5).as("__sh"))
+          .localCheckpoint(true)
+        sh.select(col(idCol).as("doc_a"), col("__sh").as("sh_a"))
+          .crossJoin(sh.select(col(idCol).as("doc_b"), col("__sh").as("sh_b")))
+          .filter(col("doc_a") < col("doc_b"))
+          .withColumn("jaccard",
+            graft.functions.HashFns.jaccardSorted(col("sh_a"), col("sh_b")))
+          .filter(col("jaccard") >= t.nearDupJaccard)
+          .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      } else Dedup.minHashLshPairs(exact, idCol, "__norm",
+        threshold = t.nearDupJaccard, preNormalized = true)
     val dupIds = Dedup.dupClusters(pairs)
       .filter(col("doc_id") =!= col("cluster_id"))   // non-roots drop
       .select(col("doc_id").as(idCol))
@@ -102,6 +123,25 @@ object CurationJob {
   def curate(spark: SparkSession, dir: String): DataFrame = {
     val (_, exact, curatedLazy) =
       stages(graft.Tables.documents(spark, dir), "doc_id", "text", Thresholds())
+    val curated = curatedLazy.localCheckpoint(true)
+    exact.unpersist()
+    curated
+  }
+
+  /** The flagship pipeline with the near-dup stage on the EXACT
+    * Jaccard kernel over a bounded id slice (the d08 anchor pattern):
+    * every stage — quality gate, exact dedup, all-pairs ≥0.6 Jaccard,
+    * transitive cluster resolution, min-id keep — is ANSI-SQL
+    * expressible, so the whole composition gets a DuckDB hash-matched
+    * CORRECTNESS row (d07). [[curate]] is the identical pipeline with
+    * MinHash+LSH candidates instead of all-pairs — the 100 TB path,
+    * registered rows-only as d11.
+    */
+  def curateExact(spark: SparkSession, dir: String, maxId: Long = 250L): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+      .filter(col("doc_id") < maxId)
+    val (_, exact, curatedLazy) =
+      stages(docs, "doc_id", "text", Thresholds(), exactKernel = true)
     val curated = curatedLazy.localCheckpoint(true)
     exact.unpersist()
     curated

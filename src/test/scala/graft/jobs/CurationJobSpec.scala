@@ -26,6 +26,16 @@ class CurationJobSpec extends SparkSpec {
     assert(ids == Set(0L, 6L))
   }
 
+  test("curateExact: deterministic, bounded to the slice, and strictly curating") {
+    val a = CurationJob.curateExact(spark, sf)
+    val ids = a.select($"doc_id").as[Long].collect()
+    assert(ids.sameElements(ids.sorted), "ordered by doc_id")
+    assert(ids.nonEmpty && ids.forall(_ < 250L), "bounded to the id slice")
+    assert(ids.length < 250, "at least one doc dropped by a pipeline stage")
+    val b = CurationJob.curateExact(spark, sf).select($"doc_id").as[Long].collect()
+    assert(ids.sameElements(b), "two runs identical")
+  }
+
   test("curating the fixture corpus keeps the distinct docs") {
     val (curated, report) = CurationJob.run(
       graft.Tables.documents(spark, sf), "doc_id", "text")
