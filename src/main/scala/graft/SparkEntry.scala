@@ -130,6 +130,11 @@ object SparkEntry {
     "e06_knn_ivf_kmeans"     -> (Similarity.knnIvfKmeans _),
     "e07_knn_pq"             -> (Similarity.knnPq _),
     "e05_cosine_range"       -> (Similarity.knnRange _),
+    // e08: in-gate ANN quality audit — recall of every approximate
+    // index vs the e01 exact ranks (rows-only; values are seeded but
+    // hash-dependent). A recall collapse now reds the gate, not just
+    // the test suite.
+    "e08_recall_audit"       -> (Similarity.recallAudit _),
     // — ingestion layer (SURVEY §2.1 S1-S5/S7/S9/S12, §3 E1): the
     //   production DSv2 + java.net.http path against an in-process
     //   reference-protocol stub whose offers derive from `customer` —

@@ -328,4 +328,33 @@ object Similarity {
     lshTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
       dim = 64, k = 5, bands = 16, bitsPerBand = 6)
   }
+
+  /** e08: top-5 recall of every approximate ANN path against the exact
+    * ranks of [[knnBruteForce]], computed INSIDE the driver gate — one
+    * row per method, `recall_x100 = 100 · |approx ∩ exact| / |exact|`
+    * (integer arithmetic; all methods are seeded, so the values are
+    * deterministic per fixture). Registered rows-only (the recall
+    * values are hash-seed-dependent, not ANSI-SQL-derivable), but the
+    * gate now fails loudly if any index's recall collapses — without
+    * this, only `sbt test` would notice a quality regression.
+    */
+  def recallAudit(spark: SparkSession, dir: String): DataFrame = {
+    // small (|queries|·k rows); checkpoint so the exact ranks compute
+    // once, not once per audited method
+    val exact = knnBruteForce(spark, dir)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(true)
+    val total = exact.count()
+    val methods: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "e02_knn_lsh" -> (knnLsh _),
+      "e04_knn_ivf" -> (knnIvf _),
+      "e06_knn_ivf_kmeans" -> (knnIvfKmeans _),
+      "e07_knn_pq" -> (knnPq _))
+    import spark.implicits._
+    methods.map { case (name, fn) =>
+      val approx = fn(spark, dir).select(col("query_id"), col("neighbor_id"))
+      val hits = exact.join(approx, Seq("query_id", "neighbor_id")).count()
+      (name, hits * 100L / total)
+    }.toDF("method", "recall_x100").orderBy(col("method"))
+  }
 }

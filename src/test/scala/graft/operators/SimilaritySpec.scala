@@ -30,6 +30,16 @@ class SimilaritySpec extends SparkSpec {
     assert(got == exp)
   }
 
+  test("e08 recall audit: one row per method, every recall >= 40") {
+    val rows = Similarity.recallAudit(spark, sf)
+      .as[(String, Long)].collect().toMap
+    assert(rows.keySet == Set("e02_knn_lsh", "e04_knn_ivf",
+      "e06_knn_ivf_kmeans", "e07_knn_pq"))
+    rows.foreach { case (m, r) =>
+      assert(r >= 40L && r <= 100L, s"$m recall_x100=$r")
+    }
+  }
+
   test("LSH ANN achieves >=40% top-5 recall vs brute force on the fixture") {
     val brute = Similarity.knnBruteForce(spark, sf)
       .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
