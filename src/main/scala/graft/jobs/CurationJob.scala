@@ -116,6 +116,11 @@ object CurationJob {
   private[graft] def curatePlan(spark: SparkSession, dir: String): DataFrame =
     stages(graft.Tables.documents(spark, dir), "doc_id", "text", Thresholds())._3
 
+  /** Lazy plan of the exact-kernel (d07) variant, for `DumpPlans`. */
+  private[graft] def curateExactPlan(spark: SparkSession, dir: String): DataFrame =
+    stages(graft.Tables.documents(spark, dir).filter(col("doc_id") < 250L),
+      "doc_id", "text", Thresholds(), exactKernel = true)._3
+
   /** Report-free path: one terminal action computes the curated corpus
     * (the LSH collect inside cluster resolution is the only extra job).
     * Eagerly materialized so the stage caches can be released here.

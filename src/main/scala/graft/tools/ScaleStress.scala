@@ -1,0 +1,124 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import graft.{Bench, SparkEntry, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-stress harness for the fixture-bound dedup/ANN/text paths:
+  * materializes a `factor`× slice of the sf0.1 documents + embeddings
+  * tables (deterministic id offsets; per-copy text/vector perturbation
+  * so copies are NEAR-dups, not byte-dups — the adversarial case for
+  * LSH bucketing and cluster resolution), symlinks the other tables,
+  * and times the scale-path queries against the enlarged corpus.
+  *
+  * Usage: `runMain graft.tools.ScaleStress [factor] [outDir]`
+  * (defaults 10, /tmp/graft_scale10; base dir from SPARK_GRAFT_SF_DIR
+  * or sf0.1). Prints one JSON line per run, Bench-shaped.
+  *
+  * Copies multiply the near-dup density ~10×ΒΈ (every doc gains
+  * `factor-1` high-Jaccard partners; every vector gains `factor-1`
+  * cos≈0.999 partners), so the LSH pair/cluster stages face a far
+  * DENSER problem than a plain 10× row-count scale — if a hot bucket
+  * or driver collect were hiding anywhere in d03/d06/d10/d11/e0x, this
+  * run finds it.
+  */
+object ScaleStress {
+  def main(args: Array[String]): Unit = {
+    val factor = if (args.length > 0) args(0).toInt else 10
+    val outDir = if (args.length > 1) args(1) else "/tmp/graft_scale10"
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    Files.createDirectories(Paths.get(outDir))
+    // id offset per copy keeps ids disjoint AND keeps the bounded
+    // oracle slices (doc_id < 250 anchors) on the original rows only
+    val off = 1000000L
+
+    if (!Files.exists(Paths.get(s"$outDir/documents.parquet"))) {
+      val docs = Tables.documents(spark, base)
+      (0 until factor).map { i =>
+        docs.select(
+          (col("doc_id") + lit(i * off)).as("doc_id"),
+          (if (i == 0) col("text")
+           else concat(col("text"), lit(s" variant copy $i"))).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_.unionByName(_))
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+      val emb = Tables.embeddings(spark, base)
+      (0 until factor).map { i =>
+        emb.select(
+          (col("vec_id") + lit(i * off)).as("vec_id"),
+          (if (i == 0) col("embedding")
+           else transform(col("embedding"),
+             (x, j) => x + lit(0.01f * i) * (j % 7 - 3).cast("float")))
+            .as("embedding"),
+          col("label"))
+      }.reduce(_.unionByName(_))
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+      Tables.names.filterNot(n => n == "documents" || n == "embeddings")
+        .foreach { t =>
+          val link = Paths.get(s"$outDir/$t.parquet")
+          if (!Files.exists(link))
+            Files.createSymbolicLink(link, Paths.get(s"$base/$t.parquet"))
+        }
+    }
+
+    // the scale-path subset: everything that reads documents/embeddings
+    // and is meant to survive 100 TB. Excludes the bounded O(n²) oracle
+    // anchors' unbounded sibling (e03 would be 20k² pairs by DESIGN
+    // refusal — its require() guard is the point) but keeps the bounded
+    // ones (d08/d10/d07 anchor on the doc_id<250 slice regardless of
+    // corpus size).
+    val subset = Seq(
+      "d01_exact_dedup", "d02_fingerprint_dedup", "d03_minhash_lsh",
+      "d04_simhash", "d05_ngram_jaccard", "d06_embedding_neardup",
+      "d07_curation_pipeline", "d08_jaccard_exact_pairs",
+      "d09_priority_dedup", "d10_dup_clusters", "d11_curation_lsh",
+      "e01_knn_brute", "e02_knn_lsh", "e04_knn_ivf", "e06_knn_ivf_kmeans",
+      "e07_knn_pq", "e08_recall_audit",
+      "t02_doc_quality", "t03_token_counts", "t04_term_frequencies",
+      "t05_langid_confusion", "t06_fingerprints", "t08_winnowing",
+      "t09_text_match", "t10_bm25", "t11_heavy_hitters",
+      "t12_heavy_hitters_exact", "t13_pii_redaction", "t14_repetition",
+      "t15_collocations", "q50_inverted_index")
+
+    // one untimed warmup pass at the small fixture (JIT/codegen)
+    subset.foreach { n =>
+      try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => () }
+    }
+    Bench.dropAllStorage(spark)
+
+    val results = subset.map { name =>
+      val t0 = System.nanoTime()
+      val rows = try SparkEntry.queries(name)(spark, outDir).count()
+                 catch { case e: Throwable =>
+                   System.err.println(s"[scale] $name FAILED: ${e.getMessage}"); -1L }
+      val dt = (System.nanoTime() - t0) / 1e9
+      Bench.dropAllStorage(spark)
+      println(f"""[scale] $name rows=$rows sec=$dt%.2f""")
+      name -> (dt, rows)
+    }
+    val qs = results.map { case (k, (v, r)) => s""""$k":{"sec":$v,"rows":$r}""" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2._1).sum
+    println(s"""{"metric":"scale${factor}x_total","value":$total,"unit":"sec","queries":$qs,"base":"$base"}""")
+    spark.stop()
+  }
+}
