@@ -69,6 +69,8 @@ object SparkEntry {
     "q41_deterministic_split" -> (graft.operators.Curation.deterministicSplit _),
     "q42_balanced_sample"   -> ((s: SparkSession, dir: String) => graft.operators.Curation.balancedSample(s, dir)),
     "q54_weighted_mix"      -> ((s: SparkSession, dir: String) => graft.operators.Curation.weightedMix(s, dir)),
+    "q57_sequence_pack"     -> ((s: SparkSession, dir: String) => graft.operators.Curation.sequencePack(s, dir)),
+    "d12_decontamination"   -> ((s: SparkSession, dir: String) => graft.operators.Curation.decontaminate(s, dir)),
     // — physical layout: format round trip, partition pruning, bucketed
     //   co-located join, Z-order clustering —
     "q43_orc_roundtrip"     -> (graft.operators.Layout.orcRoundTrip _),
@@ -545,6 +547,44 @@ object SparkEntry {
           |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
           |  CASE WHEN lang = 'en' THEN 'g' WHEN lang = 'fr' THEN 'c0' ELSE '80' END
           |ORDER BY doc_id""".stripMargin,
+      // q57: GPT-style concat-and-chunk sequence packing, sharded so no
+      // global offset serializes the corpus — running sum per shard
+      "q57_sequence_pack" ->
+        """SELECT doc_id, n_tokens, shard, start_off,
+          | shard * 1000000 + CAST(floor(start_off / 2048) AS BIGINT) AS pack_id
+          |FROM (
+          | SELECT doc_id, n_tokens, shard,
+          |  CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          |    - n_tokens AS start_off
+          | FROM (SELECT doc_id,
+          |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+          |   doc_id % 32 AS shard FROM documents))
+          |ORDER BY doc_id""".stripMargin,
+      // d12: word-8-gram contamination vs an eval suite of 20-token
+      // excerpts (tokens 6-25 of every doc_id%97 doc — benchmark items
+      // quoted from the corpus); md5 shingle keys are bit-identical
+      // across engines. Shingle windows mirror TextFns.wordShingles
+      // exactly (distinct, short-doc degenerate window included)
+      "d12_decontamination" ->
+        s"""WITH tk AS (
+           | SELECT doc_id, string_split(${norm("text")}, ' ') AS t
+           | FROM documents),
+           |sh AS (
+           | SELECT doc_id, md5(s) AS shkey FROM (
+           |  SELECT doc_id, unnest(list_distinct(list_transform(
+           |    range(1, greatest(len(t) - 7, 1) + 1),
+           |    i -> array_to_string(t[i:i+7], ' ')))) AS s
+           |  FROM tk)),
+           |ev AS (
+           | SELECT DISTINCT md5(s) AS shkey FROM (
+           |  SELECT unnest(list_distinct(list_transform(
+           |    range(1, greatest(len(e) - 7, 1) + 1),
+           |    i -> array_to_string(e[i:i+7], ' ')))) AS s
+           |  FROM (SELECT t[6:25] AS e FROM tk WHERE doc_id % 97 = 0)))
+           |SELECT doc_id, count(*) AS n_eval_hits
+           |FROM sh JOIN ev USING (shkey)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       "d09_priority_dedup" ->
         s"""SELECT keeper_id, lang, n_copies FROM (
            | SELECT doc_id AS keeper_id, lang,

@@ -107,4 +107,64 @@ object Curation {
       .select(col("doc_id").as("keeper_id"), col("lang"), col("n_copies"))
       .orderBy(col("keeper_id"))
   }
+
+  /** q57: sequence packing — GPT-style concat-and-chunk assignment of
+    * documents to fixed-token-budget training sequences. Documents are
+    * sharded (`doc_id % shards`), each shard's docs are concatenated in
+    * id order, and a doc's pack is the chunk its first token lands in:
+    * `pack_id = shard·10⁶ + ⌊shard_offset / budget⌋`.
+    *
+    * Scale shape: this is how distributed packing actually runs — a
+    * GLOBAL running offset would serialize the corpus through one
+    * partition, so each worker packs its shard independently. One
+    * shuffle (window over shard), running sum per shard, O(1) state per
+    * row. Deterministic and stable: a doc's pack depends only on the
+    * ids/lengths before it in its shard.
+    */
+  def sequencePack(spark: SparkSession, dir: String,
+                   budget: Int = 2048, shards: Int = 32): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        (col("doc_id") % shards).as("shard"))
+      .withColumn("start_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("pack_id",
+        col("shard") * 1000000L + floor(col("start_off") / budget).cast("long"))
+      .select(col("doc_id"), col("n_tokens"), col("shard"),
+        col("start_off"), col("pack_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** d12: train/eval decontamination — the standard word-n-gram
+    * contamination check every LLM data pipeline runs before training.
+    * The stand-in eval suite is a 20-token excerpt (tokens 6-25) of
+    * every `doc_id % 97 == 0` document — benchmark items quoted from
+    * crawled text, the realistic contamination mechanism. A corpus doc
+    * is flagged with the number of its distinct word 8-grams that
+    * appear in the eval suite (each excerpt's source doc flags itself;
+    * its near-dups follow).
+    *
+    * Scale shape: shingles are per-row expressions; each side reduces
+    * to DISTINCT (doc, md5-key) pairs so the join carries 32-byte keys,
+    * never text. The eval side is tiny by construction (benchmarks are
+    * ~10³-10⁵ items vs a 10⁹-doc corpus) and is broadcast — the corpus
+    * never shuffles. md5 keeps the key cross-engine-stable for the
+    * oracle; the intra-engine fast path would be xxhash64 (8-byte keys).
+    */
+  def decontaminate(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    val toks = tokens(normalizeText(col("text")))
+    val docs = Tables.documents(spark, dir)
+    val sh = docs
+      .select(col("doc_id"), explode(wordShingles(toks, n)).as("sh"))
+      .select(col("doc_id"), md5(col("sh").cast("binary")).as("shkey"))
+    val evalKeys = docs.filter(col("doc_id") % 97 === 0)
+      .select(explode(wordShingles(slice(toks, 6, 20), n)).as("sh"))
+      .select(md5(col("sh").cast("binary")).as("shkey")).distinct()
+    sh.join(broadcast(evalKeys), "shkey")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_eval_hits"))
+      .orderBy(col("doc_id"))
+  }
 }

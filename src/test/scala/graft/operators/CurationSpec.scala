@@ -80,4 +80,34 @@ class CurationSpec extends SparkSpec {
     val total = d09.agg(sum($"n_copies")).as[Long].head()
     assert(total == Tables.documents(spark, sf).count())
   }
+
+  test("q57 sequence packing: per-shard exact running offsets, budget chunking, all docs packed") {
+    val rows = Curation.sequencePack(spark, sf)
+      .select($"doc_id", $"n_tokens", $"shard", $"start_off", $"pack_id")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.groupBy(_._3).foreach { case (shard, docs) =>
+      val inOrder = docs.sortBy(_._1)
+      var off = 0L
+      inOrder.foreach { case (_, nTok, _, startOff, packId) =>
+        assert(startOff == off, s"shard $shard: running offset must be exact")
+        assert(packId == shard * 1000000L + startOff / 2048,
+          "pack = shard-local chunk of the token stream")
+        off += nTok
+      }
+    }
+  }
+
+  test("d12 decontamination: every excerpt source doc flags itself") {
+    val hits = Curation.decontaminate(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    val sources = Tables.documents(spark, sf)
+      .filter($"doc_id" % 97 === 0).select($"doc_id").as[Long].collect()
+    assert(sources.nonEmpty)
+    sources.foreach { id =>
+      assert(hits.getOrElse(id, 0L) >= 1L,
+        s"doc $id contains its own eval excerpt and must be flagged")
+    }
+    assert(hits.values.forall(_ >= 1L))
+  }
 }
