@@ -121,10 +121,12 @@ object SparkEntry {
     "d08_jaccard_exact_pairs" -> ((s: SparkSession, dir: String) => Dedup.jaccardExactPairs(s, dir)),
     "d09_priority_dedup"     -> (graft.operators.Curation.priorityDedup _),
     "d10_dup_clusters"       -> ((s: SparkSession, dir: String) => Dedup.dupClustersQuery(s, dir)),
-    // — multimodal columns (SURVEY §2.11; decode = documented stub) —
+    // — multimodal columns (SURVEY §2.11; image/audio decode REAL via
+    //   JDK codecs, video decode = documented stub) —
     "m01_media_ann"          -> (graft.operators.Multimodal.mediaAnn _),
     "m02_media_dedup"        -> (graft.operators.Multimodal.mediaDedup _),
     "m03_media_frames"       -> (graft.operators.Multimodal.mediaFrameSample _),
+    "m04_media_resize"       -> (graft.operators.Multimodal.mediaResize _),
     // — similarity search (SURVEY §2.11) —
     "e01_knn_brute"          -> (Similarity.knnBruteForce _),
     "e02_knn_lsh"            -> (Similarity.knnLsh _),
