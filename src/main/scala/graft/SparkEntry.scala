@@ -106,6 +106,7 @@ object SparkEntry {
     "t13_pii_redaction"      -> (TextAnalysis.piiRedaction _),
     "t14_repetition"         -> (TextAnalysis.repetitionSignals _),
     "t15_collocations"       -> ((s: SparkSession, dir: String) => TextAnalysis.collocations(s, dir)),
+    "t16_chunking"           -> ((s: SparkSession, dir: String) => TextAnalysis.chunkDocuments(s, dir)),
     // — dedup (SURVEY §2.11) —
     "d01_exact_dedup"        -> (Dedup.exactDedup _),
     "d02_fingerprint_dedup"  -> (Dedup.fingerprintDedup _),
@@ -549,6 +550,19 @@ object SparkEntry {
           |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
           |  CASE WHEN lang = 'en' THEN 'g' WHEN lang = 'fr' THEN 'c0' ELSE '80' END
           |ORDER BY doc_id""".stripMargin,
+      // t16: sliding-window chunking (64-token windows, stride 48) —
+      // same window starts, slices, joins and md5 fingerprints on both
+      // engines; chunk_idx = (start-1)/stride is exact integer division
+      "t16_chunking" ->
+        s"""SELECT doc_id,
+           | CAST((s - 1) / 48 AS BIGINT) AS chunk_idx,
+           | CAST(len(t[s:s+63]) AS BIGINT) AS n_chunk_tokens,
+           | md5(array_to_string(t[s:s+63], ' ')) AS chunk_fp
+           |FROM (
+           | SELECT doc_id, t, unnest(range(1, greatest(len(t) - 16, 1) + 1, 48)) AS s
+           | FROM (SELECT doc_id, string_split(${norm("text")}, ' ') AS t
+           |       FROM documents))
+           |ORDER BY doc_id, chunk_idx""".stripMargin,
       // q57: GPT-style concat-and-chunk sequence packing, sharded so no
       // global offset serializes the corpus — running sum per shard
       "q57_sequence_pack" ->

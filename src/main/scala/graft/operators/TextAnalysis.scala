@@ -388,4 +388,36 @@ object TextAnalysis {
           .otherwise(lit(0.0)).as("dup_bigram_frac"),
         (col("top_tok").cast("double") / col("n_tokens").cast("double")).as("top_token_frac"))
       .orderBy(col("doc_id"))
+
+  /** t16: sliding-window document chunking — the RAG / long-context
+    * preprocessing step: each document's token stream becomes
+    * overlapping `window`-token chunks every `stride` tokens (stride <
+    * window ⇒ the overlap guarantees no token run is split across a
+    * boundary unseen). Emits (doc_id, chunk_idx, n_chunk_tokens,
+    * chunk_fp) with an md5 fingerprint instead of the chunk text, so
+    * the result stays narrow and cross-engine hashable.
+    *
+    * Scale shape: pure per-row expressions + one explode — map-only, no
+    * shuffle; chunk count per doc is ⌈(len−window)/stride⌉+1, linear in
+    * corpus tokens.
+    */
+  def chunkDocuments(spark: SparkSession, dir: String,
+                     window: Int = 64, stride: Int = 48): DataFrame = {
+    val toks = split(normalizeText(col("text")), " ")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        // start bound n-(window-stride): guarantees the LAST window end
+        // reaches n (tail tokens never dropped) without emitting a
+        // window that earlier windows already fully cover
+        explode(sequence(lit(1),
+          greatest(size(col("toks")) - (window - stride), lit(1)), lit(stride))).as("s"),
+        col("toks"))
+      .select(col("doc_id"),
+        ((col("s") - 1) / stride).cast("long").as("chunk_idx"),
+        size(slice(col("toks"), col("s"), lit(window))).cast("long").as("n_chunk_tokens"),
+        md5(concat_ws(" ", slice(col("toks"), col("s"), lit(window))).cast("binary"))
+          .as("chunk_fp"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
 }

@@ -151,4 +151,27 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Long, Long, Double, Double)].collect()
     assert(fixture.forall(t => t._3 >= 0 && t._3 <= 1 && t._4 > 0 && t._4 <= 1))
   }
+
+  test("t16 chunking: dense indices, full windows except the tail, coverage") {
+    val chunks = TextAnalysis.chunkDocuments(spark, sf)
+      .as[(Long, Long, Long, String)].collect()
+    val lens = graft.Tables.documents(spark, sf)
+      .select($"doc_id",
+        size(split(graft.functions.TextFns.normalizeText($"text"), " ")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(chunks.map(_._1).toSet == lens.keySet, "every doc chunked")
+    chunks.groupBy(_._1).foreach { case (id, cs) =>
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (0L until cs.length).toSeq, s"doc $id dense idx")
+      val n = lens(id)
+      val expected = if (n <= 64) 1L else (n - 64 + 47) / 48 + 1
+      assert(cs.length == expected, s"doc $id: ${cs.length} chunks for $n tokens")
+      // all chunks are full windows except possibly the trailing ones
+      sorted.dropRight(1).foreach { c =>
+        assert(c._3 == 64L || n < 64, s"doc $id chunk ${c._2} has ${c._3} tokens")
+      }
+      // stride coverage: last window start + window ≥ n ⇒ no token dropped
+      assert((cs.length - 1) * 48 + 64 >= n, s"doc $id tail covered")
+    }
+  }
 }
