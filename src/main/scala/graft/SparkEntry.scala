@@ -70,6 +70,7 @@ object SparkEntry {
     "q42_balanced_sample"   -> ((s: SparkSession, dir: String) => graft.operators.Curation.balancedSample(s, dir)),
     "q54_weighted_mix"      -> ((s: SparkSession, dir: String) => graft.operators.Curation.weightedMix(s, dir)),
     "q57_sequence_pack"     -> ((s: SparkSession, dir: String) => graft.operators.Curation.sequencePack(s, dir)),
+    "q58_token_budget_mix"  -> ((s: SparkSession, dir: String) => graft.operators.Curation.tokenBudgetMix(s, dir)),
     "d12_decontamination"   -> ((s: SparkSession, dir: String) => graft.operators.Curation.decontaminate(s, dir)),
     // — physical layout: format round trip, partition pruning, bucketed
     //   co-located join, Z-order clustering —
@@ -122,6 +123,12 @@ object SparkEntry {
     "d08_jaccard_exact_pairs" -> ((s: SparkSession, dir: String) => Dedup.jaccardExactPairs(s, dir)),
     "d09_priority_dedup"     -> (graft.operators.Curation.priorityDedup _),
     "d10_dup_clusters"       -> ((s: SparkSession, dir: String) => Dedup.dupClustersQuery(s, dir)),
+    // d13/d14: partial-duplication detectors — cross-doc duplicated
+    // char spans (substring dedup) and edit-distance title pairs with
+    // prefix blocking; both bit-exact against the DuckDB oracle
+    "d13_substring_dups"     -> (Dedup.substringDups _),
+    "d14_fuzzy_pairs"        -> ((s: SparkSession, dir: String) => Dedup.fuzzyTitleDedup(s, dir)),
+    "d15_substring_coverage" -> (Dedup.substringCoverage _),
     // — multimodal columns (SURVEY §2.11; image/audio decode REAL via
     //   JDK codecs, video decode = documented stub) —
     "m01_media_ann"          -> (graft.operators.Multimodal.mediaAnn _),
@@ -151,6 +158,7 @@ object SparkEntry {
     "s03_user_sessions"      -> (Streams.userSessionStats _),
     "s04_streaming_hourly"   -> (Streams.hourlyTypeCountsStreamed _),
     "s05_streaming_dedup"    -> (Streams.streamingDedup _),
+    "s06_streaming_join"     -> (Streams.streamingIntervalJoin _),
   )
 
   /** DuckDB-dialect oracle SQL: same table names (parquet fixtures),
@@ -577,6 +585,64 @@ object SparkEntry {
           |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
           |   doc_id % 32 AS shard FROM documents))
           |ORDER BY doc_id""".stripMargin,
+      // q58: token-budget corpus mixing — per-source cumulative token
+      // cap in deterministic md5 order (the q41/q42 hash idiom)
+      "q58_token_budget_mix" ->
+        """SELECT doc_id, source, n_tokens, cum_tokens FROM (
+          | SELECT doc_id, source, n_tokens,
+          |  CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+          | FROM (SELECT doc_id, source,
+          |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+          |   md5(CAST(doc_id AS VARCHAR)) AS h FROM documents))
+          |WHERE cum_tokens <= 600 ORDER BY source, cum_tokens""".stripMargin,
+      // d13: duplicated 40-char spans (stride 10) across documents —
+      // lateral unnest(range(...)) re-derives the span stream
+      "d13_substring_dups" ->
+        """SELECT span, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+          |FROM (
+          | SELECT doc_id, substr(text, CAST(i AS INTEGER), 40) AS span
+          | FROM documents,
+          |  LATERAL (SELECT unnest(range(1, len(text) - 39 + 1, 10)) AS i)
+          | WHERE len(text) >= 40)
+          |GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+          |ORDER BY span""".stripMargin,
+      // d15: per-doc duplicated-span coverage; dup_frac is one IEEE
+      // division of two exact counts — bit-identical across engines
+      "d15_substring_coverage" ->
+        """WITH sh AS (
+          | SELECT doc_id, substr(text, CAST(i AS INTEGER), 40) AS span
+          | FROM documents,
+          |  LATERAL (SELECT unnest(range(1, len(text) - 39 + 1, 10)) AS i)
+          | WHERE len(text) >= 40),
+          |d AS (
+          | SELECT span FROM sh GROUP BY span
+          | HAVING count(DISTINCT doc_id) >= 2)
+          |SELECT doc_id, count(*) AS n_windows,
+          | CAST(count(d.span) AS BIGINT) AS n_dup_windows,
+          | CAST(count(d.span) AS DOUBLE) / count(*) AS dup_frac
+          |FROM sh LEFT JOIN d USING (span)
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      // d14: edit-distance title pairs under prefix blocking —
+      // unit-cost levenshtein is bit-identical across engines
+      "d14_fuzzy_pairs" ->
+        """WITH t AS (SELECT doc_id, substr(text, 1, 60) AS title,
+          |                  substr(text, 1, 10) AS blk FROM documents)
+          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          | CAST(levenshtein(a.title, b.title) AS BIGINT) AS dist
+          |FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
+          |WHERE levenshtein(a.title, b.title) <= 8
+          |ORDER BY doc_a, doc_b""".stripMargin,
+      // s06: drained inner interval join == the batch interval join
+      // (inner matches are emitted per micro-batch; watermarks only
+      // bound state retention)
+      "s06_streaming_join" ->
+        """SELECT p.event_id, p.user_id, CAST(c.ts AS TIMESTAMP) AS c_ts
+          |FROM events p JOIN events c ON p.user_id = c.user_id
+          | AND p.event_type = 'purchase' AND c.event_type = 'click'
+          | AND c.ts >= p.ts - INTERVAL 1 HOUR
+          | AND c.ts <= p.ts + INTERVAL 1 HOUR
+          |ORDER BY p.event_id, c_ts""".stripMargin,
       // d12: word-8-gram contamination vs an eval suite of 20-token
       // excerpts (tokens 6-25 of every doc_id%97 doc — benchmark items
       // quoted from the corpus); md5 shingle keys are bit-identical

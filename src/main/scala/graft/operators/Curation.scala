@@ -167,4 +167,31 @@ object Curation {
       .agg(count(lit(1)).as("n_eval_hits"))
       .orderBy(col("doc_id"))
   }
+
+  /** q58: token-budget corpus mixing — draw documents per source in
+    * deterministic hash order until each source's cumulative
+    * whitespace-token count reaches `budget`: the "sample N tokens from
+    * each source" stage of training-mix assembly ([[weightedMix]] caps
+    * by FRACTION; this caps by TOKENS, which is what a training run
+    * actually budgets). Content-deterministic like the other curation
+    * ops: a grown corpus only APPENDS to each source's draw order, so
+    * documents already inside the budget stay chosen.
+    *
+    * One shuffle (window over source); the shuffled payload is
+    * (id, source, token count, 32-byte hash) — never text. Per-source
+    * streams are rank-cut, so each reducer holds one source's prefix,
+    * and skewed source sizes cost no more than any hot-key window.
+    */
+  def tokenBudgetMix(spark: SparkSession, dir: String,
+                     budget: Long = 600L): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        tokenCount(col("text")).cast("long").as("n_tokens"),
+        idHash(col("doc_id")).as("h"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+      .orderBy(col("source"), col("cum_tokens"))
+  }
 }

@@ -414,4 +414,134 @@ object Dedup {
   def dupClustersQuery(spark: SparkSession, dir: String): DataFrame =
     dupClusters(jaccardExactPairs(spark, dir))
       .orderBy(col("doc_id"))
+
+  // — cross-document substring duplication (d13) —
+
+  /** One row per `k`-char span at every `stride`-step position of every
+    * document: the shingle stream behind [[substringDupSpans]]. Pure
+    * per-row expressions (`sequence` + `transform` + `substr`, all
+    * codegen'd) — computed map-side, zero shuffle.
+    */
+  private def spanExploded(docs: DataFrame, idCol: String, textCol: String,
+                           k: Int, stride: Int): DataFrame =
+    docs.filter(length(col(textCol)) >= k)
+      .select(col(idCol).as("id"),
+        explode(transform(
+          sequence(lit(1), length(col(textCol)) - (k - 1), lit(stride)),
+          i => col(textCol).substr(i, lit(k)))).as("span"))
+
+  /** Duplicated substring spans across documents — the char-level
+    * analog of suffix-based substring dedup (the "repeated 50-token
+    * substring" pass an LLM data pipeline runs before training): slide
+    * a `k`-char window with `stride` over each document and keep every
+    * span occurring in ≥ `minDocs` DISTINCT documents. The reference's
+    * nearest capability is its exact `_id` dedup
+    * (`ingestion-francetravail/ingestion-elasticsearch.py:36-55`);
+    * this catches partial, not just whole-document, duplication.
+    *
+    * The only shuffle is the span groupBy. This variant groups on the
+    * RAW span so the DuckDB oracle can reproduce it bit-exactly; at
+    * 100 TB use [[substringDupSpansHashed]], whose shuffle carries
+    * 8-byte hashes instead of `k`-char strings.
+    */
+  def substringDupSpans(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int = 40, stride: Int = 10, minDocs: Int = 2): DataFrame =
+    spanExploded(docs, idCol, textCol, k, stride)
+      .groupBy(col("span"))
+      .agg(countDistinct(col("id")).as("n_docs"), count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= minDocs)
+
+  /** The 100 TB path of [[substringDupSpans]]: identical semantics, but
+    * the groupBy key is `xxhash64(span)` — the shuffle carries 8 bytes
+    * per occurrence instead of `k` chars (5× lighter at the default
+    * k=40), and the surviving hash set is exactly what a downstream
+    * span-removal filter joins against. Collisions at 64 bits are
+    * negligible below ~10¹⁸ distinct spans.
+    */
+  def substringDupSpansHashed(docs: DataFrame, idCol: String, textCol: String,
+                              k: Int = 40, stride: Int = 10, minDocs: Int = 2): DataFrame =
+    spanExploded(docs, idCol, textCol, k, stride)
+      .select(col("id"), xxhash64(col("span")).as("span_hash"))
+      .groupBy(col("span_hash"))
+      .agg(countDistinct(col("id")).as("n_docs"), count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= minDocs)
+
+  /** d13: cross-document duplicated 40-char spans over the documents
+    * table (stride 10), oracle-checked span-for-span against DuckDB's
+    * lateral-unnest re-derivation.
+    */
+  def substringDups(spark: SparkSession, dir: String): DataFrame =
+    substringDupSpans(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy(col("span"))
+
+  /** Per-document duplicated-span coverage — the ACTIONABLE filter on
+    * top of [[substringDupSpans]]: for each document, the fraction of
+    * its span windows whose text also occurs in ≥ `minDocs` documents.
+    * The drop policy ("remove docs whose dup coverage exceeds X%") is
+    * then a plain filter on `dup_frac`.
+    *
+    * Scale shape: the dup-span set is the (much smaller) output of the
+    * span aggregation; marking is one keyed join on the span — or on
+    * its xxhash64 in the hashed variant — followed by a per-doc count.
+    * `dup_frac` is a ratio of two exact counts evaluated in one IEEE
+    * division, so it is bit-identical in the oracle.
+    */
+  def substringDupCoverage(docs: DataFrame, idCol: String, textCol: String,
+                           k: Int = 40, stride: Int = 10, minDocs: Int = 2): DataFrame = {
+    val spans = spanExploded(docs, idCol, textCol, k, stride)
+    val dups = substringDupSpans(docs, idCol, textCol, k, stride, minDocs)
+      .select(col("span"), lit(1L).as("is_dup"))
+    spans.join(dups, Seq("span"), "left")
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+           sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_windows"))
+      .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+        (col("n_dup_windows").cast("double") / col("n_windows")).as("dup_frac"))
+  }
+
+  /** d15: duplicated-span coverage per document over the documents
+    * table — oracle-checked including the IEEE-exact `dup_frac` ratio.
+    */
+  def substringCoverage(spark: SparkSession, dir: String): DataFrame =
+    substringDupCoverage(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  // — fuzzy (edit-distance) near-dup pairs with prefix blocking (d14) —
+
+  /** Fuzzy near-dup pairs by bounded edit distance over a title prefix,
+    * with prefix blocking: only documents whose first `blockLen` chars
+    * match exactly are candidates, and candidates are pairs when their
+    * first `titleLen` chars are within `maxDist` Levenshtein edits.
+    *
+    * Scale shape: the block key is an EQUI-join key, so this plans as a
+    * hash join whose fan-out is bounded by block size — never an
+    * all-pairs cross. Levenshtein runs only inside blocks and uses
+    * Spark's thresholded kernel (`levenshtein(l, r, threshold)`), which
+    * abandons a pair as soon as the distance provably exceeds
+    * `maxDist` — O(maxDist·titleLen) per pair, not O(titleLen²).
+    * Unit-cost edit distance is engine-portable, so the result is
+    * oracle-exact (DuckDB `levenshtein`).
+    */
+  def fuzzyPrefixPairs(docs: DataFrame, idCol: String, textCol: String,
+                       blockLen: Int = 10, titleLen: Int = 60,
+                       maxDist: Int = 8): DataFrame = {
+    val t = docs.select(col(idCol).as("id"),
+      substring(col(textCol), 1, titleLen).as("title"),
+      substring(col(textCol), 1, blockLen).as("blk"))
+    val a = t.select(col("blk"), col("id").as("doc_a"), col("title").as("title_a"))
+    val b = t.select(col("blk"), col("id").as("doc_b"), col("title").as("title_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("title_a"), col("title_b"), maxDist).cast("long").as("dist"))
+      .filter(col("dist") =!= -1L)
+  }
+
+  /** d14: fuzzy title-prefix pairs over the documents table (block on
+    * first 10 chars, Levenshtein ≤ 8 over first 60), oracle-exact vs
+    * DuckDB `levenshtein`.
+    */
+  def fuzzyTitleDedup(spark: SparkSession, dir: String): DataFrame =
+    fuzzyPrefixPairs(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_a"), col("doc_b"))
 }

@@ -99,13 +99,22 @@ object Streams {
     */
   private def drainToParquet(spark: SparkSession, tag: String, dir: String,
                              build: DataFrame => DataFrame,
-                             mode: String, outputMode: String): DataFrame = {
+                             mode: String, outputMode: String): DataFrame =
+    drainStreamed(spark, tag, dir, build(eventsStream(spark, dir)), mode, outputMode)
+
+  /** Drain an already-built streaming DataFrame (possibly reading from
+    * SEVERAL `readStream` sources, e.g. a stream-stream join) — the
+    * multi-source generalization of [[drainToParquet]].
+    */
+  private def drainStreamed(spark: SparkSession, tag: String, dir: String,
+                            streamed: DataFrame,
+                            mode: String, outputMode: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     import graft.util.Scratch.rmTree
     val outDir = graft.util.Scratch.dir(spark, s"${tag}_out", dir)
     val ckpt = java.nio.file.Files.createTempDirectory(s"graft_${tag}_ckpt")
     try {
-      val q = build(eventsStream(spark, dir))
+      val q = streamed
         .writeStream
         .outputMode(outputMode)
         .option("checkpointLocation", ckpt.toString)
@@ -169,6 +178,24 @@ object Streams {
         col("c_ts") <= col("p_ts") + expr("INTERVAL 1 HOUR"))
       .select(col("event_id"), col("user_id"), col("c_ts"))
   }
+
+  /** s06: the stream-stream interval join executed through a REAL
+    * streaming run — two independent `readStream` sources over the same
+    * events parquet (purchases vs clicks), both watermarked, inner
+    * interval join on user within ±1 hour, drained append-mode under
+    * `Trigger.AvailableNow`. Inner-join matches are emitted in the
+    * micro-batch where both sides are present (watermarks bound STATE
+    * RETENTION, not inner-join emission), so the drained result equals
+    * the batch interval join and is DuckDB-checkable — while the
+    * symmetric-hash join state store does the actual work.
+    */
+  def streamingIntervalJoin(spark: SparkSession, dir: String): DataFrame =
+    drainStreamed(spark, "s06", dir,
+      purchaseClickJoinStream(
+        eventsStream(spark, dir).filter(col("event_type") === "purchase"),
+        eventsStream(spark, dir).filter(col("event_type") === "click")),
+      mode = "append", outputMode = "append")
+      .orderBy(col("event_id"), col("c_ts"))
 
   // — custom state v2: transformWithState running totals (§2.9) —
 

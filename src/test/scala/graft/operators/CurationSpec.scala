@@ -110,4 +110,32 @@ class CurationSpec extends SparkSpec {
     }
     assert(hits.values.forall(_ >= 1L))
   }
+
+  test("q58 token-budget mix: per-source cap respected and draw is maximal") {
+    val budget = 600L
+    val mix = Curation.tokenBudgetMix(spark, sf, budget)
+      .select($"doc_id", $"source", $"n_tokens", $"cum_tokens")
+      .as[(Long, String, Long, Long)].collect()
+    assert(mix.nonEmpty)
+    // cap: every kept cumulative count is within budget and consistent
+    mix.groupBy(_._2).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.last._4 <= budget)
+      assert(sorted.map(_._3).sum == sorted.last._4,
+        "cum_tokens is exactly the running sum of kept docs")
+    }
+    // maximality: re-running with a larger budget keeps a superset and
+    // every source's next draw would have burst the original budget
+    val wider = Curation.tokenBudgetMix(spark, sf, budget * 2)
+      .select($"doc_id", $"source", $"cum_tokens")
+      .as[(Long, String, Long)].collect()
+    val kept = mix.map(m => (m._1, m._2)).toSet
+    assert(kept.subsetOf(wider.map(w => (w._1, w._2)).toSet),
+      "growing the budget never drops a previously-chosen doc")
+    wider.groupBy(_._2).foreach { case (src, rows) =>
+      val firstOut = rows.filter(r => !kept.contains((r._1, src))).map(_._3)
+      if (firstOut.nonEmpty)
+        assert(firstOut.min > budget, s"$src: a doc under budget was skipped")
+    }
+  }
 }

@@ -129,4 +129,89 @@ class DedupSpec extends SparkSpec {
       assert(exact.get(pair).contains(j), s"pair $pair: exact=${exact.get(pair)} lsh=$j")
     }
   }
+
+  // d13: a 50-char block shared verbatim by docs 100/101 mid-text,
+  // absent everywhere else
+  private lazy val spanPlanted = {
+    val shared = "XPQZ shared verbatim block of exactly fifty chars!"
+    Seq(
+      (100L, s"left context before the stolen text $shared and some trailing words here"),
+      (101L, s"totally different opening sentence00 $shared then a different ending too"),
+      (102L, "an unrelated document long enough to emit several spans of its own making"),
+      (103L, "short"),
+    ).toDF("doc_id", "text")
+  }
+
+  test("d13 substring spans: cross-doc duplicated span found, none elsewhere") {
+    val dups = Dedup.substringDupSpans(spanPlanted, "doc_id", "text",
+        k = 40, stride = 1, minDocs = 2)
+      .select($"span", $"n_docs", $"n_occ").as[(String, Long, Long)].collect()
+    assert(dups.nonEmpty, "the planted shared block must surface")
+    // every surviving span sits inside the shared region (the planted
+    // block plus the space on each side, also common to both docs);
+    // stride=1 must catch ALL its k-windows
+    val shared = " XPQZ shared verbatim block of exactly fifty chars! "
+    assert(dups.forall(d => shared.contains(d._1)), dups.mkString(", "))
+    assert(dups.length == shared.length - 40 + 1, s"got ${dups.length} spans")
+    assert(dups.forall(d => d._2 == 2L && d._3 == 2L))
+  }
+
+  test("d13 hashed variant agrees with the raw variant span-for-span") {
+    val raw = Dedup.substringDupSpans(spanPlanted, "doc_id", "text",
+        k = 40, stride = 1, minDocs = 2)
+      .select(xxhash64($"span"), $"n_docs", $"n_occ")
+      .as[(Long, Long, Long)].collect().toSet
+    val hashed = Dedup.substringDupSpansHashed(spanPlanted, "doc_id", "text",
+        k = 40, stride = 1, minDocs = 2)
+      .select($"span_hash", $"n_docs", $"n_occ")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(raw == hashed)
+  }
+
+  test("d15 coverage: dup windows only in the two docs sharing the block") {
+    val cov = Dedup.substringDupCoverage(spanPlanted, "doc_id", "text",
+        k = 40, stride = 1, minDocs = 2)
+      .select($"doc_id", $"n_windows", $"n_dup_windows", $"dup_frac")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(cov(100L)._3 > 0L && cov(101L)._3 > 0L)
+    assert(cov(102L)._3 == 0L && cov(102L)._4 == 0.0)
+    assert(!cov.contains(103L), "sub-window doc emits no windows at all")
+    cov.values.foreach { c =>
+      assert(c._3 <= c._2 && c._4 == c._3.toDouble / c._2)
+    }
+  }
+
+  test("d13 skips documents shorter than the window without erroring") {
+    val only = Dedup.substringDupSpans(
+      Seq((1L, "tiny"), (2L, "tiny")).toDF("doc_id", "text"),
+      "doc_id", "text", k = 40, stride = 1, minDocs = 2)
+    assert(only.count() == 0L)
+  }
+
+  test("d14 fuzzy prefix pairs: same-block titles within edit budget only") {
+    val docs = Seq(
+      (1L, "Breaking news: markets rally on rate cut hopes amid strong earnings"),
+      (2L, "Breaking news: markets rally on rate cut hopes amid robust earnings"), // few edits
+      (3L, "Breaking news: completely different story about a local bake sale!!"),  // same block, far
+      (4L, "Different prefix entirely, so never even a candidate for pairing"),
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.fuzzyPrefixPairs(docs, "doc_id", "text",
+        blockLen = 10, titleLen = 60, maxDist = 8)
+      .select($"doc_a", $"doc_b", $"dist").as[(Long, Long, Long)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)), pairs.mkString(", "))
+    assert(pairs.head._3 > 0L && pairs.head._3 <= 8L)
+  }
+
+  test("d14 gate query finds the fixture's planted near-dup titles") {
+    val pairs = Dedup.fuzzyTitleDedup(spark, sf)
+    assert(pairs.count() > 0)
+    // blocking is sound: every pair shares the 10-char prefix
+    val docs = graft.Tables.documents(spark, sf)
+      .select($"doc_id", substring($"text", 1, 10).as("p"))
+    val bad = pairs
+      .join(docs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("p", "pa"), "doc_a")
+      .join(docs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("p", "pb"), "doc_b")
+      .filter($"pa" =!= $"pb")
+    assert(bad.count() == 0L)
+  }
 }

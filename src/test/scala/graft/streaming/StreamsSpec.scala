@@ -131,6 +131,23 @@ class StreamsSpec extends SparkSpec {
     assert(got == Seq((11L, 1L), (11L, 1L)), got.toString)
   }
 
+  test("s06 drained streaming interval join equals the batch interval join") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = Streams.streamingIntervalJoin(spark, dir)
+      .as[(Long, Long, java.sql.Timestamp)].collect().toSeq.sortBy(r => (r._1, r._3.getTime))
+    val ev = graft.Tables.events(spark, dir)
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("p_ts"), $"event_id")
+    val c = ev.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"ts".as("c_ts"))
+    val batch = p.join(c, $"user_id" === $"c_user" &&
+        $"c_ts" >= $"p_ts" - expr("INTERVAL 1 HOUR") &&
+        $"c_ts" <= $"p_ts" + expr("INTERVAL 1 HOUR"))
+      .select($"event_id", $"user_id", $"c_ts")
+      .as[(Long, Long, java.sql.Timestamp)].collect().toSeq.sortBy(r => (r._1, r._3.getTime))
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("transformWithState running totals accumulate across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     // the v2 state API needs column families → RocksDB state store
