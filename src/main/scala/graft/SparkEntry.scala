@@ -72,6 +72,7 @@ object SparkEntry {
     "q57_sequence_pack"     -> ((s: SparkSession, dir: String) => graft.operators.Curation.sequencePack(s, dir)),
     "q58_token_budget_mix"  -> ((s: SparkSession, dir: String) => graft.operators.Curation.tokenBudgetMix(s, dir)),
     "d12_decontamination"   -> ((s: SparkSession, dir: String) => graft.operators.Curation.decontaminate(s, dir)),
+    "d16_decontaminate_bloom" -> ((s: SparkSession, dir: String) => graft.operators.Curation.decontaminateBloom(s, dir)),
     // — physical layout: format round trip, partition pruning, bucketed
     //   co-located join, Z-order clustering —
     "q43_orc_roundtrip"     -> (graft.operators.Layout.orcRoundTrip _),
@@ -171,7 +172,7 @@ object SparkEntry {
       s"""trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(lower($c), '\\r', ' ', 'g'), '&nbsp', ' ', 'g'), '[,*-.:;«»✔➡¿\\\\"·?!()/]', ' ', 'g'), '\\s', ' ', 'g'), ' +', ' ', 'g'))"""
     val toks: String => String = c => s"string_split(${norm(c)}, ' ')"
 
-    Map(
+    val base = Map(
       "q01_pricing_summary" ->
         """SELECT l_returnflag, l_linestatus,
           | sum(l_quantity) AS sum_qty,
@@ -986,5 +987,8 @@ object SparkEntry {
           | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
           |GROUP BY user_id ORDER BY user_id""".stripMargin,
     )
+    // d16 = d12's semantics behind a Bloom prefilter (no false
+    // negatives + exact join after ⇒ identical result) — same oracle
+    base + ("d16_decontaminate_bloom" -> base("d12_decontamination"))
   }
 }

@@ -168,6 +168,42 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** d16: Bloom-prefiltered decontamination — the SEMANTICS of
+    * [[decontaminate]] with the execution shape for a corpus whose
+    * shingle stream is too big to even hash-join comfortably: build an
+    * 8 KiB Bloom filter over the eval suite's shingle hashes with one
+    * distributed aggregate, drop non-matching corpus shingles MAP-SIDE
+    * (the codegen'd double-murmur3 probe of `functions.Bloom`, the q55
+    * runtime-filter kernel), and exact-join only the survivors. At
+    * 100 TB the ~100% of shingles that are clean never reach a shuffle
+    * or broadcast probe at all. Bloom filters have no false negatives
+    * and the exact join runs after ⇒ result ≡ [[decontaminate]], which
+    * is exactly what the oracle re-checks.
+    */
+  def decontaminateBloom(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Bloom
+    val toks = tokens(normalizeText(col("text")))
+    val docs = Tables.documents(spark, dir)
+    val sh = docs
+      .select(col("doc_id"), explode(wordShingles(toks, n)).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("shh"),
+        md5(col("sh").cast("binary")).as("shkey"))
+    val evalSh = docs.filter(col("doc_id") % 97 === 0)
+      .select(explode(wordShingles(slice(toks, 6, 20), n)).as("sh"))
+      .select(xxhash64(col("sh")).as("shh"),
+        md5(col("sh").cast("binary")).as("shkey"))
+      .distinct()
+    val bits: Array[Long] = evalSh.select(col("shh")).as[Long]
+      .select(Bloom.bloomAgg.toColumn.name("bits"))
+      .head()
+    Bloom.prefilter(sh, "shh", bits)
+      .join(broadcast(evalSh.select(col("shkey"))), "shkey")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_eval_hits"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q58: token-budget corpus mixing — draw documents per source in
     * deterministic hash order until each source's cumulative
     * whitespace-token count reaches `budget`: the "sample N tokens from

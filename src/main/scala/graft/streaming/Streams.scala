@@ -113,6 +113,16 @@ object Streams {
     import graft.util.Scratch.rmTree
     val outDir = graft.util.Scratch.dir(spark, s"${tag}_out", dir)
     val ckpt = java.nio.file.Files.createTempDirectory(s"graft_${tag}_ckpt")
+    // Stateful-operator parallelism = shuffle partitions AT QUERY START
+    // (frozen into the checkpoint): each partition is a state-store
+    // instance whose per-batch commit is an fsync'd delta file — a
+    // stream-stream join keeps FOUR stores per partition. These drains
+    // move fixture-scale batches, so 8 stores beat 32 on pure commit
+    // overhead; a production deployment sizes this to key cardinality
+    // instead (state ops hash-partition by key, so throughput scales
+    // out with the partition count, and the checkpoint pins it).
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
       val q = streamed
         .writeStream
@@ -124,7 +134,10 @@ object Streams {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally rmTree(ckpt)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      rmTree(ckpt)
+    }
     spark.read.parquet(outDir.toString)
   }
 

@@ -96,7 +96,14 @@ object ScaleStress {
       "t05_langid_confusion", "t06_fingerprints", "t08_winnowing",
       "t09_text_match", "t10_bm25", "t11_heavy_hitters",
       "t12_heavy_hitters_exact", "t13_pii_redaction", "t14_repetition",
-      "t15_collocations", "q50_inverted_index")
+      "t15_collocations", "q50_inverted_index",
+      // round-5 additions. The copy-variant corpus is ADVERSARIAL for
+      // d13/d15: every span of every original is duplicated across all
+      // `factor` copies, so the span aggregation and coverage join run
+      // at near-100% dup density; d14's title blocks grow `factor`×.
+      "d12_decontamination", "d13_substring_dups", "d14_fuzzy_pairs",
+      "d15_substring_coverage", "q57_sequence_pack", "q58_token_budget_mix",
+      "t16_chunking")
 
     // one untimed warmup pass at the small fixture (JIT/codegen)
     subset.foreach { n =>

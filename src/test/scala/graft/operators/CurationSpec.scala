@@ -111,6 +111,14 @@ class CurationSpec extends SparkSpec {
     assert(hits.values.forall(_ >= 1L))
   }
 
+  test("d16 bloom-prefiltered decontamination equals the exact-join d12") {
+    val exact = Curation.decontaminate(spark, sf)
+      .as[(Long, Long)].collect().toSeq.sorted
+    val bloom = Curation.decontaminateBloom(spark, sf)
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(exact.nonEmpty && bloom == exact)
+  }
+
   test("q58 token-budget mix: per-source cap respected and draw is maximal") {
     val budget = 600L
     val mix = Curation.tokenBudgetMix(spark, sf, budget)
