@@ -109,6 +109,8 @@ object SparkEntry {
     "t14_repetition"         -> (TextAnalysis.repetitionSignals _),
     "t15_collocations"       -> ((s: SparkSession, dir: String) => TextAnalysis.collocations(s, dir)),
     "t16_chunking"           -> ((s: SparkSession, dir: String) => TextAnalysis.chunkDocuments(s, dir)),
+    "t17_quantile_filter"    -> (TextAnalysis.qualityQuantileFilter _),
+    "t18_rank_fusion"        -> (TextAnalysis.rankFusion _),
     // — dedup (SURVEY §2.11) —
     "d01_exact_dedup"        -> (Dedup.exactDedup _),
     "d02_fingerprint_dedup"  -> (Dedup.fingerprintDedup _),
@@ -171,6 +173,58 @@ object SparkEntry {
     val norm: String => String = c =>
       s"""trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(lower($c), '\\r', ' ', 'g'), '&nbsp', ' ', 'g'), '[,*-.:;«»✔➡¿\\\\"·?!()/]', ' ', 'g'), '\\s', ' ', 'g'), ' +', ' ', 'g'))"""
     val toks: String => String = c => s"string_split(${norm(c)}, ' ')"
+
+    // t09/t10 ranker SQL — standalone entries below, and reused verbatim
+    // as the shortlist CTE bodies of the t18 RRF fusion
+    // BM25 with rational idf (no log): every step is integer-derived
+    // double arithmetic in a fixed order — bit-identical across engines
+    val t10Sql: String =
+      s"""WITH tf AS (
+         | SELECT doc_id, len(toks) AS dl,
+         |  len(list_filter(toks, t -> t = 'join')) AS tf_join,
+         |  len(list_filter(toks, t -> t = 'hash')) AS tf_hash,
+         |  len(list_filter(toks, t -> t = 'stream')) AS tf_stream
+         | FROM (SELECT doc_id, ${toks("text")} AS toks FROM documents)),
+         |st AS (
+         | SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
+         |  CAST(sum(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_join,
+         |  CAST(sum(CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_hash,
+         |  CAST(sum(CASE WHEN tf_stream > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_stream
+         | FROM tf)
+         |SELECT doc_id, dl, score FROM (
+         | SELECT doc_id, dl,
+         |  ((CAST(n_docs AS DOUBLE) - CAST(df_join AS DOUBLE) + 0.5) / (CAST(df_join AS DOUBLE) + 0.5))
+         |    * ((CAST(tf_join AS DOUBLE) * 2.2) / (CAST(tf_join AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))
+         |  + ((CAST(n_docs AS DOUBLE) - CAST(df_hash AS DOUBLE) + 0.5) / (CAST(df_hash AS DOUBLE) + 0.5))
+         |    * ((CAST(tf_hash AS DOUBLE) * 2.2) / (CAST(tf_hash AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))
+         |  + ((CAST(n_docs AS DOUBLE) - CAST(df_stream AS DOUBLE) + 0.5) / (CAST(df_stream AS DOUBLE) + 0.5))
+         |    * ((CAST(tf_stream AS DOUBLE) * 2.2) / (CAST(tf_stream AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))) AS score
+         | FROM tf, (SELECT *, CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl FROM st)
+         | WHERE tf_join + tf_hash + tf_stream > 0)
+         |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin
+    // tf-idf with rational idf (N/df) and fixed left-assoc summation:
+    // identical IEEE doubles on both engines
+    val t09Sql: String =
+      s"""WITH tf AS (
+         | SELECT doc_id,
+         |  len(list_filter(${toks("text")}, t -> t = 'join')) AS tf_join,
+         |  len(list_filter(${toks("text")}, t -> t = 'hash')) AS tf_hash,
+         |  len(list_filter(${toks("text")}, t -> t = 'stream')) AS tf_stream
+         | FROM documents),
+         |st AS (
+         | SELECT count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_join,
+         |  CAST(sum(CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_hash,
+         |  CAST(sum(CASE WHEN tf_stream > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_stream
+         | FROM tf)
+         |SELECT doc_id, n_hits, score FROM (
+         | SELECT doc_id, tf_join + tf_hash + tf_stream AS n_hits,
+         |  (CASE WHEN df_join > 0 THEN CAST(tf_join AS DOUBLE) * (CAST(n_docs AS DOUBLE) / CAST(df_join AS DOUBLE)) ELSE 0.0 END)
+         |  + (CASE WHEN df_hash > 0 THEN CAST(tf_hash AS DOUBLE) * (CAST(n_docs AS DOUBLE) / CAST(df_hash AS DOUBLE)) ELSE 0.0 END)
+         |  + (CASE WHEN df_stream > 0 THEN CAST(tf_stream AS DOUBLE) * (CAST(n_docs AS DOUBLE) / CAST(df_stream AS DOUBLE)) ELSE 0.0 END) AS score
+         | FROM tf, st)
+         |WHERE n_hits > 0
+         |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin
 
     val base = Map(
       "q01_pricing_summary" ->
@@ -394,32 +448,7 @@ object SparkEntry {
           | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
           |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
           |GROUP BY s_name ORDER BY s_name""".stripMargin,
-      // BM25 with rational idf (no log): every step is integer-derived
-      // double arithmetic in a fixed order — bit-identical across engines
-      "t10_bm25" ->
-        s"""WITH tf AS (
-           | SELECT doc_id, len(toks) AS dl,
-           |  len(list_filter(toks, t -> t = 'join')) AS tf_join,
-           |  len(list_filter(toks, t -> t = 'hash')) AS tf_hash,
-           |  len(list_filter(toks, t -> t = 'stream')) AS tf_stream
-           | FROM (SELECT doc_id, ${toks("text")} AS toks FROM documents)),
-           |st AS (
-           | SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
-           |  CAST(sum(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_join,
-           |  CAST(sum(CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_hash,
-           |  CAST(sum(CASE WHEN tf_stream > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_stream
-           | FROM tf)
-           |SELECT doc_id, dl, score FROM (
-           | SELECT doc_id, dl,
-           |  ((CAST(n_docs AS DOUBLE) - CAST(df_join AS DOUBLE) + 0.5) / (CAST(df_join AS DOUBLE) + 0.5))
-           |    * ((CAST(tf_join AS DOUBLE) * 2.2) / (CAST(tf_join AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))
-           |  + ((CAST(n_docs AS DOUBLE) - CAST(df_hash AS DOUBLE) + 0.5) / (CAST(df_hash AS DOUBLE) + 0.5))
-           |    * ((CAST(tf_hash AS DOUBLE) * 2.2) / (CAST(tf_hash AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))
-           |  + ((CAST(n_docs AS DOUBLE) - CAST(df_stream AS DOUBLE) + 0.5) / (CAST(df_stream AS DOUBLE) + 0.5))
-           |    * ((CAST(tf_stream AS DOUBLE) * 2.2) / (CAST(tf_stream AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))) AS score
-           | FROM tf, (SELECT *, CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl FROM st)
-           | WHERE tf_join + tf_hash + tf_stream > 0)
-           |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
+      "t10_bm25" -> t10Sql,
       "t01_normalize_pipeline" ->
         s"""SELECT doc_id, lang, ${norm("text")} AS text_norm
            |FROM documents WHERE lang IN ('en','fr') ORDER BY doc_id""".stripMargin,
@@ -473,29 +502,7 @@ object SparkEntry {
            | FROM sh a, sh b WHERE a.doc_id < b.doc_id)
            |WHERE jaccard >= 0.25
            |ORDER BY doc_a, doc_b""".stripMargin,
-      // tf-idf with rational idf (N/df) and fixed left-assoc summation:
-      // identical IEEE doubles on both engines
-      "t09_text_match" ->
-        s"""WITH tf AS (
-           | SELECT doc_id,
-           |  len(list_filter(${toks("text")}, t -> t = 'join')) AS tf_join,
-           |  len(list_filter(${toks("text")}, t -> t = 'hash')) AS tf_hash,
-           |  len(list_filter(${toks("text")}, t -> t = 'stream')) AS tf_stream
-           | FROM documents),
-           |st AS (
-           | SELECT count(*) AS n_docs,
-           |  CAST(sum(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_join,
-           |  CAST(sum(CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_hash,
-           |  CAST(sum(CASE WHEN tf_stream > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_stream
-           | FROM tf)
-           |SELECT doc_id, n_hits, score FROM (
-           | SELECT doc_id, tf_join + tf_hash + tf_stream AS n_hits,
-           |  (CASE WHEN df_join > 0 THEN CAST(tf_join AS DOUBLE) * (CAST(n_docs AS DOUBLE) / CAST(df_join AS DOUBLE)) ELSE 0.0 END)
-           |  + (CASE WHEN df_hash > 0 THEN CAST(tf_hash AS DOUBLE) * (CAST(n_docs AS DOUBLE) / CAST(df_hash AS DOUBLE)) ELSE 0.0 END)
-           |  + (CASE WHEN df_stream > 0 THEN CAST(tf_stream AS DOUBLE) * (CAST(n_docs AS DOUBLE) / CAST(df_stream AS DOUBLE)) ELSE 0.0 END) AS score
-           | FROM tf, st)
-           |WHERE n_hits > 0
-           |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
+      "t09_text_match" -> t09Sql,
       "d01_exact_dedup" ->
         s"""SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
            |FROM documents GROUP BY ${norm("text")} ORDER BY keeper_id""".stripMargin,
@@ -572,6 +579,43 @@ object SparkEntry {
            | FROM (SELECT doc_id, string_split(${norm("text")}, ' ') AS t
            |       FROM documents))
            |ORDER BY doc_id, chunk_idx""".stripMargin,
+      // t17: per-language bottom-quartile quality filter — integer-exact
+      // threshold = the (n div 4 + 1)-th smallest token count per lang,
+      // derived from the same (lang, n_tokens, cnt) histogram + running
+      // sum the Spark side aggregates (no FP quantile interpolation)
+      "t17_quantile_filter" ->
+        s"""WITH scored AS (
+           |  SELECT doc_id, lang,
+           |    CAST(len(${toks("text")}) AS BIGINT) AS n_tokens FROM documents),
+           |thr AS (
+           |  SELECT lang, min(n_tokens) AS thr FROM (
+           |    SELECT lang, n_tokens,
+           |      sum(cnt) OVER (PARTITION BY lang ORDER BY n_tokens) AS cum,
+           |      sum(cnt) OVER (PARTITION BY lang) AS n
+           |    FROM (SELECT lang, n_tokens, count(*) AS cnt
+           |          FROM scored GROUP BY 1, 2))
+           |  WHERE cum >= n // 4 + 1 GROUP BY lang)
+           |SELECT s.doc_id, s.lang, s.n_tokens
+           |FROM scored s JOIN thr USING (lang)
+           |WHERE s.n_tokens >= thr.thr
+           |ORDER BY doc_id""".stripMargin,
+      // t18: reciprocal-rank fusion of the t10 (BM25) and t09 (tf-idf)
+      // shortlists — ranks re-derived by the same (score DESC, doc_id)
+      // order, RRF = two fixed-order IEEE divisions; rank 0 = absent
+      "t18_rank_fusion" ->
+        s"""WITH bm AS (
+           |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+           |  FROM ($t10Sql)),
+           |tm AS (
+           |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+           |  FROM ($t09Sql))
+           |SELECT doc_id,
+           |  COALESCE(bm.r, 0) AS bm25_rank,
+           |  COALESCE(tm.r, 0) AS tfidf_rank,
+           |  COALESCE(CAST(1 AS DOUBLE) / (60.0 + CAST(bm.r AS DOUBLE)), CAST(0 AS DOUBLE))
+           |    + COALESCE(CAST(1 AS DOUBLE) / (60.0 + CAST(tm.r AS DOUBLE)), CAST(0 AS DOUBLE)) AS rrf_score
+           |FROM bm FULL JOIN tm USING (doc_id)
+           |ORDER BY rrf_score DESC, doc_id""".stripMargin,
       // q57: GPT-style concat-and-chunk sequence packing, sharded so no
       // global offset serializes the corpus — running sum per shard
       "q57_sequence_pack" ->

@@ -3,7 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.functions.TextFns._
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Text-analysis operators over the `documents` fixture — the engine's
   * re-expression of the reference's text-normalization pipelines
@@ -419,5 +419,81 @@ object TextAnalysis {
         md5(concat_ws(" ", slice(col("toks"), col("s"), lit(window))).cast("binary"))
           .as("chunk_fp"))
       .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** Per-language quantile-threshold quality filter (t17): drop the
+    * bottom quartile of documents by token count within each language —
+    * the quality-pruning stage of a training-data pipeline ("keep the
+    * top 75% per language", so low-resource languages aren't wiped out
+    * by a global threshold).
+    *
+    * The per-group exact quantile comes from a value HISTOGRAM
+    * (`groupBy(lang, n_tokens)`), not from buffering every value the
+    * way `percentile` does: the aggregation shuffle carries one row per
+    * distinct (language, token-count) pair — bounded by the range of
+    * document sizes, not by corpus row count — so the exact threshold
+    * stays computable at 100 TB. The per-language thresholds (a few
+    * rows) broadcast back; the corpus side is filtered map-side off
+    * that broadcast and is never shuffled by the filter itself.
+    *
+    * Threshold definition (integer-exact, tie-safe): with n docs in a
+    * language, drop-count k = n div 4 and the threshold is the
+    * (k+1)-th smallest token count; every doc with n_tokens >= that
+    * value is kept. The verdict depends only on integer values — no FP
+    * quantile interpolation, no tie-order sensitivity — so Spark and
+    * the DuckDB oracle agree bit-for-bit.
+    */
+  def qualityQuantileFilter(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(tokens(normalizeText(col("text")))).cast("long").as("n_tokens"))
+    val hist = scored.groupBy(col("lang"), col("n_tokens"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy("lang").orderBy("n_tokens")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("lang")
+    val thresholds = hist
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      // min value whose cumulative count reaches rank k+1 = the
+      // (k+1)-th smallest value in the language
+      .filter(col("cum") >= expr("n div 4") + 1)
+      .groupBy(col("lang")).agg(min(col("n_tokens")).as("thr"))
+    scored.join(broadcast(thresholds), Seq("lang"))
+      .filter(col("n_tokens") >= col("thr"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Hybrid-retrieval rank fusion (t18): reciprocal-rank fusion (RRF,
+    * Cormack et al. — score = Σ 1/(60+rank)) of the BM25 (t10) and
+    * tf·idf (t09) shortlists. This is the fusion stage of a hybrid
+    * search stack (lexical + second ranker → one list for the
+    * reranker/RAG context builder).
+    *
+    * Scale shape: RRF in production fuses top-k SHORTLISTS, never full
+    * corpora — both inputs here are already `LIMIT 50` outputs of
+    * distributed rankers (TakeOrderedAndProject), so the global
+    * `row_number` windows and the full-outer join run on ≤50 rows each
+    * and cost nothing regardless of corpus size. Ranks are integers and
+    * the RRF sum is two fixed-order IEEE divisions, so the result is
+    * bit-identical across engines (rank 0 = absent from that list).
+    */
+  def rankFusion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byScore = Window.orderBy(col("score").desc, col("doc_id"))
+    def ranked(df: DataFrame, as: String): DataFrame =
+      df.select(col("doc_id"), row_number().over(byScore).cast("long").as(as))
+    val bm = ranked(bm25Rank(spark, dir), "r_bm")
+    val tm = ranked(textMatch(spark, dir), "r_tm")
+    val rrfTerm: Column => Column = r =>
+      coalesce(lit(1.0) / (lit(60.0) + r.cast("double")), lit(0.0))
+    bm.join(tm, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("r_bm"), lit(0L)).as("bm25_rank"),
+        coalesce(col("r_tm"), lit(0L)).as("tfidf_rank"),
+        (rrfTerm(col("r_bm")) + rrfTerm(col("r_tm"))).as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
   }
 }

@@ -103,7 +103,7 @@ object ScaleStress {
       // at near-100% dup density; d14's title blocks grow `factor`×.
       "d12_decontamination", "d13_substring_dups", "d14_fuzzy_pairs",
       "d15_substring_coverage", "q57_sequence_pack", "q58_token_budget_mix",
-      "t16_chunking")
+      "t16_chunking", "t17_quantile_filter", "t18_rank_fusion")
 
     // one untimed warmup pass at the small fixture (JIT/codegen)
     subset.foreach { n =>

@@ -174,4 +174,58 @@ class TextAnalysisSpec extends SparkSpec {
       assert((cs.length - 1) * 48 + 64 >= n, s"doc $id tail covered")
     }
   }
+
+  test("t17 quantile filter: drops exactly the bottom quartile per lang (mod ties), broadcast thresholds") {
+    val all = TextAnalysis.docQuality(spark, sf)
+      .select(col("doc_id"), col("n_tokens")).as[(Long, Long)].collect().toMap
+    val langs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang")).as[(Long, String)].collect().toMap
+    val kept = TextAnalysis.qualityQuantileFilter(spark, sf)
+      .as[(Long, String, Long)].collect()
+
+    // token counts agree with the oracle-checked t02 metric
+    kept.foreach { case (id, _, n) => assert(all(id) == n, s"doc $id token count") }
+
+    val keptByLang = kept.groupBy(_._2)
+    all.keys.toSeq.groupBy(langs).foreach { case (lang, ids) =>
+      val counts = ids.map(all).sorted
+      val k = counts.length / 4
+      val thr = counts(k) // (k+1)-th smallest
+      val expected = ids.filter(all(_) >= thr).toSet
+      val got = keptByLang.getOrElse(lang, Array.empty).map(_._1).toSet
+      assert(got == expected, s"lang $lang: kept ${got.size}, expected ${expected.size}")
+      // at most a quarter dropped; ties at the threshold are all kept
+      assert(ids.size - got.size <= k, s"lang $lang over-dropped")
+    }
+
+    // the corpus-side filter join must be a broadcast, not a shuffle
+    val plan = TextAnalysis.qualityQuantileFilter(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
+  test("t18 rank fusion: RRF of the bm25 and tf-idf shortlists, exact reciprocal sums") {
+    def ranks(rows: Array[(Long, Double)]): Map[Long, Long] =
+      rows.sortBy { case (id, s) => (-s, id) }.zipWithIndex
+        .map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    val bm = ranks(TextAnalysis.bm25Rank(spark, sf)
+      .select(col("doc_id"), col("score")).as[(Long, Double)].collect())
+    val tm = ranks(TextAnalysis.textMatch(spark, sf)
+      .select(col("doc_id"), col("score")).as[(Long, Double)].collect())
+
+    val fused = TextAnalysis.rankFusion(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+
+    assert(fused.map(_._1).toSet == bm.keySet ++ tm.keySet, "union of shortlists")
+    assert(fused.map(_._1).distinct.length == fused.length, "one row per doc")
+    fused.foreach { case (id, rBm, rTm, score) =>
+      assert(rBm == bm.getOrElse(id, 0L), s"doc $id bm25 rank")
+      assert(rTm == tm.getOrElse(id, 0L), s"doc $id tfidf rank")
+      val expected = bm.get(id).map(r => 1.0 / (60.0 + r)).getOrElse(0.0) +
+        tm.get(id).map(r => 1.0 / (60.0 + r)).getOrElse(0.0)
+      assert(score == expected, s"doc $id rrf score $score != $expected")
+    }
+    // output is sorted by fused score — the reranker contract
+    assert(fused.map(_._4).toSeq == fused.map(_._4).sortBy(-_).toSeq)
+  }
 }
