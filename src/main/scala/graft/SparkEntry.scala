@@ -111,6 +111,9 @@ object SparkEntry {
     "t16_chunking"           -> ((s: SparkSession, dir: String) => TextAnalysis.chunkDocuments(s, dir)),
     "t17_quantile_filter"    -> (TextAnalysis.qualityQuantileFilter _),
     "t18_rank_fusion"        -> (TextAnalysis.rankFusion _),
+    // t19: linear quality-classifier scoring — integer milli-unit
+    // weights over counting features, so the score is oracle-exact
+    "t19_quality_classifier" -> (TextAnalysis.qualityClassifier _),
     // — dedup (SURVEY §2.11) —
     "d01_exact_dedup"        -> (Dedup.exactDedup _),
     "d02_fingerprint_dedup"  -> (Dedup.fingerprintDedup _),
@@ -132,6 +135,10 @@ object SparkEntry {
     "d13_substring_dups"     -> (Dedup.substringDups _),
     "d14_fuzzy_pairs"        -> ((s: SparkSession, dir: String) => Dedup.fuzzyTitleDedup(s, dir)),
     "d15_substring_coverage" -> (Dedup.substringCoverage _),
+    // d17: SemDeDup-style semantic dedup — k-means cells + in-cluster
+    // greedy representative sweep (rows-only: k-means training is not
+    // SQL-derivable; sweep semantics spec-verified vs brute force)
+    "d17_semantic_dedup"     -> (Dedup.semanticDedup _),
     // — multimodal columns (SURVEY §2.11; image/audio decode REAL via
     //   JDK codecs, video decode = documented stub) —
     "m01_media_ann"          -> (graft.operators.Multimodal.mediaAnn _),
@@ -144,6 +151,10 @@ object SparkEntry {
     "e04_knn_ivf"            -> (Similarity.knnIvf _),
     "e06_knn_ivf_kmeans"     -> (Similarity.knnIvfKmeans _),
     "e07_knn_pq"             -> (Similarity.knnPq _),
+    // e09: scalar int8 quantization (SQ8) — closed-form quantizer +
+    // all-integer shortlist scores make this the one ANN index whose
+    // shortlist AND final ranks are fully oracle-checked
+    "e09_knn_int8"           -> (Similarity.knnInt8 _),
     "e05_cosine_range"       -> (Similarity.knnRange _),
     // e08: in-gate ANN quality audit — recall of every approximate
     // index vs the e01 exact ranks (rows-only; values are seeded but
@@ -486,6 +497,22 @@ object SparkEntry {
       "t06_fingerprints" ->
         s"""SELECT doc_id, md5(${norm("text")}) AS fp
            |FROM documents ORDER BY doc_id""".stripMargin,
+      // t19: all-integer linear model — counting features × milli-unit
+      // weights, threshold decision; every step exact on both engines
+      "t19_quality_classifier" ->
+        s"""SELECT doc_id, score_x1000,
+           | CASE WHEN score_x1000 >= 4000 THEN 'keep' ELSE 'drop' END AS label
+           |FROM (
+           | SELECT doc_id,
+           |  2*n_chars + 15*n_tokens + 120*n_distinct + 500*n_stop
+           |    - 60*(n_tokens - n_distinct) AS score_x1000
+           | FROM (
+           |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+           |   CAST(len(toks) AS BIGINT) AS n_tokens,
+           |   CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+           |   CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS BIGINT) AS n_stop
+           |  FROM (SELECT doc_id, text, ${toks("text")} AS toks FROM documents)))
+           |ORDER BY doc_id""".stripMargin,
       // exact char-shingle jaccard: same shingle windows (1..len-n+1,
       // short-text degenerate window included), same set semantics
       // (distinct), same rational division — identical doubles on both
@@ -524,6 +551,36 @@ object SparkEntry {
           |    ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id) AS rank
           | FROM embeddings q, embeddings e
           | WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id)
+          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+      // e09: the quantizer is closed-form (floor(x·127/max|x| + 0.5))
+      // and shortlist scores are integer dots rescaled by one double
+      // multiply in a fixed order — both engines produce bit-identical
+      // scores, so the 20-deep shortlist and the exact re-ranked top-5
+      // agree row for row
+      "e09_knn_int8" ->
+        """WITH sv AS (
+          | SELECT vec_id, embedding,
+          |  greatest(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 1e-12) AS s
+          | FROM embeddings),
+          |qc AS (
+          | SELECT vec_id, s,
+          |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*127.0/s + 0.5) AS BIGINT)) AS code
+          | FROM sv),
+          |short AS (
+          | SELECT qid, nid FROM (
+          |  SELECT q.vec_id qid, c.vec_id nid,
+          |   row_number() OVER (PARTITION BY q.vec_id
+          |     ORDER BY CAST(list_dot_product(q.code, c.code) AS DOUBLE) * (q.s * c.s) DESC, c.vec_id) AS arank
+          |  FROM qc q, qc c
+          |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+          | WHERE arank <= 20)
+          |SELECT query_id, rank, neighbor_id FROM (
+          | SELECT s.qid AS query_id, s.nid AS neighbor_id,
+          |  row_number() OVER (PARTITION BY s.qid
+          |    ORDER BY list_cosine_similarity(qe.embedding, ne.embedding) DESC, s.nid) AS rank
+          | FROM short s
+          | JOIN embeddings qe ON qe.vec_id = s.qid
+          | JOIN embeddings ne ON ne.vec_id = s.nid)
           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
       "s02_sliding_counts" ->
         """SELECT win_start, event_type, count(*) AS n FROM (

@@ -108,9 +108,59 @@ object VectorFns {
       copy(left = newLeft, right = newRight)
   }
 
+  /** dot(a, b) over array<long> int8-quantized codes → long; codegen'd
+    * primitive loop. The hot kernel of the scalar-quantization ANN scan
+    * (e09): all-integer arithmetic, so the score — unlike a float dot —
+    * is bit-identical on any engine that multiplies the same codes,
+    * which is what lets the quantized shortlist be oracle-checked.
+    */
+  case class DotProductI64(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "dot_i64"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var s = 0L
+      var i = 0
+      while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+      s
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val s = ctx.freshName("s")
+        val i = ctx.freshName("i")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |long $s = 0L;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $s += $a.getLong($i) * $b.getLong($i);
+           |}
+           |${ev.value} = $s;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   def dot(a: Column, b: Column): Column =
     GraftColumnBridge.column(DotProductF32(GraftColumnBridge.expression(a),
                                            GraftColumnBridge.expression(b)))
+
+  def dotI64(a: Column, b: Column): Column =
+    GraftColumnBridge.column(DotProductI64(GraftColumnBridge.expression(a),
+                                           GraftColumnBridge.expression(b)))
+
+  /** Reference HOF implementation of [[dotI64]] (for property tests). */
+  def dotI64Hof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
   def cosineSim(a: Column, b: Column): Column =
     GraftColumnBridge.column(CosineSimF32(GraftColumnBridge.expression(a),

@@ -544,4 +544,92 @@ object Dedup {
   def fuzzyTitleDedup(spark: SparkSession, dir: String): DataFrame =
     fuzzyPrefixPairs(Tables.documents(spark, dir), "doc_id", "text")
       .orderBy(col("doc_a"), col("doc_b"))
+
+  // — semantic dedup via embedding clustering (d17) —
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * k-means-cluster the embedding space (bounded cosine-metric training
+    * sample — the [[graft.operators.Similarity.kmeansIvfTopK]] build),
+    * then WITHIN each cluster greedily keep the lowest-id vector of every
+    * semantic neighborhood: a vector is dropped iff its cosine to an
+    * already-kept vector of the same cluster is ≥ `threshold`.
+    *
+    * This is the capability LSH near-dup (d06) cannot express: LSH finds
+    * PAIRS above a similarity floor; SemDeDup prunes REDUNDANCY — one
+    * survivor per semantic neighborhood — which is how web-scale image/
+    * text corpora are thinned for training efficiency.
+    *
+    * Scale shape: centroids train on a bounded sample and ride into
+    * codegen as literals; assignment is one map-only expression pass; the
+    * corpus shuffles ONCE on cell id; the greedy sweep is sequential only
+    * WITHIN a cluster (exactly as in the paper) and parallel across them.
+    * A cluster holds ≈ |corpus|/nCells rows — at 100 TB, nCells scales
+    * with the corpus (SemDeDup uses 50k clusters for LAION) so per-group
+    * state stays bounded; the sweep's comparison partner set is only the
+    * KEPT representatives, which the threshold keeps far below the
+    * cluster size on redundant data.
+    */
+  def semanticDedupKeep(emb: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double = 0.4, nCells: Int = 16,
+                        seed: Long = 42L, trainFraction: Double = 0.25): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = emb.sparkSession
+    import spark.implicits._
+    // nCells == 1 degenerates to a single global sweep (the brute-force
+    // reference shape, and what specs pin the sweep against) — MLlib
+    // KMeans rejects k < 2, and training would be pointless anyway
+    val assigned =
+      if (nCells == 1)
+        emb.select(col(idCol).as("id"), col(vecCol).as("v"), lit(1).as("cell"))
+      else {
+        val train = emb.sample(withReplacement = false, trainFraction, seed)
+          .select(array_to_vector(col(vecCol)).as("features"))
+        val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10)
+          .setDistanceMeasure("cosine")
+          .setFeaturesCol("features").fit(train)
+        val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))
+        emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+          .withColumn("sims", graft.functions.VectorFns.centroidSimsCol(col("v"), centroids))
+          .withColumn("cell", expr("array_position(sims, array_max(sims))").cast("int"))
+      }
+    val cells = assigned
+      .select(col("id").cast("long").as("id"), col("v"), col("cell"))
+      .as[(Long, Array[Float], Int)]
+    cells.groupByKey(_._3)
+      .flatMapGroups { (cell: Int, rows: Iterator[(Long, Array[Float], Int)]) =>
+        // deterministic sweep order = ascending id (the paper keeps one
+        // representative per neighborhood; WHICH one is policy — lowest
+        // id matches the d01/d09 keeper convention)
+        val sorted = rows.toArray.sortBy(_._1)
+        val kept = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+        def cos(a: Array[Float], b: Array[Float]): Double = {
+          var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          val n = math.min(a.length, b.length)
+          while (i < n) {
+            val x = a(i).toDouble; val y = b(i).toDouble
+            d += x * y; na += x * x; nb += y * y; i += 1
+          }
+          if (na == 0.0 || nb == 0.0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+        }
+        sorted.foreach { case (id, v, _) =>
+          if (!kept.exists(kv => cos(kv, v) >= threshold)) {
+            kept += v
+            out += ((id, cell))
+          }
+        }
+        out
+      }
+      .toDF("vec_id", "cell")
+  }
+
+  /** d17: semantic dedup survivors over the embeddings table — rows-only
+    * in the driver gate (k-means training is not ANSI-SQL-derivable);
+    * the greedy-sweep semantics are spec-verified against a brute-force
+    * reference on a planted corpus.
+    */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame =
+    semanticDedupKeep(Tables.embeddings(spark, dir), "vec_id", "embedding")
+      .orderBy(col("vec_id"))
 }

@@ -321,6 +321,71 @@ object Similarity {
     pqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
   }
 
+  /** e09: scalar int8-quantized ANN — the simplest production
+    * quantization path (what vector stores call SQ8): each vector is
+    * compressed 4× to per-vector-scaled int8 codes, the shortlist scan
+    * runs on ALL-INTEGER dot products ([[VectorFns.dotI64]], a codegen'd
+    * long loop), and an exact cosine re-rank on the float vectors fixes
+    * the final order. Two properties make this the one ANN index that is
+    * fully ORACLE-CHECKABLE (unlike the hash-seeded LSH/IVF/PQ paths):
+    * the quantizer is closed-form (floor(x·127/maxabs + 0.5) — no
+    * training, no seeds), and integer arithmetic is bit-identical on any
+    * engine, so DuckDB reproduces the exact shortlist and ranks.
+    *
+    * Scale shape: codes are a map-side projection (corpus floats never
+    * enter the scan — 8× less traffic than float64 dots), queries are
+    * broadcast with their code+scale, ids-only shortlist shuffle,
+    * vectors re-join by id for the re-rank — the pqTopK pattern.
+    */
+  def int8TopK(corpus: DataFrame, queries: DataFrame,
+               idCol: String, vecCol: String, k: Int,
+               shortlistFactor: Int = 4): DataFrame = {
+    // per-vector symmetric quantization: s = max|x| (floored at 1e-12 so
+    // a zero vector quantizes to zeros instead of dividing by zero);
+    // code_i = floor(x_i·127/s + 0.5) ∈ [-127, 127]. Spark's floor(double)
+    // is already BIGINT — the same closed form as the DuckDB oracle.
+    def quantized(df: DataFrame, id: String, outId: String): DataFrame =
+      df.select(col(id).as(outId), col(vecCol).as("v"))
+        .withColumn("s", greatest(
+          array_max(transform(col("v"), x => abs(x.cast("double")))), lit(1e-12)))
+        .withColumn("code",
+          transform(col("v"), x => floor(x.cast("double") * lit(127.0) / col("s") + lit(0.5))))
+    val cCodes = quantized(corpus, idCol, "neighbor_id")
+      .select(col("neighbor_id"), col("s").as("cs"), col("code").as("c_code"))
+    val qCodes = quantized(queries, idCol, "query_id")
+      .select(col("query_id"), col("s").as("qs"), col("code").as("q_code"))
+
+    // approximate score: (intDot · qs · cs) ≈ dot(a, b). The int dot is
+    // exact; the double rescale is one multiply in a fixed order —
+    // bit-identical across engines, so shortlist boundaries agree.
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    val short = cCodes.crossJoin(broadcast(qCodes))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score",
+        VectorFns.dotI64(col("q_code"), col("c_code")).cast("double") * (col("qs") * col("cs")))
+      .select(col("query_id"), col("neighbor_id"), col("score"))
+      .withColumn("arank", row_number().over(wApprox))
+      .filter(col("arank") <= k * shortlistFactor)
+      .select(col("query_id"), col("neighbor_id"))
+    val vecs = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val qVecs = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    short.join(vecs, Seq("neighbor_id"))
+      .join(broadcast(qVecs), Seq("query_id"))
+      .withColumn("cos", VectorFns.cosineSim(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def knnInt8(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    int8TopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+  }
+
   def knnLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     // 16 bands × 6 bits: ~65% band-level recall for cos≈0.4 neighbors
@@ -349,7 +414,8 @@ object Similarity {
       "e02_knn_lsh" -> (knnLsh _),
       "e04_knn_ivf" -> (knnIvf _),
       "e06_knn_ivf_kmeans" -> (knnIvfKmeans _),
-      "e07_knn_pq" -> (knnPq _))
+      "e07_knn_pq" -> (knnPq _),
+      "e09_knn_int8" -> (knnInt8 _))
     import spark.implicits._
     methods.map { case (name, fn) =>
       val approx = fn(spark, dir).select(col("query_id"), col("neighbor_id"))

@@ -466,6 +466,41 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** t19: linear quality-classifier scoring — the fastText-style "model
+    * quality filter" stage of a training-data pipeline (a trained linear
+    * model over interpretable document features), expressed so the score
+    * is EXACT integer arithmetic and therefore oracle-checkable:
+    * features are integer counts off one shared token-array projection,
+    * weights are integer milli-units, and the decision is a threshold on
+    * the integer score. Swapping the frozen weights for trained ones
+    * changes constants, not the plan.
+    *
+    * Features (per document): chars, tokens, distinct tokens, stopword
+    * hits, repeated-token mass (n_tokens − n_distinct, the word-soup /
+    * boilerplate penalty). score_x1000 = 2·chars + 15·tokens +
+    * 120·distinct + 500·stop − 60·repeat; keep iff ≥ 4000 (≈ the fixture
+    * median, so both classes are populated at every scale factor).
+    *
+    * Scale shape: a pure per-row expression chain over one corpus scan —
+    * no shuffle at all before the output sort; linear in splits.
+    */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+        tokens(normalizeText(col("text"))).as("toks"))
+      .select(col("doc_id"), col("n_chars"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        size(filter(col("toks"), t => t.isin(enStopwords: _*))).cast("long").as("n_stop"))
+      .withColumn("score_x1000",
+        lit(2L) * col("n_chars") + lit(15L) * col("n_tokens") +
+          lit(120L) * col("n_distinct") + lit(500L) * col("n_stop") -
+          lit(60L) * (col("n_tokens") - col("n_distinct")))
+      .withColumn("label",
+        when(col("score_x1000") >= 4000L, lit("keep")).otherwise(lit("drop")))
+      .select(col("doc_id"), col("score_x1000"), col("label"))
+      .orderBy(col("doc_id"))
+
   /** Hybrid-retrieval rank fusion (t18): reciprocal-rank fusion (RRF,
     * Cormack et al. — score = Σ 1/(60+rank)) of the BM25 (t10) and
     * tf·idf (t09) shortlists. This is the fusion stage of a hybrid

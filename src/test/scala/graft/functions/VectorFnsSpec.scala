@@ -32,6 +32,21 @@ class VectorFnsSpec extends SparkSpec {
     got.zip(exp).foreach { case (g, e) => assert(math.abs(g - e) < 1e-12) }
   }
 
+  test("codegen'd integer dot (dot_i64) equals the HOF reference exactly") {
+    val codes = Seq.fill(50)((Seq.fill(16)(rnd.nextInt(255).toLong - 127),
+                              Seq.fill(16)(rnd.nextInt(255).toLong - 127)))
+    val cdf = codes.toDF("a", "b")
+    val mismatch = cdf
+      .select(VectorFns.dotI64($"a", $"b").as("fast"),
+              VectorFns.dotI64Hof($"a", $"b").as("ref"))
+      .filter($"fast" =!= $"ref").count()
+    assert(mismatch == 0)
+    // driver-side exact check too (both Spark paths could share a bug)
+    val got = cdf.select(VectorFns.dotI64($"a", $"b")).as[Long].collect()
+    val exp = codes.map { case (a, b) => a.zip(b).map { case (x, y) => x * y }.sum }
+    assert(got.toSeq == exp)
+  }
+
   test("cosine of identical vectors is 1, zero vector yields 0") {
     val one = Seq((Seq.fill(8)(0.5f), Seq.fill(8)(0.5f)),
                   (Seq.fill(8)(0f), Seq.fill(8)(1f))).toDF("a", "b")

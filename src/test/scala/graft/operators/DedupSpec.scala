@@ -214,4 +214,55 @@ class DedupSpec extends SparkSpec {
       .filter($"pa" =!= $"pb")
     assert(bad.count() == 0L)
   }
+
+  test("d17 semantic dedup: greedy sweep matches brute force on a planted corpus") {
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    // 10 well-separated base directions + near-copies (tiny deterministic
+    // noise → cos ≈ 1 to their base); nCells = 1 removes the clustering
+    // variable so the sweep itself is what's under test
+    val rnd = new scala.util.Random(11)
+    val bases = Array.fill(10)(Array.fill(32)(rnd.nextFloat() * 2 - 1))
+    val rows: Seq[(Long, Seq[Float])] =
+      bases.zipWithIndex.flatMap { case (b, i) =>
+        val copies = (1 to (i % 3)).map { c =>
+          ((i * 10 + c).toLong, b.map(x => x + 0.001f * c).toSeq)
+        }
+        ((i * 10).toLong, b.toSeq) +: copies
+      }.toSeq
+    val df = rows.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast(ArrayType(FloatType)).as("embedding"))
+    val kept = Dedup.semanticDedupKeep(df, "vec_id", "embedding",
+        threshold = 0.95, nCells = 1, trainFraction = 1.0)
+      .select($"vec_id").as[Long].collect().toSet
+    // brute-force reference: same greedy, driver side
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      if (na == 0 || nb == 0) 0.0 else d / (na * nb)
+    }
+    val expected = rows.sortBy(_._1).foldLeft(Vector.empty[(Long, Seq[Float])]) {
+      case (acc, (id, v)) =>
+        if (acc.exists { case (_, kv) => cos(kv, v) >= 0.95 }) acc else acc :+ ((id, v))
+    }.map(_._1).toSet
+    assert(kept == expected)
+    // every base survives, every near-copy is pruned
+    assert(bases.indices.forall(i => kept.contains(i * 10L)))
+    assert(kept.size == 10)
+  }
+
+  test("d17 on the fixture: kept-set invariant holds within every cell") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val kept = Dedup.semanticDedupKeep(emb, "vec_id", "embedding")
+    // no two SURVIVORS of the same cell may be >= threshold-similar —
+    // the defining postcondition of the greedy sweep
+    val k = kept.join(emb.select($"vec_id", $"embedding"), "vec_id")
+    val a = k.select($"cell", $"vec_id".as("id_a"), $"embedding".as("v_a"))
+    val b = k.select($"cell", $"vec_id".as("id_b"), $"embedding".as("v_b"))
+    val close = a.join(b, "cell").filter($"id_a" < $"id_b")
+      .filter(graft.functions.VectorFns.cosineSim($"v_a", $"v_b") >= 0.4)
+    assert(close.count() == 0L)
+    // and the sweep actually prunes something on the fixture
+    assert(kept.count() < emb.count())
+  }
 }

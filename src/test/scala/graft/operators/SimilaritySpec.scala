@@ -34,10 +34,25 @@ class SimilaritySpec extends SparkSpec {
     val rows = Similarity.recallAudit(spark, sf)
       .as[(String, Long)].collect().toMap
     assert(rows.keySet == Set("e02_knn_lsh", "e04_knn_ivf",
-      "e06_knn_ivf_kmeans", "e07_knn_pq"))
+      "e06_knn_ivf_kmeans", "e07_knn_pq", "e09_knn_int8"))
     rows.foreach { case (m, r) =>
       assert(r >= 40L && r <= 100L, s"$m recall_x100=$r")
     }
+  }
+
+  test("int8 ANN (e09): high recall vs brute force; deterministic") {
+    val brute = Similarity.knnBruteForce(spark, sf)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val sq = Similarity.knnInt8(spark, sf)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    // 4× shortlist + exact re-rank over int8 codes: quantization noise is
+    // ~1/254 per component, so the true top-5 rarely falls outside the
+    // 20-deep integer shortlist — demand well above the 40% LSH floor
+    val recall = brute.intersect(sq).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall=$recall")
+    val again = Similarity.knnInt8(spark, sf)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    assert(sq == again)
   }
 
   test("LSH ANN achieves >=40% top-5 recall vs brute force on the fixture") {

@@ -228,4 +228,29 @@ class TextAnalysisSpec extends SparkSpec {
     // output is sorted by fused score — the reranker contract
     assert(fused.map(_._4).toSeq == fused.map(_._4).sortBy(-_).toSeq)
   }
+
+  test("t19 quality classifier: score matches an explode-based recompute; both labels present") {
+    val got = TextAnalysis.qualityClassifier(spark, sf)
+      .as[(Long, Long, String)].collect()
+    assert(got.map(_._3).toSet == Set("keep", "drop"))
+    got.foreach { case (_, s, l) =>
+      assert(l == (if (s >= 4000L) "keep" else "drop"))
+    }
+    // independent feature computation: explode + aggregate instead of
+    // the operator's array-expression chain
+    val toks = graft.Tables.documents(spark, sf)
+      .select($"doc_id", length($"text").cast("long").as("n_chars"),
+        explode(TextFns.tokens(TextFns.normalizeText($"text"))).as("tok"))
+    val feats = toks.groupBy($"doc_id", $"n_chars")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct($"tok").as("n_distinct"),
+        sum(when($"tok".isin(TextAnalysis.enStopwords: _*), 1L).otherwise(0L)).as("n_stop"))
+      .select($"doc_id",
+        (lit(2L) * $"n_chars" + lit(15L) * $"n_tokens" + lit(120L) * $"n_distinct" +
+          lit(500L) * $"n_stop" - lit(60L) * ($"n_tokens" - $"n_distinct")).as("expected"))
+      .as[(Long, Long)].collect().toMap
+    got.foreach { case (id, s, _) =>
+      assert(s == feats(id), s"doc $id: $s != ${feats(id)}")
+    }
+  }
 }
