@@ -173,6 +173,10 @@ object SparkEntry {
     "s04_streaming_hourly"   -> (Streams.hourlyTypeCountsStreamed _),
     "s05_streaming_dedup"    -> (Streams.streamingDedup _),
     "s06_streaming_join"     -> (Streams.streamingIntervalJoin _),
+    // s07: the transformWithState (state API v2, RocksDB) operator run
+    // through a REAL streaming drain; integer-cents state makes the
+    // final totals batch-boundary-invariant and oracle-exact
+    "s07_streaming_totals"   -> (Streams.streamingUserTotals _),
   )
 
   /** DuckDB-dialect oracle SQL: same table names (parquet fixtures),
@@ -599,6 +603,13 @@ object SparkEntry {
         """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
           | count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
           |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+      // s07: the drained transformWithState totals reduce to the plain
+      // per-user aggregate; cents are integers, so the sum is exact on
+      // both engines whatever the micro-batch/emission order was
+      "s07_streaming_totals" ->
+        """SELECT user_id, count(*) AS n_events,
+          | CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_cents
+          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
       // curation: md5 is bit-identical across engines (lowercase hex),
       // so hash-keyed splits/samples/priority-dedup are oracle-exact
       "q41_deterministic_split" ->

@@ -214,6 +214,88 @@ object Streams {
 
   case class RunningTotal(user_id: Long, n_events: Long, total_value: Double)
 
+  case class TotalsInput(user_id: Long, cents: Long)
+  case class UserTotal(user_id: Long, n_events: Long, total_cents: Long)
+
+  /** Integer-cents running-totals processor — the [[RunningTotalsProcessor]]
+    * shape with ALL-INTEGER state, so the drained final totals are exact
+    * regardless of micro-batch boundaries or in-batch row order (a double
+    * accumulator's value depends on addition order; a long's doesn't).
+    * That is what lets a `transformWithState` query sit inside the
+    * DuckDB-checked driver gate (s07) rather than only inside specs.
+    */
+  class CentsTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, TotalsInput, UserTotal] {
+    @transient private var state:
+        org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[(Long, Long)]("cents_totals",
+        org.apache.spark.sql.Encoders.product[(Long, Long)],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        userId: Long, rows: Iterator[TotalsInput],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[UserTotal] = {
+      val (n0, c0) = if (state.exists()) state.get() else (0L, 0L)
+      var n = n0; var c = c0
+      rows.foreach { e => n += 1; c += e.cents }
+      state.update((n, c))
+      Iterator.single(UserTotal(userId, n, c))
+    }
+  }
+
+  def runningUserCents(events: org.apache.spark.sql.Dataset[TotalsInput])
+      : org.apache.spark.sql.Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.groupByKey(_.user_id)
+      .transformWithState(new CentsTotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** s07: the arbitrary-state v2 operator (`transformWithState` +
+    * `StatefulProcessor` + `ValueState` on the RocksDB store) executed
+    * through a REAL streaming run inside the driver gate. Update-mode
+    * emissions accumulate in the drained parquet (one row per touched
+    * key per micro-batch); the final total per user is the row with the
+    * largest n_events — running totals are monotone, so this reduction
+    * is batch-boundary-invariant — and integer cents make the value
+    * order-insensitive, so the result hash-matches a plain DuckDB
+    * GROUP BY regardless of how the engine split the batches.
+    */
+  def streamingUserTotals(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // the v2 state API needs column families → RocksDB state store
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    val drained =
+      try {
+        spark.conf.set(key,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        drainStreamed(spark, "s07", dir,
+          runningUserCents(
+            eventsStream(spark, dir)
+              .select(col("user_id"),
+                (dec(col("value")) * 100).cast("long").as("cents"))
+              .as[TotalsInput]).toDF(),
+          mode = "append", outputMode = "update")
+      } finally {
+        prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None    => spark.conf.unset(key)
+        }
+      }
+    drained.groupBy(col("user_id"))
+      .agg(max(struct(col("n_events"), col("total_cents"))).as("m"))
+      .select(col("user_id"), col("m.n_events").as("n_events"),
+        col("m.total_cents").as("total_cents"))
+      .orderBy(col("user_id"))
+  }
+
   /** Per-user running totals via the arbitrary-state v2 API
     * (`transformWithState` + `StatefulProcessor` + `ValueState`): state
     * survives across micro-batches, each batch emits the updated

@@ -103,7 +103,13 @@ object ScaleStress {
       // at near-100% dup density; d14's title blocks grow `factor`×.
       "d12_decontamination", "d13_substring_dups", "d14_fuzzy_pairs",
       "d15_substring_coverage", "q57_sequence_pack", "q58_token_budget_mix",
-      "t16_chunking", "t17_quantile_filter", "t18_rank_fusion")
+      "t16_chunking", "t17_quantile_filter", "t18_rank_fusion",
+      // round-5 second batch: the copy corpus gives every vector
+      // `factor-1` cos≈0.999 partners, so the d17 sweep faces maximal
+      // redundancy (kept set stays near the original corpus size while
+      // input grows factor×) and the e09 integer shortlist must keep
+      // ranks stable under dense near-ties
+      "d17_semantic_dedup", "e09_knn_int8", "t19_quality_classifier")
 
     // one untimed warmup pass at the small fixture (JIT/codegen)
     subset.foreach { n =>

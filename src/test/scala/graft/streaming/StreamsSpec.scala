@@ -177,6 +177,18 @@ class StreamsSpec extends SparkSpec {
     assert(rows.contains((2L, 2L, 9.0)))
   }
 
+  test("s07 streaming user totals equal the batch aggregate on the fixture") {
+    val got = Streams.streamingUserTotals(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    val exp = graft.Tables.events(spark, sf)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"value".cast("decimal(18,2)").multiply(100).cast("long")).as("total_cents"))
+      .orderBy($"user_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.nonEmpty && got == exp)
+  }
+
   test("sessionizeWithState in batch mode emits every session incl. the open tail") {
     val in = events.toDF().selectExpr("user_id", "ts", "value")
       .as[Streams.SessionInput]
