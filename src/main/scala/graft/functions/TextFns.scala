@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.GraftColumnBridge
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StringType}
@@ -134,8 +135,62 @@ object TextFns {
     array_distinct(transform(idx, i => c.substr(i, lit(n))))
   }
 
-  /** Word n-gram shingles over a token array. */
-  def wordShingles(toks: Column, n: Int): Column = {
+  /** One-pass word-shingle builder — the static eval target shared by
+    * interpreted eval and codegen. Semantics are EXACTLY the composed
+    * HOF formulation ([[wordShinglesHof]], pinned by property test and
+    * every shingle oracle): windows start at 0..max(nTok−n, 0) (the
+    * degenerate all-tokens window included for short docs), tokens join
+    * with single spaces (nulls skipped, as `concat_ws` does), and
+    * duplicates collapse preserving first-occurrence order
+    * (`array_distinct`). One row-level call replaces a HOF whose lambda
+    * re-evaluated every captured subtree PER WINDOW — with
+    * `tokens(normalizeText(text))` as the captured input, that was the
+    * full regex-normalize chain × n_windows per row (the d12/d16
+    * decontamination hot path measured ~10× slower than this kernel).
+    */
+  def wordShinglesEval(arr: ArrayData, n: Int): ArrayData = {
+    val nTok = arr.numElements()
+    val nWin = math.max(nTok - n + 1, 1)
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    val buf = new Array[UTF8String](n)
+    val sep = UTF8String.fromString(" ")
+    var i = 0
+    while (i < nWin) {
+      val end = math.min(i + n, nTok)
+      var w = 0
+      while (w < end - i) {
+        buf(w) = if (arr.isNullAt(i + w)) null else arr.getUTF8String(i + w)
+        w += 1
+      }
+      while (w < n) { buf(w) = null; w += 1 } // concatWs skips nulls
+      seen.add(UTF8String.concatWs(sep, buf: _*))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      seen.toArray(new Array[AnyRef](seen.size())))
+  }
+
+  case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "word_shingles"
+    override def nullSafeEval(input: Any): Any =
+      wordShinglesEval(input.asInstanceOf[ArrayData], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextFns.wordShinglesEval($c, $n)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Word n-gram shingles over a token array (codegen'd one-pass kernel). */
+  def wordShingles(toks: Column, n: Int): Column =
+    GraftColumnBridge.column(WordShingles(GraftColumnBridge.expression(toks), n))
+
+  /** The original composed-HOF formulation — kept as the equivalence
+    * reference for the fused kernel (property-tested in `TextFnsSpec`).
+    */
+  def wordShinglesHof(toks: Column, n: Int): Column = {
     val idx = sequence(lit(1), greatest(size(toks) - (n - 1), lit(1)))
     array_distinct(transform(idx, i => concat_ws(" ", slice(toks, i, lit(n)))))
   }

@@ -1,8 +1,7 @@
 package graft.tools
 
 import graft.Tables
-import graft.functions.{HashFns, TextFns}
-import graft.operators.{Dedup, Relational}
+import graft.functions.TextFns
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -24,64 +23,26 @@ object DebugPerf {
       println(f"[perf] $label%-30s ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
     }
 
-    // ---- d08 decomposition -------------------------------------------
-    val sh = Tables.documents(spark, dir)
-      .filter(col("doc_id") < 250L)
-      .select(col("doc_id"),
-        HashFns.sortedShingleSet(TextFns.normalizeText(col("text")), 5).as("sh"))
-    time("d08 shingles (250 docs)")(sh.localCheckpoint(true).count())
-    val shc = sh.localCheckpoint(true)
-    println("avg shingle set size: " +
-      shc.select(avg(size(col("sh")))).collect()(0))
-    val a = shc.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
-      size(col("sh")).as("n_a"))
-    val b = shc.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
-      size(col("sh")).as("n_b"))
-    val pairsAll = a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
-    time("d08 merge all pairs")(println("pairs=" + pairsAll
-      .withColumn("j", HashFns.jaccardSorted(col("sh_a"), col("sh_b")))
-      .filter(col("j") >= 0.25).count()))
-    val ratio = pairsAll.filter(
-      least(col("n_a"), col("n_b")).cast("double") /
-        greatest(col("n_a"), col("n_b")) >= 0.25)
-    time("d08 merge ratio-pruned")(println("pairs=" + ratio
-      .withColumn("j", HashFns.jaccardSorted(col("sh_a"), col("sh_b")))
-      .filter(col("j") >= 0.25).count()))
-    println("pairs surviving ratio prefilter: " + ratio.count() + " / " +
-      pairsAll.count())
-    time("d08 shipped x2")((1 to 2).foreach(_ =>
-      Dedup.jaccardExactPairs(spark, dir).count()))
-
-    // ---- d04 decomposition -------------------------------------------
+    // ---- d12 decomposition -------------------------------------------
+    val n = 8
+    val toks = TextFns.tokens(TextFns.normalizeText(col("text")))
     val docs = Tables.documents(spark, dir)
-    val sig = docs.select(col("doc_id").as("id"),
-      HashFns.simhash(TextFns.tokens(TextFns.normalizeText(col("text")))).as("sig"))
-    time("d04 signatures")(sig.count())
-    val banded = sig.select(col("id"), col("sig"),
-      explode(array((0 until 4).map { bnd =>
-        struct(lit(bnd).as("band"),
-          shiftright(col("sig"), bnd * 16).bitwiseAND(0xFFFFL).as("bkey"))
-      }: _*)).as("bb"))
-      .select(col("id"), col("sig"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-    println("top band buckets:")
-    banded.groupBy(col("band"), col("bkey")).count()
-      .orderBy(col("count").desc).limit(5).collect()
-      .foreach(r => println("  " + r))
-    val aa = banded.select(col("band"), col("bkey"), col("id").as("doc_a"), col("sig").as("sig_a"))
-    val bb = banded.select(col("band"), col("bkey"), col("id").as("doc_b"), col("sig").as("sig_b"))
-    val rawPairs = aa.join(bb, Seq("band", "bkey")).filter(col("doc_a") < col("doc_b"))
-    time("d04 raw band join")(println("n_raw=" + rawPairs.count()))
-    time("d04 dedup+verify")(println("n=" + rawPairs
-      .dropDuplicates("doc_a", "doc_b")
-      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
-      .filter(col("hamming") <= 3).count()))
-    time("d04 shipped x2")((1 to 2).foreach(_ =>
-      Dedup.simHashDedup(spark, dir).count()))
-
-    // ---- q33 ----------------------------------------------------------
-    time("q33 shipped x3")((1 to 3).foreach(_ =>
-      Relational.priorityWithBigLines(spark, dir).count()))
-    Relational.priorityWithBigLines(spark, dir).explain("formatted")
+    time("docs scan only")(docs.count())
+    val tokenized = docs.select(col("doc_id"), toks.as("toks"))
+    time("tokenize only")(tokenized.count())
+    val shingled = docs.select(col("doc_id"),
+      explode(TextFns.wordShingles(toks, n)).as("sh"))
+    time("shingle explode")(println("sh rows=" + shingled.count()))
+    val keyed = shingled.select(col("doc_id"), md5(col("sh").cast("binary")).as("shkey"))
+    time("shingle+md5")(keyed.count())
+    val evalKeys = docs.filter(col("doc_id") % 97 === 0)
+      .select(explode(TextFns.wordShingles(slice(toks, 6, 20), n)).as("sh"))
+      .select(md5(col("sh").cast("binary")).as("shkey")).distinct()
+    time("eval keys")(println("eval keys=" + evalKeys.count()))
+    time("join+agg")(keyed.join(broadcast(evalKeys), "shkey")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_eval_hits")).count())
+    time("d12 shipped x3")((1 to 3).foreach(_ =>
+      graft.operators.Curation.decontaminate(spark, dir).count()))
 
     spark.stop()
   }

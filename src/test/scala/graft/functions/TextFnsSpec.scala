@@ -40,6 +40,29 @@ class TextFnsSpec extends SparkSpec {
     assert(sh.toSet == Set("abc", "bca", "cab"))
   }
 
+  test("fused word shingles equal the composed-HOF formulation everywhere") {
+    val rnd = new scala.util.Random(17)
+    val vocab = Seq("a", "bb", "ccc", "dd", "e", "ff", "a", "bb") // dups on purpose
+    // adversarial sizes: empty, singleton, < n, = n, > n, all-same
+    val fixed: Seq[Seq[String]] = Seq(
+      Seq.empty, Seq("a"), Seq("a", "b"), (1 to 8).map(_.toString),
+      (1 to 9).map(_.toString), Seq.fill(12)("x"))
+    val random = (1 to 300).map(_ =>
+      (1 to rnd.nextInt(25)).map(_ => vocab(rnd.nextInt(vocab.length))))
+    val diff = (fixed ++ random).toDF("toks")
+      .select(TextFns.wordShingles($"toks", 8).as("fused"),
+        TextFns.wordShinglesHof($"toks", 8).as("hof"))
+      .filter($"fused" =!= $"hof").collect()
+    assert(diff.isEmpty, diff.take(5).mkString("; "))
+    // n = 3 too (the d05 configuration), over the real fixture corpus
+    val corpusDiff = graft.Tables.documents(spark, sf)
+      .select(TextFns.tokens(TextFns.normalizeText($"text")).as("toks"))
+      .select(TextFns.wordShingles($"toks", 3).as("fused"),
+        TextFns.wordShinglesHof($"toks", 3).as("hof"))
+      .filter($"fused" =!= $"hof").count()
+    assert(corpusDiff == 0)
+  }
+
   test("langId guesses the stopword-dominant language, und when none") {
     val got = Seq("le chat est sur la table", "the cat is on the mat", "zzz qqq")
       .toDF("t")
