@@ -1,7 +1,8 @@
 package graft.tools
 
 import graft.Tables
-import graft.functions.TextFns
+import graft.functions.{HashFns, TextFns}
+import graft.operators.Dedup
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -23,26 +24,35 @@ object DebugPerf {
       println(f"[perf] $label%-30s ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
     }
 
-    // ---- d12 decomposition -------------------------------------------
-    val n = 8
-    val toks = TextFns.tokens(TextFns.normalizeText(col("text")))
-    val docs = Tables.documents(spark, dir)
-    time("docs scan only")(docs.count())
-    val tokenized = docs.select(col("doc_id"), toks.as("toks"))
-    time("tokenize only")(tokenized.count())
-    val shingled = docs.select(col("doc_id"),
-      explode(TextFns.wordShingles(toks, n)).as("sh"))
-    time("shingle explode")(println("sh rows=" + shingled.count()))
-    val keyed = shingled.select(col("doc_id"), md5(col("sh").cast("binary")).as("shkey"))
-    time("shingle+md5")(keyed.count())
-    val evalKeys = docs.filter(col("doc_id") % 97 === 0)
-      .select(explode(TextFns.wordShingles(slice(toks, 6, 20), n)).as("sh"))
-      .select(md5(col("sh").cast("binary")).as("shkey")).distinct()
-    time("eval keys")(println("eval keys=" + evalKeys.count()))
-    time("join+agg")(keyed.join(broadcast(evalKeys), "shkey")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_eval_hits")).count())
-    time("d12 shipped x3")((1 to 3).foreach(_ =>
-      graft.operators.Curation.decontaminate(spark, dir).count()))
+    // ---- d03 decomposition -------------------------------------------
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id").as("id"), TextFns.normalizeText(col("text")).as("text_norm"))
+    val sig = base.select(col("id"),
+      HashFns.minhashSig(col("text_norm"), 5, 32).as("sig")).persist()
+    time("d03 signatures")(sig.count())
+    val cands = Dedup.lshCandidatesRaw(sig, 8, 4)
+    time("d03 raw candidates")(println("cands=" + cands.count()))
+    val prefiltered = cands
+      .join(sig.select(col("id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sig.select(col("id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .withColumn("est", HashFns.signatureMatchFraction(col("sig_a"), col("sig_b")))
+      .filter(col("est") >= 0.4)
+      .select(col("doc_a"), col("doc_b"))
+    time("d03 prefilter")(println("prefiltered=" + prefiltered.count()))
+    val shingled = base.select(col("id"),
+      HashFns.sortedShingleSet(col("text_norm"), 5).as("sh"))
+    time("d03 shingle sets only")(shingled.count())
+    val verified = prefiltered
+      .join(shingled.select(col("id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(shingled.select(col("id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("jaccard", HashFns.jaccardSorted(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= 0.6)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .dropDuplicates("doc_a", "doc_b")
+    time("d03 verify join")(println("pairs=" + verified.count()))
+    sig.unpersist()
+    time("d03 shipped x3")((1 to 3).foreach(_ =>
+      Dedup.minHashDedup(spark, dir).count()))
 
     spark.stop()
   }

@@ -40,6 +40,34 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("int8 quantizer: codes bounded, zero vector safe, scale recovers magnitude") {
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val rnd = new scala.util.Random(5)
+    val vecs: Seq[Seq[Float]] =
+      Seq(Seq.fill(16)(0f), Seq.fill(16)(1e-20f), Seq.fill(16)(3.5f)) ++
+        Seq.fill(40)(Seq.fill(16)(rnd.nextFloat() * 20 - 10))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast(ArrayType(FloatType)).as("embedding"))
+    // drive the same quantization the operator uses, via its public shape:
+    // int8TopK on a corpus containing the edge vectors must not error and
+    // must produce dense ranks for every query
+    val out = Similarity.int8TopK(df, df.filter($"vec_id" < 3), "vec_id", "embedding", k = 3)
+      .as[(Long, Long, Long)].collect()
+    assert(out.map(_._1).distinct.length == 3)
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1L to rows.length))
+    }
+    // quantizer internals: codes stay in [-127, 127] even at extreme scale
+    val codes = df
+      .withColumn("s", greatest(array_max(transform($"embedding",
+        x => abs(x.cast("double")))), lit(1e-12)))
+      .select(explode(transform($"embedding",
+        x => floor(x.cast("double") * lit(127.0) / $"s" + lit(0.5)))).as("c"))
+      .agg(min($"c"), max($"c")).as[(Long, Long)].head()
+    assert(codes._1 >= -127L && codes._2 <= 127L, codes.toString)
+  }
+
   test("int8 ANN (e09): high recall vs brute force; deterministic") {
     val brute = Similarity.knnBruteForce(spark, sf)
       .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
