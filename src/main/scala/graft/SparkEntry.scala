@@ -155,6 +155,9 @@ object SparkEntry {
     // all-integer shortlist scores make this the one ANN index whose
     // shortlist AND final ranks are fully oracle-checked
     "e09_knn_int8"           -> (Similarity.knnInt8 _),
+    // e10: filtered vector search — metadata predicate pruned at the
+    // parquet scan BEFORE any distance arithmetic
+    "e10_knn_filtered"       -> (Similarity.knnFiltered _),
     "e05_cosine_range"       -> (Similarity.knnRange _),
     // e08: in-gate ANN quality audit — recall of every approximate
     // index vs the e01 exact ranks (rows-only; values are seeded but
@@ -555,6 +558,16 @@ object SparkEntry {
           |    ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id) AS rank
           | FROM embeddings q, embeddings e
           | WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id)
+          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+      // e10: same rank-only shape as e01 with the metadata predicate on
+      // the corpus side only (queries stay unfiltered)
+      "e10_knn_filtered" ->
+        """SELECT qid AS query_id, rank, nid AS neighbor_id FROM (
+          | SELECT q.vec_id qid, e.vec_id nid,
+          |  row_number() OVER (PARTITION BY q.vec_id
+          |    ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id) AS rank
+          | FROM embeddings q, embeddings e
+          | WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id AND e.label = 3)
           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
       // e09: the quantizer is closed-form (floor(x·127/max|x| + 0.5))
       // and shortlist scores are integer dots rescaled by one double

@@ -386,6 +386,22 @@ object Similarity {
     int8TopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
   }
 
+  /** e10: FILTERED ANN — cosine top-k restricted to a metadata predicate
+    * (`label = 3`), the "filtered vector search" every production vector
+    * store exposes (search only documents matching a tag/tenant/ACL).
+    * Pre-filtering beats post-filtering top-k (which under-fills k when
+    * the predicate is selective); here the predicate is a plain pushed
+    * parquet filter, so the corpus slice is pruned BEFORE any distance
+    * arithmetic — `PushedFilters: [IsNotNull(label), EqualTo(label,3)]`
+    * on the scan, then the e01 broadcast-query scan shape over the
+    * matching rows only. Fully oracle-checked (rank output, closed-form).
+    */
+  def knnFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    bruteForceTopK(emb.filter(col("label") === 3),
+      emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+  }
+
   def knnLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     // 16 bands × 6 bits: ~65% band-level recall for cos≈0.4 neighbors

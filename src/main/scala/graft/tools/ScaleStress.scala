@@ -109,7 +109,8 @@ object ScaleStress {
       // redundancy (kept set stays near the original corpus size while
       // input grows factor×) and the e09 integer shortlist must keep
       // ranks stable under dense near-ties
-      "d17_semantic_dedup", "e09_knn_int8", "t19_quality_classifier")
+      "d17_semantic_dedup", "e09_knn_int8", "t19_quality_classifier",
+      "e10_knn_filtered")
 
     // one untimed warmup pass at the small fixture (JIT/codegen)
     subset.foreach { n =>

@@ -40,6 +40,39 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("e10 filtered ANN: neighbors all satisfy the predicate; filter pushed to scan") {
+    val emb = Tables.embeddings(spark, sf)
+    val got = Similarity.knnFiltered(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    // every neighbor is from the filtered slice, ranks dense per query
+    val label3 = emb.filter($"label" === 3).select($"vec_id").as[Long].collect().toSet
+    assert(got.forall(r => label3.contains(r._3)))
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1L to rows.length))
+    }
+    // pre-filter, not post-filter: the predicate reaches the parquet scan
+    val plan = Similarity.knnFiltered(spark, sf)
+      .queryExecution.executedPlan.toString
+    val pushed = plan.linesIterator.find(_.contains("EqualTo(label,3)")).getOrElse("")
+    assert(pushed.contains("PushedFilters: [IsNotNull(label), EqualTo(label,3)"), plan)
+    // and equals a driver-side recompute restricted to the slice
+    val all = emb.select($"vec_id", $"embedding", $"label")
+      .as[(Long, Seq[Float], Int)].collect()
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x.toDouble).sum) *
+        math.sqrt(b.map(x => x.toDouble * x.toDouble).sum))
+    }
+    val exp = all.filter(_._1 < 10).flatMap { case (q, qv, _) =>
+      all.filter(r => r._3 == 3 && r._1 != q)
+        .map { case (n, nv, _) => (n, cos(qv, nv)) }
+        .sortBy { case (n, c) => (-c, n) }
+        .take(5).zipWithIndex.map { case ((n, _), i) => (q, (i + 1).toLong, n) }
+    }.toSeq.sortBy(t => (t._1, t._2))
+    assert(got.toSeq.sortBy(t => (t._1, t._2)) == exp)
+  }
+
   test("int8 quantizer: codes bounded, zero vector safe, scale recovers magnitude") {
     import org.apache.spark.sql.types.{ArrayType, FloatType}
     val rnd = new scala.util.Random(5)
