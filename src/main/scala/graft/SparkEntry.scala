@@ -158,6 +158,10 @@ object SparkEntry {
     // e10: filtered vector search — metadata predicate pruned at the
     // parquet scan BEFORE any distance arithmetic
     "e10_knn_filtered"       -> (Similarity.knnFiltered _),
+    // e11: MMR diversified top-k — greedy relevance-vs-novelty rerank
+    // over the e01 shortlist (rows-only: sequential greedy, not
+    // SQL-derivable; pinned against a driver reference in spec)
+    "e11_knn_mmr"            -> (Similarity.knnMmr _),
     "e05_cosine_range"       -> (Similarity.knnRange _),
     // e08: in-gate ANN quality audit — recall of every approximate
     // index vs the e01 exact ranks (rows-only; values are seeded but

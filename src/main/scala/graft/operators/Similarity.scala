@@ -410,6 +410,80 @@ object Similarity {
       dim = 64, k = 5, bands = 16, bitsPerBand = 6)
   }
 
+  /** e11: maximal-marginal-relevance (MMR, Carbonell & Goldstein 1998)
+    * diversified top-k — the diversity reranker of a retrieval stack:
+    * instead of the k most similar (often near-duplicates of each
+    * other), greedily pick argmax λ·rel(d,q) − (1−λ)·max_{s∈S} sim(d,s)
+    * so each pick is relevant AND novel vs the already-selected set S.
+    *
+    * Scale shape: MMR always runs on SHORTLISTS — stage 1 is the e01
+    * broadcast-query scan cut to k·shortlistFactor by WindowGroupLimit;
+    * the greedy O(shortlist²·k) sweep then touches ≤ 20 rows per query
+    * inside one `flatMapGroups`, parallel across queries and constant
+    * in corpus size. Deterministic (fixed λ, id tie-breaks) but
+    * sequential-greedy ⇒ rows-only in the gate; pinned against a
+    * driver-side reference in spec.
+    */
+  def mmrTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              shortlistFactor: Int = 4, lambdaRel: Double = 0.5): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("neighbor_id"))
+    val short = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("rel", VectorFns.cosineSim(col("q_vec"), col("c_vec")))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= k * shortlistFactor)
+      .select(col("query_id"), col("neighbor_id"), col("rel"), col("c_vec"))
+      .as[(Long, Long, Double, Array[Float])]
+    short.groupByKey(_._1)
+      .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Double, Array[Float])]) =>
+        val cand = it.map { case (_, id, rel, v) => (id, rel, v) }.toArray
+          .sortBy { case (id, rel, _) => (-rel, id) }
+        def cos(a: Array[Float], b: Array[Float]): Double = {
+          var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          val n = math.min(a.length, b.length)
+          while (i < n) {
+            val x = a(i).toDouble; val y = b(i).toDouble
+            d += x * y; na += x * x; nb += y * y; i += 1
+          }
+          if (na == 0.0 || nb == 0.0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+        }
+        val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        val used = scala.collection.mutable.Set.empty[Long]
+        while (selected.length < math.min(k, cand.length)) {
+          var bestId = -1L; var bestVec: Array[Float] = null
+          var bestScore = Double.NegativeInfinity
+          cand.foreach { case (id, rel, v) =>
+            if (!used.contains(id)) {
+              val maxSim = if (selected.isEmpty) 0.0
+                else selected.map(s => cos(s._2, v)).max
+              val score = lambdaRel * rel - (1 - lambdaRel) * maxSim
+              // deterministic: strictly-better wins; ties keep the
+              // earlier (higher-rel, lower-id) candidate
+              if (score > bestScore) { bestScore = score; bestId = id; bestVec = v }
+            }
+          }
+          used += bestId
+          selected += ((bestId, bestVec))
+          out += ((qid, selected.length.toLong, bestId))
+        }
+        out
+      }
+      .toDF("query_id", "rank", "neighbor_id")
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def knnMmr(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    mmrTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+  }
+
   /** e08: top-5 recall of every approximate ANN path against the exact
     * ranks of [[knnBruteForce]], computed INSIDE the driver gate — one
     * row per method, `recall_x100 = 100 · |approx ∩ exact| / |exact|`

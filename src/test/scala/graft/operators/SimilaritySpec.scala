@@ -73,6 +73,54 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq.sortBy(t => (t._1, t._2)) == exp)
   }
 
+  test("e11 MMR: matches a driver-side greedy reference; first pick = top relevance") {
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      if (na == 0 || nb == 0) 0.0 else d / (na * nb)
+    }
+    val all = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    val got = Similarity.knnMmr(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(t => (t._1, t._2))
+    // reference: same shortlist (top-20 by rel, id tie-break), same greedy
+    val exp = all.filter(_._1 < 10).flatMap { case (qid, qv) =>
+      val short = all.filter(_._1 != qid)
+        .map { case (id, v) => (id, cos(qv, v), v) }
+        .sortBy { case (id, rel, _) => (-rel, id) }.take(20)
+      val sel = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Float])]
+      while (sel.length < 5) {
+        val pick = short.filter(c => !sel.exists(_._1 == c._1)).maxBy { case (id, rel, v) =>
+          val maxSim = if (sel.isEmpty) 0.0 else sel.map(s => cos(s._2, v)).max
+          // maxBy keeps the FIRST max (candidates pre-sorted by -rel, id),
+          // matching the operator's strictly-better-wins tie policy
+          0.5 * rel - 0.5 * maxSim
+        }
+        sel += ((pick._1, pick._3))
+      }
+      sel.zipWithIndex.map { case ((id, _), i) => (qid, (i + 1).toLong, id) }
+    }.toSeq.sortBy(t => (t._1, t._2))
+    assert(got == exp)
+    // rank 1 is always the plain most-relevant neighbor (maxSim=0 at start)
+    val top1 = Similarity.knnBruteForce(spark, sf)
+      .filter($"rank" === 1L).select($"query_id", $"neighbor_id")
+      .as[(Long, Long)].collect().toMap
+    got.filter(_._2 == 1L).foreach { case (q, _, n) => assert(top1(q) == n) }
+    // diversity: mean pairwise sim of the MMR set never exceeds the top-k set's
+    val vecs = all.toMap
+    def meanPairSim(ids: Seq[Long]): Double = {
+      val ps = for (a <- ids; b <- ids if a < b) yield cos(vecs(a), vecs(b))
+      ps.sum / ps.length
+    }
+    val topk = Similarity.knnBruteForce(spark, sf)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      assert(meanPairSim(rows.map(_._3)) <= meanPairSim(topk(q)) + 1e-12, s"query $q")
+    }
+  }
+
   test("int8 quantizer: codes bounded, zero vector safe, scale recovers magnitude") {
     import org.apache.spark.sql.types.{ArrayType, FloatType}
     val rnd = new scala.util.Random(5)
