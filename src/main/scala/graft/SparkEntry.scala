@@ -179,6 +179,9 @@ object SparkEntry {
     "s03_user_sessions"      -> (Streams.userSessionStats _),
     "s04_streaming_hourly"   -> (Streams.hourlyTypeCountsStreamed _),
     "s05_streaming_dedup"    -> (Streams.streamingDedup _),
+    // q59: leakage-proof split — near-dup clusters are the split unit,
+    // so duplicates can never straddle train/test (oracle-checked)
+    "q59_cluster_split"      -> ((s: SparkSession, dir: String) => graft.operators.Curation.clusterAwareSplit(s, dir)),
     "s06_streaming_join"     -> (Streams.streamingIntervalJoin _),
     // s07: the transformWithState (state API v2, RocksDB) operator run
     // through a REAL streaming drain; integer-cents state makes the
@@ -1006,6 +1009,40 @@ object SparkEntry {
       // d10: connected components via transitive closure (recursive
       // CTE) over the same deterministic exact-jaccard edges as d08 —
       // cluster id = min id reachable in the component
+      // q59: d10's recursive-CTE cluster oracle + q41's CASE, keyed by
+      // the cluster-or-self unit — leakage-proof split, fully derivable
+      "q59_cluster_split" -> {
+        val shingled =
+          s"""SELECT doc_id, list_distinct(list_transform(
+             |   range(1, greatest(length(nt) - 3, 2)), i -> substr(nt, i, 5))) AS s
+             | FROM (SELECT doc_id, ${norm("text")} AS nt FROM documents WHERE doc_id < 250)"""
+            .stripMargin
+        s"""WITH RECURSIVE sh AS ($shingled),
+           |pairs AS (
+           | SELECT doc_a, doc_b FROM (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |   CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+           |     / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+           |  FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+           | WHERE jaccard >= 0.25),
+           |edges AS (
+           | SELECT doc_a AS s, doc_b AS d FROM pairs
+           | UNION SELECT doc_b, doc_a FROM pairs),
+           |reach AS (
+           | SELECT s, d FROM edges
+           | UNION
+           | SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+           |clusters AS (
+           | SELECT s AS doc_id, least(s, min(d)) AS cluster_id FROM reach GROUP BY s)
+           |SELECT doc_id, unit,
+           | CASE WHEN substr(md5(CAST(unit AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+           |  WHEN substr(md5(CAST(unit AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+           |  ELSE 'test' END AS split
+           |FROM (
+           | SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS unit
+           | FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id)
+           |ORDER BY doc_id""".stripMargin
+      },
       "d10_dup_clusters" -> {
         val shingled =
           s"""SELECT doc_id, list_distinct(list_transform(

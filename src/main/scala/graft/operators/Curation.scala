@@ -230,4 +230,30 @@ object Curation {
       .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
       .orderBy(col("source"), col("cum_tokens"))
   }
+
+  /** q59: CLUSTER-AWARE train/val/test split — the leakage-proof version
+    * of [[deterministicSplit]]. Hash-splitting by doc id puts two
+    * near-duplicate documents in different splits ~37% of the time (the
+    * classic train→test contamination path); here the split unit is the
+    * near-dup CLUSTER ([[graft.operators.Dedup.dupClustersQuery]], the
+    * oracle-checked connected components over exact-Jaccard edges), so
+    * every member of a dup cluster lands in the same split by
+    * construction. Singletons hash by their own id — identical to q41
+    * for the un-duplicated bulk of the corpus.
+    *
+    * Scale shape: clusters are the OUTPUT of dedup (tiny vs corpus) →
+    * broadcast left join; the split itself stays a map-side hash-prefix
+    * compare, growth-stable exactly like q41. Fully oracle-checked
+    * (clusters via the d10 recursive-CTE oracle + the q41 CASE).
+    */
+  def clusterAwareSplit(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = graft.operators.Dedup.dupClustersQuery(spark, dir)
+    val unit = coalesce(col("cluster_id"), col("doc_id"))
+    val nib = substring(idHash(unit), 1, 1)
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(broadcast(clusters), Seq("doc_id"), "left")
+      .select(col("doc_id"), unit.as("unit"),
+        when(nib < "c", "train").when(nib < "e", "val").otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -146,4 +146,28 @@ class CurationSpec extends SparkSpec {
         assert(firstOut.min > budget, s"$src: a doc under budget was skipped")
     }
   }
+
+  test("q59 cluster-aware split: no near-dup cluster straddles splits; singletons = q41") {
+    val rows = Curation.clusterAwareSplit(spark, sf)
+      .as[(Long, Long, String)].collect()
+    assert(rows.map(_._3).toSet.subsetOf(Set("train", "val", "test")))
+    // the leakage guarantee: one split per unit
+    rows.groupBy(_._2).foreach { case (unit, members) =>
+      assert(members.map(_._3).distinct.length == 1, s"unit $unit straddles splits")
+    }
+    // clustered docs co-locate with every clustermate
+    val clusters = graft.operators.Dedup.dupClustersQuery(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters.nonEmpty)
+    val splitOf = rows.map(r => r._1 -> r._3).toMap
+    clusters.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keys.map(splitOf).toSeq.distinct.length == 1, s"cluster $cid leaks")
+    }
+    // un-clustered docs get exactly the q41 assignment
+    val q41 = Curation.deterministicSplit(spark, sf)
+      .as[(Long, String)].collect().toMap
+    rows.filter(r => !clusters.contains(r._1)).foreach { case (id, unit, split) =>
+      assert(unit == id && split == q41(id), s"doc $id diverges from q41")
+    }
+  }
 }
