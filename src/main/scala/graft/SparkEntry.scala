@@ -145,6 +145,10 @@ object SparkEntry {
     "m02_media_dedup"        -> (graft.operators.Multimodal.mediaDedup _),
     "m03_media_frames"       -> (graft.operators.Multimodal.mediaFrameSample _),
     "m04_media_resize"       -> (graft.operators.Multimodal.mediaResize _),
+    // m05: the missing first hop of the media story — files on disk →
+    // binary column via the built-in binaryFile source, glob-pruned at
+    // the listing, decoded by the same real JDK codec path
+    "m05_media_ingest"       -> (graft.operators.Multimodal.mediaIngest _),
     // — similarity search (SURVEY §2.11) —
     "e01_knn_brute"          -> (Similarity.knnBruteForce _),
     "e02_knn_lsh"            -> (Similarity.knnLsh _),

@@ -395,4 +395,72 @@ object Multimodal {
       }
     }(enc).orderBy(col("media_id"))
   }
+
+  /** m05: media ingestion from a FILE TREE via Spark's built-in
+    * `binaryFile` source — how a 100 TB media lake actually enters the
+    * engine: `spark.read.format("binaryFile")` lists the tree
+    * distributed, emits (path, modificationTime, length, content) rows,
+    * prunes by `pathGlobFilter` at the listing (non-matching files are
+    * never opened), and the same real-codec decode as m01-m04 runs on
+    * the content column. The m01-m04 fixture arrives as an in-memory
+    * DataFrame; this closes the missing first hop — files on disk →
+    * binary column.
+    *
+    * The fixture (100 deterministic PNGs, one file each) is written to a
+    * session-scoped scratch dir once per call; output is
+    * path-independent (media_id parsed from the FILENAME, stats from the
+    * decoded pixels), so the result is deterministic wherever the
+    * scratch dir lands — rows-only in the gate (PNG bytes are not
+    * ANSI-SQL-derivable).
+    */
+  def mediaIngest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val mediaDir = graft.util.Scratch.dir(spark, "m05_files", dir)
+    java.nio.file.Files.createDirectories(mediaDir)
+    (0 until 100).foreach { i =>
+      val w = 32 + (i % 4) * 16
+      val h = 32 + (i % 3) * 16
+      java.nio.file.Files.write(
+        mediaDir.resolve(f"img_$i%04d.png"),
+        encodePng(renderImage(i.toLong, w, h)))
+      // decoys the glob filter must skip without opening
+      java.nio.file.Files.write(
+        mediaDir.resolve(f"skip_$i%04d.dat"), Array[Byte](1, 2, 3))
+    }
+    val files = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png")
+      .load(mediaDir.toString)
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_bytes", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("mean_lum_x1e6", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    files
+      .select(
+        regexp_extract(col("path"), "img_(\\d+)\\.png$", 1).cast("long").as("media_id"),
+        col("length"), col("content"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]](2)
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          var sum = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val p = img.getRGB(x, y)
+              sum += ((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)
+              x += 1
+            }
+            y += 1
+          }
+          val n = img.getWidth.toLong * img.getHeight * 3 * 255
+          org.apache.spark.sql.Row(r.getLong(0), r.getLong(1),
+            img.getWidth, img.getHeight, math.round(sum.toDouble / n * 1e6))
+        }
+      }(enc)
+      .orderBy(col("media_id"))
+  }
 }

@@ -109,4 +109,28 @@ class MultimodalSpec extends SparkSpec {
     val nn = Multimodal.nearestMedia(media, k = 3).collect()
     assert(nn.length == 5 * 3)
   }
+
+  test("m05 binaryFile ingest: glob prunes decoys, decode matches the in-memory fixture") {
+    val got = Multimodal.mediaIngest(spark, sf)
+      .as[(Long, Long, Int, Int, Long)].collect()
+    // exactly the 100 PNGs — the .dat decoys never entered the scan
+    assert(got.length == 100)
+    assert(got.map(_._1).toSeq == (0L until 100L))
+    // dimensions and luminance agree with a direct decode of the same
+    // deterministic renderer output (file round trip is lossless)
+    got.foreach { case (id, nBytes, w, h, lum) =>
+      val bytes = Multimodal.encodePng(Multimodal.renderImage(id, 32 + (id % 4).toInt * 16,
+        32 + (id % 3).toInt * 16))
+      assert(nBytes == bytes.length, s"img $id byte length")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(w == img.getWidth && h == img.getHeight, s"img $id dims")
+      var sum = 0L
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val p = img.getRGB(x, y)
+        sum += ((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)
+      }
+      val n = img.getWidth.toLong * img.getHeight * 3 * 255
+      assert(lum == math.round(sum.toDouble / n * 1e6), s"img $id luminance")
+    }
+  }
 }
