@@ -166,6 +166,9 @@ object SparkEntry {
     // over the e01 shortlist (rows-only: sequential greedy, not
     // SQL-derivable; pinned against a driver reference in spec)
     "e11_knn_mmr"            -> (Similarity.knnMmr _),
+    // e12: kNN JOIN — top-k for EVERY row, both sides large (LSH
+    // candidates, never O(n²); rows-only: hyperplane-seed-dependent)
+    "e12_knn_join"           -> (Similarity.knnJoinQuery _),
     "e05_cosine_range"       -> (Similarity.knnRange _),
     // e08: in-gate ANN quality audit — recall of every approximate
     // index vs the e01 exact ranks (rows-only; values are seeded but

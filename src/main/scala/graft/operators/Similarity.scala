@@ -484,6 +484,51 @@ object Similarity {
     mmrTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
   }
 
+  /** e12: kNN JOIN — top-k neighbors for EVERY corpus row, both sides
+    * large. The e01/e02 shapes broadcast a small query set; a kNN join
+    * (corpus-vs-corpus semantic search, the SemDeDup/retrieval-graph
+    * build step) can broadcast neither side, so candidates come from
+    * the d06 hyperplane banding: ids band-shuffle (vectors never enter
+    * the LSH shuffle), bucket self-join yields candidate pairs in BOTH
+    * directions, vectors re-join by id, and a per-left-row window keeps
+    * the k best by exact cosine.
+    *
+    * Scale shape: one corpus shuffle on band keys (bounded buckets), one
+    * id-keyed re-join, one window partitioned by left id —
+    * never O(n²). LSH recall caveat applies (a row with no bucket
+    * collisions gets < k neighbors); recall vs the exact join is
+    * asserted ≥ 40% in spec, same bar as the other approximate indexes.
+    */
+  def knnJoin(emb: DataFrame, idCol: String, vecCol: String,
+              dim: Int, k: Int, bands: Int = 16, bitsPerBand: Int = 6,
+              seed: Long = 42L): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(bands * bitsPerBand)(
+      Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat))
+    val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val sig = vecs.select(col("id"),
+      posexplode(VectorFns.bandKeys(col("v"), planes, bitsPerBand))
+        .as(Seq("band", "bkey")))
+    val a = sig.select(col("band"), col("bkey"), col("id").as("id_a"))
+    val b = sig.select(col("band"), col("bkey"), col("id").as("id_b"))
+    val w = Window.partitionBy(col("id_a"))
+      .orderBy(col("cos").desc, col("id_b"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
+      .withColumn("cos", VectorFns.cosineSim(col("v_a"), col("v_b")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id_a"), col("rank").cast("long").as("rank"), col("id_b"))
+      .orderBy(col("id_a"), col("rank"))
+  }
+
+  def knnJoinQuery(spark: SparkSession, dir: String): DataFrame =
+    knnJoin(Tables.embeddings(spark, dir), "vec_id", "embedding", dim = 64, k = 3)
+
   /** e08: top-5 recall of every approximate ANN path against the exact
     * ranks of [[knnBruteForce]], computed INSIDE the driver gate — one
     * row per method, `recall_x100 = 100 · |approx ∩ exact| / |exact|`

@@ -110,7 +110,8 @@ object ScaleStress {
       // input grows factor×) and the e09 integer shortlist must keep
       // ranks stable under dense near-ties
       "d17_semantic_dedup", "e09_knn_int8", "t19_quality_classifier",
-      "e10_knn_filtered", "e11_knn_mmr", "q59_cluster_split")
+      "e10_knn_filtered", "e11_knn_mmr", "q59_cluster_split",
+      "e12_knn_join")
 
     // one untimed warmup pass at the small fixture (JIT/codegen)
     subset.foreach { n =>

@@ -73,6 +73,32 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq.sortBy(t => (t._1, t._2)) == exp)
   }
 
+  test("e12 kNN join: >=40% recall vs exact for every-row top-3; never self; dense ranks") {
+    val got = Similarity.knnJoinQuery(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(got.forall(r => r._1 != r._3))
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1L to rows.length))
+    }
+    // exact every-row top-3 (O(n²) but n=500 here)
+    val all = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x.toDouble).sum) *
+        math.sqrt(b.map(x => x.toDouble * x.toDouble).sum))
+    }
+    val exact = all.flatMap { case (id, v) =>
+      all.filter(_._1 != id).map { case (n, nv) => (id, n, cos(v, nv)) }
+        .sortBy { case (_, n, c) => (-c, n) }.take(3).map(t => (t._1, t._2))
+    }.toSet
+    val approx = got.map(r => (r._1, r._3)).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"recall=$recall")
+    // most rows should find at least one neighbor through the banding
+    assert(got.map(_._1).distinct.length >= all.length * 9 / 10)
+  }
+
   test("e11 MMR: matches a driver-side greedy reference; first pick = top relevance") {
     def cos(a: Seq[Float], b: Seq[Float]): Double = {
       val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
