@@ -82,6 +82,9 @@ object SparkEntry {
     "q56_partition_overwrite" -> (graft.operators.Layout.partitionOverwrite _),
     // — warehouse maintenance: MERGE + SCD2 history —
     "q47_merge_upsert"      -> (Relational.mergeUpsert _),
+    // q60: incremental view maintenance — merge delta partials into
+    // stored partials, never rescan the base; oracle = full recompute
+    "q60_incremental_agg"   -> (Relational.incrementalAgg _),
     "q48_scd2_intervals"    -> (Relational.scd2Intervals _),
     // — runtime join filtering —
     "q55_bloom_join"        -> (Relational.bloomFilteredRevenue _),
@@ -926,6 +929,13 @@ object SparkEntry {
           | CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
           |FROM supplier
           |ORDER BY c_custkey""".stripMargin,
+      // q60: the refresh merges stored + delta partials; count/sum are
+      // algebraic and cents are integers, so the merged result is
+      // bit-identical to the full recompute the oracle runs
+      "q60_incremental_agg" ->
+        """SELECT o_custkey, count(*) AS n_orders,
+          | CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_cents
+          |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
       // q55: the Bloom prefilter admits no false negatives and the
       // exact join removes false positives — oracle = the plain join
       "q55_bloom_join" ->

@@ -502,6 +502,39 @@ object Relational {
       .orderBy(col("c_custkey"))
   }
 
+  /** q60: incremental aggregate maintenance — the materialized-view
+    * refresh shape: a per-customer partial aggregate of orders
+    * (n_orders, total cents) is MATERIALIZED once; when a delta batch
+    * arrives, the refresh merges (delta partials ∪ stored partials) and
+    * never rescans the base — count/sum are algebraic, so merging
+    * partials is exact and refresh cost is ∝ |delta| however large the
+    * base has grown. The oracle is the full recompute over all orders:
+    * a refresh indistinguishable from recomputation is the correctness
+    * bar for incremental view maintenance.
+    *
+    * Base/delta split is deterministic (`o_orderkey % 10`): the 90%
+    * slice lands as parquet partials (one write, standing in for the
+    * stored MV), the 10% slice plays the incoming batch. Integer cents
+    * (the s07 trick) keep the merged sum bit-exact in any merge order.
+    */
+  def incrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    def partials(df: DataFrame): DataFrame = df
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        (sum((dec(col("o_totalprice")) * 100).cast("long"))).as("cents"))
+    val baseDir = graft.util.Scratch.dir(spark, "q60_base", dir)
+    val orders = Tables.orders(spark, dir)
+    partials(orders.filter(col("o_orderkey") % 10 =!= 0))
+      .write.mode("overwrite").parquet(baseDir.toString)
+    val stored = spark.read.parquet(baseDir.toString)
+    val delta = partials(orders.filter(col("o_orderkey") % 10 === 0))
+    stored.unionByName(delta)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("n_orders")).as("n_orders"),
+        sum(col("cents")).as("total_cents"))
+      .orderBy(col("o_custkey"))
+  }
+
   /** q55: Bloom-prefiltered join — an explicit runtime join filter
     * (what `spark.sql.optimizer.runtime.bloomFilter.enabled` injects
     * automatically): build an 8 KiB Bloom filter over the FILTERED
