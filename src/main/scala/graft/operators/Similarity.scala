@@ -505,21 +505,39 @@ object Similarity {
     val rnd = new scala.util.Random(seed)
     val planes = Array.fill(bands * bitsPerBand)(
       Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat))
-    val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val sig = vecs.select(col("id"),
-      posexplode(VectorFns.bandKeys(col("v"), planes, bitsPerBand))
-        .as(Seq("band", "bkey")))
-    val a = sig.select(col("band"), col("bkey"), col("id").as("id_a"))
-    val b = sig.select(col("band"), col("bkey"), col("id").as("id_b"))
+    // vectors RIDE the band shuffle here (×bands amplification of a
+    // ~260 B payload) so cosine is computed AT the bucket join — on a
+    // dense corpus that beats the ids-only variant, whose candidate
+    // pair set (quadratic in bucket size) must then make two id-keyed
+    // join shuffles just to fetch vectors.
+    val banded = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .select(col("id"), col("v"),
+        posexplode(VectorFns.bandKeys(col("v"), planes, bitsPerBand))
+          .as(Seq("band", "bkey")))
+    val a = banded.select(col("band"), col("bkey"),
+      col("id").as("id_a"), col("v").as("v_a"))
+    val b = banded.select(col("band"), col("bkey"),
+      col("id").as("id_b"), col("v").as("v_b"))
+    // per-band top-k is LOSSLESS: if a pair is global top-k among the
+    // candidates, fewer than k candidates beat it in ANY subset that
+    // contains it — so keeping k per band before the cross-band merge
+    // cannot drop a final answer, while WindowGroupLimit prunes the
+    // quadratic per-bucket pair stream map-side to ≤k per (band, id_a).
+    val wBand = Window.partitionBy(col("band"), col("id_a"))
+      .orderBy(col("cos").desc, col("id_b"))
+    val perBand = a.join(b, Seq("band", "bkey"))
+      .filter(col("id_a") =!= col("id_b"))
+      .withColumn("cos", VectorFns.cosineSim(col("v_a"), col("v_b")))
+      .select(col("band"), col("id_a"), col("id_b"), col("cos"))
+      .withColumn("brank", row_number().over(wBand))
+      .filter(col("brank") <= k)
+      .select(col("id_a"), col("id_b"), col("cos"))
+      // a pair surviving in several bands carries the same cos — one
+      // representative is enough, and the set is ≤ bands·k per id now
+      .dropDuplicates("id_a", "id_b")
     val w = Window.partitionBy(col("id_a"))
       .orderBy(col("cos").desc, col("id_b"))
-    a.join(b, Seq("band", "bkey"))
-      .filter(col("id_a") =!= col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
-      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
-      .withColumn("cos", VectorFns.cosineSim(col("v_a"), col("v_b")))
+    perBand
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("id_a"), col("rank").cast("long").as("rank"), col("id_b"))

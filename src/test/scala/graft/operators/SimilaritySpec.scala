@@ -97,6 +97,31 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.4, s"recall=$recall")
     // most rows should find at least one neighbor through the banding
     assert(got.map(_._1).distinct.length >= all.length * 9 / 10)
+    // the per-band-top-k plan is LOSSLESS vs the naive
+    // dedup-all-candidates-then-rank formulation: same result, smaller
+    // shuffles — verify the equivalence on the fixture
+    import graft.functions.VectorFns
+    val rnd = new scala.util.Random(42L)
+    val planes = Array.fill(16 * 6)(Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat))
+    val vecs = Tables.embeddings(spark, sf)
+      .select($"vec_id".as("id"), $"embedding".as("v"))
+    val sig = vecs.select($"id",
+      posexplode(VectorFns.bandKeys($"v", planes, 6)).as(Seq("band", "bkey")))
+    val na = sig.select($"band", $"bkey", $"id".as("id_a"))
+    val nb = sig.select($"band", $"bkey", $"id".as("id_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"id_a").orderBy($"cos".desc, $"id_b")
+    val naive = na.join(nb, Seq("band", "bkey"))
+      .filter($"id_a" =!= $"id_b")
+      .select($"id_a", $"id_b").dropDuplicates("id_a", "id_b")
+      .join(vecs.select($"id".as("id_a"), $"v".as("v_a")), "id_a")
+      .join(vecs.select($"id".as("id_b"), $"v".as("v_b")), "id_b")
+      .withColumn("cos", VectorFns.cosineSim($"v_a", $"v_b"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"id_a", $"rank".cast("long").as("rank"), $"id_b")
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(t => (t._1, t._2))
+    assert(got.toSeq.sortBy(t => (t._1, t._2)) == naive)
   }
 
   test("e11 MMR: matches a driver-side greedy reference; first pick = top relevance") {
