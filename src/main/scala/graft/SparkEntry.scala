@@ -718,7 +718,7 @@ object SparkEntry {
       // global offset serializes the corpus — running sum per shard
       "q57_sequence_pack" ->
         """SELECT doc_id, n_tokens, shard, start_off,
-          | shard * 1000000 + CAST(floor(start_off / 2048) AS BIGINT) AS pack_id
+          | shard * 2199023255552 + CAST(floor(start_off / 2048) AS BIGINT) AS pack_id
           |FROM (
           | SELECT doc_id, n_tokens, shard,
           |  CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id

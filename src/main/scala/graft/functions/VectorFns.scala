@@ -166,6 +166,22 @@ object VectorFns {
     GraftColumnBridge.column(CosineSimF32(GraftColumnBridge.expression(a),
                                           GraftColumnBridge.expression(b)))
 
+  /** Scalar cosine over plain float arrays — the SAME accumulation
+    * order and zero-norm convention as [[CosineSimF32]], for group-sweep
+    * code that works on collected arrays (the d17 semantic-dedup sweep,
+    * the e11 MMR rerank). One definition: the sweep and the expression
+    * that built its shortlist must never disagree.
+    */
+  def cosineScalar(a: Array[Float], b: Array[Float]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      d += x * y; na += x * x; nb += y * y; i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   /** Reference implementation via higher-order functions (for tests). */
   def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),

@@ -130,8 +130,13 @@ object Curation {
         size(tokens(col("text"))).cast("long").as("n_tokens"),
         (col("doc_id") % shards).as("shard"))
       .withColumn("start_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      // pack namespace: shard in the high 22 bits, chunk in the low 41
+      // (shard << 41 | chunk). 2^41 chunks/shard × budget 2048 ≈ 4.5e15
+      // tokens per shard before a collision — 4 orders past the 100 TB
+      // point (a 1e6 multiplier would collide at ~2e9 tokens/shard,
+      // i.e. ~10 GB of text, merging unrelated training sequences)
       .withColumn("pack_id",
-        col("shard") * 1000000L + floor(col("start_off") / budget).cast("long"))
+        col("shard") * 2199023255552L + floor(col("start_off") / budget).cast("long"))
       .select(col("doc_id"), col("n_tokens"), col("shard"),
         col("start_off"), col("pack_id"))
       .orderBy(col("doc_id"))
@@ -189,11 +194,15 @@ object Curation {
       .select(col("doc_id"), explode(wordShingles(toks, n)).as("sh"))
       .select(col("doc_id"), xxhash64(col("sh")).as("shh"),
         md5(col("sh").cast("binary")).as("shkey"))
+    // the eval side is referenced twice (Bloom build + broadcast join)
+    // and derives from a FULL documents scan each time (doc_id % 97 is
+    // not a pushable predicate) — materialize its ~|eval| rows once
     val evalSh = docs.filter(col("doc_id") % 97 === 0)
       .select(explode(wordShingles(slice(toks, 6, 20), n)).as("sh"))
       .select(xxhash64(col("sh")).as("shh"),
         md5(col("sh").cast("binary")).as("shkey"))
       .distinct()
+      .localCheckpoint(true)
     val bits: Array[Long] = evalSh.select(col("shh")).as[Long]
       .select(Bloom.bloomAgg.toColumn.name("bits"))
       .head()

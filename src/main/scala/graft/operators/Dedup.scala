@@ -452,19 +452,25 @@ object Dedup {
       .filter(col("n_docs") >= minDocs)
 
   /** The 100 TB path of [[substringDupSpans]]: identical semantics, but
-    * the groupBy key is `xxhash64(span)` — the shuffle carries 8 bytes
-    * per occurrence instead of `k` chars (5× lighter at the default
-    * k=40), and the surviving hash set is exactly what a downstream
-    * span-removal filter joins against. Collisions at 64 bits are
-    * negligible below ~10¹⁸ distinct spans.
+    * the shuffle carries a 16-byte hash pair per occurrence instead of
+    * `k` chars, and the surviving hash set is exactly what a downstream
+    * span-removal filter joins against. The key is 128-bit — TWO
+    * independent xxhash64 values (plain, and salted through a second
+    * hashed column): a single 64-bit key hits its birthday bound at
+    * ~√2⁶⁴ ≈ 4·10⁹ distinct spans — ~10⁵ expected collisions at a
+    * 100 TB corpus's ~10¹² spans, each one merging unrelated spans so a
+    * downstream removal filter deletes clean text. At 128 bits the
+    * expected collision count at 10¹² spans is ~10⁻¹⁴.
     */
   def substringDupSpansHashed(docs: DataFrame, idCol: String, textCol: String,
                               k: Int = 40, stride: Int = 10, minDocs: Int = 2): DataFrame =
     spanExploded(docs, idCol, textCol, k, stride)
-      .select(col("id"), xxhash64(col("span")).as("span_hash"))
-      .groupBy(col("span_hash"))
+      .select(col("id"), xxhash64(col("span")).as("span_hash"),
+        xxhash64(col("span"), lit(0x9E3779B9L)).as("span_hash2"))
+      .groupBy(col("span_hash"), col("span_hash2"))
       .agg(countDistinct(col("id")).as("n_docs"), count(lit(1)).as("n_occ"))
       .filter(col("n_docs") >= minDocs)
+      .select(col("span_hash"), col("span_hash2"), col("n_docs"), col("n_occ"))
 
   /** d13: cross-document duplicated 40-char spans over the documents
     * table (stride 10), oracle-checked span-for-span against DuckDB's
@@ -488,6 +494,11 @@ object Dedup {
     */
   def substringDupCoverage(docs: DataFrame, idCol: String, textCol: String,
                            k: Int = 40, stride: Int = 10, minDocs: Int = 2): DataFrame = {
+    // the span stream is deliberately re-derived on both branches
+    // rather than persisted: spans are many short strings per row, and
+    // caching that shape deserialized was measured (shingle variant,
+    // [[minHashLshPairs]]) to cost more in memory+GC than re-running
+    // the fused per-row expressions — the double map-side pass wins.
     val spans = spanExploded(docs, idCol, textCol, k, stride)
     val dups = substringDupSpans(docs, idCol, textCol, k, stride, minDocs)
       .select(col("span"), lit(1L).as("is_dup"))
@@ -604,15 +615,7 @@ object Dedup {
         val sorted = rows.toArray.sortBy(_._1)
         val kept = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
         val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
-        def cos(a: Array[Float], b: Array[Float]): Double = {
-          var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-          val n = math.min(a.length, b.length)
-          while (i < n) {
-            val x = a(i).toDouble; val y = b(i).toDouble
-            d += x * y; na += x * x; nb += y * y; i += 1
-          }
-          if (na == 0.0 || nb == 0.0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
-        }
+        val cos = graft.functions.VectorFns.cosineScalar _
         sorted.foreach { case (id, v, _) =>
           if (!kept.exists(kv => cos(kv, v) >= threshold)) {
             kept += v

@@ -150,6 +150,26 @@ object Multimodal {
     * `dim` grid-cell mean luminances in [0,1] (exact rational over the
     * decoded ints — deterministic).
     */
+  /** Global mean luminance of a decoded image in millionths (rounded)
+    * — one definition shared by the m04 re-decode check and the m05
+    * ingest stats so the determinism contract can't silently diverge.
+    */
+  private[operators] def meanLumX1e6(img: java.awt.image.BufferedImage): Long = {
+    var sum = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val p = img.getRGB(x, y)
+        sum += ((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)
+        x += 1
+      }
+      y += 1
+    }
+    val n = img.getWidth.toLong * img.getHeight * 3 * 255
+    math.round(sum.toDouble / n * 1e6)
+  }
+
   private def imageFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
     val grid = math.sqrt(dim.toDouble).toInt max 1
@@ -254,6 +274,10 @@ object Multimodal {
       StructType(media.schema.fields.toIndexedSeq))
     val kindIdx = media.schema.fieldIndex("kind")
     val payloadIdx = media.schema.fieldIndex("payload")
+    // the meta struct must FOLLOW the payload: a consumer sizing
+    // buffers from meta.width × meta.height would otherwise read
+    // dimensions that disagree with the re-encoded pixels
+    val metaIdx = media.schema.fieldNames.indexOf("meta")
     media.mapPartitions { rows =>
       rows.map { r =>
         if (r.getString(kindIdx) != "image") r
@@ -276,6 +300,11 @@ object Multimodal {
           }
           val vals = r.toSeq.toArray
           vals(payloadIdx) = encodePng(dst)
+          if (metaIdx >= 0) {
+            val m = r.getStruct(metaIdx)
+            vals(metaIdx) = org.apache.spark.sql.Row(
+              nw, nh, m.get(2), m.get(3), m.get(4))
+          }
           org.apache.spark.sql.Row(vals.toIndexedSeq: _*)
         }
       }
@@ -378,20 +407,8 @@ object Multimodal {
       rows.map { r =>
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](payloadIdx)))
-        var sum = 0L
-        var y = 0
-        while (y < img.getHeight) {
-          var x = 0
-          while (x < img.getWidth) {
-            val p = img.getRGB(x, y)
-            sum += ((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)
-            x += 1
-          }
-          y += 1
-        }
-        val n = img.getWidth.toLong * img.getHeight * 3 * 255
         org.apache.spark.sql.Row(r.getLong(idIdx), img.getWidth, img.getHeight,
-          math.round(sum.toDouble / n * 1e6))
+          meanLumX1e6(img))
       }
     }(enc).orderBy(col("media_id"))
   }
@@ -445,20 +462,8 @@ object Multimodal {
         rows.map { r =>
           val bytes = r.getAs[Array[Byte]](2)
           val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-          var sum = 0L
-          var y = 0
-          while (y < img.getHeight) {
-            var x = 0
-            while (x < img.getWidth) {
-              val p = img.getRGB(x, y)
-              sum += ((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)
-              x += 1
-            }
-            y += 1
-          }
-          val n = img.getWidth.toLong * img.getHeight * 3 * 255
           org.apache.spark.sql.Row(r.getLong(0), r.getLong(1),
-            img.getWidth, img.getHeight, math.round(sum.toDouble / n * 1e6))
+            img.getWidth, img.getHeight, meanLumX1e6(img))
         }
       }(enc)
       .orderBy(col("media_id"))

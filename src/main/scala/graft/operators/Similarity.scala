@@ -444,15 +444,7 @@ object Similarity {
       .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Double, Array[Float])]) =>
         val cand = it.map { case (_, id, rel, v) => (id, rel, v) }.toArray
           .sortBy { case (id, rel, _) => (-rel, id) }
-        def cos(a: Array[Float], b: Array[Float]): Double = {
-          var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-          val n = math.min(a.length, b.length)
-          while (i < n) {
-            val x = a(i).toDouble; val y = b(i).toDouble
-            d += x * y; na += x * x; nb += y * y; i += 1
-          }
-          if (na == 0.0 || nb == 0.0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
-        }
+        val cos = VectorFns.cosineScalar _
         val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
         val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
         val used = scala.collection.mutable.Set.empty[Long]

@@ -83,10 +83,14 @@ class StubOffresServer(offers: Seq[StubOffre], secrets: Map[String, String]) {
   }
 
   private def queryParams(ex: HttpExchange): Map[String, String] =
-    Option(ex.getRequestURI.getRawQuery).map(_.split("&").toSeq.map { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      k -> URLDecoder.decode(v, StandardCharsets.UTF_8)
-    }.toMap).getOrElse(Map.empty)
+    // same '='-less-token guard as formFields: a bare flag parameter
+    // must not MatchError inside the handler (the exchange would hang
+    // unanswered and the client block until its HTTP timeout)
+    Option(ex.getRequestURI.getRawQuery).map(_.split("&").toSeq
+      .filter(_.contains("=")).map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        k -> URLDecoder.decode(v, StandardCharsets.UTF_8)
+      }.toMap).getOrElse(Map.empty)
 
   private def bearerOk(ex: HttpExchange): Boolean =
     Option(ex.getRequestHeaders.getFirst("Authorization"))

@@ -53,7 +53,11 @@ object ScaleStress {
           (col("doc_id") + lit(i * off)).as("doc_id"),
           (if (i == 0) col("text")
            else concat(col("text"), lit(s" variant copy $i"))).as("text"),
-          col("lang"), col("source"), col("n_chars"))
+          col("lang"), col("source"))
+          // keep the fixture invariant n_chars == length(text) for the
+          // perturbed copies too (t02 reads this column directly)
+          .withColumn("n_chars", length(col("text")).cast("long"))
+          .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
       }.reduce(_.unionByName(_))
         .repartition(cpus.toInt)
         .write.mode("overwrite").parquet(s"$outDir/documents.parquet")

@@ -91,7 +91,9 @@ class CurationSpec extends SparkSpec {
       var off = 0L
       inOrder.foreach { case (_, nTok, _, startOff, packId) =>
         assert(startOff == off, s"shard $shard: running offset must be exact")
-        assert(packId == shard * 1000000L + startOff / 2048,
+        // shard rides the high 22 bits (chunk space 2^41 — collision-free
+        // to ~4.5e15 tokens/shard; a 1e6 multiplier collided at ~2e9)
+        assert(packId == shard * 2199023255552L + startOff / 2048,
           "pack = shard-local chunk of the token stream")
         off += nTok
       }
