@@ -78,6 +78,20 @@ class MultimodalSpec extends SparkSpec {
     assert(a.forall(_._3.length == 16))
   }
 
+  test("resizeImages keeps meta.width/height in lockstep with the re-encoded payload") {
+    val resized = Multimodal.resizeImages(
+      media.filter($"kind" === "image"), maxSide = 24)
+    val rows = resized.select($"meta.width", $"meta.height", $"payload")
+      .as[(Int, Int, Array[Byte])].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (mw, mh, payload) =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      assert(mw == img.getWidth && mh == img.getHeight,
+        s"meta ($mw x $mh) diverges from payload (${img.getWidth} x ${img.getHeight})")
+      assert(math.max(mw, mh) <= 24)
+    }
+  }
+
   test("resizeMeta caps the longest side, preserving other metadata") {
     val resized = Multimodal.resizeMeta(media, maxSide = 32)
     val bad = resized.filter(greatest($"meta.width", $"meta.height") > 32).count()
