@@ -76,6 +76,10 @@ object SparkEntry {
     // — physical layout: format round trip, partition pruning, bucketed
     //   co-located join, Z-order clustering —
     "q43_orc_roundtrip"     -> (graft.operators.Layout.orcRoundTrip _),
+    // q61/q62: the remaining format surface — raw line-oriented text
+    // (the LLM-corpus arrival format) and Spark 4's built-in XML
+    "q61_text_roundtrip"    -> (graft.operators.Layout.textRoundTrip _),
+    "q62_xml_roundtrip"     -> (graft.operators.Layout.xmlRoundTrip _),
     "q44_partitioned_prune" -> (graft.operators.Layout.partitionedPrune _),
     "q45_bucketed_join"     -> (graft.operators.Layout.bucketedJoin _),
     "q46_zorder_scan"       -> (graft.operators.Layout.zOrderScan _),
@@ -900,6 +904,10 @@ object SparkEntry {
       // layout family: the physical layout must be invisible in the
       // result — every oracle is the plain query over the original table
       "q43_orc_roundtrip" ->
+        "SELECT doc_id, lang, text FROM documents ORDER BY doc_id",
+      "q61_text_roundtrip" ->
+        "SELECT doc_id, text FROM documents ORDER BY doc_id",
+      "q62_xml_roundtrip" ->
         "SELECT doc_id, lang, text FROM documents ORDER BY doc_id",
       "q44_partitioned_prune" ->
         """SELECT date_trunc('month', o_orderdate) AS month, count(*) AS n_orders

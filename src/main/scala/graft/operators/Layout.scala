@@ -79,6 +79,47 @@ object Layout {
       .orderBy(col("doc_id"))
   }
 
+  /** q61: raw-TEXT round trip — the line-oriented `text` source, the
+    * format raw LLM training corpora actually arrive in (one document
+    * per line). Written as `doc_id<TAB>text` lines, read back, split on
+    * the FIRST tab. The text format's contract is line-oriented (no
+    * embedded newlines; the tab key separator must not occur in the
+    * id) — escaping formats are q37 (CSV) / q38 (JSON); this covers the
+    * no-schema raw-lines path those can't (what `spark.read.text` is
+    * for at 100 TB: splittable line scans with zero parse cost).
+    */
+  def textRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Scratch.dir(spark, "q61_text", dir).toString
+    Tables.documents(spark, dir)
+      .select(concat(col("doc_id").cast("string"), lit("\t"), col("text")).as("value"))
+      .write.mode("overwrite").text(tmp)
+    spark.read.text(tmp)
+      .select(
+        substring_index(col("value"), "\t", 1).cast("long").as("doc_id"),
+        // everything AFTER the first tab — regexp keeps any further
+        // tabs inside the document text intact
+        regexp_replace(col("value"), "^[^\t]*\t", "").as("text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q62: XML round trip — Spark 4's built-in `xml` datasource
+    * (rowTag-delimited records). XML is the interchange format the
+    * reference's ecosystem (job-offer feeds) actually publishes; the
+    * read side proves schema-ful parse of attribute-free element rows
+    * recovers the table bit-exactly.
+    */
+  def xmlRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val tmp = Scratch.dir(spark, "q62_xml", dir).toString
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .write.mode("overwrite").option("rowTag", "doc").xml(tmp)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("lang", StringType), StructField("text", StringType)))
+    spark.read.schema(schema).option("rowTag", "doc").xml(tmp)
+      .orderBy(col("doc_id"))
+  }
+
   /** q44: hive-style partitioned write + partition-pruned read. Orders
     * land under `o_orderpriority=<v>/` directories; the subsequent
     * filter never opens the other partitions' files (directory-level

@@ -137,4 +137,24 @@ class LayoutSpec extends SparkSpec {
     val prunedCount = oneDay.count()
     assert(prunedCount > 0 && prunedCount < all.count())
   }
+
+  test("text and xml round trips recover the documents projection exactly") {
+    val base = graft.Tables.documents(spark, sf)
+      .select($"doc_id", $"lang", $"text")
+      .orderBy($"doc_id").as[(Long, String, String)].collect().toSeq
+    val txt = Layout.textRoundTrip(spark, sf)
+      .as[(Long, String)].collect().toSeq
+    assert(txt == base.map(r => (r._1, r._3)))
+    val xml = Layout.xmlRoundTrip(spark, sf)
+      .as[(Long, String, String)].collect().toSeq
+    assert(xml == base)
+    // the line parse splits on the FIRST tab only: tabs inside the
+    // document text survive (the key contract of the raw-lines format)
+    val parsed = Seq("7\ta\tb\tc").toDF("value")
+      .select(
+        substring_index($"value", "\t", 1).cast("long").as("doc_id"),
+        regexp_replace($"value", "^[^\t]*\t", "").as("text"))
+      .as[(Long, String)].head()
+    assert(parsed == ((7L, "a\tb\tc")))
+  }
 }
