@@ -201,6 +201,9 @@ object SparkEntry {
     // through a REAL streaming drain; integer-cents state makes the
     // final totals batch-boundary-invariant and oracle-exact
     "s07_streaming_totals"   -> (Streams.streamingUserTotals _),
+    // s08: MapState (state v2) through a real streaming drain; sharded
+    // monotone counts reduce to the exact global GROUP BY
+    "s08_streaming_type_counts" -> (Streams.streamingTypeCounts _),
   )
 
   /** DuckDB-dialect oracle SQL: same table names (parquet fixtures),
@@ -644,6 +647,10 @@ object SparkEntry {
         """SELECT user_id, count(*) AS n_events,
           | CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_cents
           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+      // s08: shard finals summed per type ≡ the plain global count
+      "s08_streaming_type_counts" ->
+        """SELECT event_type, count(*) AS n
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
       // curation: md5 is bit-identical across engines (lowercase hex),
       // so hash-keyed splits/samples/priority-dedup are oracle-exact
       "q41_deterministic_split" ->

@@ -257,6 +257,85 @@ object Streams {
         TimeMode.None(), OutputMode.Update())
   }
 
+  case class ShardEvent(shard: Long, event_type: String)
+  case class TypeCount(shard: Long, event_type: String, n: Long)
+
+  /** Per-shard event-type counts via MapState — the state-v2 primitive
+    * [[CentsTotalsProcessor]] (ValueState) doesn't exercise: one keyed
+    * state handle holding a MAP of event_type → count, updated
+    * incrementally and emitted as flattened rows per batch. The shape
+    * of any per-key frequency table kept by a streaming job.
+    */
+  class TypeCountsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, ShardEvent, TypeCount] {
+    @transient private var state:
+        org.apache.spark.sql.streaming.MapState[String, Long] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getMapState[String, Long]("type_counts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        shard: Long, rows: Iterator[ShardEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[TypeCount] = {
+      val touched = scala.collection.mutable.Set.empty[String]
+      rows.foreach { e =>
+        val cur = if (state.containsKey(e.event_type)) state.getValue(e.event_type) else 0L
+        state.updateValue(e.event_type, cur + 1L)
+        touched += e.event_type
+      }
+      touched.iterator.map(t => TypeCount(shard, t, state.getValue(t)))
+    }
+  }
+
+  def runningTypeCounts(events: org.apache.spark.sql.Dataset[ShardEvent])
+      : org.apache.spark.sql.Dataset[TypeCount] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.groupByKey(_.shard)
+      .transformWithState(new TypeCountsProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** s08: MapState through the driver gate — a real streaming run of
+    * [[TypeCountsProcessor]] over 16 user-hash shards. Per-shard
+    * running counts are monotone, so the drained final value per
+    * (shard, type) is the max-n row whatever the micro-batch split was;
+    * summing the shard finals per type then equals the plain global
+    * GROUP BY — integer-exact, DuckDB-checkable.
+    */
+  def streamingTypeCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    val drained =
+      try {
+        spark.conf.set(key,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        drainStreamed(spark, "s08", dir,
+          runningTypeCounts(
+            eventsStream(spark, dir)
+              .select((col("user_id") % 16).as("shard"), col("event_type"))
+              .as[ShardEvent]).toDF(),
+          mode = "append", outputMode = "update")
+      } finally {
+        prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None    => spark.conf.unset(key)
+        }
+      }
+    drained.groupBy(col("shard"), col("event_type"))
+      .agg(max(col("n")).as("n_final"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("n_final")).as("n"))
+      .orderBy(col("event_type"))
+  }
+
   /** s07: the arbitrary-state v2 operator (`transformWithState` +
     * `StatefulProcessor` + `ValueState` on the RocksDB store) executed
     * through a REAL streaming run inside the driver gate. Update-mode

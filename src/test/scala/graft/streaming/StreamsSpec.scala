@@ -189,6 +189,42 @@ class StreamsSpec extends SparkSpec {
     assert(got.nonEmpty && got == exp)
   }
 
+  test("s08 streaming type counts equal the batch aggregate on the fixture") {
+    val got = Streams.streamingTypeCounts(spark, sf)
+      .as[(String, Long)].collect().toSeq
+    val exp = graft.Tables.events(spark, sf)
+      .groupBy($"event_type").agg(count(lit(1)).as("n"))
+      .orderBy($"event_type").as[(String, Long)].collect().toSeq
+    assert(got.nonEmpty && got == exp)
+  }
+
+  test("MapState accumulates per-type counts across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Ev]
+    val in = mem.toDF()
+      .selectExpr("user_id % 16 AS shard", "event_type").as[Streams.ShardEvent]
+    val q = Streams.runningTypeCounts(in)
+      .writeStream.format("memory").queryName("tws_type_counts")
+      .outputMode("update").start()
+    try {
+      mem.addData(events.take(2): _*)   // u1: 2 clicks
+      q.processAllAvailable()
+      mem.addData(events.take(2): _*)   // u1: the SAME 2 clicks again
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    val rows = spark.table("tws_type_counts")
+      .select($"shard", $"event_type", $"n").as[(Long, String, Long)].collect().toSeq
+    // batch 1 emitted (1, click, 2); batch 2 (1, click, 4) — the map
+    // entry carried across batches
+    assert(rows.contains((1L, "click", 2L)), rows.toString)
+    assert(rows.contains((1L, "click", 4L)), rows.toString)
+  }
+
   test("sessionizeWithState in batch mode emits every session incl. the open tail") {
     val in = events.toDF().selectExpr("user_id", "ts", "value")
       .as[Streams.SessionInput]
