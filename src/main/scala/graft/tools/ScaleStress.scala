@@ -115,7 +115,7 @@ object ScaleStress {
       // ranks stable under dense near-ties
       "d17_semantic_dedup", "e09_knn_int8", "t19_quality_classifier",
       "e10_knn_filtered", "e11_knn_mmr", "q59_cluster_split",
-      "e12_knn_join")
+      "e12_knn_join", "q61_text_roundtrip", "q62_xml_roundtrip")
 
     // one untimed warmup pass at the small fixture (JIT/codegen)
     subset.foreach { n =>
