@@ -166,6 +166,20 @@ object VectorFns {
     GraftColumnBridge.column(CosineSimF32(GraftColumnBridge.expression(a),
                                           GraftColumnBridge.expression(b)))
 
+  /** The seeded hyperplane set every LSH banding operator shares
+    * (e02 `lshTopK`, d06 `embeddingNearDupPairs`, e12 `knnJoin`, and
+    * spec reconstructions): band-major flat fill, one `Random(seed)`
+    * stream. ONE definition — a change to the generation order must hit
+    * every signature producer at once or their buckets silently
+    * desynchronize.
+    */
+  def hyperplanes(bands: Int, bitsPerBand: Int, dim: Int,
+                  seed: Long): Array[Array[Float]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(bands * bitsPerBand)(
+      Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat))
+  }
+
   /** Scalar cosine over plain float arrays — the SAME accumulation
     * order and zero-norm convention as [[CosineSimF32]], for group-sweep
     * code that works on collected arrays (the d17 semantic-dedup sweep,

@@ -112,14 +112,15 @@ object Curation {
     * documents to fixed-token-budget training sequences. Documents are
     * sharded (`doc_id % shards`), each shard's docs are concatenated in
     * id order, and a doc's pack is the chunk its first token lands in:
-    * `pack_id = shard·10⁶ + ⌊shard_offset / budget⌋`.
+    * `pack_id = (shard << 41) + ⌊shard_offset / budget⌋`.
     *
     * Scale shape: this is how distributed packing actually runs — a
     * GLOBAL running offset would serialize the corpus through one
-    * partition, so each worker packs its shard independently. One
-    * shuffle (window over shard), running sum per shard, O(1) state per
-    * row. Deterministic and stable: a doc's pack depends only on the
-    * ids/lengths before it in its shard.
+    * partition, so each worker packs its shard independently (see the
+    * inline note on the pack-namespace width). One shuffle (window over
+    * shard), running sum per shard, O(1) state per row. Deterministic
+    * and stable: a doc's pack depends only on the ids/lengths before it
+    * in its shard.
     */
   def sequencePack(spark: SparkSession, dir: String,
                    budget: Int = 2048, shards: Int = 32): DataFrame = {

@@ -297,11 +297,9 @@ object Dedup {
                             dim: Int, threshold: Double = 0.95,
                             bands: Int = 8, bitsPerBand: Int = 6,
                             seed: Long = 42L): DataFrame = {
-    // same plane-generation sequence as the per-band formulation;
-    // one fused expression emits every band key (VectorFns.bandKeys)
-    val rnd = new scala.util.Random(seed)
-    val planes = Array.fill(bands * bitsPerBand)(
-      Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat))
+    // shared plane generator (VectorFns.hyperplanes); one fused
+    // expression emits every band key (VectorFns.bandKeys)
+    val planes = VectorFns.hyperplanes(bands, bitsPerBand, dim, seed)
     val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
     val sig = vecs
       .select(col("id"),
@@ -441,8 +439,9 @@ object Dedup {
     *
     * The only shuffle is the span groupBy. This variant groups on the
     * RAW span so the DuckDB oracle can reproduce it bit-exactly; at
-    * 100 TB use [[substringDupSpansHashed]], whose shuffle carries
-    * 8-byte hashes instead of `k`-char strings.
+    * 100 TB use [[substringDupSpansHashed]], whose shuffle carries a
+    * 16-byte hash pair instead of `k`-char strings (2.5× lighter at the
+    * default k=40, and collision-safe where a single 64-bit key isn't).
     */
   def substringDupSpans(docs: DataFrame, idCol: String, textCol: String,
                         k: Int = 40, stride: Int = 10, minDocs: Int = 2): DataFrame =
@@ -465,8 +464,13 @@ object Dedup {
   def substringDupSpansHashed(docs: DataFrame, idCol: String, textCol: String,
                               k: Int = 40, stride: Int = 10, minDocs: Int = 2): DataFrame =
     spanExploded(docs, idCol, textCol, k, stride)
+      // salt FIRST: Spark chains multi-arg xxhash64 (the running hash
+      // seeds the next child), so xxhash64(span, salt) would be a pure
+      // function of xxhash64(span) — zero extra entropy. With the salt
+      // as the first argument the span is hashed under an independent
+      // effective seed, making the pair a real 128-bit key.
       .select(col("id"), xxhash64(col("span")).as("span_hash"),
-        xxhash64(col("span"), lit(0x9E3779B9L)).as("span_hash2"))
+        xxhash64(lit(0x9E3779B9L), col("span")).as("span_hash2"))
       .groupBy(col("span_hash"), col("span_hash2"))
       .agg(countDistinct(col("id")).as("n_docs"), count(lit(1)).as("n_occ"))
       .filter(col("n_docs") >= minDocs)

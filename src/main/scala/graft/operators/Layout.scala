@@ -116,7 +116,12 @@ object Layout {
       .write.mode("overwrite").option("rowTag", "doc").xml(tmp)
     val schema = StructType(Seq(StructField("doc_id", LongType),
       StructField("lang", StringType), StructField("text", StringType)))
-    spark.read.schema(schema).option("rowTag", "doc").xml(tmp)
+    spark.read.schema(schema).option("rowTag", "doc")
+      // the reader's default ignoreSurroundingSpaces=true TRIMS text
+      // values — exactness would then silently depend on the corpus
+      // containing no padded strings
+      .option("ignoreSurroundingSpaces", "false")
+      .xml(tmp)
       .orderBy(col("doc_id"))
   }
 

@@ -300,10 +300,18 @@ object Multimodal {
           }
           val vals = r.toSeq.toArray
           vals(payloadIdx) = encodePng(dst)
-          if (metaIdx >= 0) {
+          if (metaIdx >= 0 && !r.isNullAt(metaIdx)) {
+            // rebuild by FIELD NAME (a reordered/extended meta struct
+            // must not silently shift values into the wrong slots);
+            // width/height track the re-encoded payload
             val m = r.getStruct(metaIdx)
+            val mSchema = m.schema
             vals(metaIdx) = org.apache.spark.sql.Row(
-              nw, nh, m.get(2), m.get(3), m.get(4))
+              mSchema.fieldNames.map {
+                case "width"  => nw
+                case "height" => nh
+                case f        => m.get(mSchema.fieldIndex(f))
+              }.toIndexedSeq: _*)
           }
           org.apache.spark.sql.Row(vals.toIndexedSeq: _*)
         }

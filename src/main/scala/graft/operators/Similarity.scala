@@ -53,12 +53,10 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, dim: Int, k: Int,
               bands: Int = 8, bitsPerBand: Int = 8, seed: Long = 42L): DataFrame = {
-    // flat band-major plane list — same generation sequence as the
-    // per-band formulation, so signatures are unchanged; ALL band keys
-    // come out of one fused expression pass (VectorFns.bandKeys)
-    val rnd = new scala.util.Random(seed)
-    val planes = Array.fill(bands * bitsPerBand)(
-      Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat))
+    // flat band-major plane list (shared generator — see
+    // VectorFns.hyperplanes); ALL band keys come out of one fused
+    // expression pass (VectorFns.bandKeys)
+    val planes = VectorFns.hyperplanes(bands, bitsPerBand, dim, seed)
     def keysOf(v: org.apache.spark.sql.Column) =
       VectorFns.bandKeys(v, planes, bitsPerBand)
 
@@ -480,23 +478,27 @@ object Similarity {
     * large. The e01/e02 shapes broadcast a small query set; a kNN join
     * (corpus-vs-corpus semantic search, the SemDeDup/retrieval-graph
     * build step) can broadcast neither side, so candidates come from
-    * the d06 hyperplane banding: ids band-shuffle (vectors never enter
-    * the LSH shuffle), bucket self-join yields candidate pairs in BOTH
-    * directions, vectors re-join by id, and a per-left-row window keeps
-    * the k best by exact cosine.
+    * the d06 hyperplane banding — but unlike d06's ids-only banding,
+    * the VECTORS RIDE the band shuffle here (×bands amplification of a
+    * ~260 B payload — ~40 MB per 20k vectors at 16 bands): cosine is
+    * then computed directly at the bucket self-join, and a lossless
+    * per-band top-k (see below) prunes the quadratic per-bucket pair
+    * stream before anything else shuffles. On a dense corpus that beats
+    * the ids-only alternative, whose candidate set must make TWO
+    * id-keyed join shuffles at full candidate volume just to fetch
+    * vectors for scoring.
     *
-    * Scale shape: one corpus shuffle on band keys (bounded buckets), one
-    * id-keyed re-join, one window partitioned by left id —
-    * never O(n²). LSH recall caveat applies (a row with no bucket
-    * collisions gets < k neighbors); recall vs the exact join is
-    * asserted ≥ 40% in spec, same bar as the other approximate indexes.
+    * Scale shape: one vector-carrying band shuffle (bounded buckets),
+    * map-side WindowGroupLimit pruning to ≤ bands·k rows per id, a tiny
+    * dedup + final window — never O(n²). LSH recall caveat applies (a
+    * row with no bucket collisions gets < k neighbors); recall vs the
+    * exact join is asserted ≥ 40% in spec, same bar as the other
+    * approximate indexes.
     */
   def knnJoin(emb: DataFrame, idCol: String, vecCol: String,
               dim: Int, k: Int, bands: Int = 16, bitsPerBand: Int = 6,
               seed: Long = 42L): DataFrame = {
-    val rnd = new scala.util.Random(seed)
-    val planes = Array.fill(bands * bitsPerBand)(
-      Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat))
+    val planes = VectorFns.hyperplanes(bands, bitsPerBand, dim, seed)
     // vectors RIDE the band shuffle here (×bands amplification of a
     // ~260 B payload) so cosine is computed AT the bucket join — on a
     // dense corpus that beats the ids-only variant, whose candidate

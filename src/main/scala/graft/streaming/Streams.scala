@@ -257,6 +257,25 @@ object Streams {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** Run `body` with the RocksDB state-store provider set (the v2 state
+    * API needs column families), restoring the previous session value —
+    * shared by every `transformWithState` gate entry (s07, s08).
+    */
+  private def withRocksDBStateStore[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      body
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   case class ShardEvent(shard: Long, event_type: String)
   case class TypeCount(shard: Long, event_type: String, n: Long)
 
@@ -311,24 +330,14 @@ object Streams {
     */
   def streamingTypeCounts(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    val drained =
-      try {
-        spark.conf.set(key,
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-        drainStreamed(spark, "s08", dir,
-          runningTypeCounts(
-            eventsStream(spark, dir)
-              .select((col("user_id") % 16).as("shard"), col("event_type"))
-              .as[ShardEvent]).toDF(),
-          mode = "append", outputMode = "update")
-      } finally {
-        prev match {
-          case Some(v) => spark.conf.set(key, v)
-          case None    => spark.conf.unset(key)
-        }
-      }
+    val drained = withRocksDBStateStore(spark) {
+      drainStreamed(spark, "s08", dir,
+        runningTypeCounts(
+          eventsStream(spark, dir)
+            .select((col("user_id") % 16).as("shard"), col("event_type"))
+            .as[ShardEvent]).toDF(),
+        mode = "append", outputMode = "update")
+    }
     drained.groupBy(col("shard"), col("event_type"))
       .agg(max(col("n")).as("n_final"))
       .groupBy(col("event_type"))
@@ -348,26 +357,15 @@ object Streams {
     */
   def streamingUserTotals(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // the v2 state API needs column families → RocksDB state store
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    val drained =
-      try {
-        spark.conf.set(key,
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-        drainStreamed(spark, "s07", dir,
-          runningUserCents(
-            eventsStream(spark, dir)
-              .select(col("user_id"),
-                (dec(col("value")) * 100).cast("long").as("cents"))
-              .as[TotalsInput]).toDF(),
-          mode = "append", outputMode = "update")
-      } finally {
-        prev match {
-          case Some(v) => spark.conf.set(key, v)
-          case None    => spark.conf.unset(key)
-        }
-      }
+    val drained = withRocksDBStateStore(spark) {
+      drainStreamed(spark, "s07", dir,
+        runningUserCents(
+          eventsStream(spark, dir)
+            .select(col("user_id"),
+              (dec(col("value")) * 100).cast("long").as("cents"))
+            .as[TotalsInput]).toDF(),
+        mode = "append", outputMode = "update")
+    }
     drained.groupBy(col("user_id"))
       .agg(max(struct(col("n_events"), col("total_cents"))).as("m"))
       .select(col("user_id"), col("m.n_events").as("n_events"),

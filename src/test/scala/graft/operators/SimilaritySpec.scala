@@ -101,8 +101,7 @@ class SimilaritySpec extends SparkSpec {
     // dedup-all-candidates-then-rank formulation: same result, smaller
     // shuffles — verify the equivalence on the fixture
     import graft.functions.VectorFns
-    val rnd = new scala.util.Random(42L)
-    val planes = Array.fill(16 * 6)(Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat))
+    val planes = VectorFns.hyperplanes(16, 6, 64, 42L)
     val vecs = Tables.embeddings(spark, sf)
       .select($"vec_id".as("id"), $"embedding".as("v"))
     val sig = vecs.select($"id",
