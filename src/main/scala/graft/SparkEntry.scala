@@ -50,6 +50,9 @@ object SparkEntry {
     "q23_approx_distinct"   -> (Relational.approxDistinctParts _),
     "q24_sql_shipping_priority" -> (Relational.shippingPriority _),
     "q25_from_json_events"  -> (Relational.fromJsonEvents _),
+    // q65: same payload through Spark 4's VARIANT (parse_json +
+    // variant_get) — parse-once shredded semi-structured path
+    "q65_variant_events"    -> (Relational.variantEvents _),
     "q26_orders_year_quarter" -> (Relational.ordersByYearQuarter _),
     "q27_trailing_30d_revenue" -> (Relational.trailing30dRevenue _),
     "q28_grouping_sets"     -> (Relational.groupingSets _),
@@ -80,6 +83,10 @@ object SparkEntry {
     // (the LLM-corpus arrival format) and Spark 4's built-in XML
     "q61_text_roundtrip"    -> (graft.operators.Layout.textRoundTrip _),
     "q62_xml_roundtrip"     -> (graft.operators.Layout.xmlRoundTrip _),
+    // q63/q64: the Avro leg — file container + to_avro/from_avro
+    // message codec (the Kafka payload shape)
+    "q63_avro_roundtrip"    -> (graft.operators.Layout.avroRoundTrip _),
+    "q64_avro_messages"     -> (graft.operators.Layout.avroMessages _),
     "q44_partitioned_prune" -> (graft.operators.Layout.partitionedPrune _),
     "q45_bucketed_join"     -> (graft.operators.Layout.bucketedJoin _),
     "q46_zorder_scan"       -> (graft.operators.Layout.zOrderScan _),
@@ -394,6 +401,10 @@ object SparkEntry {
           |WHERE rank <= 3 ORDER BY o_orderpriority, rank""".stripMargin,
       "q24_sql_shipping_priority" -> graft.operators.Relational.shippingPrioritySql,
       "q25_from_json_events" ->
+        """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+          | count(*) AS n
+          |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+      "q65_variant_events" ->
         """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
           | count(*) AS n
           |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
@@ -915,6 +926,10 @@ object SparkEntry {
       "q61_text_roundtrip" ->
         "SELECT doc_id, text FROM documents ORDER BY doc_id",
       "q62_xml_roundtrip" ->
+        "SELECT doc_id, lang, text FROM documents ORDER BY doc_id",
+      "q63_avro_roundtrip" ->
+        "SELECT doc_id, lang, text FROM documents ORDER BY doc_id",
+      "q64_avro_messages" ->
         "SELECT doc_id, lang, text FROM documents ORDER BY doc_id",
       "q44_partitioned_prune" ->
         """SELECT date_trunc('month', o_orderdate) AS month, count(*) AS n_orders

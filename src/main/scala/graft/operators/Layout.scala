@@ -125,6 +125,58 @@ object Layout {
       .orderBy(col("doc_id"))
   }
 
+  /** q63: Avro round trip — the row-oriented container format of the
+    * Kafka/schema-registry ecosystem (Spark 4 ships the `avro` source
+    * in spark-sql). Row-oriented Avro is what ingestion landing zones
+    * hold BEFORE columnarization; the round trip pins that promoting an
+    * Avro drop to the parquet store is lossless. Schema travels in the
+    * file, so the read side needs no external schema.
+    */
+  // this distribution bundles the Avro classes but not the `avro`
+  // short-name service registration, so address the provider by class
+  private val AvroProvider = "org.apache.spark.sql.avro.AvroFileFormat"
+
+  def avroRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Scratch.dir(spark, "q63_avro", dir).toString
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .write.mode("overwrite").format(AvroProvider).save(tmp)
+    spark.read.format(AvroProvider).load(tmp)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q64: Avro MESSAGE codec — `to_avro`/`from_avro` over an in-plan
+    * binary column, the per-record payload shape of a Kafka topic (vs
+    * q63's file container). This is the decode path a streaming
+    * ingestion job runs on every message at 100 TB, so it must be a
+    * codegen-friendly column expression, not a UDF: encode rows to
+    * binary with the Catalyst-derived writer schema, decode with the
+    * SAME schema (schema-registry contract), and re-emerge typed.
+    * The oracle (plain select of the source columns) pins the codec
+    * as bit-lossless including nulls.
+    */
+  def avroMessages(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.avro.GraftAvroCodec
+    val payload = Tables.documents(spark, dir)
+      .select(struct(col("doc_id"), col("lang"), col("text")).as("v"))
+    val structType = payload.schema("v").dataType
+    // writer schema derived from the Catalyst type (what a producer
+    // would register); the consumer decodes with the same JSON schema.
+    // The codec expressions are graft's own (GraftAvroCodec) — this
+    // distribution bundles the Avro file format but not the connector
+    // that carries the to_avro/from_avro built-ins.
+    val writerSchema = GraftAvroCodec.writerSchemaFor(structType, "doc")
+    payload
+      .select(GraftAvroCodec.toAvroBinary(col("v"), writerSchema)
+        .as("value")) // binary "topic" column
+      .select(GraftAvroCodec.fromAvroBinary(col("value"), writerSchema,
+        structType).as("v"))
+      .select(col("v.doc_id").as("doc_id"), col("v.lang").as("lang"),
+        col("v.text").as("text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q44: hive-style partitioned write + partition-pruned read. Orders
     * land under `o_orderpriority=<v>/` directories; the subsequent
     * filter never opens the other partitions' files (directory-level

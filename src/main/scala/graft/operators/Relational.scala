@@ -336,6 +336,23 @@ object Relational {
       .groupBy(col("k")).agg(count(lit(1)).as("n"))
       .orderBy(col("k"))
 
+  /** q65: the VARIANT path for the same semi-structured payload —
+    * `parse_json` shreds the string ONCE into Spark 4's binary variant
+    * encoding, then `variant_get` does typed path extraction on the
+    * binary form. At 100 TB this is the semi-structured answer that
+    * scales: parse cost is paid once at ingest (variant columns
+    * persist to parquet shredded), every downstream query extracts
+    * fields without re-tokenizing JSON text, and unlike `from_json`
+    * no up-front struct schema is needed. Oracle = q25's (both must
+    * agree with DuckDB's json_extract).
+    */
+  def variantEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(parse_json(col("props")).as("v"))
+      .select(variant_get(col("v"), "$.k", "int").as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n"))
+      .orderBy(col("k"))
+
   /** Date-part extraction histogram: orders per (year, quarter). */
   def ordersByYearQuarter(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)

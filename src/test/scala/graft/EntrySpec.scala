@@ -25,6 +25,14 @@ class EntrySpec extends SparkSpec {
     assert(dangling.isEmpty, s"oracle without query: $dangling")
   }
 
+  test("variant extraction (q65) agrees with from_json (q25) row for row") {
+    val viaStruct  = operators.Relational.fromJsonEvents(spark, sf)
+      .collect().toSeq.map(r => (r.get(0), r.getLong(1)))
+    val viaVariant = operators.Relational.variantEvents(spark, sf)
+      .collect().toSeq.map(r => (r.get(0), r.getLong(1)))
+    assert(viaStruct == viaVariant)
+  }
+
   test("filter + projection are pushed into the parquet scan (P1/P2)") {
     val plan = operators.Relational.filterProject(spark, sf)
       .queryExecution.executedPlan.toString

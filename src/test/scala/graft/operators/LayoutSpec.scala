@@ -157,4 +157,29 @@ class LayoutSpec extends SparkSpec {
       .as[(Long, String)].head()
     assert(parsed == ((7L, "a\tb\tc")))
   }
+
+  test("avro file + message round trips recover documents exactly, nulls included") {
+    val base = graft.Tables.documents(spark, sf)
+      .select($"doc_id", $"lang", $"text")
+      .orderBy($"doc_id").as[(Long, String, String)].collect().toSeq
+    val file = Layout.avroRoundTrip(spark, sf)
+      .as[(Long, String, String)].collect().toSeq
+    assert(file == base)
+    val msg = Layout.avroMessages(spark, sf)
+      .as[(Long, String, String)].collect().toSeq
+    assert(msg == base)
+    // null fields must survive the encode/decode union encoding —
+    // the fixtures may be fully populated, so pin it directly
+    import org.apache.spark.sql.avro.GraftAvroCodec
+    val df = Seq((1L, Option.empty[String]), (2L, Some("fr")))
+      .toDF("doc_id", "lang")
+      .select(org.apache.spark.sql.functions.struct($"doc_id", $"lang").as("v"))
+    val vType = df.schema("v").dataType
+    val sch = GraftAvroCodec.writerSchemaFor(vType, "doc")
+    val back = df.select(GraftAvroCodec.toAvroBinary($"v", sch).as("value"))
+      .select(GraftAvroCodec.fromAvroBinary($"value", sch, vType).as("v"))
+      .select($"v.doc_id", $"v.lang")
+      .as[(Long, Option[String])].collect().toSeq.sortBy(_._1)
+    assert(back == Seq((1L, None), (2L, Some("fr"))))
+  }
 }
