@@ -103,6 +103,9 @@ object SparkEntry {
     "q50_inverted_index"    -> ((s: SparkSession, dir: String) => TextAnalysis.invertedIndexQuery(s, dir)),
     // — data quality: profiling, constraints, snapshot diff —
     "q51_profile_orders"    -> (graft.operators.DataQuality.profileOrders _),
+    // q66: observe-based metrics riding a noop write — zero-extra-scan
+    // profiling, vs q51's dedicated profiling scan
+    "q66_observed_profile"  -> (graft.operators.DataQuality.observedProfile _),
     "q52_constraint_checks" -> (graft.operators.DataQuality.constraintChecks _),
     "q53_snapshot_diff"     -> (graft.operators.DataQuality.snapshotDiff _),
     "e03_cosine_pairs_exact" -> (Similarity.cosinePairsExact _),
@@ -211,6 +214,10 @@ object SparkEntry {
     // s08: MapState (state v2) through a real streaming drain; sharded
     // monotone counts reduce to the exact global GROUP BY
     "s08_streaming_type_counts" -> (Streams.streamingTypeCounts _),
+    // s09: the `statestore` batch reader over a retained checkpoint —
+    // offline inspection of a stateful query's store; after a full
+    // drain the per-key count buffers ARE the global GROUP BY
+    "s09_state_inspect"      -> (Streams.stateInspect _),
   )
 
   /** DuckDB-dialect oracle SQL: same table names (parquet fixtures),
@@ -662,6 +669,10 @@ object SparkEntry {
       "s08_streaming_type_counts" ->
         """SELECT event_type, count(*) AS n
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      // s09: state buffers of the drained count query = the global count
+      "s09_state_inspect" ->
+        """SELECT event_type, count(*) AS n
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
       // curation: md5 is bit-identical across engines (lowercase hex),
       // so hash-keyed splits/samples/priority-dedup are oracle-exact
       "q41_deterministic_split" ->
@@ -993,6 +1004,14 @@ object SparkEntry {
            |  list_intersect(list_distinct(${toks("text")}), ['hash','join','stream']) AS m
            | FROM documents)
            |WHERE len(m) > 0 ORDER BY doc_id""".stripMargin,
+      // q66: the observed single-pass metrics; dates compare as
+      // ISO-8601 strings in both engines
+      "q66_observed_profile" ->
+        """SELECT count(*) AS n_rows,
+          | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+          | strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S') AS first_date,
+          | strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS last_date
+          |FROM orders""".stripMargin,
       "q51_profile_orders" ->
         """SELECT * FROM (
           | SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,

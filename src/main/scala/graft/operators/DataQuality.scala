@@ -23,6 +23,36 @@ object DataQuality {
     * (the q23 pattern) and the profile collapses back to a true
     * single-projection partial aggregate.
     */
+  /** q66: single-pass OBSERVED metrics — `Dataset.observe` accumulates
+    * aggregates on the side of an unrelated action, so the profile
+    * costs zero extra scans. Here the "production" action is a `noop`
+    * write of the orders projection; the observation rides that one
+    * pass and surfaces row count, revenue total, and date bounds. At
+    * 100 TB this is how data-quality metrics are actually collected:
+    * attached to the pipeline's existing pass (accumulator-based,
+    * map-side, no shuffle of its own), not as a second profiling scan
+    * (q51's shape). The observed map is re-emitted as a one-row frame
+    * so the DuckDB oracle pins the values exactly.
+    */
+  def observedProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val obs = new org.apache.spark.sql.Observation("q66_profile")
+    Tables.orders(spark, dir)
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast("double").as("total"),
+        date_format(min(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss")
+          .as("first_date"),
+        date_format(max(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss")
+          .as("last_date"))
+      .write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    Seq((m("n_rows").asInstanceOf[Long], m("total").asInstanceOf[Double],
+         m("first_date").asInstanceOf[String], m("last_date").asInstanceOf[String]))
+      .toDF("n_rows", "total", "first_date", "last_date")
+  }
+
   def profileOrders(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
     val stats = o.agg(

@@ -210,6 +210,53 @@ object Streams {
       mode = "append", outputMode = "append")
       .orderBy(col("event_id"), col("c_ts"))
 
+  /** s09: offline STATE-STORE inspection — the `statestore` batch
+    * reader over a retained checkpoint. A streaming `groupBy(type)
+    * .count()` drains under `Trigger.AvailableNow` (update mode, the
+    * checkpoint deliberately KEPT), then the state store itself is
+    * read back as a batch DataFrame: one row per aggregation key
+    * holding the running-count buffer of the last committed batch —
+    * which, after a full drain, IS the global GROUP BY, so the result
+    * is DuckDB-checkable while the thing under test is the state
+    * reader. This is the ops surface that matters at scale: debugging
+    * a 1000-partition stateful job means querying its state offline
+    * (skew per key, store size per partition) without touching the
+    * running query. Key/value buffer field names are engine-internal,
+    * so they are discovered from the read schema, not hard-coded.
+    */
+  def stateInspect(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types.StructType
+    val ckpt = graft.util.Scratch.dir(spark, "s09_ckpt", dir)
+    val sink = graft.util.Scratch.dir(spark, "s09_out", dir)
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = eventsStream(spark, dir)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(sink.toString)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    val state = spark.read.format("statestore")
+      .option("path", ckpt.toString).load()
+    val keyField = state.schema("key").dataType
+      .asInstanceOf[StructType].fields.head.name
+    val valField = state.schema("value").dataType
+      .asInstanceOf[StructType].fields.head.name
+    // each key lives in exactly one state partition → one row per key
+    state.select(
+        col(s"key.$keyField").as("event_type"),
+        col(s"value.$valField").cast("long").as("n"))
+      .orderBy(col("event_type"))
+  }
+
   // — custom state v2: transformWithState running totals (§2.9) —
 
   case class RunningTotal(user_id: Long, n_events: Long, total_value: Double)

@@ -115,7 +115,10 @@ object ScaleStress {
       // ranks stable under dense near-ties
       "d17_semantic_dedup", "e09_knn_int8", "t19_quality_classifier",
       "e10_knn_filtered", "e11_knn_mmr", "q59_cluster_split",
-      "e12_knn_join", "q61_text_roundtrip", "q62_xml_roundtrip")
+      "e12_knn_join", "q61_text_roundtrip", "q62_xml_roundtrip",
+      // round-5 tail: Avro container + message codec over the 10×
+      // documents (per-row encode/decode throughput is the point)
+      "q63_avro_roundtrip", "q64_avro_messages")
 
     // one untimed warmup pass at the small fixture (JIT/codegen)
     subset.foreach { n =>

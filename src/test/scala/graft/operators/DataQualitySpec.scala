@@ -54,4 +54,21 @@ class DataQualitySpec extends SparkSpec {
     assert(diff.values.sum ==
       base.count() + nSupp) // every key accounted for exactly once
   }
+
+  test("observed profile (q66) equals a direct aggregate over orders") {
+    val got = DataQuality.observedProfile(spark, sf)
+      .as[(Long, Double, String, String)].head()
+    val want = Tables.orders(spark, sf).agg(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)),
+        org.apache.spark.sql.functions.sum(
+          $"o_totalprice".cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double"),
+        org.apache.spark.sql.functions.date_format(
+          org.apache.spark.sql.functions.min($"o_orderdate"), "yyyy-MM-dd HH:mm:ss"),
+        org.apache.spark.sql.functions.date_format(
+          org.apache.spark.sql.functions.max($"o_orderdate"), "yyyy-MM-dd HH:mm:ss"))
+      .as[(Long, Double, String, String)].head()
+    assert(got == want)
+  }
 }

@@ -198,6 +198,15 @@ class StreamsSpec extends SparkSpec {
     assert(got.nonEmpty && got == exp)
   }
 
+  test("s09 state-store read of the drained count query equals the batch aggregate") {
+    val got = Streams.stateInspect(spark, sf)
+      .as[(String, Long)].collect().toSeq
+    val exp = graft.Tables.events(spark, sf)
+      .groupBy($"event_type").agg(count(lit(1)).as("n"))
+      .orderBy($"event_type").as[(String, Long)].collect().toSeq
+    assert(got.nonEmpty && got == exp)
+  }
+
   test("MapState accumulates per-type counts across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
