@@ -111,6 +111,9 @@ object SparkEntry {
     "e03_cosine_pairs_exact" -> (Similarity.cosinePairsExact _),
     // — text analysis (SURVEY §2.5, §2.11) —
     "t01_normalize_pipeline" -> (TextAnalysis.normalizePipeline _),
+    // t20: the same kernel through spark.sql TEXT via the registered
+    // function surface (GraftFunctions/GraftExtensions)
+    "t20_sql_text_kernels"   -> (TextAnalysis.sqlTextKernels _),
     "t02_doc_quality"        -> (TextAnalysis.docQuality _),
     "t03_token_counts"       -> (TextAnalysis.tokenCounts _),
     "t04_term_frequencies"   -> (TextAnalysis.termFrequencies _),
@@ -510,6 +513,10 @@ object SparkEntry {
           |GROUP BY s_name ORDER BY s_name""".stripMargin,
       "t10_bm25" -> t10Sql,
       "t01_normalize_pipeline" ->
+        s"""SELECT doc_id, lang, ${norm("text")} AS text_norm
+           |FROM documents WHERE lang IN ('en','fr') ORDER BY doc_id""".stripMargin,
+      // t20: SQL-text route through the registered kernel — same oracle
+      "t20_sql_text_kernels" ->
         s"""SELECT doc_id, lang, ${norm("text")} AS text_norm
            |FROM documents WHERE lang IN ('en','fr') ORDER BY doc_id""".stripMargin,
       "t02_doc_quality" ->

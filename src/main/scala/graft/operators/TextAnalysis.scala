@@ -28,6 +28,23 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), normalizeText(col("text")).as("text_norm"))
       .orderBy(col("doc_id"))
 
+  /** t20: the registered-SQL-FUNCTION surface through the gate — the
+    * same fused `normalize_text` codegen kernel as t01, but invoked
+    * from `spark.sql` TEXT after `GraftFunctions.registerAll`, i.e.
+    * the path a SQL-only user takes (`spark.sql.extensions=graft.
+    * GraftExtensions` gives the identical registry with zero code).
+    * Hash-matching t01's oracle proves the registry builder, the
+    * SQL-side argument binding, and the kernel agree bit-for-bit with
+    * the Column-API route the rest of the gate exercises.
+    */
+  def sqlTextKernels(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark)
+    Tables.documents(spark, dir).createOrReplaceTempView("documents")
+    spark.sql("""
+      SELECT doc_id, lang, normalize_text(text) AS text_norm
+      FROM documents WHERE lang IN ('en', 'fr') ORDER BY doc_id""")
+  }
+
   /** Per-document quality metrics: token count, mean token length,
     * stopword ratio, char count — the length/punct/stopword quality
     * signals of a training-data filter.
