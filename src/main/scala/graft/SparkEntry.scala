@@ -48,6 +48,9 @@ object SparkEntry {
     "q21_above_cust_avg"    -> (Relational.aboveCustomerAverage _),
     "q22_topk_per_group_agg" -> (Relational.topOrdersPerPriorityAgg _),
     "q23_approx_distinct"   -> (Relational.approxDistinctParts _),
+    // q67: exact distinct via mergeable per-bucket bitmaps — the
+    // persistable/incremental alternative to count(DISTINCT)
+    "q67_bitmap_distinct"   -> (Relational.bitmapDistinct _),
     "q24_sql_shipping_priority" -> (Relational.shippingPriority _),
     "q25_from_json_events"  -> (Relational.fromJsonEvents _),
     // q65: same payload through Spark 4's VARIANT (parse_json +
@@ -418,6 +421,10 @@ object SparkEntry {
         """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
           | count(*) AS n
           |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+      // q67: bucketed bitmaps sum to the EXACT distinct count
+      "q67_bitmap_distinct" ->
+        """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_custs
+          |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
       "q26_orders_year_quarter" ->
         """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr,
           | CAST(EXTRACT(quarter FROM o_orderdate) AS INTEGER) AS qtr,

@@ -353,6 +353,28 @@ object Relational {
       .groupBy(col("k")).agg(count(lit(1)).as("n"))
       .orderBy(col("k"))
 
+  /** q67: EXACT distinct via mergeable bitmaps — the re-aggregatable
+    * alternative to `count(DISTINCT x)`. Keys hash to (bucket,
+    * position); `bitmap_construct_agg` builds one bitmap per
+    * (group, bucket) map-side, and because buckets partition the key
+    * space the per-bucket counts SUM to the exact distinct count. At
+    * 100 TB this shape is what `count(DISTINCT)` isn't: partials are
+    * small fixed-size bitmaps that merge associatively (`bitmap_or_agg`),
+    * so per-day bucket bitmaps can be PERSISTED and unioned across
+    * arbitrary slices (the q60 incremental-maintenance pattern applied
+    * to distinct counts) instead of re-scanning raw keys — exactness
+    * without HLL's error bar. Oracle = plain COUNT(DISTINCT).
+    */
+  def bitmapDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"),
+        expr("bitmap_bucket_number(o_custkey)").as("bucket"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(o_custkey))")
+        .as("bm"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(expr("bitmap_count(bm)")).as("n_custs"))
+      .orderBy(col("o_orderpriority"))
+
   /** Date-part extraction histogram: orders per (year, quarter). */
   def ordersByYearQuarter(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)

@@ -33,6 +33,17 @@ class EntrySpec extends SparkSpec {
     assert(viaStruct == viaVariant)
   }
 
+  test("bitmap distinct (q67) equals a plain countDistinct per group") {
+    val got = operators.Relational.bitmapDistinct(spark, sf)
+      .collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
+    val want = Tables.orders(spark, sf)
+      .groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("n_custs"))
+      .orderBy(col("o_orderpriority"))
+      .collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
+    assert(got == want)
+  }
+
   test("filter + projection are pushed into the parquet scan (P1/P2)") {
     val plan = operators.Relational.filterProject(spark, sf)
       .queryExecution.executedPlan.toString
