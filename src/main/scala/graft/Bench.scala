@@ -32,34 +32,37 @@ object Bench {
       try fn(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }
     }
-    // The hash-kernel queries (minhash/shingle/vector loops) need more
-    // iterations than sf0.001 provides before C2 compiles the hot loops
-    // — without this, whichever of them is timed first absorbs 2-3x JIT
-    // cost (and profiles gathered on tiny inputs can deoptimize at the
-    // target size). One extra untimed warmup pass at the TARGET scale
-    // factor: the timed runs then measure steady state.
-    SparkEntry.queries
-      .filter { case (name, _) => name.startsWith("d") || name.startsWith("e") ||
-        name == "t07_doc_similarity" }
-      .foreach { case (_, fn) =>
-        try fn(spark, sfDir).count()
-        catch { case _: Throwable => () }
-      }
     // drop warmup persists BEFORE timing — otherwise query 1 runs with
     // the whole warmup cache footprint (or outright hits it when sfDir
     // is the warmup fixture) while queries 2..N run cold
     dropAllStorage(spark)
+    // Steady state per query: two timed reps back-to-back, report the
+    // min. Rep 1 doubles as the target-scale JIT/codegen warmup (the old
+    // single-pass harness under-warmed once the suite grew past ~100
+    // queries: r5's in-sequence numbers were first-execution compile
+    // cost, 4-8x above the standalone warm times — see VERDICT r5).
+    // Storage is dropped between reps so rep 2 re-executes the plan
+    // (Spark's cache manager matches by logical plan, so a persist left
+    // by rep 1 would turn rep 2 into a cache read, not a measurement).
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      dropAllStorage(spark) // drop per-query persists + checkpoint blocks (untimed)
-      name -> dt
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        dropAllStorage(spark) // per-rep: drop persists + checkpoint blocks (untimed)
+        dt
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Per-query detail first (large line, may be truncated by tail
+    // capture), then the compact machine-readable total LAST so the
+    // driver's tail capture always parses it.
+    println(s"""{"metric":"per_query","unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,"nqueries":${results.size}}""")
     spark.stop()
   }
 }

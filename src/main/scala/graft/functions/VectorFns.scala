@@ -150,6 +150,49 @@ object VectorFns {
       copy(left = newLeft, right = newRight)
   }
 
+  /** dot(a, b) over array<tinyint> int8 codes → long; codegen'd
+    * primitive loop. Same contract as [[DotProductI64]] but over BYTE
+    * arrays — 8× less storage per element (UnsafeArrayData packs
+    * tinyint at 1 B/element vs 8 B for bigint), which is what lets the
+    * e12 band shuffle carry quantized codes instead of float vectors.
+    * Products fit int (127² · dim), accumulated in long — exact.
+    */
+  case class DotProductI8(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "dot_i8"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var s = 0L
+      var i = 0
+      while (i < n) { s += x.getByte(i).toLong * y.getByte(i).toLong; i += 1 }
+      s
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val s = ctx.freshName("s")
+        val i = ctx.freshName("i")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |long $s = 0L;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $s += ((long) $a.getByte($i)) * ((long) $b.getByte($i));
+           |}
+           |${ev.value} = $s;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   def dot(a: Column, b: Column): Column =
     GraftColumnBridge.column(DotProductF32(GraftColumnBridge.expression(a),
                                            GraftColumnBridge.expression(b)))

@@ -34,10 +34,14 @@ object DataQuality {
     * (q51's shape). The observed map is re-emitted as a one-row frame
     * so the DuckDB oracle pins the values exactly.
     */
-  def observedProfile(spark: SparkSession, dir: String): DataFrame = {
+  def observedProfile(spark: SparkSession, dir: String): DataFrame =
+    observedProfileOf(Tables.orders(spark, dir))
+
+  def observedProfileOf(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
     import spark.implicits._
-    val obs = new org.apache.spark.sql.Observation("q66_profile")
-    Tables.orders(spark, dir)
+    val obs = new org.apache.spark.sql.Observation()
+    orders
       .observe(obs,
         count(lit(1)).as("n_rows"),
         sum(col("o_totalprice").cast(DecimalType(18, 2)))
@@ -48,8 +52,14 @@ object DataQuality {
           .as("last_date"))
       .write.format("noop").mode("overwrite").save()
     val m = obs.get
-    Seq((m("n_rows").asInstanceOf[Long], m("total").asInstanceOf[Double],
-         m("first_date").asInstanceOf[String], m("last_date").asInstanceOf[String]))
+    // Null-safe reads: on an EMPTY input sum/min/max observe as null;
+    // a bare asInstanceOf[Double] would NPE on unboxing. A profiling
+    // operator pointed at unknown inputs must emit a null-row profile
+    // instead of crashing.
+    Seq((m("n_rows").asInstanceOf[Long],
+         Option(m("total")).map(_.asInstanceOf[Double]),
+         Option(m("first_date")).map(_.asInstanceOf[String]),
+         Option(m("last_date")).map(_.asInstanceOf[String])))
       .toDF("n_rows", "total", "first_date", "last_date")
   }
 

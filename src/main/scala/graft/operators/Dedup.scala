@@ -598,7 +598,12 @@ object Dedup {
       if (nCells == 1)
         emb.select(col(idCol).as("id"), col(vecCol).as("v"), lit(1).as("cell"))
       else {
+        // Zero-norm (or denormal-underflow) vectors make cosine distance
+        // undefined and the KMeans fit THROW; the sweep side tolerates
+        // them (cosineScalar returns 0) but the trainer must not see
+        // them. aggregate-of-squares > 0 filters map-side.
         val train = emb.sample(withReplacement = false, trainFraction, seed)
+          .where(expr(s"aggregate($vecCol, 0D, (a, x) -> a + double(x) * double(x)) > 0"))
           .select(array_to_vector(col(vecCol)).as("features"))
         val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10)
           .setDistanceMeasure("cosine")

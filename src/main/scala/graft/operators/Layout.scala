@@ -90,9 +90,7 @@ object Layout {
     */
   def textRoundTrip(spark: SparkSession, dir: String): DataFrame = {
     val tmp = Scratch.dir(spark, "q61_text", dir).toString
-    Tables.documents(spark, dir)
-      .select(concat(col("doc_id").cast("string"), lit("\t"), col("text")).as("value"))
-      .write.mode("overwrite").text(tmp)
+    writeTextLines(Tables.documents(spark, dir), tmp)
     spark.read.text(tmp)
       .select(
         substring_index(col("value"), "\t", 1).cast("long").as("doc_id"),
@@ -101,6 +99,24 @@ object Layout {
         regexp_replace(col("value"), "^[^\t]*\t", "").as("text"))
       .orderBy(col("doc_id"))
   }
+
+  /** The q61 text sink with its contract enforced AT THE WRITE
+    * (map-side, zero shuffle): an embedded newline would split one
+    * document into two records and a null text would null the whole
+    * concat — either way the read-back would silently round-trip wrong
+    * data. A violating corpus fails loudly instead (raise_error names
+    * the offending doc_id).
+    */
+  def writeTextLines(docs: DataFrame, tmp: String): Unit =
+    docs
+      .select(concat(col("doc_id").cast("string"), lit("\t"),
+        when(col("text").isNull.or(col("text").contains("\n")),
+          raise_error(concat(
+            lit("q61 text sink contract violation at doc_id="),
+            col("doc_id").cast("string"),
+            lit(": text is null or contains a newline"))))
+          .otherwise(col("text"))).as("value"))
+      .write.mode("overwrite").text(tmp)
 
   /** q62: XML round trip — Spark 4's built-in `xml` datasource
     * (rowTag-delimited records). XML is the interchange format the

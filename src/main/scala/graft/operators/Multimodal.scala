@@ -437,6 +437,15 @@ object Multimodal {
     * decoded pixels), so the result is deterministic wherever the
     * scratch dir lands — rows-only in the gate (PNG bytes are not
     * ANSI-SQL-derivable).
+    *
+    * SINGLE-NODE ASSUMPTION (fixture generation only): the PNG fixture
+    * is written with driver-local java.nio.file and read back via
+    * `binaryFile`, which requires executors to share the driver's
+    * filesystem — true in local mode / shared-FS clusters, NOT on a
+    * real multi-node cluster with node-local scratch. The OPERATOR
+    * itself (binaryFile listing + glob pruning + codec decode) is
+    * cluster-valid against any shared store; only this test harness's
+    * fixture materialization is local-mode-bound.
     */
   def mediaIngest(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -355,7 +355,12 @@ object Streams {
         state.updateValue(e.event_type, cur + 1L)
         touched += e.event_type
       }
-      touched.iterator.map(t => TypeCount(shard, t, state.getValue(t)))
+      // Materialize EAGERLY (toSeq before returning): a lazy iterator
+      // would read MapState at downstream-consumption time, relying on
+      // the engine keeping the implicit grouping-key context bound
+      // after handleInputRows returns — an internal detail, not the
+      // documented contract.
+      touched.toSeq.map(t => TypeCount(shard, t, state.getValue(t))).iterator
     }
   }
 

@@ -71,4 +71,14 @@ class DataQualitySpec extends SparkSpec {
       .as[(Long, Double, String, String)].head()
     assert(got == want)
   }
+
+  test("observed profile on an EMPTY input yields a null-row profile, not a crash") {
+    // sum/min/max observe as null on zero rows; the profile must read
+    // them null-safely and emit one all-null row (count 0), because a
+    // profiling operator is exactly the thing pointed at unknown inputs
+    val empty = Tables.orders(spark, sf).limit(0)
+    val row = DataQuality.observedProfileOf(empty).head()
+    assert(row.getLong(0) == 0L)
+    assert(row.isNullAt(1) && row.isNullAt(2) && row.isNullAt(3))
+  }
 }

@@ -251,6 +251,29 @@ class DedupSpec extends SparkSpec {
     assert(kept.size == 10)
   }
 
+  test("d17 tolerates zero-norm vectors in the corpus (training filters them)") {
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    // cosine distance is undefined for a zero vector: MLlib KMeans with
+    // distanceMeasure=cosine THROWS if one lands in the training sample.
+    // trainFraction=1.0 forces it in — the filter must keep the fit
+    // alive; the sweep side (cosineScalar → 0) then keeps the zero
+    // vector as its own representative.
+    val rnd = new scala.util.Random(23)
+    val rows: Seq[(Long, Seq[Float])] =
+      (0 until 30).map { i =>
+        val base = Array.fill(16)(0f)
+        base(i % 4) = 1f + 0.01f * i // 4 clear directions
+        (i.toLong, base.toSeq)
+      } :+ ((99L, Seq.fill(16)(0f)))
+    val df = rows.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast(ArrayType(FloatType)).as("embedding"))
+    val kept = Dedup.semanticDedupKeep(df, "vec_id", "embedding",
+        threshold = 0.95, nCells = 2, trainFraction = 1.0)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(kept.contains(99L)) // zero vector survives (similarity 0 to everything)
+    assert(kept.nonEmpty && kept.size < rows.size) // and the sweep still prunes
+  }
+
   test("d17 on the fixture: kept-set invariant holds within every cell") {
     val emb = graft.Tables.embeddings(spark, sf)
     val kept = Dedup.semanticDedupKeep(emb, "vec_id", "embedding")

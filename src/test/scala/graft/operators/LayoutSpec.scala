@@ -158,6 +158,23 @@ class LayoutSpec extends SparkSpec {
     assert(parsed == ((7L, "a\tb\tc")))
   }
 
+  test("q61 text sink fails loudly on a contract-violating corpus") {
+    // an embedded newline (would split one doc into two records) and a
+    // null text (would null the concat and be dropped) must both abort
+    // the write instead of silently round-tripping wrong data
+    val tmp = java.nio.file.Files.createTempDirectory("q61_guard").toString
+    val newlineDoc = Seq((1L, "ok"), (2L, "bad\nline")).toDF("doc_id", "text")
+    val ex1 = intercept[Exception] { Layout.writeTextLines(newlineDoc, tmp) }
+    assert(exceptionChain(ex1).exists(_.getMessage != null) &&
+      exceptionChain(ex1).exists(m => Option(m.getMessage).exists(_.contains("doc_id=2"))))
+    val nullDoc = Seq((3L, "ok"), (4L, null: String)).toDF("doc_id", "text")
+    val ex2 = intercept[Exception] { Layout.writeTextLines(nullDoc, tmp) }
+    assert(exceptionChain(ex2).exists(m => Option(m.getMessage).exists(_.contains("doc_id=4"))))
+  }
+
+  private def exceptionChain(t: Throwable): List[Throwable] =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toList
+
   test("avro file + message round trips recover documents exactly, nulls included") {
     val base = graft.Tables.documents(spark, sf)
       .select($"doc_id", $"lang", $"text")
