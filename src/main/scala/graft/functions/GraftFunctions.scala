@@ -5,9 +5,10 @@ import org.apache.spark.sql.classic.GraftColumnBridge
 
 /** SQL-surface registration of the engine's custom Catalyst expressions:
   * after `GraftFunctions.registerAll(spark)`, plain SQL text can call
-  * `dot_f32`, `cosine_f32`, `simhash64`, `minhash_sig`, `minhash_word_sig`
-  * and `sorted_jaccard` — the full extension surface is reachable from
-  * `spark.sql(...)`, not only the Column API.
+  * `dot_f32`, `cosine_f32`, `dot_i64`, `dot_i8`, `simhash64`,
+  * `minhash_sig`, `minhash_word_sig`, `sorted_jaccard` and the rest of
+  * the builder table below — the full extension surface is reachable
+  * from `spark.sql(...)`, not only the Column API.
   *
   * The same builder list backs [[graft.GraftExtensions]], the
   * `spark.sql.extensions`-loadable entry point — a user needs no code
@@ -22,6 +23,8 @@ object GraftFunctions {
   val builders: Seq[(String, Builder)] = Seq(
     "dot_f32" -> (es => VectorFns.DotProductF32(es(0), es(1))),
     "cosine_f32" -> (es => VectorFns.CosineSimF32(es(0), es(1))),
+    "dot_i64" -> (es => VectorFns.DotProductI64(es(0), es(1))),
+    "dot_i8" -> (es => VectorFns.DotProductI8(es(0), es(1))),
     "simhash64" -> (es => HashFns.SimHash64(es.head)),
     "sorted_jaccard" -> (es => HashFns.SortedJaccard(es(0), es(1))),
     "minhash_sig" -> {

@@ -201,6 +201,10 @@ object VectorFns {
     GraftColumnBridge.column(DotProductI64(GraftColumnBridge.expression(a),
                                            GraftColumnBridge.expression(b)))
 
+  def dotI8(a: Column, b: Column): Column =
+    GraftColumnBridge.column(DotProductI8(GraftColumnBridge.expression(a),
+                                          GraftColumnBridge.expression(b)))
+
   /** Reference HOF implementation of [[dotI64]] (for property tests). */
   def dotI64Hof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)

@@ -478,60 +478,83 @@ object Similarity {
     * large. The e01/e02 shapes broadcast a small query set; a kNN join
     * (corpus-vs-corpus semantic search, the SemDeDup/retrieval-graph
     * build step) can broadcast neither side, so candidates come from
-    * the d06 hyperplane banding — but unlike d06's ids-only banding,
-    * the VECTORS RIDE the band shuffle here (×bands amplification of a
-    * ~260 B payload — ~40 MB per 20k vectors at 16 bands): cosine is
-    * then computed directly at the bucket self-join, and a lossless
-    * per-band top-k (see below) prunes the quadratic per-bucket pair
-    * stream before anything else shuffles. On a dense corpus that beats
-    * the ids-only alternative, whose candidate set must make TWO
-    * id-keyed join shuffles at full candidate volume just to fetch
-    * vectors for scoring.
+    * the d06 hyperplane banding — and what rides the band shuffle is
+    * the COMPACT int8 code (e09's closed-form quantizer: ~72 B of
+    * tinyint codes + scale + norm vs the ~260 B float vector, ≈3.5×
+    * less through the ×bands-amplified shuffle, the one deliberate
+    * scale cost of the previous all-float formulation). Candidate
+    * scoring at the bucket self-join runs on the all-integer
+    * [[VectorFns.dotI8]] kernel rescaled to an approximate cosine;
+    * a per-band top-(k·margin) WindowGroupLimit prunes the quadratic
+    * per-bucket pair stream map-side; then ONE exact re-rank pass
+    * (two id-keyed joins fetching float vectors for the ≤ bands·k·margin
+    * surviving candidates per id — tiny, unlike the full-candidate-
+    * volume re-joins that made the ids-only variant slow) restores
+    * exact-cosine order.
     *
-    * Scale shape: one vector-carrying band shuffle (bounded buckets),
-    * map-side WindowGroupLimit pruning to ≤ bands·k rows per id, a tiny
-    * dedup + final window — never O(n²). LSH recall caveat applies (a
-    * row with no bucket collisions gets < k neighbors); recall vs the
-    * exact join is asserted ≥ 40% in spec, same bar as the other
-    * approximate indexes.
+    * The quantization margin: per-band top-k on EXACT scores is
+    * lossless; on int8-approximate scores a true top-k pair could be
+    * bumped below rank k by quantization noise (|Δcos| ≲ 1%), so each
+    * band keeps k·margin candidates — a pair is lost only if ≥ k·margin
+    * same-band candidates ALL beat it by noise, and the exact re-rank
+    * fixes every ordering error among survivors. Equivalence to the
+    * naive dedup-all-candidates-then-exact-rank formulation is spec-
+    * asserted on the fixture.
+    *
+    * Scale shape: one code-carrying band shuffle (bounded buckets),
+    * map-side WindowGroupLimit pruning to ≤ bands·k·margin rows per id,
+    * a tiny dedup + two id-equi-joins + final window — never O(n²).
+    * LSH recall caveat applies (a row with no bucket collisions gets
+    * < k neighbors); recall vs the exact join is asserted ≥ 40% in
+    * spec, same bar as the other approximate indexes.
     */
   def knnJoin(emb: DataFrame, idCol: String, vecCol: String,
               dim: Int, k: Int, bands: Int = 16, bitsPerBand: Int = 6,
-              seed: Long = 42L): DataFrame = {
+              seed: Long = 42L, bandMargin: Int = 2): DataFrame = {
     val planes = VectorFns.hyperplanes(bands, bitsPerBand, dim, seed)
-    // vectors RIDE the band shuffle here (×bands amplification of a
-    // ~260 B payload) so cosine is computed AT the bucket join — on a
-    // dense corpus that beats the ids-only variant, whose candidate
-    // pair set (quadratic in bucket size) must then make two id-keyed
-    // join shuffles just to fetch vectors.
-    val banded = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .select(col("id"), col("v"),
+    val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // e09's closed-form symmetric quantizer (no training, no seeds):
+    // s = max|x| (floored so zero vectors code to zeros), code_i =
+    // floor(x_i·127/s + 0.5) cast to TINYINT (UnsafeArrayData packs
+    // 1 B/element — the whole point). norm rides too so the bucket
+    // join can rescale the integer dot to an approximate cosine.
+    val coded = vecs
+      .withColumn("s", greatest(
+        array_max(transform(col("v"), x => abs(x.cast("double")))), lit(1e-12)))
+      .withColumn("norm", sqrt(VectorFns.dot(col("v"), col("v"))))
+      .withColumn("code", transform(col("v"),
+        x => floor(x.cast("double") * lit(127.0) / col("s") + lit(0.5)).cast("byte")))
+    val banded = coded
+      .select(col("id"), col("code"), col("s"), col("norm"),
         posexplode(VectorFns.bandKeys(col("v"), planes, bitsPerBand))
           .as(Seq("band", "bkey")))
-    val a = banded.select(col("band"), col("bkey"),
-      col("id").as("id_a"), col("v").as("v_a"))
-    val b = banded.select(col("band"), col("bkey"),
-      col("id").as("id_b"), col("v").as("v_b"))
-    // per-band top-k is LOSSLESS: if a pair is global top-k among the
-    // candidates, fewer than k candidates beat it in ANY subset that
-    // contains it — so keeping k per band before the cross-band merge
-    // cannot drop a final answer, while WindowGroupLimit prunes the
-    // quadratic per-bucket pair stream map-side to ≤k per (band, id_a).
+    val a = banded.select(col("band"), col("bkey"), col("id").as("id_a"),
+      col("code").as("code_a"), col("s").as("s_a"), col("norm").as("norm_a"))
+    val b = banded.select(col("band"), col("bkey"), col("id").as("id_b"),
+      col("code").as("code_b"), col("s").as("s_b"), col("norm").as("norm_b"))
     val wBand = Window.partitionBy(col("band"), col("id_a"))
-      .orderBy(col("cos").desc, col("id_b"))
-    val perBand = a.join(b, Seq("band", "bkey"))
+      .orderBy(col("acos").desc, col("id_b"))
+    val candidates = a.join(b, Seq("band", "bkey"))
       .filter(col("id_a") =!= col("id_b"))
-      .withColumn("cos", VectorFns.cosineSim(col("v_a"), col("v_b")))
-      .select(col("band"), col("id_a"), col("id_b"), col("cos"))
+      // approx cosine: exact integer dot, one fixed-order double rescale
+      .withColumn("acos",
+        VectorFns.dotI8(col("code_a"), col("code_b")).cast("double")
+          * col("s_a") * col("s_b") / (lit(127.0) * lit(127.0))
+          / greatest(col("norm_a") * col("norm_b"), lit(1e-12)))
+      .select(col("band"), col("id_a"), col("id_b"), col("acos"))
       .withColumn("brank", row_number().over(wBand))
-      .filter(col("brank") <= k)
-      .select(col("id_a"), col("id_b"), col("cos"))
-      // a pair surviving in several bands carries the same cos — one
-      // representative is enough, and the set is ≤ bands·k per id now
+      .filter(col("brank") <= k * bandMargin)
+      .select(col("id_a"), col("id_b"))
+      // a pair surviving in several bands is one candidate — and the
+      // set is ≤ bands·k·margin ids per row now, so the exact re-rank
+      // joins below move a candidate list, not the candidate stream
       .dropDuplicates("id_a", "id_b")
     val w = Window.partitionBy(col("id_a"))
       .orderBy(col("cos").desc, col("id_b"))
-    perBand
+    candidates
+      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
+      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .withColumn("cos", VectorFns.cosineSim(col("v_a"), col("v_b")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("id_a"), col("rank").cast("long").as("rank"), col("id_b"))

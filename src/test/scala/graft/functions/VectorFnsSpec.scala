@@ -47,6 +47,25 @@ class VectorFnsSpec extends SparkSpec {
     assert(got.toSeq == exp)
   }
 
+  test("codegen'd byte dot (dot_i8) equals the long-code kernel on the same codes") {
+    import org.apache.spark.sql.types.ByteType
+    val codes = Seq.fill(50)((Seq.fill(16)(rnd.nextInt(255).toLong - 127),
+                              Seq.fill(16)(rnd.nextInt(255).toLong - 127)))
+    val cdf = codes.toDF("a", "b")
+      .select($"a", $"b",
+        $"a".cast(ArrayType(ByteType)).as("ba"),
+        $"b".cast(ArrayType(ByteType)).as("bb"))
+    // byte kernel over tinyint arrays ≡ long kernel over the same values
+    val mismatch = cdf
+      .select(VectorFns.dotI8($"ba", $"bb").as("fast"),
+              VectorFns.dotI64($"a", $"b").as("ref"))
+      .filter($"fast" =!= $"ref").count()
+    assert(mismatch == 0)
+    val got = cdf.select(VectorFns.dotI8($"ba", $"bb")).as[Long].collect()
+    val exp = codes.map { case (a, b) => a.zip(b).map { case (x, y) => x * y }.sum }
+    assert(got.toSeq == exp)
+  }
+
   test("cosine of identical vectors is 1, zero vector yields 0") {
     val one = Seq((Seq.fill(8)(0.5f), Seq.fill(8)(0.5f)),
                   (Seq.fill(8)(0f), Seq.fill(8)(1f))).toDF("a", "b")
