@@ -203,6 +203,7 @@ object SparkEntry {
     //   reference-protocol stub whose offers derive from `customer` —
     "i01_ingest_offres"      -> (graft.jobs.IngestionGate.ingestOffres _),
     "i02_ingest_reconciliation" -> (graft.jobs.IngestionGate.ingestReconciliation _),
+    "i03_empty_filter_scan"  -> (graft.jobs.IngestionGate.ingestEmptyFilter _),
     // — event-time / streaming-unified (SURVEY §2.9) —
     "s01_hourly_type_counts" -> (Streams.hourlyTypeCountsBatch _),
     "s02_sliding_counts"     -> (Streams.slidingTypeCountsBatch _),
@@ -1171,6 +1172,13 @@ object SparkEntry {
           |UNION ALL SELECT 'expected', count(*) FROM customer
           |UNION ALL SELECT 'accounted', CAST(1 AS BIGINT)
           |ORDER BY metric""".stripMargin,
+      // i03: the P6 zero-result guard — a pushed region predicate no
+      // offer matches plans ZERO partitions; the oracle re-derives the
+      // same (empty) predicate over customer, so both sides count 0
+      "i03_empty_filter_scan" ->
+        """SELECT 'empty_scan_rows' AS metric, count(*) AS value
+          | FROM customer
+          | WHERE ('R' || CAST(c_custkey % 3 AS VARCHAR)) = 'R9'""".stripMargin,
       // d07: the WHOLE curation pipeline in SQL — quality metrics +
       // gate (the t02 expressions), exact dedup (min id per normalized
       // text), all-pairs exact Jaccard >= 0.6 on 5-char shingles of

@@ -86,6 +86,30 @@ object IngestionGate {
     } finally server.stop()
   }
 
+  /** i03: the P6 zero-result guard end-to-end — a pushed region
+    * predicate no offer matches (regions are R0-R2; we ask for R9): the
+    * pushdown narrows the plan to that single region (P4), the count
+    * probe returns 0, and the planner short-circuits to ZERO input
+    * partitions ([[graft.sources.AdaptivePlanner.pages]] /
+    * skip-empty-region) — the scan returns an empty relation without
+    * fetching a single page. Registered as a 1-row count so the gate
+    * hash-checks the emptiness exactly (reference behavior:
+    * `ingestion-elasticsearch.py:90-93,155` — empty filter combos are
+    * skipped, not paged).
+    */
+  def ingestEmptyFilter(spark: SparkSession, dir: String): DataFrame = {
+    val offers = fixtureOffers(spark, dir, malformedEvery = 0)
+    val server = new StubOffresServer(offers, secrets)
+    try {
+      import spark.implicits._
+      val scanned = spark.read.format("graft.sources.OffresSource")
+        .options(scanOptions(server, offers.size))
+        .load()
+        .filter(col("region") === "R9") // pushed (P4); no offer matches
+      Seq(("empty_scan_rows", scanned.count())).toDF("metric", "value")
+    } finally server.stop()
+  }
+
   /** i02: the full [[IngestionJob]] lifecycle with malformed (null-id)
     * offers in the stream — landed offres, dead-letter rows, count
     * reconciliation — reduced to its integer-exact invariants. One row

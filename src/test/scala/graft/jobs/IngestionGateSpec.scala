@@ -26,6 +26,33 @@ class IngestionGateSpec extends SparkSpec {
       "landed offres must equal the derivation exactly (no loss, no dups)")
   }
 
+  test("i03: a no-match pushed region filter scans empty and counts zero") {
+    val got = IngestionGate.ingestEmptyFilter(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("empty_scan_rows", 0L)))
+  }
+
+  test("P6: the planner yields ZERO input partitions for a no-match pushed filter") {
+    import graft.sources.{StubOffre, StubOffresServer}
+    val offers = Seq(
+      StubOffre(Some("1"), "a", "a (x)", "x", "R0", "R0D1"),
+      StubOffre(Some("2"), "b", "b (y)", "y", "R1", "R1D0"))
+    val server = new StubOffresServer(offers, Map("k1" -> "s-k1"))
+    try {
+      val scanned = spark.read.format("graft.sources.OffresSource")
+        .options(Map(
+          "endpoint" -> server.base, "authUrl" -> server.authUrl,
+          "secrets" -> "k1:s-k1", "maxPerFilter" -> "400", "pageSize" -> "150"))
+        .load()
+        .filter(col("region") === "R9")
+      // the pushed predicate narrows the plan to region R9, the count
+      // probe returns 0, and planInputPartitions short-circuits to an
+      // EMPTY partition array — no page is ever fetched
+      assert(scanned.rdd.getNumPartitions == 0)
+      assert(scanned.count() == 0L)
+    } finally server.stop()
+  }
+
   test("i02: reconciliation ledger balances with planted malformed rows") {
     val rows = IngestionGate.ingestReconciliation(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
