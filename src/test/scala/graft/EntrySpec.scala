@@ -89,6 +89,19 @@ class EntrySpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)   // top-50 without full sort
   }
 
+  test("q65 VARIANT: scan reads only props; extraction runs map-side before the partial agg") {
+    val df = operators.Relational.variantEvents(spark, sf)
+    df.collect() // materialize so AQE finalizes the plan
+    val plan = df.queryExecution.executedPlan.toString
+    // column pruning reaches the parquet scan THROUGH the
+    // parse_json → variant_get chain: only the one string column is read
+    assert(plan.contains("ReadSchema: struct<props:string>"), plan)
+    // the typed path extraction runs once, in the map-side project (k is
+    // the grouping key of a partial aggregate — no post-shuffle re-parse)
+    assert(plan.toLowerCase.contains("variant_get"), plan)
+    assert(plan.contains("partial_count"), plan)
+  }
+
   test("exact-jaccard pairs read the shingled frame from a one-time materialization") {
     val plan = operators.Dedup.jaccardExactPairs(spark, sf)
       .queryExecution.executedPlan.toString
