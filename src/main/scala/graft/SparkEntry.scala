@@ -162,6 +162,11 @@ object SparkEntry {
     // greedy representative sweep (rows-only: k-means training is not
     // SQL-derivable; sweep semantics spec-verified vs brute force)
     "d17_semantic_dedup"     -> (Dedup.semanticDedup _),
+    // d18: URL-keyed dedup — parse_url canonicalization chain
+    // (host case, www., default port, trailing slash, tracking params,
+    // fragments) + keep-min groupBy; oracle derives the canonical key
+    // closed-form, pinning the whole normalize chain to its spec
+    "d18_url_dedup"          -> (Dedup.urlDedup _),
     // — multimodal columns (SURVEY §2.11; image/audio decode REAL via
     //   JDK codecs, video decode = documented stub) —
     "m01_media_ann"          -> (graft.operators.Multimodal.mediaAnn _),
@@ -814,6 +819,18 @@ object SparkEntry {
           | CAST(count(d.span) AS DOUBLE) / count(*) AS dup_frac
           |FROM sh LEFT JOIN d USING (span)
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      // d18: the oracle derives the CANONICAL url closed-form from the
+      // same (source, doc_id) arithmetic the Spark side plants hazards
+      // from — a hash match pins the whole parse_url/normalize chain
+      // to its specification (scheme/host case, WWW., :443, trailing
+      // slash, utm_/ref params and fragments must all collapse)
+      "d18_url_dedup" ->
+        """SELECT 'https://' || source || '.example.com/docs/'
+          |   || CAST(doc_id % 25 AS VARCHAR)
+          |   || '?page=' || CAST(doc_id % 3 AS VARCHAR) AS canonical_url,
+          | min(doc_id) AS kept_doc_id, count(*) AS n_variants
+          |FROM documents
+          |GROUP BY 1 ORDER BY canonical_url""".stripMargin,
       // d14: edit-distance title pairs under prefix blocking —
       // unit-cost levenshtein is bit-identical across engines
       "d14_fuzzy_pairs" ->

@@ -644,4 +644,67 @@ object Dedup {
   def semanticDedup(spark: SparkSession, dir: String): DataFrame =
     semanticDedupKeep(Tables.embeddings(spark, dir), "vec_id", "embedding")
       .orderBy(col("vec_id"))
+
+  /** Canonicalize a URL column — the normalization every web-crawl
+    * pipeline applies before URL-keyed dedup, built on Spark's
+    * `parse_url` (scheme-case, host-case, `www.` prefix, default-port,
+    * trailing-slash, tracking-parameter and fragment differences all
+    * collapse):
+    *  - scheme → https is assumed canonical here (the crawl norm);
+    *    host lowercased, leading `www.` stripped, port dropped
+    *    (`parse_url(…, 'HOST')` excludes it)
+    *  - path: trailing `/` stripped
+    *  - query: `utm_*` / `ref=` tracking params dropped, the rest
+    *    SORTED (param order is not identity) and rejoined; fragment
+    *    discarded (`QUERY` excludes it)
+    * Pure per-row expression chain — map-side, zero shuffle; the dedup
+    * that follows is one groupBy on the canonical key.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val host = regexp_replace(lower(parse_url(url, lit("HOST"))), "^www\\.", "")
+    val path = regexp_replace(parse_url(url, lit("PATH")), "/$", "")
+    val params = filter(split(parse_url(url, lit("QUERY")), "&"),
+      p => !(p.startsWith("utm_") || p.startsWith("ref=") || p === ""))
+    val keptQ = array_join(array_sort(params), "&")
+    concat(lit("https://"), host, path,
+      when(keptQ.isNull || keptQ === "", lit(""))
+        .otherwise(concat(lit("?"), keptQ)))
+  }
+
+  /** d18: URL-keyed dedup — the cheapest, highest-yield dedup layer of
+    * a web-scale training pipeline (CCNet/C4 both dedup by URL before
+    * touching content): canonicalize, groupBy the canonical key, keep
+    * min(doc_id), count the collapsed variants.
+    *
+    * The fixture's `source` column carries no URLs, so a deterministic
+    * pseudo-URL is derived from (source, doc_id) with every
+    * canonicalization hazard planted (mixed-case scheme/host, `WWW.`,
+    * `:443`, trailing slash, `utm_`/`ref` tracking params, fragments);
+    * the ORACLE derives the canonical form closed-form from the same
+    * arithmetic — a hash match pins the entire parse/normalize chain
+    * against its specification, not against a re-implementation.
+    *
+    * Scale shape: derivation + canonicalization are map-side; the one
+    * shuffle is the groupBy on the canonical key (exactly d01's shape
+    * with the canonical URL as the normalized key).
+    */
+  def urlDedup(spark: SparkSession, dir: String): DataFrame = {
+    val url = concat(
+      when(col("doc_id") % 2 === 0, lit("HTTPS")).otherwise(lit("https")),
+      lit("://"),
+      when(col("doc_id") % 3 === 0, lit("WWW.")).otherwise(lit("www.")),
+      col("source"), lit(".Example.COM"),
+      when(col("doc_id") % 4 === 0, lit(":443")).otherwise(lit("")),
+      lit("/docs/"), (col("doc_id") % 25).cast("string"),
+      when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")),
+      lit("?utm_source=feed&page="), (col("doc_id") % 3).cast("string"),
+      when(col("doc_id") % 7 === 0, lit("&ref=rss")).otherwise(lit("")),
+      when(col("doc_id") % 11 === 0, lit("#frag")).otherwise(lit("")))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), canonicalizeUrl(url).as("canonical_url"))
+      .groupBy(col("canonical_url"))
+      .agg(min(col("doc_id")).as("kept_doc_id"),
+           count(lit(1)).as("n_variants"))
+      .orderBy(col("canonical_url"))
+  }
 }

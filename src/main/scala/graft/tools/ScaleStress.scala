@@ -113,7 +113,7 @@ object ScaleStress {
       // redundancy (kept set stays near the original corpus size while
       // input grows factor×) and the e09 integer shortlist must keep
       // ranks stable under dense near-ties
-      "d17_semantic_dedup", "e09_knn_int8", "t19_quality_classifier",
+      "d17_semantic_dedup", "d18_url_dedup", "e09_knn_int8", "t19_quality_classifier",
       "e10_knn_filtered", "e11_knn_mmr", "q59_cluster_split",
       "e12_knn_join", "q61_text_roundtrip", "q62_xml_roundtrip",
       // round-5 tail: Avro container + message codec over the 10×
@@ -127,13 +127,24 @@ object ScaleStress {
     }
     Bench.dropAllStorage(spark)
 
+    // steady state, same contract as graft.Bench since round 6: two
+    // timed reps with full storage drops between (rep 1 doubles as the
+    // at-scale JIT warmup), report the min — in-sequence single-pass
+    // numbers measured first-execution compile cost once the suite
+    // grew (r5's e12 84s-in-sequence vs 24s warm standalone).
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val results = subset.map { name =>
-      val t0 = System.nanoTime()
-      val rows = try SparkEntry.queries(name)(spark, outDir).count()
-                 catch { case e: Throwable =>
-                   System.err.println(s"[scale] $name FAILED: ${e.getMessage}"); -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      Bench.dropAllStorage(spark)
+      var rows = -1L
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        rows = try SparkEntry.queries(name)(spark, outDir).count()
+               catch { case e: Throwable =>
+                 System.err.println(s"[scale] $name FAILED: ${e.getMessage}"); -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        Bench.dropAllStorage(spark)
+        dt
+      }
+      val dt = times.min
       println(f"""[scale] $name rows=$rows sec=$dt%.2f""")
       name -> (dt, rows)
     }

