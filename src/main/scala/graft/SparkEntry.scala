@@ -94,6 +94,10 @@ object SparkEntry {
     "q45_bucketed_join"     -> (graft.operators.Layout.bucketedJoin _),
     "q46_zorder_scan"       -> (graft.operators.Layout.zOrderScan _),
     "q56_partition_overwrite" -> (graft.operators.Layout.partitionOverwrite _),
+    // q68: contiguous global row ids via range-partition + per-partition
+    // offsets — the scalable plan for row_number() OVER (ORDER BY k),
+    // which Spark would otherwise run in ONE task
+    "q68_stable_ids"        -> (graft.operators.Layout.stableIdsQuery _),
     // — warehouse maintenance: MERGE + SCD2 history —
     "q47_merge_upsert"      -> (Relational.mergeUpsert _),
     // q60: incremental view maintenance — merge delta partials into
@@ -167,6 +171,11 @@ object SparkEntry {
     // fragments) + keep-min groupBy; oracle derives the canonical key
     // closed-form, pinning the whole normalize chain to its spec
     "d18_url_dedup"          -> (Dedup.urlDedup _),
+    // d19: CCNet/C4-style paragraph-level corpus dedup — keep each
+    // distinct 10-word chunk's first (doc_id, pos) occurrence via an
+    // algebraic min-struct aggregate (map-side combinable, no window
+    // over the chunk key), reassemble surviving chunks per document
+    "d19_paragraph_dedup"    -> (Dedup.paragraphDedup _),
     // — multimodal columns (SURVEY §2.11; image/audio decode REAL via
     //   JDK codecs, video decode = documented stub) —
     "m01_media_ann"          -> (graft.operators.Multimodal.mediaAnn _),
@@ -831,6 +840,28 @@ object SparkEntry {
           | min(doc_id) AS kept_doc_id, count(*) AS n_variants
           |FROM documents
           |GROUP BY 1 ORDER BY canonical_url""".stripMargin,
+      // d19: paragraph-level corpus dedup — the oracle re-derives the
+      // 10-word chunk stream with lateral unnest, picks keepers with a
+      // keyed window (fine at oracle scale), and reassembles surviving
+      // chunks with an ordered string_agg; counts AND the rebuilt text
+      // must match chunk-for-chunk
+      "d19_paragraph_dedup" ->
+        """WITH toks AS (
+          | SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          |ch AS (
+          | SELECT doc_id, CAST(i AS INTEGER) AS pos,
+          |   array_to_string(w[(i*10+1):(i*10+10)], ' ') AS chunk
+          | FROM toks, LATERAL (SELECT unnest(range(0,
+          |   CAST(ceil(len(w) / 10.0) AS BIGINT))) AS i)),
+          |r AS (
+          | SELECT doc_id, pos, chunk,
+          |  row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+          | FROM ch)
+          |SELECT doc_id, count(*) AS n_chunks,
+          | CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+          | coalesce(string_agg(chunk, ' ' ORDER BY pos)
+          |   FILTER (WHERE rn = 1), '') AS text_dedup
+          |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       // d14: edit-distance title pairs under prefix blocking —
       // unit-cost levenshtein is bit-identical across engines
       "d14_fuzzy_pairs" ->
@@ -961,6 +992,12 @@ object SparkEntry {
           | CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice * 2
           |  ELSE o_totalprice END AS o_totalprice,
           | o_orderpriority
+          |FROM orders ORDER BY o_orderkey""".stripMargin,
+      // q68: the scalable id-assignment plan must be indistinguishable
+      // from the naive global window
+      "q68_stable_ids" ->
+        """SELECT o_orderkey,
+          | row_number() OVER (ORDER BY o_orderkey) AS rid
           |FROM orders ORDER BY o_orderkey""".stripMargin,
       // layout family: the physical layout must be invisible in the
       // result — every oracle is the plain query over the original table

@@ -707,4 +707,112 @@ object Dedup {
            count(lit(1)).as("n_variants"))
       .orderBy(col("canonical_url"))
   }
+
+  /** One row per non-overlapping `words`-token chunk of every document:
+    * `(id, pos, chunk)` with 0-based chunk position. Pure per-row
+    * expressions (`split` + `sequence` + `transform` + `slice`, all
+    * codegen'd) — map-side, zero shuffle. The paragraph stream behind
+    * [[paragraphDedupDocs]]; the fixture's `text` has no newlines, so
+    * fixed-width word windows stand in for the paragraph boundary a
+    * web corpus would split on.
+    */
+  private def chunkExploded(docs: DataFrame, idCol: String, textCol: String,
+                            words: Int): DataFrame = {
+    val toks = split(col(textCol), " ")
+    docs.select(col(idCol).as("id"),
+        posexplode(transform(
+          sequence(lit(0), ceil(size(toks).cast("double") / words).cast("int") - 1),
+          i => array_join(slice(toks, i * words + 1, lit(words)), " "))))
+      .toDF("id", "pos", "chunk")
+  }
+
+  /** Corpus-wide paragraph-level dedup — the CCNet/C4 shape: hash every
+    * paragraph, keep each distinct paragraph's FIRST occurrence
+    * (ordered by `(doc id, position)`), and reassemble each document
+    * from its surviving paragraphs. Whole-document dedup (d01) misses
+    * boilerplate shared across different pages; this removes it while
+    * keeping the unique remainder of every document.
+    *
+    * Scale shape — deliberately aggregate+join, NOT a window over the
+    * paragraph key: the keeper of a paragraph is `min(struct(id, pos))`,
+    * an algebraic aggregate, so map-side combine collapses each
+    * partition's occurrences of a boilerplate paragraph ("subscribe to
+    * our newsletter" × 10⁹) to ONE pre-shuffle row — a
+    * `row_number() OVER (PARTITION BY chunk)` window would instead sort
+    * every occurrence of the hottest paragraph in a single task. The
+    * keeper set IS the aggregate output (no join back on the text);
+    * the remaining shuffles are keyed by doc id (no skew). At 100 TB,
+    * group on the 128-bit hash pair of the chunk (the
+    * [[substringDupSpansHashed]] key design) so the shuffle carries
+    * 16 bytes per distinct paragraph instead of the text.
+    */
+  def paragraphDedupDocs(docs: DataFrame, idCol: String, textCol: String,
+                         words: Int = 10): DataFrame = {
+    val chunks = chunkExploded(docs, idCol, textCol, words)
+    // keeper per distinct paragraph = earliest (id, pos); the agg output
+    // already carries everything needed downstream — no re-join on chunk
+    val kept = chunks
+      .groupBy(col("chunk"))
+      .agg(min(struct(col("id"), col("pos"))).as("k"))
+      .select(col("k.id").as("id"), col("k.pos").as("pos"), col("chunk"))
+    val keptPerDoc = kept
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("chunk")))),
+            x => x.getField("chunk")), " ").as("text_dedup"))
+    // left join: a doc whose every paragraph first appeared elsewhere
+    // still gets a row (n_kept=0, empty text) — the drop decision is
+    // the caller's filter, not silent row loss
+    chunks.groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"))
+      .join(keptPerDoc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
+
+  /** d19: paragraph-dedup'd documents table (10-word chunks),
+    * oracle-checked chunk-for-chunk — counts AND the reassembled text —
+    * against DuckDB's lateral-unnest + window re-derivation.
+    */
+  def paragraphDedup(spark: SparkSession, dir: String): DataFrame =
+    paragraphDedupDocs(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  /** The 100 TB path of [[paragraphDedupDocs]]: identical semantics
+    * (spec-asserted equal on the fixture), but the corpus-wide keeper
+    * shuffle carries the d13-style 128-bit hash PAIR per chunk — 16
+    * bytes — instead of the paragraph text; the text only rides the
+    * id-keyed reassembly shuffle it has to ride anyway. The keeper
+    * aggregate emits `(id, pos)` addresses, and a semi-join on the
+    * chunk ADDRESS (not its content) marks survivors — both sides of
+    * that join are keyed by `(id, pos)`, so no text moves on the
+    * chunk key at all. Same collision math as
+    * [[substringDupSpansHashed]]: ~10⁻¹⁴ expected collisions at 10¹²
+    * distinct paragraphs.
+    */
+  def paragraphDedupDocsHashed(docs: DataFrame, idCol: String, textCol: String,
+                               words: Int = 10): DataFrame = {
+    val chunks = chunkExploded(docs, idCol, textCol, words)
+    val kept = chunks
+      .select(col("id"), col("pos"),
+        xxhash64(col("chunk")).as("h1"),
+        xxhash64(lit(0x9E3779B9L), col("chunk")).as("h2"))
+      .groupBy(col("h1"), col("h2"))
+      .agg(min(struct(col("id"), col("pos"))).as("k"))
+      .select(col("k.id").as("id"), col("k.pos").as("pos"))
+    val keptPerDoc = chunks.join(kept, Seq("id", "pos"), "left_semi")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("chunk")))),
+            x => x.getField("chunk")), " ").as("text_dedup"))
+    chunks.groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"))
+      .join(keptPerDoc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
 }

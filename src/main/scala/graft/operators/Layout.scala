@@ -378,4 +378,63 @@ object Layout {
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       .orderBy(col("o_orderkey"))
   }
+
+  /** Assign contiguous 1-based global row ids ordered by `keyCol` — the
+    * "give every document a stable id" pass at the head of a training
+    * pipeline — WITHOUT the single-partition collapse that
+    * `row_number() OVER (ORDER BY key)` plans as (Spark puts an
+    * empty-partition-spec window in ONE task; at 100 TB that is one
+    * executor sorting the corpus). Classic two-pass shape instead:
+    *
+    *  1. range-partition + sort by the key (the same shuffle a global
+    *     sort pays — but parallel), pinned with an eager
+    *     `localCheckpoint` so both downstream passes see identical
+    *     partition boundaries (RangePartitioner samples its bounds; in
+    *     production this pin is the sorted table you just wrote);
+    *  2. count rows per partition — ≤ one row PER PARTITION, a
+    *     metadata-sized aggregate — and turn counts into per-partition
+    *     start offsets with a cumulative sum over that tiny frame;
+    *  3. broadcast-join offsets back and number rows with a
+    *     PER-PARTITION window (partitioned by partition id, so every
+    *     task numbers only its own slice).
+    *
+    * Result is bit-identical to the naive global window (spec-asserted)
+    * with max parallel-sorted-partition cost instead of corpus cost.
+    */
+  def stableIds(df: DataFrame, keyCol: String, partitions: Int,
+                pin: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranged = df
+      .repartitionByRange(partitions, col(keyCol))
+      .sortWithinPartitions(col(keyCol))
+      .withColumn("_pid", spark_partition_id())
+    // pin=false only for plan dumps (localCheckpoint collapses the
+    // upstream plan to a Scan ExistingRDD, hiding the range exchange)
+    val sorted = if (pin) ranged.localCheckpoint() else ranged
+    val offsets = sorted.groupBy(col("_pid")).agg(count(lit(1)).as("_n"))
+      // ≤ `partitions` rows: the single-partition window here is over a
+      // metadata-sized frame, not the data
+      .withColumn("_offset",
+        coalesce(sum(col("_n")).over(
+          Window.orderBy(col("_pid")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("_pid"), col("_offset"))
+    sorted
+      .join(broadcast(offsets), Seq("_pid"))
+      .withColumn("rid",
+        col("_offset") + row_number().over(
+          Window.partitionBy(col("_pid")).orderBy(col(keyCol))))
+      .drop("_pid", "_offset")
+  }
+
+  /** q68: stable global ids over the orders table, oracle-checked
+    * row-for-row against DuckDB's `row_number() OVER (ORDER BY
+    * o_orderkey)` — the scalable plan must be indistinguishable from
+    * the naive one.
+    */
+  def stableIdsQuery(spark: SparkSession, dir: String): DataFrame =
+    stableIds(Tables.orders(spark, dir).select(col("o_orderkey")),
+        "o_orderkey", spark.sessionState.conf.numShufflePartitions)
+      .select(col("o_orderkey"), col("rid"))
+      .orderBy(col("o_orderkey"))
 }

@@ -118,7 +118,12 @@ object ScaleStress {
       "e12_knn_join", "q61_text_roundtrip", "q62_xml_roundtrip",
       // round-5 tail: Avro container + message codec over the 10×
       // documents (per-row encode/decode throughput is the point)
-      "q63_avro_roundtrip", "q64_avro_messages")
+      "q63_avro_roundtrip", "q64_avro_messages",
+      // round-6: the copy corpus is adversarial for paragraph dedup —
+      // every chunk of every original recurs in all `factor` copies
+      // (the min-struct aggregate must combine map-side, not sort);
+      // q68's two-pass numbering scales with the sort, not the window
+      "d19_paragraph_dedup", "q68_stable_ids")
 
     // one untimed warmup pass at the small fixture (JIT/codegen)
     subset.foreach { n =>

@@ -305,6 +305,51 @@ class DedupSpec extends SparkSpec {
     assert(total == graft.Tables.documents(spark, sf).count())
   }
 
+  test("d19 paragraph dedup keeps first occurrences and reassembles docs") {
+    val docs = Seq(
+      (1L, "a b c d e f"),  // both chunks first occurrences
+      (2L, "a b c x y z"),  // chunk "a b c" already seen in doc 1
+      (3L, "a b c d e f"),  // every chunk seen → survives with empty text
+      (4L, "p q r s"),      // short tail chunk "s" kept
+      (5L, "m m m m m m")   // WITHIN-doc dup: pos-1 chunk dropped too
+    ).toDF("doc_id", "text")
+    val got = Dedup.paragraphDedupDocs(docs, "doc_id", "text", words = 3)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 2L, "a b c d e f"),
+      (2L, 2L, 1L, "x y z"),
+      (3L, 2L, 0L, ""),
+      (4L, 2L, 2L, "p q r s"),
+      (5L, 2L, 1L, "m m m")))
+  }
+
+  test("d19 hashed (100 TB) variant agrees with the text variant chunk-for-chunk") {
+    val docs = graft.Tables.documents(spark, sf)
+    val a = Dedup.paragraphDedupDocs(docs, "doc_id", "text")
+      .orderBy($"doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    val b = Dedup.paragraphDedupDocsHashed(docs, "doc_id", "text")
+      .orderBy($"doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(a == b)
+  }
+
+  test("d19 gate query invariants: kept chunks = distinct chunks, rows = docs") {
+    val docs = graft.Tables.documents(spark, sf)
+    val got = Dedup.paragraphDedup(spark, sf)
+    assert(got.count() == docs.count()) // no silent row loss
+    // keep-first means every distinct chunk survives exactly once
+    import org.apache.spark.sql.functions.{sum => fsum}
+    val keptTotal = got.agg(fsum($"n_kept")).as[Long].head()
+    val distinctChunks = docs.select(
+      explode(transform(
+        sequence(lit(0),
+          ceil(size(split($"text", " ")).cast("double") / 10).cast("int") - 1),
+        i => array_join(slice(split($"text", " "), i * 10 + 1, lit(10)), " ")))
+        .as("chunk"))
+      .select($"chunk").distinct().count()
+    assert(keptTotal == distinctChunks)
+  }
+
   test("d17 on the fixture: kept-set invariant holds within every cell") {
     val emb = graft.Tables.embeddings(spark, sf)
     val kept = Dedup.semanticDedupKeep(emb, "vec_id", "embedding")

@@ -199,4 +199,32 @@ class LayoutSpec extends SparkSpec {
       .as[(Long, Option[String])].collect().toSeq.sortBy(_._1)
     assert(back == Seq((1L, None), (2L, Some("fr"))))
   }
+
+  test("q68 stableIds matches the naive global row_number bit-for-bit") {
+    // shuffled, gapped, duplicate-free keys across several partitions
+    val keys = (1 to 500).map(i => (i * 7 % 501).toLong).distinct
+    val df = spark.sparkContext.parallelize(keys, 6).toDF("k")
+    val got = Layout.stableIds(df, "k", 5)
+      .select($"k", $"rid").as[(Long, Long)].collect().sortBy(_._1)
+    val want = keys.sorted.zipWithIndex.map { case (k, i) => (k, i + 1L) }
+    assert(got.toSeq == want)
+    // ids are a contiguous 1..n sequence (the contract downstream
+    // array-indexed stores depend on)
+    assert(got.map(_._2).sorted.toSeq == (1L to keys.size).toSeq)
+  }
+
+  test("q68 plans the numbering window per-partition, not single-partition") {
+    val q = Layout.stableIdsQuery(spark, sf)
+    q.collect()
+    // every row_number window over the DATA must carry a partition spec
+    // (_pid) — the empty-partition-spec single-task global window is
+    // exactly what this operator exists to avoid. The offsets cumsum
+    // window is unpartitioned but runs over <= `partitions` rows of
+    // count metadata, never the data.
+    val plan = q.queryExecution.executedPlan.toString
+    val dataWindows = plan.linesIterator
+      .filter(l => l.contains("row_number")).toList
+    assert(dataWindows.nonEmpty, plan)
+    assert(dataWindows.forall(_.contains("_pid")), dataWindows.mkString("\n"))
+  }
 }
