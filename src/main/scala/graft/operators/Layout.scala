@@ -394,9 +394,15 @@ object Layout {
     *  2. count rows per partition — ≤ one row PER PARTITION, a
     *     metadata-sized aggregate — and turn counts into per-partition
     *     start offsets with a cumulative sum over that tiny frame;
-    *  3. broadcast-join offsets back and number rows with a
-    *     PER-PARTITION window (partitioned by partition id, so every
-    *     task numbers only its own slice).
+    *  3. broadcast-join offsets back and add each row's LOCAL rank,
+    *     read off `monotonically_increasing_id()`'s documented layout
+    *     (partition index in the upper bits, record number WITHIN the
+    *     partition in the low 33): over the pinned sorted layout the
+    *     record number IS the local sort rank, so numbering costs one
+    *     map-side projection — no window over the data and no
+    *     post-sort shuffle at all (a `row_number() OVER (PARTITION BY
+    *     pid)` here would re-Exchange the corpus on `_pid` just to
+    *     re-establish a clustering the layout already has).
     *
     * Result is bit-identical to the naive global window (spec-asserted)
     * with max parallel-sorted-partition cost instead of corpus cost.
@@ -420,11 +426,15 @@ object Layout {
           lit(0L)))
       .select(col("_pid"), col("_offset"))
     sorted
+      // record number within the partition = low 33 bits of the id
+      // (documented `monotonically_increasing_id` layout); rows stream
+      // out of the pinned sorted partition in key order, so this is
+      // the 0-based local rank
+      .withColumn("_local", monotonically_increasing_id()
+        .bitwiseAND((1L << 33) - 1))
       .join(broadcast(offsets), Seq("_pid"))
-      .withColumn("rid",
-        col("_offset") + row_number().over(
-          Window.partitionBy(col("_pid")).orderBy(col(keyCol))))
-      .drop("_pid", "_offset")
+      .withColumn("rid", col("_offset") + col("_local") + 1L)
+      .drop("_pid", "_offset", "_local")
   }
 
   /** q68: stable global ids over the orders table, oracle-checked

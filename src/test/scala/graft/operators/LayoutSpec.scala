@@ -213,18 +213,20 @@ class LayoutSpec extends SparkSpec {
     assert(got.map(_._2).sorted.toSeq == (1L to keys.size).toSeq)
   }
 
-  test("q68 plans the numbering window per-partition, not single-partition") {
+  test("q68 numbers rows with NO window and NO shuffle over the data") {
     val q = Layout.stableIdsQuery(spark, sf)
     q.collect()
-    // every row_number window over the DATA must carry a partition spec
-    // (_pid) — the empty-partition-spec single-task global window is
-    // exactly what this operator exists to avoid. The offsets cumsum
-    // window is unpartitioned but runs over <= `partitions` rows of
-    // count metadata, never the data.
     val plan = q.queryExecution.executedPlan.toString
-    val dataWindows = plan.linesIterator
-      .filter(l => l.contains("row_number")).toList
-    assert(dataWindows.nonEmpty, plan)
-    assert(dataWindows.forall(_.contains("_pid")), dataWindows.mkString("\n"))
+    // the single-task global row_number window is exactly what this
+    // operator exists to avoid — and the per-partition-window variant
+    // would still re-Exchange the corpus on _pid; the mid-based local
+    // rank needs neither. The only Window left is the offsets cumsum
+    // over <= `partitions` rows of count metadata.
+    assert(!plan.contains("row_number"), plan)
+    assert(plan.contains("monotonically_increasing_id"), plan)
+    // offsets reach the data side by broadcast, never by shuffling it
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    val windows = plan.linesIterator.filter(_.contains("Window (")).toList
+    assert(windows.isEmpty || plan.contains("_n"), plan)
   }
 }
