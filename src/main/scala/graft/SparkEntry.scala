@@ -218,6 +218,20 @@ object SparkEntry {
     "i01_ingest_offres"      -> (graft.jobs.IngestionGate.ingestOffres _),
     "i02_ingest_reconciliation" -> (graft.jobs.IngestionGate.ingestReconciliation _),
     "i03_empty_filter_scan"  -> (graft.jobs.IngestionGate.ingestEmptyFilter _),
+    // q69: the F6 nested flatten + F11 JSON round trip as a dedicated
+    // gate row — real lieuTravail structs built from customer, JSON-
+    // encoded, permissively re-parsed, flattened by the export pipeline
+    "q69_export_flatten"     -> (graft.sources.Offres.exportFlattenQuery _),
+    // q70-q73: wide→long unpivot, correlated LATERAL (decorrelated by
+    // Catalyst), the higher-order array-function surface, and
+    // WITH RECURSIVE (Spark 4 UnionLoop) — each hash-matched against
+    // the identical-semantics DuckDB form
+    "q70_unpivot"            -> (Relational.unpivotMeasures _),
+    "q71_lateral_topn"       -> (Relational.lateralTopN _),
+    "q72_hof_arrays"         -> (Relational.hofArrays _),
+    "q73_recursive_chain"    -> (Relational.recursiveChain _),
+    // t21: integer-exact bigram novelty/familiarity profile
+    "t21_bigram_novelty"     -> (TextAnalysis.bigramNovelty _),
     // — event-time / streaming-unified (SURVEY §2.9) —
     "s01_hourly_type_counts" -> (Streams.hourlyTypeCountsBatch _),
     "s02_sliding_counts"     -> (Streams.slidingTypeCountsBatch _),
@@ -228,6 +242,10 @@ object SparkEntry {
     // so duplicates can never straddle train/test (oracle-checked)
     "q59_cluster_split"      -> ((s: SparkSession, dir: String) => graft.operators.Curation.clusterAwareSplit(s, dir)),
     "s06_streaming_join"     -> (Streams.streamingIntervalJoin _),
+    // s10: chained stateful operators — hourly window agg re-windowed
+    // into daily aggregates inside ONE append-mode streaming query;
+    // the oracle re-derives append's watermark-finalization cutoff
+    "s10_streaming_rollup"   -> (Streams.streamingChainedDaily _),
     // s07: the transformWithState (state API v2, RocksDB) operator run
     // through a REAL streaming drain; integer-cents state makes the
     // final totals batch-boundary-invariant and oracle-exact
@@ -875,6 +893,20 @@ object SparkEntry {
       // s06: drained inner interval join == the batch interval join
       // (inner matches are emitted per micro-batch; watermarks only
       // bound state retention)
+      // s10: the chained rollup — hourly counts re-aggregated per day;
+      // append mode only finalizes a day once the watermark (max ts −
+      // 2 h) passes its end, so the oracle applies the same cutoff
+      "s10_streaming_rollup" ->
+        """WITH h AS (
+          | SELECT date_trunc('hour', ts) AS hs, event_type, count(*) AS n
+          | FROM events GROUP BY 1, 2),
+          |cut AS (SELECT max(ts) - INTERVAL 2 HOUR AS wm FROM events)
+          |SELECT CAST(date_trunc('day', hs) AS TIMESTAMP) AS day_start,
+          | event_type, CAST(sum(n) AS BIGINT) AS n_day, max(n) AS max_hourly
+          |FROM h, cut
+          |WHERE CAST(date_trunc('day', hs) AS TIMESTAMP) + INTERVAL 1 DAY
+          |  <= wm
+          |GROUP BY 1, 2 ORDER BY day_start, event_type""".stripMargin,
       "s06_streaming_join" ->
         """SELECT p.event_id, p.user_id, CAST(c.ts AS TIMESTAMP) AS c_ts
           |FROM events p JOIN events c ON p.user_id = c.user_id
@@ -1233,6 +1265,67 @@ object SparkEntry {
         """SELECT 'empty_scan_rows' AS metric, count(*) AS value
           | FROM customer
           | WHERE ('R' || CAST(c_custkey % 3 AS VARCHAR)) = 'R9'""".stripMargin,
+      // q69: the F6 nested flatten — the oracle derives the flattened
+      // export closed-form from customer (it never builds the struct);
+      // a hash match pins build-struct → to_json → from_json → flatten
+      // as lossless, including the null lat/long fields to_json omits
+      "q69_export_flatten" ->
+        """SELECT CAST(c_custkey AS VARCHAR) AS id,
+          | c_name AS intitule,
+          | c_mktsegment AS romeCode,
+          | 'NAF' || CAST(c_custkey % 10 AS VARCHAR) AS codeNAF,
+          | CAST(c_custkey % 5 AS VARCHAR) AS qualificationCode,
+          | CAST(DATE '2024-01-01'
+          |   + CAST(c_custkey % 30 AS INTEGER) AS TIMESTAMP) AS dateActualisation,
+          | lpad(CAST(c_custkey % 100 AS VARCHAR), 5, '0') AS codecommune
+          |FROM customer ORDER BY id""".stripMargin,
+      // q70: the melt re-derived as a UNION ALL over the wide aggregate
+      "q70_unpivot" ->
+        """WITH w AS (SELECT l_returnflag,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+          |  CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_discount,
+          |  CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+          | FROM lineitem GROUP BY l_returnflag)
+          |SELECT l_returnflag, 'sum_price' AS measure, sum_price AS value FROM w
+          |UNION ALL SELECT l_returnflag, 'sum_discount', sum_discount FROM w
+          |UNION ALL SELECT l_returnflag, 'sum_qty', sum_qty FROM w
+          |ORDER BY l_returnflag, measure""".stripMargin,
+      // q71/q73: the same SQL text Spark runs (LATERAL / WITH
+      // RECURSIVE are ANSI; DuckDB executes them natively)
+      "q71_lateral_topn" -> graft.operators.Relational.lateralTopNSql,
+      "q73_recursive_chain" -> graft.operators.Relational.recursiveChainSql,
+      // q72: DuckDB's list lambdas mirror each HOF kernel one-for-one
+      "q72_hof_arrays" ->
+        """WITH a AS (
+          | SELECT l_orderkey,
+          |  list_sort(list(CAST(l_quantity AS BIGINT))) AS qtys
+          | FROM lineitem GROUP BY l_orderkey)
+          |SELECT l_orderkey,
+          | CAST(len(qtys) AS BIGINT) AS n_lines,
+          | CAST(list_aggregate(qtys, 'sum') AS BIGINT) AS total_qty,
+          | CAST(len(list_filter(qtys, x -> x > 25)) AS BIGINT) AS n_big,
+          | CAST(list_aggregate(list_transform(qtys, x -> x * x), 'sum') AS BIGINT) AS sum_sq,
+          | CAST(coalesce(list_aggregate(list_transform(range(2, len(qtys) + 1),
+          |   i -> qtys[i] - qtys[i - 1]), 'sum'), 0) AS BIGINT) AS tv_steps
+          |FROM a ORDER BY l_orderkey""".stripMargin,
+      // t21: bigram novelty — corpus bigram frequencies re-derived with
+      // the t15 lateral-unnest bigram stream; every aggregate is an
+      // integer, novelty is one fixed-order division
+      "t21_bigram_novelty" ->
+        s"""WITH tk AS (SELECT doc_id,
+           |  list_filter(${toks("text")}, t -> length(t) > 0) AS tk
+           | FROM documents),
+           |bi AS (SELECT doc_id,
+           |  unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1])) AS bg
+           | FROM tk WHERE len(tk) >= 2),
+           |cf AS (SELECT bg, count(*) AS cf FROM bi GROUP BY bg)
+           |SELECT doc_id, count(*) AS n_bigrams,
+           | CAST(sum(cf) AS BIGINT) AS sum_bigram_freq,
+           | CAST(sum(CASE WHEN cf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           | max(cf) AS max_bigram_freq,
+           | CAST(sum(CASE WHEN cf = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS novelty
+           |FROM bi JOIN cf USING (bg)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       // d07: the WHOLE curation pipeline in SQL — quality metrics +
       // gate (the t02 expressions), exact dedup (min id per normalized
       // text), all-pairs exact Jaccard >= 0.6 on 5-char shingles of

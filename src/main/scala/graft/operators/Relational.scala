@@ -652,4 +652,104 @@ object Relational {
     spark.read.schema(schema).json(tmp)
       .orderBy(col("doc_id"))
   }
+
+  /** q70: wide→long UNPIVOT (`Dataset.unpivot`, the melt every
+    * feature-store export needs). The wide side is a per-returnflag
+    * measure table built with exact decimal sums (cast to double only
+    * after aggregation, per the file-wide money rule); unpivot then
+    * melts the three measure columns into (measure, value) rows.
+    * Scale shape: unpivot is a generate-style per-row expansion AFTER
+    * the aggregation — it adds no shuffle, and the expansion factor is
+    * the fixed measure count, not data-dependent.
+    */
+  def unpivotMeasures(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"),
+        sum(dec(col("l_discount"))).cast("double").as("sum_discount"),
+        sum(col("l_quantity")).cast("double").as("sum_qty"))
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("sum_price"), col("sum_discount"), col("sum_qty")),
+        "measure", "value")
+      .orderBy(col("l_returnflag"), col("measure"))
+  }
+
+  /** q71: correlated LATERAL subquery — per-nation top-2 customers by
+    * account balance, declared as the per-row subquery it semantically
+    * is. Catalyst decorrelates the LATERAL (DecorrelateInnerQuery:
+    * correlated ORDER BY+LIMIT becomes a partitioned window filter
+    * joined back on the correlation key) — the engine runs ONE
+    * shuffle-join plan, never a per-row nested loop, so the declared
+    * form survives any scale. Same SQL text runs on DuckDB.
+    */
+  val lateralTopNSql: String =
+    """SELECT n.n_name, t.c_name, t.c_acctbal
+      |FROM nation n,
+      |LATERAL (
+      |  SELECT c_name, c_acctbal FROM customer c
+      |  WHERE c.c_nationkey = n.n_nationkey
+      |  ORDER BY c_acctbal DESC, c_name LIMIT 2
+      |) t
+      |ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""".stripMargin
+
+  def lateralTopN(spark: SparkSession, dir: String): DataFrame = {
+    Tables.nation(spark, dir).createOrReplaceTempView("nation")
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    spark.sql(lateralTopNSql)
+  }
+
+  /** q72: the higher-order-function surface (transform / filter /
+    * aggregate / zip_with / slice) as one integer-exact gate row —
+    * per-order sorted quantity array, then a chain of array kernels
+    * whose results are all integer-derived (order-independent through
+    * the hash agg, bit-exact vs DuckDB's list lambdas). `tv_steps`
+    * zips the array against its own tail — the shifted-slice pairing
+    * the t15 bigram kernel uses. All array work is per-row over
+    * ≤7-element lists: map-only after the one groupBy shuffle.
+    */
+  def hofArrays(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("l_quantity").cast("long"))).as("qtys"))
+      .select(
+        col("l_orderkey"),
+        size(col("qtys")).cast("long").as("n_lines"),
+        aggregate(col("qtys"), lit(0L), (a, x) => a + x).as("total_qty"),
+        size(filter(col("qtys"), _ > 25L)).cast("long").as("n_big"),
+        aggregate(transform(col("qtys"), x => x * x), lit(0L), (a, x) => a + x)
+          .as("sum_sq"),
+        aggregate(
+          zip_with(
+            slice(col("qtys"), lit(1), greatest(size(col("qtys")) - 1, lit(0))),
+            slice(col("qtys"), lit(2), greatest(size(col("qtys")) - 1, lit(0))),
+            (a, b) => b - a),
+          lit(0L), (a, x) => a + x).as("tv_steps"))
+      .orderBy(col("l_orderkey"))
+
+  /** q73: WITH RECURSIVE (Spark 4's UnionLoop) — a reporting-chain walk
+    * over a hierarchy derived closed-form from customer
+    * (`parent(k) = floor(k/10)`, roots k<10): every customer gets its
+    * root ancestor and depth. The recursion is set-at-a-time — each
+    * level is ONE distributed join of the frontier against customer,
+    * so depth (≤6 at any fixture scale: log₁₀ of max key) bounds the
+    * number of jobs, not the row count. Same SQL text runs on DuckDB.
+    */
+  val recursiveChainSql: String =
+    """WITH RECURSIVE chain AS (
+      |  SELECT c_custkey, c_custkey AS root, 0 AS depth
+      |  FROM customer WHERE c_custkey < 10
+      |  UNION ALL
+      |  SELECT c.c_custkey, ch.root, ch.depth + 1
+      |  FROM customer c JOIN chain ch
+      |    ON CAST(floor(c.c_custkey / 10.0) AS BIGINT) = ch.c_custkey
+      |  WHERE c.c_custkey >= 10
+      |)
+      |SELECT c_custkey, root, depth FROM chain ORDER BY c_custkey""".stripMargin
+
+  def recursiveChain(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    spark.sql(recursiveChainSql)
+  }
 }

@@ -548,4 +548,43 @@ object TextAnalysis {
         (rrfTerm(col("r_bm")) + rrfTerm(col("r_tm"))).as("rrf_score"))
       .orderBy(col("rrf_score").desc, col("doc_id"))
   }
+
+  /** t21: bigram novelty profile — the LM-shaped corpus statistic that
+    * stays integer-exact. Per document: how many of its word bigrams
+    * exist, how familiar they are corpus-wide (sum/max of corpus
+    * bigram frequency over its positions), and how many are hapax
+    * (corpus count 1 — unique to this document). `novelty` is one
+    * fixed-order division of two integers, so the double is
+    * bit-identical to the oracle; there is no grouped float sum
+    * anywhere (the order-dependent shape that can't hash-match).
+    *
+    * This is the cheap screen for both memorized/boilerplate text
+    * (novelty→0: every bigram is common) and noise (novelty→1) before
+    * any model-based scoring. Scale shape: the bigram stream is the
+    * t15 shifted-slice kernel (map-side), corpus counts are one
+    * groupBy on the bigram key, and the count join back is a plain
+    * equi-join on that same key — two shuffles on surrogate-sized
+    * rows, linear in corpus size.
+    */
+  def bigramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val bg = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(normalizeText(col("text"))).as("tk"))
+      .select(col("doc_id"),
+        expr("filter(tk, t -> length(t) > 0)").as("tk"))
+      .select(col("doc_id"), explode(expr(
+        """zip_with(slice(tk, 1, greatest(size(tk) - 1, 0)),
+          |         slice(tk, 2, greatest(size(tk) - 1, 0)),
+          |         (x, y) -> concat(x, ' ', y))""".stripMargin)).as("bg"))
+    val cf = bg.groupBy(col("bg")).agg(count(lit(1)).as("cf"))
+    bg.join(cf, Seq("bg"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(col("cf")).as("sum_bigram_freq"),
+        sum(when(col("cf") === 1L, 1L).otherwise(0L)).as("n_hapax"),
+        max(col("cf")).as("max_bigram_freq"))
+      .withColumn("novelty",
+        col("n_hapax").cast("double") / col("n_bigrams").cast("double"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -87,6 +87,43 @@ object Offres {
       col("dateActualisation"),
       col("lieuTravail.commune").as("codecommune"))
 
+  /** F6/F11 gate query (q69): customer-derived offre documents with a
+    * REAL nested `lieuTravail` struct + `competences` array, round-
+    * tripped through the raw-JSON arrival shape (`to_json` →
+    * [[parseOffres]], F11) and the full-export pipeline
+    * ([[exportOffresPipeline]] — the `lieuTravail.commune` →
+    * `codecommune` nested flatten, F6, `export-offres-csv.conf:14-16`).
+    * Every output column is a closed-form function of `customer`, so
+    * the DuckDB oracle re-derives the flattened export without ever
+    * building the struct — a hash match proves the build-struct →
+    * JSON-encode → permissive-parse → flatten chain is lossless.
+    */
+  def exportFlattenQuery(spark: SparkSession, dir: String): DataFrame = {
+    val c = spark.read.parquet(s"$dir/customer.parquet")
+    val offres = c.select(
+      col("c_custkey").cast("string").as("id"),
+      col("c_name").as("intitule"),
+      concat(col("c_name"), lit(" "), col("c_mktsegment")).as("description"),
+      col("c_mktsegment").as("romeCode"),
+      concat(lit("NAF"), (col("c_custkey") % 10).cast("string")).as("codeNAF"),
+      (col("c_custkey") % 5).cast("string").as("qualificationCode"),
+      date_format(
+        date_add(to_date(lit("2024-01-01")), (col("c_custkey") % 30).cast("int")),
+        "yyyy-MM-dd'T'HH:mm:ss").as("dateActualisation"),
+      struct(
+        lpad((col("c_custkey") % 100).cast("string"), 5, "0").as("commune"),
+        col("c_name").as("libelle"),
+        lit(null).cast("double").as("latitude"),
+        lit(null).cast("double").as("longitude")).as("lieuTravail"),
+      array(struct(
+        col("c_mktsegment").as("code"),
+        col("c_name").as("libelle"))).as("competences"))
+    val raw = offres.select(
+      to_json(struct(offres.columns.map(col).toSeq: _*)).as("json"))
+    val (valid, _) = parseOffres(raw)
+    exportOffresPipeline(valid).orderBy(col("id"))
+  }
+
   /** S11: ordered-field CSV sink, comma separator, no header
     * (`csv-tech.conf:45-53`).
     */

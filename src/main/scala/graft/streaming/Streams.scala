@@ -173,6 +173,42 @@ object Streams {
     events.withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** CHAINED stateful operators in ONE streaming query (the Spark 3.5+/
+    * 4.x multiple-stateful-operator capability): hourly tumbling counts
+    * per event type, re-windowed downstream into per-day aggregates by
+    * windowing ON the hourly window column — two cascaded state stores,
+    * one watermark. The cascade is the production rollup shape (raw →
+    * hourly → daily) run as a single query instead of two jobs with an
+    * intermediate table.
+    *
+    * Append mode is REQUIRED for a chained aggregation, and append
+    * emits a window only once the watermark passes its end — so the
+    * drained result is exactly the days whose end ≤ max(ts) − delay.
+    * The oracle derives the same cutoff closed-form from the data
+    * (deterministic: the fixture's max ts is fixed), which pins the
+    * append-mode finalization semantics themselves, not just the
+    * arithmetic.
+    */
+  def chainedDailyStats(events: DataFrame): DataFrame = {
+    val hourly = events.withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w1"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    hourly
+      .groupBy(window(col("w1"), "1 day").as("w2"), col("event_type"))
+      .agg(sum(col("n")).as("n_day"), max(col("n")).as("max_hourly"))
+      .select(col("w2.start").as("day_start"), col("event_type"),
+        col("n_day"), col("max_hourly"))
+  }
+
+  /** s10: [[chainedDailyStats]] drained through a real append-mode
+    * streaming run (`Trigger.AvailableNow`, foreachBatch parquet APPEND
+    * — finalized days arrive across micro-batches).
+    */
+  def streamingChainedDaily(spark: SparkSession, dir: String): DataFrame =
+    drainToParquet(spark, "s10", dir, chainedDailyStats,
+      mode = "append", outputMode = "append")
+      .orderBy(col("day_start"), col("event_type"))
+
   /** Stream-stream interval join: each purchase joined to the same
     * user's clicks within ±1 hour. Both sides carry watermarks and the
     * join condition bounds the time skew, so the state store holds only

@@ -123,7 +123,10 @@ object ScaleStress {
       // every chunk of every original recurs in all `factor` copies
       // (the min-struct aggregate must combine map-side, not sort);
       // q68's two-pass numbering scales with the sort, not the window
-      "d19_paragraph_dedup", "q68_stable_ids")
+      "d19_paragraph_dedup", "q68_stable_ids",
+      // round-6: the copy corpus multiplies every bigram's corpus count
+      // by `factor` — t21's count join runs at maximal key density
+      "t21_bigram_novelty")
 
     // one untimed warmup pass at the small fixture (JIT/codegen)
     subset.foreach { n =>

@@ -110,4 +110,56 @@ class EntrySpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(plan.contains("ExistingRDD") || plan.contains("LogicalRDD"), plan)
   }
+
+  test("q71 LATERAL decorrelates to a window + join (no per-row nested loop)") {
+    val plan = operators.Relational.lateralTopN(spark, sf)
+      .queryExecution.executedPlan.toString
+    // DecorrelateInnerQuery rewrites the correlated ORDER BY+LIMIT
+    // into a partitioned rank filter joined on the correlation key —
+    // one distributed plan, not |nation| subquery executions
+    assert(plan.contains("WindowGroupLimit") || plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q73 WITH RECURSIVE runs as UnionLoop with depth bounded by key width") {
+    val df = operators.Relational.recursiveChain(spark, sf)
+    assert(df.queryExecution.optimizedPlan.toString.contains("UnionLoop"),
+      df.queryExecution.optimizedPlan.toString)
+    val rows = df.collect()
+    val n = spark.read.parquet(s"$sf/customer.parquet").count()
+    // every customer reaches a root; depth = digits(custkey) - 1
+    assert(rows.length == n)
+    assert(rows.forall(r => r.getLong(1) < 10))
+    assert(rows.forall { r =>
+      r.getInt(2) == r.getLong(0).toString.length - 1
+    })
+  }
+
+  test("q72 HOF kernels agree with a driver-side recompute on one order") {
+    import spark.implicits._
+    val qtys = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_orderkey") === 1L)
+      .select(col("l_quantity").cast("long")).as[Long].collect().sorted
+    val r = operators.Relational.hofArrays(spark, sf)
+      .filter(col("l_orderkey") === 1L).head()
+    assert(r.getAs[Long]("n_lines") == qtys.length)
+    assert(r.getAs[Long]("total_qty") == qtys.sum)
+    assert(r.getAs[Long]("sum_sq") == qtys.map(q => q * q).sum)
+    assert(r.getAs[Long]("tv_steps") == (if (qtys.isEmpty) 0 else qtys.max - qtys.min))
+  }
+
+  test("t21 bigram novelty invariants: hapax ≤ n, familiarity ≥ n, novelty ∈ [0,1]") {
+    val rows = operators.TextAnalysis.bigramNovelty(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_bigrams")
+      val hapax = r.getAs[Long]("n_hapax")
+      val fam = r.getAs[Long]("sum_bigram_freq")
+      val nov = r.getAs[Double]("novelty")
+      assert(hapax >= 0 && hapax <= n)
+      assert(fam >= n) // each position's corpus count ≥ 1
+      assert(nov >= 0.0 && nov <= 1.0)
+      assert(math.abs(nov - hapax.toDouble / n) < 1e-15)
+    }
+  }
 }

@@ -75,6 +75,23 @@ class OffresSpec extends SparkSpec {
     assert(bad.count() == 1 && bad.filter($"id".isNull).count() == 1)
   }
 
+  test("q69 export flatten: JSON roundtrip + nested flatten is lossless (F6/F11)") {
+    val out = Offres.exportFlattenQuery(spark, "/root/testdata/sf0.001")
+    assert(out.columns.toSeq == Seq("id", "intitule", "romeCode", "codeNAF",
+      "qualificationCode", "dateActualisation", "codecommune"))
+    val n = spark.read
+      .parquet("/root/testdata/sf0.001/customer.parquet").count()
+    assert(out.count() == n)
+    // closed-form spot check: custkey 7 → commune zero-padded to 5,
+    // NAF/qualification mod-derived, date = 2024-01-01 + 7
+    val r = out.filter($"id" === "7").head()
+    assert(r.getAs[String]("codecommune") == "00007")
+    assert(r.getAs[String]("codeNAF") == "NAF7")
+    assert(r.getAs[String]("qualificationCode") == "2")
+    assert(r.getAs[java.sql.Timestamp]("dateActualisation").toInstant
+      == java.time.Instant.parse("2024-01-08T00:00:00Z"))
+  }
+
   test("CSV sink: ordered fields, no header, comma sep (S11)") {
     val dir = java.nio.file.Files.createTempDirectory("graftcsv").toString + "/out"
     val (valid, _) = Offres.parseOffres(Seq(goodJson).toDF("json"))

@@ -259,4 +259,25 @@ class StreamsSpec extends SparkSpec {
     assert(store.size() == 5)
     assert(store.get(1L) == 10.0) // updated, not duplicated
   }
+
+  test("s10 chained rollup equals the batch rollup up to the watermark cutoff") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val ev = graft.Tables.events(spark, sf)
+    // batch re-derivation with the same append-mode finalization rule:
+    // a day is emitted iff its end ≤ max(ts) − 2h
+    val wm = ev.agg(max($"ts")).head().getTimestamp(0).toInstant
+      .minus(java.time.Duration.ofHours(2))
+    val expected = ev
+      .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .groupBy(date_trunc("day", $"w.start").as("day_start"), $"event_type")
+      .agg(sum($"n").as("n_day"), max($"n").as("max_hourly"))
+      .filter($"day_start" + expr("INTERVAL 1 DAY") <= lit(java.sql.Timestamp.from(wm)))
+      .orderBy($"day_start", $"event_type")
+      .collect().toSeq
+    val got = Streams.streamingChainedDaily(spark, sf).collect().toSeq
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
 }
