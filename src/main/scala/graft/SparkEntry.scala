@@ -232,6 +232,9 @@ object SparkEntry {
     "q73_recursive_chain"    -> (Relational.recursiveChain _),
     // t21: integer-exact bigram novelty/familiarity profile
     "t21_bigram_novelty"     -> (TextAnalysis.bigramNovelty _),
+    // t22: accent folding (French diacritics) proven by plant+fold
+    // round trip against the untouched original text
+    "t22_accent_fold"        -> (TextAnalysis.accentFoldRoundtrip _),
     // — event-time / streaming-unified (SURVEY §2.9) —
     "s01_hourly_type_counts" -> (Streams.hourlyTypeCountsBatch _),
     "s02_sliding_counts"     -> (Streams.slidingTypeCountsBatch _),
@@ -1326,6 +1329,11 @@ object SparkEntry {
            | CAST(sum(CASE WHEN cf = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS novelty
            |FROM bi JOIN cf USING (bg)
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      // t22: the fold must restore the pre-plant text EXACTLY — the
+      // oracle never runs the chain, it IS the expected fixed point
+      "t22_accent_fold" ->
+        """SELECT doc_id, text AS text_folded
+          |FROM documents ORDER BY doc_id""".stripMargin,
       // d07: the WHOLE curation pipeline in SQL — quality metrics +
       // gate (the t02 expressions), exact dedup (min id per normalized
       // text), all-pairs exact Jaccard >= 0.6 on 5-char shingles of

@@ -241,6 +241,22 @@ object TextFns {
   /** Content fingerprint of normalized text: md5 hex (exact dedup key that
     * survives re-ordering of ingestion batches; stable across engines).
     */
+  /** Accent folding (diacritic strip) for Latin-script text — the
+    * missing step of the reference's French-text normalization chain
+    * (`csv-tech.conf` lowercases and strips punctuation but job-offer
+    * text is full of é/è/à/ç): map every French/Latin-1 diacritic to
+    * its base letter and expand the œ/æ ligatures. One codegen'd
+    * `translate` (single-char map) after three `regexp_replace`s for
+    * the two-char ligature expansions — map-side, no UDF.
+    */
+  val accentFrom: String = "àáâãäåèéêëìíîïòóôõöùúûüýÿçñÀÁÂÃÄÅÈÉÊËÌÍÎÏÒÓÔÕÖÙÚÛÜÝÇÑ"
+  val accentTo: String   = "aaaaaaeeeeiiiiooooouuuuyycnAAAAAAEEEEIIIIOOOOOUUUUYCN"
+  def foldAccents(c: Column): Column =
+    translate(
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        c, "œ", "oe"), "Œ", "OE"), "æ", "ae"), "Æ", "AE"),
+      accentFrom, accentTo)
+
   def fingerprintMd5(c: Column): Column = md5(normalizeText(c).cast("binary"))
 
   /** 64-bit rolling-hash-style fingerprint (xxhash64 of normalized text) —

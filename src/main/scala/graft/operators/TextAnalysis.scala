@@ -549,6 +549,25 @@ object TextAnalysis {
       .orderBy(col("rrf_score").desc, col("doc_id"))
   }
 
+  /** t22: accent folding proven by round trip — the fixture corpus has
+    * no diacritics, so the query PLANTS them closed-form (the d18
+    * hazard pattern: six base letters become six French accented
+    * forms) and then folds with the real
+    * [[graft.functions.TextFns.foldAccents]] kernel. The oracle is the
+    * ORIGINAL text verbatim — any gap in the fold map (a letter
+    * missed, a wrong base mapping) leaves a stray accent and breaks
+    * the hash. Ligature expansion (œ/æ, two-char targets `translate`
+    * can't express) is spec-pinned on literals in `TextAnalysisSpec`.
+    * Map-side only: one translate to plant, regexps + translate to
+    * fold, zero shuffles.
+    */
+  def accentFoldRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        foldAccents(translate(col("text"), "aeiouc", "àéîôûç"))
+          .as("text_folded"))
+      .orderBy(col("doc_id"))
+
   /** t21: bigram novelty profile — the LM-shaped corpus statistic that
     * stays integer-exact. Per document: how many of its word bigrams
     * exist, how familiar they are corpus-wide (sum/max of corpus

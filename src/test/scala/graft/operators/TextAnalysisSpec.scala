@@ -253,4 +253,21 @@ class TextAnalysisSpec extends SparkSpec {
       assert(s == feats(id), s"doc $id: $s != ${feats(id)}")
     }
   }
+
+  test("t22 foldAccents: full French diacritic set + ligature expansion") {
+    val rows = Seq(
+      ("Œuvre à l'été, garçon naïf", "OEuvre a l'ete, garcon naif"),
+      ("cœur æther ÀÉÎÔÛÇ Ñ ÿ", "coeur aether AEIOUC N y"),
+      ("no accents stays put", "no accents stays put"))
+      .toDF("in", "expected")
+    val got = rows.select(TextFns.foldAccents($"in").as("got"), $"expected")
+      .as[(String, String)].collect()
+    got.foreach { case (g, e) => assert(g == e, s"'$g' != '$e'") }
+    // the gate's planted-hazard round trip: fold(plant(text)) == text
+    val docs = graft.Tables.documents(spark, sf).select($"doc_id", $"text")
+    val rt = TextAnalysis.accentFoldRoundtrip(spark, sf)
+      .join(docs, "doc_id")
+      .filter($"text_folded" =!= $"text")
+    assert(rt.count() == 0)
+  }
 }
