@@ -249,6 +249,10 @@ object SparkEntry {
     // into daily aggregates inside ONE append-mode streaming query;
     // the oracle re-derives append's watermark-finalization cutoff
     "s10_streaming_rollup"   -> (Streams.streamingChainedDaily _),
+    // s11: LEFT OUTER stream-stream interval join — outer-null rows
+    // emit at state-eviction time; oracle = matches ∪ watermark-proven
+    // unmatched purchases
+    "s11_streaming_left_join" -> (Streams.streamingLeftOuterJoin _),
     // s07: the transformWithState (state API v2, RocksDB) operator run
     // through a REAL streaming drain; integer-cents state makes the
     // final totals batch-boundary-invariant and oracle-exact
@@ -917,6 +921,35 @@ object SparkEntry {
           | AND c.ts >= p.ts - INTERVAL 1 HOUR
           | AND c.ts <= p.ts + INTERVAL 1 HOUR
           |ORDER BY p.event_id, c_ts""".stripMargin,
+      // s11: left-outer matches are the s06 inner set; the null-click
+      // rows are the unmatched purchases whose join window is fully
+      // below the final GLOBAL watermark. With one watermark node per
+      // side, Spark's multipleWatermarkPolicy=min makes that
+      // least(max purchase ts, max click ts) − 2h — verified against
+      // the engine's reported per-batch watermark. The hash match pins
+      // the min-policy + state-eviction emission rule, not just the
+      // join arithmetic.
+      "s11_streaming_left_join" ->
+        """WITH wm AS (SELECT least(
+          |  (SELECT max(ts) FROM events WHERE event_type = 'purchase'),
+          |  (SELECT max(ts) FROM events WHERE event_type = 'click'))
+          |  - INTERVAL 2 HOUR AS wm)
+          |SELECT p.event_id, p.user_id, CAST(c.ts AS TIMESTAMP) AS c_ts
+          |FROM events p JOIN events c ON p.user_id = c.user_id
+          | AND p.event_type = 'purchase' AND c.event_type = 'click'
+          | AND c.ts >= p.ts - INTERVAL 1 HOUR
+          | AND c.ts <= p.ts + INTERVAL 1 HOUR
+          |UNION ALL
+          |SELECT p.event_id, p.user_id, CAST(NULL AS TIMESTAMP) AS c_ts
+          |FROM events p, wm
+          |WHERE p.event_type = 'purchase'
+          | AND p.ts + INTERVAL 1 HOUR < wm.wm
+          | AND NOT EXISTS (
+          |   SELECT 1 FROM events c WHERE c.event_type = 'click'
+          |    AND c.user_id = p.user_id
+          |    AND c.ts >= p.ts - INTERVAL 1 HOUR
+          |    AND c.ts <= p.ts + INTERVAL 1 HOUR)
+          |ORDER BY event_id, c_ts""".stripMargin,
       // d12: word-8-gram contamination vs an eval suite of 20-token
       // excerpts (tokens 6-25 of every doc_id%97 doc — benchmark items
       // quoted from the corpus); md5 shingle keys are bit-identical

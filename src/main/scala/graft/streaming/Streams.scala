@@ -246,6 +246,45 @@ object Streams {
       mode = "append", outputMode = "append")
       .orderBy(col("event_id"), col("c_ts"))
 
+  /** LEFT OUTER stream-stream interval join — s06's shape with the
+    * outer-null semantics that make streaming joins subtle: a matched
+    * pair emits in the micro-batch where both sides are present, but
+    * an UNMATCHED purchase emits its null-click row only once the
+    * watermark proves no future click can match (wm past the join
+    * window's upper bound, i.e. state eviction time). With one
+    * watermark node per side, the GLOBAL watermark under
+    * `multipleWatermarkPolicy=min` (the default) is
+    * `least(max purchase ts, max click ts) − delay` — NOT the global
+    * max-ts − delay (verified against the engine's reported per-batch
+    * watermark). The drained result is therefore matches ∪
+    * {unmatched p : p_ts + 1h < that min-policy wm} — the oracle
+    * re-derives exactly that closed-form, pinning the min-policy and
+    * the eviction-time emission rule themselves.
+    */
+  def purchaseClickLeftJoinStream(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("ts", "2 hours")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id"))
+    val c = clicks.withWatermark("ts", "2 hours")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    p.join(c,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select(col("event_id"), col("user_id"), col("c_ts"))
+  }
+
+  /** s11: [[purchaseClickLeftJoinStream]] drained through a real
+    * two-source append-mode streaming run.
+    */
+  def streamingLeftOuterJoin(spark: SparkSession, dir: String): DataFrame =
+    drainStreamed(spark, "s11", dir,
+      purchaseClickLeftJoinStream(
+        eventsStream(spark, dir).filter(col("event_type") === "purchase"),
+        eventsStream(spark, dir).filter(col("event_type") === "click")),
+      mode = "append", outputMode = "append")
+      .orderBy(col("event_id"), col("c_ts"))
+
   /** s09: offline STATE-STORE inspection — the `statestore` batch
     * reader over a retained checkpoint. A streaming `groupBy(type)
     * .count()` drains under `Trigger.AvailableNow` (update mode, the

@@ -260,6 +260,28 @@ class StreamsSpec extends SparkSpec {
     assert(store.get(1L) == 10.0) // updated, not duplicated
   }
 
+  test("s11 left-outer join: matches equal inner; nulls obey the min-policy watermark cutoff") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val got = Streams.streamingLeftOuterJoin(spark, sf)
+    val inner = Streams.streamingIntervalJoin(spark, sf)
+    // matched rows are exactly the inner-join result
+    assert(got.filter($"c_ts".isNotNull).count() == inner.count())
+    // outer-null rows respect the global (min-policy) watermark: every
+    // emitted unmatched purchase has p_ts + 1h < least(maxP, maxC) - 2h
+    val ev = graft.Tables.events(spark, sf)
+    val maxP = ev.filter($"event_type" === "purchase").agg(max($"ts")).head().getTimestamp(0)
+    val maxC = ev.filter($"event_type" === "click").agg(max($"ts")).head().getTimestamp(0)
+    val wm = (if (maxP.before(maxC)) maxP else maxC).toInstant
+      .minus(java.time.Duration.ofHours(2))
+    val nulls = got.filter($"c_ts".isNull)
+      .join(ev.select($"event_id", $"ts"), "event_id")
+    assert(nulls.count() > 0)
+    val violating = nulls.filter(
+      $"ts" + expr("INTERVAL 1 HOUR") >= lit(java.sql.Timestamp.from(wm)))
+    assert(violating.count() == 0)
+  }
+
   test("s10 chained rollup equals the batch rollup up to the watermark cutoff") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"

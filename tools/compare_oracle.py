@@ -73,7 +73,17 @@ def main():
         for c in g.columns:
             gv = [norm_cell(x) for x in g[c].tolist()]
             ev = [norm_cell(x) for x in e[c].tolist()]
-            exact = all((a == b) or (a is None and b is None)
+            def both_null(a, b):
+                # None, float nan, and pandas NaT all count as null;
+                # null == null (the driver's hash treats nulls as one
+                # consistent token, not IEEE-NaN-unequal)
+                def isnull(x):
+                    try:
+                        return x is None or pd.isna(x)
+                    except (TypeError, ValueError):
+                        return False
+                return isnull(a) and isnull(b)
+            exact = all((a == b) or both_null(a, b)
                         or (isinstance(a, float) and isinstance(b, float)
                             and (a == b or (math.isnan(a) and math.isnan(b))))
                         for a, b in zip(gv, ev))
