@@ -186,6 +186,10 @@ object SparkEntry {
     // binary column via the built-in binaryFile source, glob-pruned at
     // the listing, decoded by the same real JDK codec path
     "m05_media_ingest"       -> (graft.operators.Multimodal.mediaIngest _),
+    // m06: perceptual (average-hash) near-dup over decoded pixels —
+    // catches brightness-shifted re-encoded copies exact byte hashing
+    // (m02) cannot; d04's banding scheme applied to images
+    "m06_media_phash"        -> (graft.operators.Multimodal.mediaPerceptualDedup _),
     // — similarity search (SURVEY §2.11) —
     "e01_knn_brute"          -> (Similarity.knnBruteForce _),
     "e02_knn_lsh"            -> (Similarity.knnLsh _),

@@ -343,6 +343,90 @@ object Multimodal {
         explode(sequence(lit(0), greatest(col("meta.n_frames") - 1, lit(0)), lit(stride))))
       .select(col("media_id"), col("frame_idx"), col("payload"), col("meta"))
 
+  /** 64-bit perceptual average-hash over DECODED pixels: 8×8 grid of
+    * mean luminances (the [[imageFeatures]] grid at dim=64), bit i set
+    * iff cell i's mean exceeds the global mean. Content-level identity
+    * where [[dedupByContent]]'s byte hash is brittle: a re-encoded or
+    * brightness-shifted copy keeps its aHash within a few bits while
+    * sharing zero payload bytes.
+    */
+  private[operators] def averageHash64(payload: Array[Byte]): Long = {
+    val cells = imageFeatures(payload, 64)
+    var mean = 0.0
+    cells.foreach(mean += _)
+    mean /= 64.0
+    var h = 0L
+    var i = 0
+    while (i < 64) {
+      if (cells(i) > mean) h |= (1L << i)
+      i += 1
+    }
+    h
+  }
+
+  /** Brightness-shift + re-encode perturbation (the classic near-dup
+    * a pipeline must catch: same content, zero shared bytes). Clamped
+    * per-channel add, PNG re-encode via the same JDK codec.
+    */
+  private[operators] def perturbImages(media: DataFrame, delta: Int): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(
+      StructType(media.schema.fields.toIndexedSeq))
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val src = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](payloadIdx)))
+        val dst = new java.awt.image.BufferedImage(src.getWidth, src.getHeight,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < src.getHeight) {
+          var x = 0
+          while (x < src.getWidth) {
+            val p = src.getRGB(x, y)
+            def c(v: Int) = math.min(255, math.max(0, v + delta))
+            dst.setRGB(x, y,
+              (c((p >> 16) & 0xFF) << 16) | (c((p >> 8) & 0xFF) << 8) | c(p & 0xFF))
+            x += 1
+          }
+          y += 1
+        }
+        val vals = r.toSeq.toArray
+        vals(payloadIdx) = encodePng(dst)
+        org.apache.spark.sql.Row(vals.toIndexedSeq: _*)
+      }
+    }(enc)
+  }
+
+  /** Perceptual near-dup pairs over an image frame: aHash per image
+    * (mapPartitions decode — one codec pass per payload), then the
+    * SimHash banding scheme on the 64-bit hash (4×16-bit chunks: any
+    * pair within Hamming ≤ 3 shares ≥1 exact chunk — pigeonhole),
+    * verified by `bit_count(xor)`. The shuffle carries (id, 8-byte
+    * hash) — never payload bytes; candidate volume is bounded by
+    * bucket collisions exactly as in the text SimHash path (d04).
+    */
+  def perceptualPairs(images: DataFrame, maxHamming: Int = 3): DataFrame = {
+    import images.sparkSession.implicits._
+    val hashed = images.select(col("media_id"), col("payload"))
+      .map(r => (r.getLong(0), averageHash64(r.getAs[Array[Byte]](1))))
+      .toDF("id", "ahash")
+    val banded = hashed.select(col("id"), col("ahash"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("ahash"), b * 16).bitwiseAND(0xFFFFL).as("bkey"))
+      }: _*)).as("bb"))
+      .select(col("id"), col("ahash"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val a = banded.select(col("band"), col("bkey"), col("id").as("media_a"), col("ahash").as("h_a"))
+    val b = banded.select(col("band"), col("bkey"), col("id").as("media_b"), col("ahash").as("h_b"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("media_a") < col("media_b"))
+      .dropDuplicates("media_a", "media_b")
+      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("media_a"), col("media_b"), col("hamming"))
+      .orderBy(col("media_a"), col("media_b"))
+  }
+
   /** Content-hash dedup over the opaque payload (exact dedup works on
     * any modality without decoding).
     */
@@ -391,6 +475,23 @@ object Multimodal {
     dedupByContent(media.unionByName(redelivered))
       .select(col("keeper_id"), col("n_copies"))
       .orderBy(col("keeper_id"))
+  }
+
+  /** m06: perceptual near-dup — the content-level dedup m02's exact
+    * byte hash CANNOT do. The first 20 images are brightness-shifted
+    * (+8 per channel, clamped) and re-encoded under new ids: zero
+    * shared payload bytes (planted-pair recovery and exact-hash
+    * blindness asserted in `MultimodalSpec`), but each variant stays
+    * within Hamming ≤ 3 of its original's average-hash and every
+    * planted pair surfaces through the banded join. Rows-only (PNG
+    * decode is not ANSI-SQL-derivable); the banding/verify shape is
+    * the oracle-anchored d04 scheme applied to pixels.
+    */
+  def mediaPerceptualDedup(spark: SparkSession, dir: String): DataFrame = {
+    val images = syntheticMedia(spark, 300).filter(col("kind") === "image")
+    val variants = perturbImages(images.filter(col("media_id") < 60), delta = 8)
+      .withColumn("media_id", col("media_id") + 2000L)
+    perceptualPairs(images.unionByName(variants))
   }
 
   /** m04: the REAL image resize pipeline — decode PNG, nearest-neighbor

@@ -147,4 +147,22 @@ class MultimodalSpec extends SparkSpec {
       assert(lum == math.round(sum.toDouble / n * 1e6), s"img $id luminance")
     }
   }
+
+  test("m06 perceptual near-dup: planted variants recovered, exact hash blind to them") {
+    val images = Multimodal.syntheticMedia(spark, 300).filter($"kind" === "image")
+    val variants = Multimodal.perturbImages(images.filter($"media_id" < 60), delta = 8)
+      .withColumn("media_id", $"media_id" + 2000L)
+    // the perturbation changes EVERY payload: exact content dedup finds
+    // zero copies across original ∪ variant
+    val exact = Multimodal.dedupByContent(images.unionByName(variants))
+      .filter($"n_copies" > 1)
+    assert(exact.count() == 0)
+    // ...but the perceptual pairs are exactly the 20 planted ones
+    val pairs = Multimodal.mediaPerceptualDedup(spark, "unused").collect()
+    assert(pairs.length == 20)
+    pairs.foreach { r =>
+      assert(r.getLong(1) == r.getLong(0) + 2000L, r.toString)
+      assert(r.getAs[Number]("hamming").longValue <= 3, r.toString)
+    }
+  }
 }
