@@ -234,6 +234,11 @@ object SparkEntry {
     "q71_lateral_topn"       -> (Relational.lateralTopN _),
     "q72_hof_arrays"         -> (Relational.hofArrays _),
     "q73_recursive_chain"    -> (Relational.recursiveChain _),
+    // q74/q75: forward fill (IGNORE NULLS running window) and pure-SQL
+    // gap sessionization (the batch twin of s03's session_window) —
+    // one shared SQL text per query runs on both engines
+    "q74_forward_fill"       -> (Relational.forwardFill _),
+    "q75_gap_sessionize"     -> (Relational.gapSessionize _),
     // t21: integer-exact bigram novelty/familiarity profile
     "t21_bigram_novelty"     -> (TextAnalysis.bigramNovelty _),
     // t22: accent folding (French diacritics) proven by plant+fold
@@ -1334,6 +1339,8 @@ object SparkEntry {
       // RECURSIVE are ANSI; DuckDB executes them natively)
       "q71_lateral_topn" -> graft.operators.Relational.lateralTopNSql,
       "q73_recursive_chain" -> graft.operators.Relational.recursiveChainSql,
+      "q74_forward_fill" -> graft.operators.Relational.forwardFillOracleSql,
+      "q75_gap_sessionize" -> graft.operators.Relational.gapSessionizeSql,
       // q72: DuckDB's list lambdas mirror each HOF kernel one-for-one
       "q72_hof_arrays" ->
         """WITH a AS (

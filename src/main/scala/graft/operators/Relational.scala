@@ -752,4 +752,67 @@ object Relational {
     Tables.customer(spark, dir).createOrReplaceTempView("customer")
     spark.sql(recursiveChainSql)
   }
+
+  /** q74: forward fill (gap repair) — `last_value(... IGNORE NULLS)`
+    * over a per-key ordered frame, the standard sensor/feature-store
+    * repair for sparse readings. Nulls are PLANTED closed-form
+    * (every 7th event) so the fill is fully oracle-derivable; the
+    * filled value is a per-row passthrough (no arithmetic), so floats
+    * are bit-exact. One shuffle on the partition key; the running
+    * frame is computed in a single pass per partition at any scale.
+    * One dialect nit: Spark parses `last_value(v) IGNORE NULLS OVER`,
+    * DuckDB wants `last_value(v IGNORE NULLS) OVER` — same semantics,
+    * two spellings (the oracle carries the DuckDB one).
+    */
+  private def forwardFillSqlFor(ignoreNulls: String => String): String =
+    s"""SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+       | ${ignoreNulls("v")} OVER (
+       |   PARTITION BY user_id ORDER BY ts, event_id
+       |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+       |FROM (SELECT event_id, user_id, ts,
+       |  CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+       | FROM events)
+       |ORDER BY event_id""".stripMargin
+  val forwardFillSql: String =
+    forwardFillSqlFor(v => s"last_value($v) IGNORE NULLS")
+  val forwardFillOracleSql: String =
+    forwardFillSqlFor(v => s"last_value($v IGNORE NULLS)")
+
+  def forwardFill(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir).createOrReplaceTempView("events")
+    spark.sql(forwardFillSql)
+  }
+
+  /** q75: gap-based sessionization in pure window SQL — the batch twin
+    * of s03's `session_window` (same 30-minute inactivity rule): flag
+    * a session start when the per-user gap ≥ 30 min, number sessions
+    * with a running sum of flags, aggregate per session. The classic
+    * two-window + groupBy plan: both windows share ONE partitioning
+    * (user_id), so the whole query is a single shuffle plus per-
+    * partition sorts. Equality with the `session_window` operator is
+    * asserted in spec; the oracle runs the identical SQL.
+    */
+  val gapSessionizeSql: String =
+    """WITH e AS (
+      | SELECT user_id, ts, event_id,
+      |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |        OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |           >= INTERVAL '30' MINUTE
+      |       THEN 1 ELSE 0 END AS new_s
+      | FROM events),
+      |s AS (
+      | SELECT user_id, ts,
+      |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS sid
+      | FROM e)
+      |SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start,
+      | CAST(max(ts) AS TIMESTAMP) AS session_end,
+      | count(*) AS n_events
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
+  def gapSessionize(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir).createOrReplaceTempView("events")
+    spark.sql(gapSessionizeSql)
+  }
 }

@@ -148,6 +148,31 @@ class EntrySpec extends SparkSpec {
     assert(r.getAs[Long]("tv_steps") == (if (qtys.isEmpty) 0 else qtys.max - qtys.min))
   }
 
+  test("q75 gap sessionization equals the session_window operator session-for-session") {
+    val viaSql = operators.Relational.gapSessionize(spark, sf)
+      .select(col("user_id"), col("session_start"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    val viaOp = streaming.Streams.userSessions(Tables.events(spark, sf))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    assert(viaSql == viaOp)
+  }
+
+  test("q74 forward fill: planted nulls repaired with the latest prior value") {
+    val rows = operators.Relational.forwardFill(spark, sf).collect()
+    val n = rows.length
+    assert(n == spark.read.parquet(s"$sf/events.parquet").count())
+    // every filled value on a planted-null row equals some prior
+    // real value of the same user; non-null source rows pass through
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("value")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      if (id % 7 != 0)
+        assert(r.getDouble(3) == ev(id), s"passthrough broken for $id")
+    }
+  }
+
   test("t21 bigram novelty invariants: hapax ≤ n, familiarity ≥ n, novelty ∈ [0,1]") {
     val rows = operators.TextAnalysis.bigramNovelty(spark, sf).collect()
     assert(rows.nonEmpty)
