@@ -171,6 +171,10 @@ object SparkEntry {
     // fragments) + keep-min groupBy; oracle derives the canonical key
     // closed-form, pinning the whole normalize chain to its spec
     "d18_url_dedup"          -> (Dedup.urlDedup _),
+    // d21: incremental dedup against a persisted fingerprint index —
+    // per-batch cost scales with the delta, the corpus is never
+    // rescanned; oracle proves increment ≡ full rebuild
+    "d21_incremental_dedup"  -> (Dedup.incrementalDedup _),
     // d19: CCNet/C4-style paragraph-level corpus dedup — keep each
     // distinct 10-word chunk's first (doc_id, pos) occurrence via an
     // algebraic min-struct aggregate (map-side combinable, no window
@@ -262,6 +266,9 @@ object SparkEntry {
     // emit at state-eviction time; oracle = matches ∪ watermark-proven
     // unmatched purchases
     "s11_streaming_left_join" -> (Streams.streamingLeftOuterJoin _),
+    // s12: streaming keyed-upsert sink (foreachBatch CDC apply, the
+    // reference's _id bulk upsert streamed); oracle = latest per key
+    "s12_streaming_upsert"   -> (Streams.streamingUpsertApply _),
     // s07: the transformWithState (state API v2, RocksDB) operator run
     // through a REAL streaming drain; integer-cents state makes the
     // final totals batch-boundary-invariant and oracle-exact
@@ -650,6 +657,18 @@ object SparkEntry {
       "d02_fingerprint_dedup" ->
         s"""SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
            |FROM documents GROUP BY ${norm("text")} ORDER BY keeper_id""".stripMargin,
+      // d21: increment ≡ rebuild — the oracle recomputes full-corpus
+      // dedup from scratch and keeps the delta-batch keepers whose
+      // text is new corpus-wide (no base doc shares the group)
+      "d21_incremental_dedup" ->
+        s"""WITH g AS (
+           | SELECT min(doc_id) AS keeper_id,
+           |  CAST(sum(CASE WHEN doc_id >= 250 THEN 1 ELSE 0 END) AS BIGINT) AS n_delta,
+           |  CAST(sum(CASE WHEN doc_id < 250 THEN 1 ELSE 0 END) AS BIGINT) AS n_base
+           | FROM documents GROUP BY ${norm("text")})
+           |SELECT keeper_id, n_delta AS n_copies FROM g
+           |WHERE n_base = 0 AND keeper_id >= 250
+           |ORDER BY keeper_id""".stripMargin,
       "e05_cosine_range" ->
         """SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id
           |FROM embeddings q, embeddings e
@@ -959,6 +978,15 @@ object SparkEntry {
           |    AND c.ts >= p.ts - INTERVAL 1 HOUR
           |    AND c.ts <= p.ts + INTERVAL 1 HOUR)
           |ORDER BY event_id, c_ts""".stripMargin,
+      // s12: after the drain the upsert table IS the latest event per
+      // user ((ts, event_id)-ordered last-write-wins)
+      "s12_streaming_upsert" ->
+        """SELECT user_id, event_id AS last_event_id,
+          | CAST(ts AS TIMESTAMP) AS ts, value
+          |FROM (SELECT *, row_number() OVER (
+          |   PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          |  FROM events)
+          |WHERE rn = 1 ORDER BY user_id""".stripMargin,
       // d12: word-8-gram contamination vs an eval suite of 20-token
       // excerpts (tokens 6-25 of every doc_id%97 doc — benchmark items
       // quoted from the corpus); md5 shingle keys are bit-identical

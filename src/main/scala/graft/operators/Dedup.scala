@@ -35,6 +35,42 @@ object Dedup {
       .select(col("keeper_id"), col("n_copies"))
       .orderBy(col("keeper_id"))
 
+  /** d21: INCREMENTAL dedup against a persisted fingerprint index —
+    * the production "daily increment" shape (the q60 incremental-
+    * maintenance pattern applied to dedup): the already-curated corpus
+    * is represented ONLY by its stored md5-key index (built once,
+    * appended per batch); a new delta batch dedups (a) internally and
+    * (b) against the index via one key join — the historical corpus is
+    * NEVER rescanned or re-normalized. At 100 TB the index is a
+    * fraction of corpus size (one 16-byte key + id per kept doc) and
+    * the per-batch cost scales with the DELTA, not the corpus. The
+    * oracle recomputes full-corpus dedup from scratch and keeps only
+    * delta-batch keepers — result equality proves increment ≡ rebuild.
+    *
+    * Split rule (closed-form, oracle-mirrored): base = doc_id < 250,
+    * delta = the rest. Output: delta docs that survive (their text is
+    * new corpus-wide AND they are the first occurrence within the
+    * delta), with their key.
+    */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val idxDir = graft.util.Scratch.dir(spark, "d21_idx", dir).toString
+    // one-time index build over the base slice: key + keeper id only
+    docs.filter(col("doc_id") < 250)
+      .groupBy(fingerprintMd5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keeper_id"))
+      .write.mode("overwrite").parquet(idxDir)
+    // the incremental batch: dedup within the delta, then anti-join
+    // the stored index — the base corpus itself is never touched
+    val index = spark.read.parquet(idxDir)
+    docs.filter(col("doc_id") >= 250)
+      .groupBy(fingerprintMd5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+      .join(index.select(col("fp")), Seq("fp"), "left_anti")
+      .select(col("keeper_id"), col("n_copies"))
+      .orderBy(col("keeper_id"))
+  }
+
   /** Exact dedup via 64-bit fingerprint — the cheap-join-key variant
     * (group by 8-byte long instead of full text; at 100 TB the shuffle
     * carries hashes, not documents).

@@ -285,6 +285,57 @@ object Streams {
       mode = "append", outputMode = "append")
       .orderBy(col("event_id"), col("c_ts"))
 
+  /** s12: the streaming KEYED-UPSERT SINK — the reference's `_id` bulk
+    * upsert (S6, `ingestion-elasticsearch.py:36-55`) as a streaming
+    * apply: every micro-batch folds into a keyed parquet table via
+    * read → union → keep latest per key → overwrite (the idempotent
+    * `foreachBatch` CDC-apply pattern; `localCheckpoint` cuts the
+    * lineage so the overwrite never reads the files it replaces).
+    * Last-write-wins is (ts, event_id)-ordered, so the winner is
+    * deterministic under any batch split, and a batch REPLAY re-applies
+    * to the same result — exactly-once effect from at-least-once
+    * delivery. After the drain the table IS the latest event per user:
+    * oracle = the batch latest-per-key query over all events.
+    */
+  def streamingUpsertApply(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.streaming.Trigger
+    val tableDir = graft.util.Scratch.dir(spark, "s12_table", dir).toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_s12_ckpt")
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = eventsStream(spark, dir)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val sp = batch.sparkSession
+          val existing =
+            try sp.read.parquet(tableDir)
+            catch { case _: Throwable => batch.limit(0) }
+          val w = Window.partitionBy(col("user_id"))
+            .orderBy(col("ts").desc, col("event_id").desc)
+          existing.unionByName(batch)
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1).drop("rn")
+            .localCheckpoint(true)
+            .write.mode("overwrite").parquet(tableDir)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      graft.util.Scratch.rmTree(ckpt)
+    }
+    spark.read.parquet(tableDir)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("ts"), col("value"))
+      .orderBy(col("user_id"))
+  }
+
   /** s09: offline STATE-STORE inspection — the `statestore` batch
     * reader over a retained checkpoint. A streaming `groupBy(type)
     * .count()` drains under `Trigger.AvailableNow` (update mode, the

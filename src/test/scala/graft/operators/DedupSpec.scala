@@ -364,4 +364,23 @@ class DedupSpec extends SparkSpec {
     // and the sweep actually prunes something on the fixture
     assert(kept.count() < emb.count())
   }
+
+  test("d21 incremental dedup against the stored index equals a full rebuild") {
+    import graft.functions.TextFns
+    val sf = "/root/testdata/sf0.001"
+    val got = Dedup.incrementalDedup(spark, sf).collect().toSeq
+    // rebuild from scratch: full-corpus groups; keep delta-side keepers
+    // whose group contains no base doc
+    val full = graft.Tables.documents(spark, sf)
+      .groupBy(TextFns.fingerprintMd5($"text").as("fp"))
+      .agg(min($"doc_id").as("keeper_id"),
+        sum(when($"doc_id" >= 250, 1L).otherwise(0L)).as("n_delta"),
+        sum(when($"doc_id" < 250, 1L).otherwise(0L)).as("n_base"))
+      .filter($"n_base" === 0 && $"keeper_id" >= 250)
+      .select($"keeper_id", $"n_delta".as("n_copies"))
+      .orderBy($"keeper_id")
+      .collect().toSeq
+    assert(got == full)
+    assert(got.nonEmpty)
+  }
 }

@@ -282,6 +282,25 @@ class StreamsSpec extends SparkSpec {
     assert(violating.count() == 0)
   }
 
+  test("s12 streaming upsert apply: table equals latest-per-key; re-apply is a no-op") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val got = Streams.streamingUpsertApply(spark, sf).collect().toSeq
+    val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    val expected = graft.Tables.events(spark, sf)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_id".as("last_event_id"), $"ts", $"value")
+      .orderBy($"user_id")
+      .collect().toSeq
+    assert(got == expected)
+    // idempotence: a second full drain (an at-least-once redelivery of
+    // every batch) lands the identical table
+    val again = Streams.streamingUpsertApply(spark, sf).collect().toSeq
+    assert(again == got)
+  }
+
   test("s10 chained rollup equals the batch rollup up to the watermark cutoff") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
