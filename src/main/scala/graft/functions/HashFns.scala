@@ -402,6 +402,151 @@ object HashFns {
     GraftColumnBridge.column(
       SortedCharShingles(GraftColumnBridge.expression(text), n))
 
+  /** Sorted HASHED shingle set: each byte n-gram window hashed to a
+    * 64-bit value (XXH64 seed 42 — the [[minhashShingles]] base hash),
+    * sorted, deduped. Jaccard over these long sets equals jaccard over
+    * the string sets absent 64-bit collisions (P < 1e-11 for ~10³
+    * shingles/doc), and the merge compares primitive longs instead of
+    * UTF8Strings — the verify-stage payload drops to 8 bytes/shingle
+    * and the comparator to one branch. Byte windows (≡ chars for the
+    * ASCII corpora this path serves; the oracle-anchored string kernel
+    * [[sortedShingles]] stays codepoint-windowed).
+    */
+  def sortedShingleHashes(s: UTF8String, n: Int): ArrayData = {
+    val bytes = s.getBytes
+    val nWin = math.max(bytes.length - n + 1, 1)
+    val win = math.min(n, bytes.length)
+    val arr = new Array[Long](nWin)
+    var i = 0
+    while (i < nWin) {
+      arr(i) = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET + i, win, 42L)
+      i += 1
+    }
+    java.util.Arrays.sort(arr)
+    var w = 0
+    i = 0
+    while (i < nWin) {
+      if (w == 0 || arr(i) != arr(w - 1)) { arr(w) = arr(i); w += 1 }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(arr, w))
+  }
+
+  case class SortedShingleHashSet(child: Expression, n: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "sorted_shingle_hashes"
+    override def nullSafeEval(input: Any): Any =
+      sortedShingleHashes(input.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashFns.sortedShingleHashes($c, $n)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def sortedShingleHashSet(text: Column, n: Int): Column =
+    GraftColumnBridge.column(
+      SortedShingleHashSet(GraftColumnBridge.expression(text), n))
+
+  /** Exact jaccard of two SORTED long arrays — one merge pass over
+    * primitives (the [[sortedJaccard]] twin for hashed shingle sets).
+    */
+  def sortedJaccardLong(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 && nb == 0) return 0.0
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (na + nb - inter)
+  }
+
+  case class SortedJaccardLong(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "sorted_jaccard_long"
+    override def nullSafeEval(a: Any, b: Any): Any =
+      sortedJaccardLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashFns.sortedJaccardLong($a, $b)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def jaccardSortedLong(a: Column, b: Column): Column =
+    GraftColumnBridge.column(SortedJaccardLong(GraftColumnBridge.expression(a),
+                                               GraftColumnBridge.expression(b)))
+
+  /** Pack a MinHash signature (array<long>) into one byte per
+    * component (low byte — minima are uniform). Component equality ⇒
+    * byte equality; false byte-equality adds ~1/256·(1−j) to the
+    * estimate, absorbed by the prefilter margin. The prefilter joins
+    * then ship 32 bytes per side instead of a 32×8-byte array.
+    */
+  def packSigBytes(sig: ArrayData): Array[Byte] = {
+    val n = sig.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) { out(i) = (sig.getLong(i) & 0xFFL).toByte; i += 1 }
+    out
+  }
+
+  case class PackSigBytes(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = BinaryType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "pack_sig_bytes"
+    override def nullSafeEval(input: Any): Any =
+      packSigBytes(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashFns.packSigBytes($c)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def sigBytes(sig: Column): Column =
+    GraftColumnBridge.column(PackSigBytes(GraftColumnBridge.expression(sig)))
+
+  /** Fraction of matching components of two byte-packed signatures. */
+  def sigMatchFracBytes(a: Array[Byte], b: Array[Byte]): Double = {
+    val n = math.min(a.length, b.length)
+    if (n == 0) return 0.0
+    var same = 0
+    var i = 0
+    while (i < n) {
+      if (a(i) == b(i)) same += 1
+      i += 1
+    }
+    same.toDouble / n
+  }
+
+  case class SigMatchFracBytes(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "sig_match_frac_bytes"
+    override def nullSafeEval(a: Any, b: Any): Any =
+      sigMatchFracBytes(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashFns.sigMatchFracBytes($a, $b)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def signatureMatchFractionBytes(a: Column, b: Column): Column =
+    GraftColumnBridge.column(SigMatchFracBytes(GraftColumnBridge.expression(a),
+                                               GraftColumnBridge.expression(b)))
+
   /** MinHash signature (array<long> of k minima) over byte n-gram
     * shingles of a string column.
     */

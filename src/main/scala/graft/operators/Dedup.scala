@@ -173,16 +173,23 @@ object Dedup {
     // two prefilter joins): persist so normalize+minhash run once, not
     // four times. At cluster scale this is the standard
     // persist-signatures step of a MinHash pipeline.
+    // sigb: the signature packed to one byte per component — the
+    // prefilter joins ship 32 bytes per side instead of 32×8 (byte
+    // false-equality adds ~(1−j)/256 to the estimate, absorbed by the
+    // prefilter margin; the exact verify decides membership anyway)
     val sig = base.select(col("id"),
       HashFns.minhashSig(col("text_norm"), shingleLen, numHashes).as("sig"))
+      .withColumn("sigb", HashFns.sigBytes(col("sig")))
       .persist()
-    // sorted shingle sets → exact jaccard is a single merge pass.
-    // NOT persisted even though the verification join reads it twice:
-    // shingle arrays are ~|text| small strings per row, so caching them
-    // deserialized costs far more (memory + GC) than re-running the
-    // fused one-pass shingle kernel — measured 5× slower when cached.
+    // sorted HASHED shingle sets → exact jaccard is one primitive-long
+    // merge pass (8 bytes/shingle through the verify joins and a
+    // one-branch comparator; string-set jaccard is identical absent
+    // 64-bit collisions — the d08 oracle anchor keeps the string
+    // kernel). NOT persisted even though the verification join reads
+    // it twice: caching the arrays deserialized costs more (memory +
+    // GC) than re-running the fused one-pass kernel.
     val shingled = base.select(col("id"),
-      HashFns.sortedShingleSet(col("text_norm"), shingleLen).as("sh"))
+      HashFns.sortedShingleHashSet(col("text_norm"), shingleLen).as("sh"))
 
     // Cheap signature-estimate prefilter (fraction of matching minhash
     // components ≈ jaccard, σ≈1/√k): kills the low-similarity bulk of
@@ -192,16 +199,16 @@ object Dedup {
     // are verified redundantly (a few %) and deduped at the END, where
     // the set is hundreds of rows — not shuffled at candidate volume
     val prefiltered = lshCandidatesRaw(sig, bands, rows)
-      .join(sig.select(col("id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
-      .join(sig.select(col("id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
-      .withColumn("est", HashFns.signatureMatchFraction(col("sig_a"), col("sig_b")))
+      .join(sig.select(col("id").as("doc_a"), col("sigb").as("sig_a")), "doc_a")
+      .join(sig.select(col("id").as("doc_b"), col("sigb").as("sig_b")), "doc_b")
+      .withColumn("est", HashFns.signatureMatchFractionBytes(col("sig_a"), col("sig_b")))
       .filter(col("est") >= threshold - 0.2)
       .select(col("doc_a"), col("doc_b"))
 
     val lazyPairs = prefiltered
       .join(shingled.select(col("id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(shingled.select(col("id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .withColumn("jaccard", HashFns.jaccardSorted(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", HashFns.jaccardSortedLong(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .dropDuplicates("doc_a", "doc_b")
