@@ -248,9 +248,13 @@ object Dedup {
     val b = banded.select(col("band"), col("bkey"), col("id").as("doc_b"), col("sig").as("sig_b"))
     a.join(b, Seq("band", "bkey"))
       .filter(col("doc_a") < col("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
+      // verify BEFORE deduping multi-band collisions: the hamming test
+      // is map-side (both 8-byte sigs ride the band rows), so the
+      // dedup shuffle carries only true near-dup pairs — at adversarial
+      // density the raw candidate set is orders of magnitude larger
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("doc_a", "doc_b")
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
   }

@@ -125,8 +125,10 @@ object ScaleStress {
       // q68's two-pass numbering scales with the sort, not the window
       "d19_paragraph_dedup", "q68_stable_ids",
       // round-6: the copy corpus multiplies every bigram's corpus count
-      // by `factor` — t21's count join runs at maximal key density
-      "t21_bigram_novelty")
+      // by `factor` — t21's count join runs at maximal key density;
+      // d21's delta (everything ≥250) dedups against the stored index
+      // at full corpus width; t22 is the map-only fold ceiling check
+      "t21_bigram_novelty", "d21_incremental_dedup", "t22_accent_fold")
 
     // one untimed warmup pass at the small fixture (JIT/codegen)
     subset.foreach { n =>
