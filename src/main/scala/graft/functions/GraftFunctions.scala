@@ -59,6 +59,15 @@ object GraftFunctions {
       case es => throw new IllegalArgumentException(
         s"hashing_tf(tokens, dim), got ${es.size} args")
     },
+    // the d03 fast-verify kernels (hashed shingle sets + packed sigs)
+    "sorted_shingle_hashes" -> {
+      case Seq(c, n) => HashFns.SortedShingleHashSet(c, lit(n))
+      case es => throw new IllegalArgumentException(
+        s"sorted_shingle_hashes(text, n), got ${es.size} args")
+    },
+    "sorted_jaccard_long" -> (es => HashFns.SortedJaccardLong(es(0), es(1))),
+    "sig_bytes" -> (es => HashFns.PackSigBytes(es.head)),
+    "sig_match_frac_bytes" -> (es => HashFns.SigMatchFracBytes(es(0), es(1))),
   )
 
   def registerAll(spark: SparkSession): Unit =

@@ -78,4 +78,36 @@ class HashFnsSpec extends SparkSpec {
       assert(math.abs(got - exp) < 1e-15)
     }
   }
+
+  test("hashed shingle jaccard equals string shingle jaccard on ASCII text") {
+    val docs = Seq(
+      ("spark makes big joins fast", "spark makes big joins very fast"),
+      ("the quick brown fox", "a quick brown dog"),
+      ("identical text", "identical text"))
+      .toDF("a", "b")
+    val both = docs.select(
+      HashFns.jaccardSorted(
+        HashFns.sortedShingleSet($"a", 5), HashFns.sortedShingleSet($"b", 5)).as("s"),
+      HashFns.jaccardSortedLong(
+        HashFns.sortedShingleHashSet($"a", 5), HashFns.sortedShingleHashSet($"b", 5)).as("h"))
+      .as[(Double, Double)].collect()
+    both.foreach { case (s, h) => assert(s == h, s"string=$s hashed=$h") }
+  }
+
+  test("byte-packed sig match fraction tracks the exact fraction within 1/256 noise") {
+    val rnd = new scala.util.Random(7)
+    (1 to 20).foreach { _ =>
+      val a = Seq.fill(32)(rnd.nextLong())
+      // share a random subset of components
+      val b = a.zipWithIndex.map { case (v, i) => if (rnd.nextBoolean()) v else rnd.nextLong() }
+      val (exact, packed) = Seq((a, b)).toDF("a", "b")
+        .select(
+          HashFns.signatureMatchFraction($"a", $"b").as("e"),
+          HashFns.signatureMatchFractionBytes(
+            HashFns.sigBytes($"a"), HashFns.sigBytes($"b")).as("p"))
+        .as[(Double, Double)].head()
+      // packed can only OVER-estimate (byte collisions), never under
+      assert(packed >= exact && packed <= exact + 8.0 / 32, s"exact=$exact packed=$packed")
+    }
+  }
 }
