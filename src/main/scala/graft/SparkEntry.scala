@@ -98,6 +98,10 @@ object SparkEntry {
     // offsets — the scalable plan for row_number() OVER (ORDER BY k),
     // which Spark would otherwise run in ONE task
     "q68_stable_ids"        -> (graft.operators.Layout.stableIdsQuery _),
+    // q76/q77: bucketing pays off for GROUP BY (Exchange-free agg) and
+    // dynamic partition pruning (runtime join-driven partition skip)
+    "q76_bucketed_agg"      -> (graft.operators.Layout.bucketedAgg _),
+    "q77_dynamic_prune"     -> (graft.operators.Layout.dynamicPartitionPrune _),
     // — warehouse maintenance: MERGE + SCD2 history —
     "q47_merge_upsert"      -> (Relational.mergeUpsert _),
     // q60: incremental view maintenance — merge delta partials into
@@ -1098,6 +1102,24 @@ object SparkEntry {
           |  ELSE o_totalprice END AS o_totalprice,
           | o_orderpriority
           |FROM orders ORDER BY o_orderkey""".stripMargin,
+      // q76: layout is invisible in the result — same agg, plain table
+      "q76_bucketed_agg" ->
+        """SELECT l_orderkey, count(*) AS n_items,
+          | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+          |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+      // q77: the dim derives closed-form from orders; pruning must not
+      // change the join result
+      "q77_dynamic_prune" ->
+        """WITH dim AS (
+          | SELECT DISTINCT o_orderpriority AS p,
+          |  CASE WHEN substr(o_orderpriority, 1, 1) IN ('1','2')
+          |       THEN 'hot' ELSE 'cold' END AS klass
+          | FROM orders)
+          |SELECT o_orderpriority, count(*) AS n,
+          | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |FROM orders JOIN dim ON o_orderpriority = dim.p
+          |WHERE dim.klass = 'hot'
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
       // q68: the scalable id-assignment plan must be indistinguishable
       // from the naive global window
       "q68_stable_ids" ->

@@ -447,4 +447,64 @@ object Layout {
         "o_orderkey", spark.sessionState.conf.numShufflePartitions)
       .select(col("o_orderkey"), col("rid"))
       .orderBy(col("o_orderkey"))
+
+  /** q76: aggregation on the bucketed table — bucketing pays off for
+    * GROUP BY too, not only joins (q45): the bucketed scan reports
+    * hash-partitioning on the bucket key, which satisfies the
+    * aggregate's required distribution, so the per-key aggregation
+    * runs with NO Exchange below it (asserted in `LayoutSpec`). At
+    * 100 TB this removes the full-table shuffle from every
+    * per-key rollup over the bucketed store — the write-once shuffle
+    * amortized across aggs AND joins. Oracle = the same aggregate
+    * over the plain table.
+    */
+  def bucketedAgg(spark: SparkSession, dir: String): DataFrame = {
+    writeBucketedFixtures(spark, dir)
+    bucketedAggBare(spark)
+  }
+  private[operators] def bucketedAggBare(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    spark.table(tbl(spark, "g_lineitem_bucketed"))
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+          .cast("double").as("revenue"))
+      .orderBy(col("l_orderkey"))
+  }
+
+  /** q77: DYNAMIC partition pruning — the runtime analog of q44's
+    * plan-time pruning. The fact copy is partitioned on the join key;
+    * the dim side shrinks at RUNTIME through a non-partition filter
+    * (`klass = 'hot'` — nothing about the fact's partition values is
+    * known at plan time), and Catalyst injects a
+    * `DynamicPruningSubquery` into the fact scan: only the partitions
+    * whose keys survive on the dim side are listed and read
+    * (`dynamicpruningexpression` in the scan's PartitionFilters,
+    * asserted in `LayoutSpec`). At 100 TB this is the difference
+    * between scanning 2/5 and 5/5 of a date- or category-partitioned
+    * fact whenever the restriction arrives through a join rather than
+    * a literal. The dim derives closed-form from orders, so the
+    * oracle re-runs the same join unpartitioned.
+    */
+  def dynamicPartitionPrune(spark: SparkSession, dir: String): DataFrame = {
+    val out = Scratch.dir(spark, "q77_dpp", dir).toString
+    Tables.orders(spark, dir)
+      .write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+    dppAgg(spark.read.parquet(out), dppDim(spark, dir))
+  }
+  private[operators] def dppDim(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("p")).distinct()
+      .withColumn("klass",
+        when(substring(col("p"), 1, 1).isin("1", "2"), "hot").otherwise("cold"))
+  private[operators] def dppAgg(fact: DataFrame, dim: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    fact.join(dim.filter(col("klass") === "hot"),
+        fact("o_orderpriority") === dim("p"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast("double").as("total"))
+      .orderBy(col("o_orderpriority"))
+  }
 }

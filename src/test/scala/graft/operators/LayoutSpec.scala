@@ -229,4 +229,31 @@ class LayoutSpec extends SparkSpec {
     val windows = plan.linesIterator.filter(_.contains("Window (")).toList
     assert(windows.isEmpty || plan.contains("_n"), plan)
   }
+
+  test("q76 per-key aggregate over the bucketed table has no Exchange below it") {
+    Layout.writeBucketedFixtures(spark, sf)
+    val df = Layout.bucketedAggBare(spark)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the only Exchange allowed is the final orderBy's range exchange,
+    // which sits ABOVE the aggregate — the agg itself reads pre-hashed
+    // buckets. Inspect the FINAL plan only (AQE echoes the initial
+    // plan below it), from its first HashAggregate down.
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    val belowAgg = finalPlan.substring(finalPlan.indexOf("HashAggregate"))
+    assert(!belowAgg.contains("Exchange"), plan)
+    assert(plan.contains("Bucketed: true"), plan)
+  }
+
+  test("q77 join-driven restriction prunes fact partitions at RUNTIME (DPP)") {
+    val out = graft.util.Scratch.dir(spark, "q77spec_dpp", sf).toString
+    Tables.orders(spark, sf)
+      .write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+    val df = Layout.dppAgg(spark.read.parquet(out), Layout.dppDim(spark, sf))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"), plan)
+    // and the restriction is real: 2 of the 5 priorities survive
+    assert(df.count() == 2)
+  }
 }
