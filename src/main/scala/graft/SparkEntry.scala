@@ -242,6 +242,9 @@ object SparkEntry {
     "q71_lateral_topn"       -> (Relational.lateralTopN _),
     "q72_hof_arrays"         -> (Relational.hofArrays _),
     "q73_recursive_chain"    -> (Relational.recursiveChain _),
+    // q78: multiset EXCEPT ALL / INTERSECT ALL (multiplicity-aware —
+    // the distinct forms q12/q13 erase duplicate counts)
+    "q78_multiset_ops"       -> (Relational.multisetOps _),
     // q74/q75: forward fill (IGNORE NULLS running window) and pure-SQL
     // gap sessionization (the batch twin of s03's session_window) —
     // one shared SQL text per query runs on both engines
@@ -1390,6 +1393,17 @@ object SparkEntry {
       "q71_lateral_topn" -> graft.operators.Relational.lateralTopNSql,
       "q73_recursive_chain" -> graft.operators.Relational.recursiveChainSql,
       "q74_forward_fill" -> graft.operators.Relational.forwardFillOracleSql,
+      // q78: DuckDB's native EXCEPT ALL / INTERSECT ALL re-derive the
+      // multiset semantics
+      "q78_multiset_ops" ->
+        """WITH a AS (SELECT l_orderkey AS k FROM lineitem),
+          |b AS (SELECT l_orderkey AS k FROM lineitem WHERE l_quantity > 25),
+          |ex AS (SELECT k FROM a EXCEPT ALL SELECT k FROM b),
+          |ia AS (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+          |SELECT 'except_all' AS op, k, count(*) AS n FROM ex GROUP BY k
+          |UNION ALL
+          |SELECT 'intersect_all' AS op, k, count(*) AS n FROM ia GROUP BY k
+          |ORDER BY op, k""".stripMargin,
       "q75_gap_sessionize" -> graft.operators.Relational.gapSessionizeSql,
       // q72: DuckDB's list lambdas mirror each HOF kernel one-for-one
       "q72_hof_arrays" ->

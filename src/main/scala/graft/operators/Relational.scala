@@ -815,4 +815,25 @@ object Relational {
     Tables.events(spark, dir).createOrReplaceTempView("events")
     spark.sql(gapSessionizeSql)
   }
+
+  /** q78: MULTISET set operations — `exceptAll`/`intersectAll` keep
+    * duplicate multiplicity (per key: count(a)−count(b) / min counts),
+    * which the distinct forms (q12/q13) erase. The multisets are the
+    * lineitem order keys (multiplicity = lines per order) vs the
+    * high-quantity subset; per-key counts of both results are emitted
+    * in one tagged frame. Spark plans these as a single aggregation
+    * computing both sides' counts plus a generate — no join, one
+    * shuffle on the key.
+    */
+  def multisetOps(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val a = li.select(col("l_orderkey").as("k"))
+    val b = li.filter(col("l_quantity") > 25).select(col("l_orderkey").as("k"))
+    def counted(df: DataFrame, op: String): DataFrame =
+      df.groupBy(col("k")).agg(count(lit(1)).as("n"))
+        .select(lit(op).as("op"), col("k"), col("n"))
+    counted(a.exceptAll(b), "except_all")
+      .unionByName(counted(a.intersectAll(b), "intersect_all"))
+      .orderBy(col("op"), col("k"))
+  }
 }
