@@ -245,6 +245,12 @@ object SparkEntry {
     // q78: multiset EXCEPT ALL / INTERSECT ALL (multiplicity-aware —
     // the distinct forms q12/q13 erase duplicate counts)
     "q78_multiset_ops"       -> (Relational.multisetOps _),
+    // q79: correlated scalar subqueries in SELECT (decorrelated to
+    // outer aggregate joins, COUNT-over-empty = 0)
+    "q79_scalar_subqueries"  -> (Relational.scalarSubqueries _),
+    // t23: Unicode NFC — planted decomposed pairs must recompose to
+    // the oracle's precomposed literals
+    "t23_nfc_normalize"      -> (TextAnalysis.nfcRoundtrip _),
     // q74/q75: forward fill (IGNORE NULLS running window) and pure-SQL
     // gap sessionization (the batch twin of s03's session_window) —
     // one shared SQL text per query runs on both engines
@@ -1441,6 +1447,13 @@ object SparkEntry {
       // oracle never runs the chain, it IS the expected fixed point
       "t22_accent_fold" ->
         """SELECT doc_id, text AS text_folded
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      // q79: identical ANSI text runs on DuckDB
+      "q79_scalar_subqueries" -> graft.operators.Relational.scalarSubqueriesSql,
+      // t23: the oracle substitutes the PRECOMPOSED é (U+00E9)
+      // directly — the Spark side plants e+U+0301 and must recompose
+      "t23_nfc_normalize" ->
+        """SELECT doc_id, replace(text, 'e', 'é') AS text_nfc
           |FROM documents ORDER BY doc_id""".stripMargin,
       // d07: the WHOLE curation pipeline in SQL — quality metrics +
       // gate (the t02 expressions), exact dedup (min id per normalized

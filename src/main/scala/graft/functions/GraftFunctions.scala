@@ -66,6 +66,7 @@ object GraftFunctions {
         s"sorted_shingle_hashes(text, n), got ${es.size} args")
     },
     "sorted_jaccard_long" -> (es => HashFns.SortedJaccardLong(es(0), es(1))),
+    "nfc_normalize" -> (es => TextFns.NfcNormalize(es.head)),
     "sig_bytes" -> (es => HashFns.PackSigBytes(es.head)),
     "sig_match_frac_bytes" -> (es => HashFns.SigMatchFracBytes(es(0), es(1))),
   )

@@ -257,6 +257,35 @@ object TextFns {
         c, "œ", "oe"), "Œ", "OE"), "æ", "ae"), "Æ", "AE"),
       accentFrom, accentTo)
 
+  /** Unicode NFC normalization (canonical composition) — the missing
+    * prerequisite of any text-dedup/fingerprint chain on real-world
+    * corpora: the same visible string arrives both precomposed (é =
+    * U+00E9) and decomposed (e + U+0301) and must hash identically.
+    * JDK `java.text.Normalizer` behind a codegen'd expression (no UDF).
+    */
+  def nfcNormalize(s: UTF8String): UTF8String = {
+    val str = s.toString
+    // fast path: most ASCII/already-NFC strings skip the rebuild
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
+  case class NfcNormalize(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "nfc_normalize"
+    override def nullSafeEval(input: Any): Any =
+      nfcNormalize(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextFns.nfcNormalize($c)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def nfc(c: Column): Column =
+    GraftColumnBridge.column(NfcNormalize(GraftColumnBridge.expression(c)))
+
   def fingerprintMd5(c: Column): Column = md5(normalizeText(c).cast("binary"))
 
   /** 64-bit rolling-hash-style fingerprint (xxhash64 of normalized text) —

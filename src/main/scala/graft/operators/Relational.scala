@@ -816,6 +816,27 @@ object Relational {
     spark.sql(gapSessionizeSql)
   }
 
+  /** q79: correlated SCALAR subqueries in the SELECT list — the
+    * per-row lookup shape (max order, order count per customer)
+    * declared as the subquery it is; Catalyst decorrelates each into
+    * a left outer aggregate join (including the COUNT-over-empty→0
+    * case nulls would get wrong). Same SQL text runs on DuckDB.
+    */
+  val scalarSubqueriesSql: String =
+    """SELECT c.c_custkey, c.c_name,
+      | (SELECT max(o.o_totalprice) FROM orders o
+      |   WHERE o.o_custkey = c.c_custkey) AS max_order,
+      | (SELECT count(*) FROM orders o
+      |   WHERE o.o_custkey = c.c_custkey) AS n_orders
+      |FROM customer c
+      |ORDER BY c.c_custkey""".stripMargin
+
+  def scalarSubqueries(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    spark.sql(scalarSubqueriesSql)
+  }
+
   /** q78: MULTISET set operations — `exceptAll`/`intersectAll` keep
     * duplicate multiplicity (per key: count(a)−count(b) / min counts),
     * which the distinct forms (q12/q13) erase. The multisets are the

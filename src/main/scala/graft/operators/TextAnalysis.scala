@@ -568,6 +568,22 @@ object TextAnalysis {
           .as("text_folded"))
       .orderBy(col("doc_id"))
 
+  /** t23: Unicode NFC normalization proven by planted decomposition
+    * (the t22 pattern one level deeper): every 'e' becomes the
+    * DECOMPOSED pair e + U+0301 (combining acute), then
+    * [[graft.functions.TextFns.nfc]] recomposes. The oracle writes the
+    * PRECOMPOSED replacement (é = U+00E9) directly — a hash match
+    * proves the engine's canonical composition agrees with Unicode,
+    * not merely with itself. Map-side, no UDF (JDK Normalizer behind a
+    * codegen expression with an isNormalized fast path).
+    */
+  def nfcRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.TextFns.nfc(
+          regexp_replace(col("text"), "e", "é")).as("text_nfc"))
+      .orderBy(col("doc_id"))
+
   /** t21: bigram novelty profile — the LM-shaped corpus statistic that
     * stays integer-exact. Per document: how many of its word bigrams
     * exist, how familiar they are corpus-wide (sum/max of corpus

@@ -254,6 +254,19 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("t23 nfc: decomposed pairs recompose; precomposed text is a fixed point") {
+    val decomposed = "cafe\u0301 cre\u0300me"      // e + combining acute/grave
+    val precomposed = "caf\u00e9 cr\u00e8me"       // precomposed e-acute / e-grave
+    val got = Seq(decomposed).toDF("t")
+      .select(TextFns.nfc($"t")).as[String].head()
+    assert(got == precomposed)
+    assert(got != decomposed) // the plant really was a different string
+    // idempotence / fast path: already-NFC text passes through unchanged
+    val again = Seq(precomposed).toDF("t")
+      .select(TextFns.nfc($"t")).as[String].head()
+    assert(again == precomposed)
+  }
+
   test("t22 foldAccents: full French diacritic set + ligature expansion") {
     val rows = Seq(
       ("Œuvre à l'été, garçon naïf", "OEuvre a l'ete, garcon naif"),
