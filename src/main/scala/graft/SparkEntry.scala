@@ -248,6 +248,8 @@ object SparkEntry {
     // q79: correlated scalar subqueries in SELECT (decorrelated to
     // outer aggregate joins, COUNT-over-empty = 0)
     "q79_scalar_subqueries"  -> (Relational.scalarSubqueries _),
+    // q80: MapType round trip (map_from_entries → map_keys → explode)
+    "q80_map_roundtrip"      -> (Relational.mapRoundtrip _),
     // t23: Unicode NFC — planted decomposed pairs must recompose to
     // the oracle's precomposed literals
     "t23_nfc_normalize"      -> (TextAnalysis.nfcRoundtrip _),
@@ -1450,6 +1452,16 @@ object SparkEntry {
           |FROM documents ORDER BY doc_id""".stripMargin,
       // q79: identical ANSI text runs on DuckDB
       "q79_scalar_subqueries" -> graft.operators.Relational.scalarSubqueriesSql,
+      // q80: the exploded map ≡ the plain group counts; n_priorities
+      // = per-customer distinct priority count
+      "q80_map_roundtrip" ->
+        """WITH c AS (
+          | SELECT o_custkey, o_orderpriority, count(*) AS n
+          | FROM orders GROUP BY o_custkey, o_orderpriority)
+          |SELECT o_custkey,
+          | CAST(count(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS n_priorities,
+          | o_orderpriority, n
+          |FROM c ORDER BY o_custkey, o_orderpriority""".stripMargin,
       // t23: the oracle substitutes the PRECOMPOSED é (U+00E9)
       // directly — the Spark side plants e+U+0301 and must recompose
       "t23_nfc_normalize" ->

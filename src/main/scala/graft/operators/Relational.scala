@@ -837,6 +837,27 @@ object Relational {
     spark.sql(scalarSubqueriesSql)
   }
 
+  /** q80: MapType round trip — the one §1 container type without a
+    * dedicated gate row: per-customer priority→count maps built with
+    * `map_from_entries(collect_list(struct(...)))`, interrogated with
+    * `map_keys`, and exploded back to rows. Map key order is engine-
+    * internal, so the gate compares the EXPLODED form (plus the map's
+    * cardinality per row) — a hash match proves construction lost no
+    * entry and explosion recovered each exactly once.
+    */
+  def mapRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+    counts.groupBy(col("o_custkey"))
+      .agg(map_from_entries(
+        collect_list(struct(col("o_orderpriority"), col("n")))).as("m"))
+      .select(col("o_custkey"),
+        size(map_keys(col("m"))).cast("long").as("n_priorities"),
+        explode(col("m")).as(Seq("o_orderpriority", "n")))
+      .orderBy(col("o_custkey"), col("o_orderpriority"))
+  }
+
   /** q78: MULTISET set operations — `exceptAll`/`intersectAll` keep
     * duplicate multiplicity (per key: count(a)−count(b) / min counts),
     * which the distinct forms (q12/q13) erase. The multisets are the
