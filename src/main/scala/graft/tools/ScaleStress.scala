@@ -130,8 +130,13 @@ object ScaleStress {
       // at full corpus width; t22 is the map-only fold ceiling check
       "t21_bigram_novelty", "d21_incremental_dedup", "t22_accent_fold")
 
+    // SPARK_GRAFT_ONLY=name1,name2 narrows the run (iteration / probes)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val chosen = only.fold(subset)(o => subset.filter(o.contains))
+
     // one untimed warmup pass at the small fixture (JIT/codegen)
-    subset.foreach { n =>
+    chosen.foreach { n =>
       try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }
     }
@@ -143,7 +148,7 @@ object ScaleStress {
     // numbers measured first-execution compile cost once the suite
     // grew (r5's e12 84s-in-sequence vs 24s warm standalone).
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
-    val results = subset.map { name =>
+    val results = chosen.map { name =>
       var rows = -1L
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
