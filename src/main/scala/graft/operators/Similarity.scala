@@ -153,19 +153,26 @@ object Similarity {
                     idCol: String, vecCol: String, k: Int,
                     nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L,
                     trainFraction: Double = 0.25): DataFrame = {
+    val centroids = trainCentroids(corpus, vecCol, nCells, seed, trainFraction)
+    ivfTopKWithCentroids(corpus, queries, idCol, vecCol, k, centroids, nProbe)
+  }
+
+  /** Lloyd-iterated k-means centroid training on a bounded sample (an
+    * index build must not Lloyd-iterate over the full 100 TB corpus),
+    * with the SAME metric the probe side uses — euclidean-trained cells
+    * are magnitude-skewed and would not be cosine-coherent.
+    */
+  private[graft] def trainCentroids(corpus: DataFrame, vecCol: String,
+                                    nCells: Int, seed: Long,
+                                    trainFraction: Double): Array[Array[Float]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    // train on a bounded sample (an index build must not Lloyd-iterate
-    // over the full 100 TB corpus), with the SAME metric the probe side
-    // uses — euclidean-trained cells are magnitude-skewed and would not
-    // be cosine-coherent
     val train = corpus.sample(withReplacement = false, trainFraction, seed)
       .select(array_to_vector(col(vecCol)).as("features"))
     val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10)
       .setDistanceMeasure("cosine")
       .setFeaturesCol("features").fit(train)
-    val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))
-    ivfTopKWithCentroids(corpus, queries, idCol, vecCol, k, centroids, nProbe)
+    model.clusterCenters.map(_.toArray.map(_.toFloat))
   }
 
   /** Shared IVF cell-assign / multi-probe / exact-re-rank machinery —
@@ -173,20 +180,39 @@ object Similarity {
     * literals, so assignment stays a fused map-only expression whether
     * the centroids were sampled or trained.
     */
-  private def ivfTopKWithCentroids(corpus: DataFrame, queries: DataFrame,
-                                   idCol: String, vecCol: String, k: Int,
-                                   centroids: Array[Array[Float]],
-                                   nProbe: Int): DataFrame = {
+  private[graft] def ivfTopKWithCentroids(corpus: DataFrame, queries: DataFrame,
+                                          idCol: String, vecCol: String, k: Int,
+                                          centroids: Array[Array[Float]],
+                                          nProbe: Int): DataFrame = {
+    val cCells = assignCells(corpus, idCol, vecCol, centroids)
+    probeAssigned(cCells, queries, idCol, vecCol, k, centroids, nProbe)
+  }
+
+  /** Frozen-centroid cell assignment: argmax-similarity cell per corpus
+    * row → `(neighbor_id, c_vec, cell)`. A pure per-row expression —
+    * centroids ride into codegen as literals, no shuffle, no model
+    * object — so it serves both the in-memory path and the persisted
+    * index build/append (the full-corpus assignment pass of every
+    * production vector store).
+    */
+  private def assignCells(corpus: DataFrame, idCol: String, vecCol: String,
+                          centroids: Array[Array[Float]]): DataFrame =
+    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .withColumn("sims", VectorFns.centroidSimsCol(col("c_vec"), centroids))
+      .withColumn("cell", expr("array_position(sims, array_max(sims))").cast("int"))
+      .drop("sims")
+
+  /** Multi-probe + exact re-rank over an ALREADY-ASSIGNED corpus
+    * (`(neighbor_id, c_vec, cell)` — fresh from [[assignCells]] or
+    * loaded from a persisted index).
+    */
+  private def probeAssigned(cCells: DataFrame, queries: DataFrame,
+                            idCol: String, vecCol: String, k: Int,
+                            centroids: Array[Array[Float]],
+                            nProbe: Int): DataFrame = {
     // one fused pass per row computes the similarity to EVERY centroid
     // (identical accumulation to cosineSim → identical assignments)
     def centroidSims(v: Column): Column = VectorFns.centroidSimsCol(v, centroids)
-
-    // corpus: argmax cell; queries: top-nProbe cells (multi-probe)
-    val withSims = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
-      .withColumn("sims", centroidSims(col("c_vec")))
-    val cCells = withSims
-      .withColumn("cell", expr("array_position(sims, array_max(sims))").cast("int"))
-      .drop("sims")
     val qCells = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
       .withColumn("sims", centroidSims(col("q_vec")))
       .withColumn("ranked", expr(
@@ -235,6 +261,88 @@ object Similarity {
   def knnIvfKmeans(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     kmeansIvfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+  }
+
+  /** e13 split rule (closed-form, spec-mirrored): base = vec_id <
+    * [[indexBaseSplit]], delta = the rest — one constant so the gate,
+    * the spec, and any future oracle cannot drift apart (the d21
+    * lesson).
+    */
+  val indexBaseSplit = 400
+
+  /** PERSISTED IVF index — the build-once/load-many split of a real
+    * vector store (e06 trains per call; a 100 TB deployment cannot).
+    * `buildIvfIndex` trains centroids on a bounded sample of the base
+    * corpus and writes TWO parquet tables under `indexDir`:
+    * `centroids` (cell → vector, tiny) and `assignments`
+    * (neighbor_id, c_vec, cell — the inverted lists, one row per
+    * corpus vector, partitioned by nothing: readers prune by the
+    * `cell` predicate pushed to parquet). [[appendIvfIndex]] assigns
+    * NEW rows with the FROZEN centroids and appends — the vector
+    * analog of d21's incremental dedup: per-batch cost scales with the
+    * delta, the historical corpus is never rescanned or re-trained.
+    * [[queryIvfIndex]] loads the frozen index and runs the same
+    * multi-probe + exact re-rank as the in-memory path, so loaded ≡
+    * fresh is a strict equality (the spec pins it).
+    */
+  def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    indexDir: String, nCells: Int = 16, seed: Long = 42L,
+                    trainFraction: Double = 0.25): Unit = {
+    val spark = corpus.sparkSession
+    val centroids = trainCentroids(corpus, vecCol, nCells, seed, trainFraction)
+    import spark.implicits._
+    // cell ids are 1-based to match array_position in the assign/probe
+    centroids.zipWithIndex.toSeq
+      .map { case (c, i) => (i + 1, c.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1) // 16 rows — one tiny footer, not 32
+      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+    assignCells(corpus, idCol, vecCol, centroids)
+      .write.mode("overwrite").parquet(s"$indexDir/assignments")
+  }
+
+  /** Incremental index maintenance: assign `rows` with the FROZEN
+    * stored centroids, append to the assignment lists. Increment ≡
+    * rebuild-with-same-centroids by construction (assignment is a pure
+    * per-row function of the centroids).
+    */
+  def appendIvfIndex(rows: DataFrame, idCol: String, vecCol: String,
+                     indexDir: String): Unit =
+    assignCells(rows, idCol, vecCol, loadCentroids(rows.sparkSession, indexDir))
+      .write.mode("append").parquet(s"$indexDir/assignments")
+
+  private[graft] def loadCentroids(spark: SparkSession,
+                                   indexDir: String): Array[Array[Float]] =
+    spark.read.parquet(s"$indexDir/centroids")
+      .select(col("cell"), col("centroid"))
+      .collect()
+      .sortBy(_.getInt(0))
+      .map(_.getSeq[Float](1).toArray)
+
+  /** Query the frozen on-disk index: centroids collect to the driver
+    * (bounded — nCells rows) and inline into codegen exactly as in the
+    * in-memory path; the assignment lists stream from parquet.
+    */
+  def queryIvfIndex(spark: SparkSession, indexDir: String, queries: DataFrame,
+                    idCol: String, vecCol: String, k: Int,
+                    nProbe: Int = 4): DataFrame = {
+    val centroids = loadCentroids(spark, indexDir)
+    val cCells = spark.read.parquet(s"$indexDir/assignments")
+    probeAssigned(cCells, queries, idCol, vecCol, k, centroids, nProbe)
+  }
+
+  /** e13: build the index on the base slice, incrementally append the
+    * delta, answer top-k from the LOADED index — end-to-end proof that
+    * the persisted build/append/query cycle matches the in-memory
+    * engine (rows-only gate: k-means centroids are engine-specific;
+    * the loaded≡fresh and recall anchors live in `SimilaritySpec`).
+    */
+  def knnPersisted(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val idxDir = graft.util.Scratch.dir(spark, "e13_idx", dir).toString
+    buildIvfIndex(emb.filter(col("vec_id") < indexBaseSplit), "vec_id", "embedding", idxDir)
+    appendIvfIndex(emb.filter(col("vec_id") >= indexBaseSplit), "vec_id", "embedding", idxDir)
+    queryIvfIndex(spark, idxDir, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
   }
 
   /** L2-normalize the `vecCol` of `df` into `outCol` (unit vectors make
@@ -510,17 +618,21 @@ object Similarity {
     */
   def knnJoin(emb: DataFrame, idCol: String, vecCol: String,
               dim: Int, k: Int, bands: Int = 16, bitsPerBand: Int = 0,
-              seed: Long = 42L, bandMargin: Int = 2): DataFrame = {
+              seed: Long = 42L, bandMargin: Int = 2,
+              hotCap: Int = 4096): DataFrame = {
     // bitsPerBand = 0 → ADAPTIVE: size the bucket space to the corpus
-    // (one count probe — the reference's S12 planning pattern) so the
-    // EXPECTED bucket holds ~256 rows at any scale. With a fixed bucket
-    // count, in-bucket pair volume grows quadratically with corpus
-    // size (measured: 2× corpus → ~4× candidates → sort spill → 17×
-    // wall clock at the 20× stress); with buckets ∝ n it stays linear.
-    // At the fixture scales (≤20k vectors) the formula reduces to the
-    // historical 6 bits, so recall/equivalence anchors are unchanged —
-    // more bits per band lower per-band recall, which the 16 bands and
-    // the in-gate e08 recall audit bound.
+    // (one count probe — the reference's S12 planning pattern; note the
+    // emb.count() is one extra full scan per call, the price of the
+    // probe) so the EXPECTED bucket holds ~256 rows at any scale. With
+    // a fixed bucket count, in-bucket pair volume grows quadratically
+    // with corpus size (measured: 2× corpus → ~4× candidates → sort
+    // spill → 17× wall clock at the 20× stress); with buckets ∝ n it
+    // stays linear. The formula floors at the historical 6 bits, so it
+    // reduces to 6 exactly when n ≤ 256·2⁶ = 16384 — every current
+    // fixture (500 base; ≤10k at the 20× stress corpus) is below that
+    // threshold, so recall/equivalence anchors are unchanged. More bits
+    // per band lower per-band recall, which the 16 bands and the
+    // in-gate e08 recall audit bound.
     val bits =
       if (bitsPerBand > 0) bitsPerBand
       else {
@@ -541,10 +653,40 @@ object Similarity {
       .withColumn("norm", sqrt(VectorFns.dot(col("v"), col("v"))))
       .withColumn("code", transform(col("v"),
         x => floor(x.cast("double") * lit(127.0) / col("s") + lit(0.5)).cast("byte")))
+    // Hot-bucket cap: adaptive bucket sizing bounds the EXPECTED bucket
+    // at ~256 rows, but adversarially dense corpora (the 20× stress
+    // plants ~400× natural pair density) still collapse into a few huge
+    // buckets whose self-join pair volume is quadratic IN THE BUCKET
+    // (~100M pairs through one bucket at 20× — an OOM at default heap).
+    // One recursion of extra hyperplane bits re-splits any bucket above
+    // `hotCap` rows into up to 2^maxSplitBits sub-buckets, taking only
+    // ceil(log2(cnt/hotCap)) of the extra bits so mildly-hot buckets
+    // keep maximal recall; worst per-bucket pair volume drops from cnt²
+    // to ~2^maxSplitBits·(cnt/2^maxSplitBits)². Cold buckets take
+    // sub-key 0, making the refined key a bijection of the original —
+    // below the cap the plan is bit-identical to the unsplit banding
+    // (the fixture equivalence spec pins this). Near-pairs in a split
+    // bucket mostly share the extra hyperplane signs; residual recall
+    // loss is bounded by the 16-band redundancy and the e08 audit.
+    val maxSplitBits = 6
+    val splitPlanes = VectorFns.hyperplanes(bands, maxSplitBits, dim, seed + 1)
+    val wBucket = Window.partitionBy(col("band"), col("bkey"))
     val banded = coded
-      .select(col("id"), col("code"), col("s"), col("norm"),
+      .withColumn("subkeys", VectorFns.bandKeys(col("v"), splitPlanes, maxSplitBits))
+      .select(col("id"), col("code"), col("s"), col("norm"), col("subkeys"),
         posexplode(VectorFns.bandKeys(col("v"), planes, bits))
           .as(Seq("band", "bkey")))
+      .withColumn("sub", element_at(col("subkeys"), col("band") + 1))
+      .drop("subkeys")
+      // whole-bucket count (no order ⇒ full-partition frame); the
+      // buffered rows are the compact coded tuples, linear in n
+      .withColumn("bcnt", count(lit(1)).over(wBucket))
+      .withColumn("splitbits",
+        when(col("bcnt") <= hotCap, lit(0)).otherwise(least(lit(maxSplitBits),
+          ceil(log(2.0, col("bcnt").cast("double") / hotCap)).cast("int"))))
+      .withColumn("bkey",
+        expr(s"bkey * ${1 << maxSplitBits} + (sub & (shiftleft(1, splitbits) - 1))"))
+      .drop("sub", "bcnt", "splitbits")
     val a = banded.select(col("band"), col("bkey"), col("id").as("id_a"),
       col("code").as("code_a"), col("s").as("s_a"), col("norm").as("norm_a"))
     val b = banded.select(col("band"), col("bkey"), col("id").as("id_b"),

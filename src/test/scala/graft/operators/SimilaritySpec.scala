@@ -123,6 +123,68 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq.sortBy(t => (t._1, t._2)) == naive)
   }
 
+  test("e12 hot-bucket cap: forced splits keep ranks dense, no self, usable recall") {
+    // hotCap=8 forces nearly every bucket through the re-split path on
+    // the 500-row fixture (expected bucket ≈ 8 rows at 6 bits), proving
+    // the refined-key plan end-to-end; the default cap of 4096 never
+    // triggers here (that no-op case is pinned by the bit-equality spec
+    // above). Recall drops vs the unsplit banding — near-pairs can land
+    // on opposite sides of an extra hyperplane — but the 16-band
+    // redundancy must keep it usable.
+    val got = Similarity.knnJoin(Tables.embeddings(spark, sf),
+      "vec_id", "embedding", dim = 64, k = 3, hotCap = 8)
+      .as[(Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    assert(got.forall(r => r._1 != r._3))
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1L to rows.length))
+    }
+    val all = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x.toDouble).sum) *
+        math.sqrt(b.map(x => x.toDouble * x.toDouble).sum))
+    }
+    val exact = all.flatMap { case (id, v) =>
+      all.filter(_._1 != id).map { case (n, nv) => (id, n, cos(v, nv)) }
+        .sortBy { case (_, n, c) => (-c, n) }.take(3).map(t => (t._1, t._2))
+    }.toSet
+    val approx = got.map(r => (r._1, r._3)).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall=$recall under forced splits")
+  }
+
+  test("e13 persisted index: build+append+load == in-memory engine with same frozen centroids") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter($"vec_id" < 10)
+    // the gate path: build on base, incremental append of delta, query loaded
+    val loaded = Similarity.knnPersisted(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    // reference: the SAME frozen centroids (read back from the index the
+    // gate just wrote), full corpus assigned in ONE in-memory pass — no
+    // filesystem in the loop. Equality proves (a) persist/load fidelity
+    // and (b) increment ≡ rebuild for frozen-centroid assignment.
+    val idxDir = graft.util.Scratch.resolve(spark, "e13_idx", sf).toString
+    val cents = Similarity.loadCentroids(spark, idxDir)
+    val fresh = Similarity.ivfTopKWithCentroids(emb, queries,
+      "vec_id", "embedding", k = 5, cents, nProbe = 4)
+      .collect().map(_.toSeq).toSeq
+    assert(loaded == fresh)
+    // the delta really was appended (not rebuilt): assignment rows cover
+    // ALL 500 ids, and the delta slice is non-empty past the split
+    val assigned = spark.read.parquet(s"$idxDir/assignments")
+    assert(assigned.count() == emb.count())
+    assert(assigned.filter($"neighbor_id" >= Similarity.indexBaseSplit).count() > 0)
+    // quality floor: loaded-index recall vs brute force
+    val exact = Similarity.knnBruteForce(spark, sf)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.knnPersisted(spark, sf)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"persisted-index recall=$recall")
+  }
+
   test("e11 MMR: matches a driver-side greedy reference; first pick = top relevance") {
     def cos(a: Seq[Float], b: Seq[Float]): Double = {
       val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
