@@ -35,6 +35,13 @@ object Dedup {
       .select(col("keeper_id"), col("n_copies"))
       .orderBy(col("keeper_id"))
 
+  /** The d21 base/delta boundary — ONE constant shared by the
+    * operator, the interpolated oracle SQL (`SparkEntry`), and
+    * `DedupSpec`, so a fixture resize cannot silently desynchronize
+    * them (e.g. an empty delta making the gate vacuous).
+    */
+  val incrementalSplit = 250
+
   /** d21: INCREMENTAL dedup against a persisted fingerprint index —
     * the production "daily increment" shape (the q60 incremental-
     * maintenance pattern applied to dedup): the already-curated corpus
@@ -47,23 +54,23 @@ object Dedup {
     * oracle recomputes full-corpus dedup from scratch and keeps only
     * delta-batch keepers — result equality proves increment ≡ rebuild.
     *
-    * Split rule (closed-form, oracle-mirrored): base = doc_id < 250,
-    * delta = the rest. Output: delta docs that survive (their text is
-    * new corpus-wide AND they are the first occurrence within the
-    * delta), with their key.
+    * Split rule (closed-form, oracle-mirrored): base = doc_id <
+    * [[incrementalSplit]], delta = the rest. Output: delta docs that
+    * survive (their text is new corpus-wide AND they are the first
+    * occurrence within the delta), with their key.
     */
   def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val idxDir = graft.util.Scratch.dir(spark, "d21_idx", dir).toString
     // one-time index build over the base slice: key + keeper id only
-    docs.filter(col("doc_id") < 250)
+    docs.filter(col("doc_id") < incrementalSplit)
       .groupBy(fingerprintMd5(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("keeper_id"))
       .write.mode("overwrite").parquet(idxDir)
     // the incremental batch: dedup within the delta, then anti-join
     // the stored index — the base corpus itself is never touched
     val index = spark.read.parquet(idxDir)
-    docs.filter(col("doc_id") >= 250)
+    docs.filter(col("doc_id") >= incrementalSplit)
       .groupBy(fingerprintMd5(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
       .join(index.select(col("fp")), Seq("fp"), "left_anti")

@@ -371,12 +371,13 @@ class DedupSpec extends SparkSpec {
     val got = Dedup.incrementalDedup(spark, sf).collect().toSeq
     // rebuild from scratch: full-corpus groups; keep delta-side keepers
     // whose group contains no base doc
+    val split = Dedup.incrementalSplit
     val full = graft.Tables.documents(spark, sf)
       .groupBy(TextFns.fingerprintMd5($"text").as("fp"))
       .agg(min($"doc_id").as("keeper_id"),
-        sum(when($"doc_id" >= 250, 1L).otherwise(0L)).as("n_delta"),
-        sum(when($"doc_id" < 250, 1L).otherwise(0L)).as("n_base"))
-      .filter($"n_base" === 0 && $"keeper_id" >= 250)
+        sum(when($"doc_id" >= split, 1L).otherwise(0L)).as("n_delta"),
+        sum(when($"doc_id" < split, 1L).otherwise(0L)).as("n_base"))
+      .filter($"n_base" === 0 && $"keeper_id" >= split)
       .select($"keeper_id", $"n_delta".as("n_copies"))
       .orderBy($"keeper_id")
       .collect().toSeq
