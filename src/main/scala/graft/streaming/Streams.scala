@@ -83,7 +83,7 @@ object Streams {
     org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
     org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
 
-  private def eventsStream(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def eventsStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventsFileSchema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
@@ -311,17 +311,7 @@ object Streams {
         .outputMode("append")
         .option("checkpointLocation", ckpt.toString)
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          val sp = batch.sparkSession
-          val existing =
-            try sp.read.parquet(tableDir)
-            catch { case _: Throwable => batch.limit(0) }
-          val w = Window.partitionBy(col("user_id"))
-            .orderBy(col("ts").desc, col("event_id").desc)
-          existing.unionByName(batch)
-            .withColumn("rn", row_number().over(w))
-            .filter(col("rn") === 1).drop("rn")
-            .localCheckpoint(true)
-            .write.mode("overwrite").parquet(tableDir)
+          upsertBatch(batch, tableDir)
         }
         .trigger(Trigger.AvailableNow())
         .start()
@@ -334,6 +324,36 @@ object Streams {
       .select(col("user_id"), col("event_id").as("last_event_id"),
         col("ts"), col("value"))
       .orderBy(col("user_id"))
+  }
+
+  /** The s12 merge: read → union → keep latest per (ts, event_id) →
+    * overwrite. IDEMPOTENT under replay — re-applying the same batch
+    * reaches the same fixed point (the retry spec in `StreamsSpec`
+    * injects a post-write failure and proves it through the streaming
+    * engine's own replay).
+    */
+  private[graft] def upsertBatch(batch: DataFrame, tableDir: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val sp = batch.sparkSession
+    // ONLY table-absent counts as "empty" (first batch before any
+    // write). A transient IO failure must rethrow and fail the batch —
+    // treating it as an empty table would silently drop every
+    // previously-upserted key, breaking the exactly-once claim this
+    // sink exists to demonstrate.
+    val existing =
+      try sp.read.parquet(tableDir)
+      catch {
+        case _: org.apache.spark.sql.AnalysisException
+            if !java.nio.file.Files.exists(java.nio.file.Paths.get(tableDir)) =>
+          batch.limit(0)
+      }
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    existing.unionByName(batch)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .localCheckpoint(true)
+      .write.mode("overwrite").parquet(tableDir)
   }
 
   /** s09: offline STATE-STORE inspection — the `statestore` batch

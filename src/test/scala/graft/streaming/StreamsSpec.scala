@@ -301,6 +301,51 @@ class StreamsSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("s12 upsert sink survives a post-write batch failure: replay lands the same table") {
+    // Injects the worst-case at-least-once hazard: the batch's effect
+    // IS applied (the table overwrite completed), then the batch FAILS
+    // before the engine commits its offsets — so on restart the engine
+    // replays a batch whose writes already landed. Exactly-once effect
+    // requires the re-apply to be a fixed point.
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
+    val sf = "/root/testdata/sf0.001"
+    val tableDir = graft.util.Scratch.dir(spark, "s12_retry_table", sf).toString
+    val ckpt = graft.util.Scratch.dir(spark, "s12_retry_ckpt", sf).toString
+    val failedOnce = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def run(): Unit = {
+      val q = Streams.eventsStream(spark, sf)
+        .select($"user_id", $"event_id", $"ts", $"value")
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          Streams.upsertBatch(batch, tableDir)
+          if (!failedOnce.getAndSet(true))
+            throw new RuntimeException("injected post-write failure")
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    intercept[StreamingQueryException](run())
+    val afterFailure = spark.read.parquet(tableDir)
+      .orderBy($"user_id").collect().toSeq
+    assert(afterFailure.nonEmpty, "the failed attempt's write really landed")
+    run() // restart from the same checkpoint: the uncommitted batch replays
+    val got = spark.read.parquet(tableDir).orderBy($"user_id").collect().toSeq
+    val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    val expected = graft.Tables.events(spark, sf)
+      .select($"user_id", $"event_id", $"ts", $"value")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1).drop("rn")
+      .orderBy($"user_id")
+      .collect().toSeq
+    assert(got == expected, "replayed drain equals the batch latest-per-key oracle")
+  }
+
   test("s10 chained rollup equals the batch rollup up to the watermark cutoff") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
