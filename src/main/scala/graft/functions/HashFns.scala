@@ -402,24 +402,37 @@ object HashFns {
     GraftColumnBridge.column(
       SortedCharShingles(GraftColumnBridge.expression(text), n))
 
-  /** Sorted HASHED shingle set: each byte n-gram window hashed to a
-    * 64-bit value (XXH64 seed 42 — the [[minhashShingles]] base hash),
-    * sorted, deduped. Jaccard over these long sets equals jaccard over
-    * the string sets absent 64-bit collisions (P < 1e-11 for ~10³
-    * shingles/doc), and the merge compares primitive longs instead of
-    * UTF8Strings — the verify-stage payload drops to 8 bytes/shingle
-    * and the comparator to one branch. Byte windows (≡ chars for the
-    * ASCII corpora this path serves; the oracle-anchored string kernel
-    * [[sortedShingles]] stays codepoint-windowed).
+  /** Sorted HASHED shingle set: each codepoint n-gram window hashed to
+    * a 64-bit value (XXH64 seed 42 — the [[minhashShingles]] base
+    * hash), sorted, deduped. Jaccard over these long sets equals
+    * jaccard over the string sets absent 64-bit collisions (P < 1e-11
+    * for ~10³ shingles/doc), and the merge compares primitive longs
+    * instead of UTF8Strings — the verify-stage payload drops to
+    * 8 bytes/shingle and the comparator to one branch. Windows cover
+    * CODEPOINTS via the same offsets walk as [[sortedShingles]] (one
+    * O(len) pass, windows hash byte slices in place), so accented text
+    * — the reference's French corpora keep é/è/ç through normalization
+    * — shingles identically to the oracle-anchored string kernel; the
+    * equivalence spec in `HashFnsSpec` pins an accented case.
     */
   def sortedShingleHashes(s: UTF8String, n: Int): ArrayData = {
     val bytes = s.getBytes
-    val nWin = math.max(bytes.length - n + 1, 1)
-    val win = math.min(n, bytes.length)
+    val offsets = new Array[Int](bytes.length + 1)
+    var len = 0 // codepoint count
+    var pos = 0
+    while (pos < bytes.length) {
+      offsets(len) = pos
+      pos += UTF8String.numBytesForFirstByte(bytes(pos))
+      len += 1
+    }
+    offsets(len) = bytes.length
+    val nWin = math.max(len - n + 1, 1)
     val arr = new Array[Long](nWin)
     var i = 0
     while (i < nWin) {
-      arr(i) = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET + i, win, 42L)
+      val start = offsets(i)
+      val end = offsets(math.min(i + n, len))
+      arr(i) = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET + start, end - start, 42L)
       i += 1
     }
     java.util.Arrays.sort(arr)

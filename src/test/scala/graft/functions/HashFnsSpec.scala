@@ -79,11 +79,17 @@ class HashFnsSpec extends SparkSpec {
     }
   }
 
-  test("hashed shingle jaccard equals string shingle jaccard on ASCII text") {
+  test("hashed shingle jaccard equals string shingle jaccard, accents included") {
+    // the last two rows are the non-ASCII hazard: normalization keeps
+    // é/è/ç/ê (multi-byte in UTF-8), so byte-windowed hashing would
+    // shingle them differently from the codepoint-windowed string
+    // kernel — equality here pins the codepoint walk
     val docs = Seq(
       ("spark makes big joins fast", "spark makes big joins very fast"),
       ("the quick brown fox", "a quick brown dog"),
-      ("identical text", "identical text"))
+      ("identical text", "identical text"),
+      ("ingénieur données marché", "ingénieur de données marché"),
+      ("développeur expérimenté à genève", "développeur expérimenté de genève"))
       .toDF("a", "b")
     val both = docs.select(
       HashFns.jaccardSorted(
