@@ -218,6 +218,11 @@ object SparkEntry {
     // e12: kNN JOIN — top-k for EVERY row, both sides large (LSH
     // candidates, never O(n²); rows-only: hyperplane-seed-dependent)
     "e12_knn_join"           -> (Similarity.knnJoinQuery _),
+    // e13: PERSISTED IVF index — build on the base slice, incremental
+    // append of the delta with frozen centroids, query from the LOADED
+    // index (rows-only: k-means centroids are engine-specific; the
+    // loaded≡fresh equality anchor lives in SimilaritySpec)
+    "e13_knn_persisted"      -> (Similarity.knnPersisted _),
     "e05_cosine_range"       -> (Similarity.knnRange _),
     // e08: in-gate ANN quality audit — recall of every approximate
     // index vs the e01 exact ranks (rows-only; values are seeded but
@@ -631,6 +636,32 @@ object SparkEntry {
       "t06_fingerprints" ->
         s"""SELECT doc_id, md5(${norm("text")}) AS fp
            |FROM documents ORDER BY doc_id""".stripMargin,
+      // t08: the MOSS winnowing selection on 60-bit md5 gram hashes —
+      // both engines compute the same gram hash (first 15 hex chars of
+      // md5), the same window-min rule (slices clip at the gram-array
+      // end, so ng<=w degenerates to one global min), and an
+      // order-insensitive digest over the sorted distinct selection
+      "t08_winnowing" ->
+        s"""WITH g AS (
+           | SELECT doc_id, nt, greatest(length(nt) - 7, 0) AS ng
+           | FROM (SELECT doc_id, ${norm("text")} AS nt FROM documents)
+           |), h AS (
+           | SELECT doc_id, ng,
+           |  CASE WHEN ng >= 1 THEN list_transform(range(1, ng + 1),
+           |   i -> ('0x' || substr(md5(substr(nt, i, 8)), 1, 15))::bigint)
+           |  ELSE CAST([] AS BIGINT[]) END AS hs
+           | FROM g
+           |), s AS (
+           | SELECT doc_id,
+           |  CASE WHEN ng >= 1 THEN list_sort(list_distinct(list_transform(
+           |   range(1, greatest(ng - 3, 1) + 1),
+           |   p -> list_min(hs[p : p + 3]))))
+           |  ELSE CAST([] AS BIGINT[]) END AS sel
+           | FROM h
+           |)
+           |SELECT doc_id, CAST(len(sel) AS BIGINT) AS n_fingerprints,
+           | md5(array_to_string(sel, ',')) AS fps_digest
+           |FROM s ORDER BY doc_id""".stripMargin,
       // t19: all-integer linear model — counting features × milli-unit
       // weights, threshold decision; every step exact on both engines
       "t19_quality_classifier" ->
@@ -675,15 +706,17 @@ object SparkEntry {
       // d21: increment ≡ rebuild — the oracle recomputes full-corpus
       // dedup from scratch and keeps the delta-batch keepers whose
       // text is new corpus-wide (no base doc shares the group)
-      "d21_incremental_dedup" ->
+      "d21_incremental_dedup" -> {
+        val split = graft.operators.Dedup.incrementalSplit
         s"""WITH g AS (
            | SELECT min(doc_id) AS keeper_id,
-           |  CAST(sum(CASE WHEN doc_id >= 250 THEN 1 ELSE 0 END) AS BIGINT) AS n_delta,
-           |  CAST(sum(CASE WHEN doc_id < 250 THEN 1 ELSE 0 END) AS BIGINT) AS n_base
+           |  CAST(sum(CASE WHEN doc_id >= $split THEN 1 ELSE 0 END) AS BIGINT) AS n_delta,
+           |  CAST(sum(CASE WHEN doc_id < $split THEN 1 ELSE 0 END) AS BIGINT) AS n_base
            | FROM documents GROUP BY ${norm("text")})
            |SELECT keeper_id, n_delta AS n_copies FROM g
-           |WHERE n_base = 0 AND keeper_id >= 250
-           |ORDER BY keeper_id""".stripMargin,
+           |WHERE n_base = 0 AND keeper_id >= $split
+           |ORDER BY keeper_id""".stripMargin
+      },
       "e05_cosine_range" ->
         """SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id
           |FROM embeddings q, embeddings e

@@ -217,24 +217,49 @@ object TextAnalysis {
       .select(col("doc_id"), fingerprintMd5(col("text")).as("fp"))
       .orderBy(col("doc_id"))
 
-  /** Rolling-hash winnowing fingerprints (shift-robust MOSS selection):
-    * per doc, the count of selected fingerprints — localizable
-    * duplication evidence at a fraction of shingle-set size.
+  /** Winnowing fingerprints (shift-robust MOSS selection): per doc,
+    * the count of selected fingerprints plus a digest of the selected
+    * set — localizable duplication evidence at a fraction of
+    * shingle-set size.
     *
-    * The registered output carries only scalar columns: the raw
-    * `array<long>` fingerprint set is reduced to a count plus an
-    * order-sensitive xxhash64 digest of its JSON encoding, so the full
-    * content is still pinned by the harness compare without shipping an
-    * array the driver cannot sort on.
+    * ORACLE-PORTABLE variant: the selection algorithm (minimum of each
+    * window of w consecutive k-gram hashes; degenerate short-text
+    * window included) is exactly the MOSS rule, but the gram hash is
+    * the first 60 bits of md5 — a hash BOTH engines compute
+    * identically — instead of the engine-local Rabin-Karp rolling
+    * hash, and the digest is md5 over the SORTED distinct selected
+    * values (order-insensitive, so selection-order bookkeeping cannot
+    * produce false mismatches). That turns the whole selection
+    * semantics into a DuckDB-hash-checkable gate. The O(1)-per-position
+    * rolling-hash kernel (`HashFns.winnowFingerprints`) remains the
+    * production scale path, pinned by `HashFnsSpec`/`EdgeCasesSpec`;
+    * per-window min and dedup behavior here and there are the same
+    * rule on different gram hashes.
     */
-  def winnowingFingerprints(spark: SparkSession, dir: String): DataFrame =
+  def winnowingFingerprints(spark: SparkSession, dir: String): DataFrame = {
+    val k = 8; val w = 4
     Tables.documents(spark, dir)
+      .select(col("doc_id"), normalizeText(col("text")).as("nt"))
+      .withColumn("ng", greatest(length(col("nt")) - (k - 1), lit(0)))
+      // 60-bit md5 gram hashes at positions 1..ng (nothing when the
+      // doc is shorter than one gram)
+      .withColumn("hs", when(col("ng") >= 1, expr(
+        s"""transform(sequence(1, ng),
+           | i -> cast(conv(substr(md5(cast(substr(nt, i, $k) as binary)), 1, 15), 16, 10) as bigint))""".stripMargin)))
+      // window starts 1..max(ng-w+1, 1); slice() clips at the array
+      // end, so the ng<=w degenerate case reduces to one global min —
+      // the same rule as the rolling-hash kernel
+      .withColumn("sel", coalesce(
+        when(col("ng") >= 1, expr(
+          s"""array_sort(array_distinct(transform(
+             | sequence(1, greatest(ng - ${w - 1}, 1)),
+             | p -> array_min(slice(hs, p, $w)))))""".stripMargin)),
+        expr("cast(array() as array<bigint>)")))
       .select(col("doc_id"),
-        graft.functions.HashFns.winnowFingerprints(
-          normalizeText(col("text"))).as("fps"))
-      .select(col("doc_id"), size(col("fps")).cast("long").as("n_fingerprints"),
-        xxhash64(to_json(col("fps"))).as("fps_digest"))
+        size(col("sel")).cast("long").as("n_fingerprints"),
+        md5(array_join(col("sel"), ",").cast("binary")).as("fps_digest"))
       .orderBy(col("doc_id"))
+  }
 
   /** t12: EXACT heavy hitters via sketch-prefilter + recount — the
     * two-pass pattern that makes the MG sketch ([[heavyHitters]])

@@ -173,6 +173,31 @@ class EntrySpec extends SparkSpec {
     }
   }
 
+  test("q23 HLL estimates stay within 5% of the exact per-group cardinalities") {
+    // quantifies the rows-only exemption: approx_count_distinct is
+    // engine-specific, but its error against the exact distinct counts
+    // (the q16/q67-style anchors) must stay inside the sketch's design
+    // envelope — default rsd (~2.3%) widened to 5%, and the 0.01-rsd
+    // column held to 2%
+    import spark.implicits._
+    val approx = operators.Relational.approxDistinctParts(spark, sf)
+      .as[(String, Long, Long)].collect()
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("p"),
+        countDistinct(col("l_suppkey")).as("s"))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(approx.nonEmpty && approx.length == exact.size)
+    approx.foreach { case (flag, ap, as_) =>
+      val (ep, es) = exact(flag)
+      assert(math.abs(ap - ep).toDouble / ep <= 0.05,
+        s"$flag parts: approx=$ap exact=$ep")
+      assert(math.abs(as_ - es).toDouble / es <= 0.02,
+        s"$flag supps: approx=$as_ exact=$es")
+    }
+  }
+
   test("t21 bigram novelty invariants: hapax ≤ n, familiarity ≥ n, novelty ∈ [0,1]") {
     val rows = operators.TextAnalysis.bigramNovelty(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -64,13 +64,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.forall(r => !r._3.isNaN && r._3 > 0), out.toSeq.toString)
   }
 
-  test("winnowing digest is deterministic and order-sensitive") {
+  test("winnowing gate is deterministic; selection density matches the MOSS bound") {
     val r1 = TextAnalysis.winnowingFingerprints(spark, sf)
-      .as[(Long, Long, Long)].collect().toSeq
+      .as[(Long, Long, String)].collect().toSeq
     val r2 = TextAnalysis.winnowingFingerprints(spark, sf)
-      .as[(Long, Long, Long)].collect().toSeq
+      .as[(Long, Long, String)].collect().toSeq
     assert(r1 == r2 && r1.nonEmpty)
     assert(r1.forall(_._2 >= 0), "fingerprint counts are non-negative")
+    // every doc with at least one gram selects at least one fingerprint,
+    // and never more than the number of window starts (MOSS upper bound)
+    val lens = graft.Tables.documents(spark, sf)
+      .select($"doc_id", length(graft.functions.TextFns.normalizeText($"text")).as("n"))
+      .as[(Long, Int)].collect().toMap
+    r1.foreach { case (id, cnt, _) =>
+      val ng = math.max(lens(id) - 7, 0)
+      if (ng >= 1) assert(cnt >= 1 && cnt <= math.max(ng - 3, 1), s"doc $id cnt=$cnt ng=$ng")
+      else assert(cnt == 0)
+    }
   }
 
   test("sketch-prefiltered exact heavy hitters equal the direct exact query") {
