@@ -289,6 +289,11 @@ object SparkEntry {
     // s12: streaming keyed-upsert sink (foreachBatch CDC apply, the
     // reference's _id bulk upsert streamed); oracle = latest per key
     "s12_streaming_upsert"   -> (Streams.streamingUpsertApply _),
+    // s13: streaming maintenance of the e13 persisted ANN index —
+    // micro-batch frozen-centroid appends via foreachBatch, queries
+    // answered from the loaded index (rows-only: k-means centroids
+    // are engine-specific; drained ≡ one-pass anchor in StreamsSpec)
+    "s13_streaming_index_append" -> (Streams.streamingIndexAppend _),
     // s07: the transformWithState (state API v2, RocksDB) operator run
     // through a REAL streaming drain; integer-cents state makes the
     // final totals batch-boundary-invariant and oracle-exact

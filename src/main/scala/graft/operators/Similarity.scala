@@ -670,23 +670,44 @@ object Similarity {
     // loss is bounded by the 16-band redundancy and the e08 audit.
     val maxSplitBits = 6
     val splitPlanes = VectorFns.hyperplanes(bands, maxSplitBits, dim, seed + 1)
-    val wBucket = Window.partitionBy(col("band"), col("bkey"))
+    // Hot-bucket census as a TINY aggregate broadcast back onto the
+    // stream — NOT a window over (band, bkey): a full-partition-frame
+    // window forces an extra Exchange+sort of the whole banded stream
+    // (measured 3× the join's own cost at 10×), while the groupBy
+    // map-side-combines down to one row per OCCUPIED bucket
+    // (≤ bands·2^bits rows — a few thousand at any corpus size, by
+    // construction of the adaptive bucket space) and the broadcast
+    // join back is map-only. Only above-cap buckets are even kept.
+    // The census lineage is deliberately SLIM — just the banding keys,
+    // two ints per row, no quantization and no split-plane work (this
+    // subtree executes once more than the probe side; measured ~2×
+    // e12 wall when it recomputed the full coded+subkeys stream).
+    val hot = vecs
+      .select(posexplode(VectorFns.bandKeys(col("v"), planes, bits))
+        .as(Seq("band", "bkey")))
+      .groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("bcnt"))
+      .filter(col("bcnt") > hotCap)
+      .withColumn("splitbits", least(lit(maxSplitBits),
+        ceil(log(2.0, col("bcnt").cast("double") / hotCap)).cast("int")))
+      .select(col("band"), col("bkey"), col("splitbits"))
+    // Split-plane sub-keys are computed LAZILY — only rows that land in
+    // an above-cap bucket evaluate the extra bands·maxSplitBits dot
+    // products (CaseWhen branches don't run in codegen unless taken);
+    // cold corpora pay nothing for the hot-cap safety net.
+    val sub = element_at(
+      VectorFns.bandKeys(col("v"), splitPlanes, maxSplitBits), col("band") + 1)
     val banded = coded
-      .withColumn("subkeys", VectorFns.bandKeys(col("v"), splitPlanes, maxSplitBits))
-      .select(col("id"), col("code"), col("s"), col("norm"), col("subkeys"),
+      .select(col("id"), col("v"), col("code"), col("s"), col("norm"),
         posexplode(VectorFns.bandKeys(col("v"), planes, bits))
           .as(Seq("band", "bkey")))
-      .withColumn("sub", element_at(col("subkeys"), col("band") + 1))
-      .drop("subkeys")
-      // whole-bucket count (no order ⇒ full-partition frame); the
-      // buffered rows are the compact coded tuples, linear in n
-      .withColumn("bcnt", count(lit(1)).over(wBucket))
-      .withColumn("splitbits",
-        when(col("bcnt") <= hotCap, lit(0)).otherwise(least(lit(maxSplitBits),
-          ceil(log(2.0, col("bcnt").cast("double") / hotCap)).cast("int"))))
+      .join(broadcast(hot), Seq("band", "bkey"), "left")
       .withColumn("bkey",
-        expr(s"bkey * ${1 << maxSplitBits} + (sub & (shiftleft(1, splitbits) - 1))"))
-      .drop("sub", "bcnt", "splitbits")
+        col("bkey") * lit(1 << maxSplitBits) +
+          when(col("splitbits").isNotNull,
+            sub.bitwiseAND(expr("shiftleft(1, splitbits) - 1")))
+            .otherwise(lit(0)))
+      .drop("v", "splitbits")
     val a = banded.select(col("band"), col("bkey"), col("id").as("id_a"),
       col("code").as("code_a"), col("s").as("s_a"), col("norm").as("norm_a"))
     val b = banded.select(col("band"), col("bkey"), col("id").as("id_b"),

@@ -326,6 +326,54 @@ object Streams {
       .orderBy(col("user_id"))
   }
 
+  /** s13: STREAMING maintenance of the persisted ANN index — the e13
+    * build/append split driven by Structured Streaming. The base index
+    * builds once (batch k-means, frozen centroids); the delta slice
+    * then arrives as a STREAM whose every micro-batch appends
+    * frozen-centroid assignments via `foreachBatch` — the
+    * vector-store-fed-by-a-stream shape a 100 TB embedding pipeline
+    * runs in production (ingest never re-trains, never rescans the
+    * historical corpus; per-batch cost scales with the batch). After
+    * the drain, queries are answered from the LOADED index; the spec
+    * pins drained-stream ≡ one-pass in-memory assignment on the same
+    * frozen centroids.
+    */
+  def streamingIndexAppend(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, LongType, StructField, StructType}
+    import graft.operators.Similarity
+    val split = Similarity.indexBaseSplit
+    val idxDir = graft.util.Scratch.dir(spark, "s13_idx", dir).toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_s13_ckpt")
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.buildIvfIndex(emb.filter(col("vec_id") < split), "vec_id", "embedding", idxDir)
+    val embFileSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = spark.readStream.schema(embFileSchema)
+        .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+        .filter(col("vec_id") >= split)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          Similarity.appendIvfIndex(batch, "vec_id", "embedding", idxDir)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      graft.util.Scratch.rmTree(ckpt)
+    }
+    Similarity.queryIvfIndex(spark, idxDir, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5)
+  }
+
   /** The s12 merge: read → union → keep latest per (ts, event_id) →
     * overwrite. IDEMPOTENT under replay — re-applying the same batch
     * reaches the same fixed point (the retry spec in `StreamsSpec`

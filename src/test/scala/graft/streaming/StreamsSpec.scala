@@ -346,6 +346,28 @@ class StreamsSpec extends SparkSpec {
     assert(got == expected, "replayed drain equals the batch latest-per-key oracle")
   }
 
+  test("s13 streaming index append == one-pass assignment on the same frozen centroids") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val emb = graft.Tables.embeddings(spark, sf)
+    val got = Streams.streamingIndexAppend(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    // the drained stream's index must answer queries exactly like an
+    // in-memory full-corpus assignment with the SAME frozen centroids
+    val idxDir = graft.util.Scratch.resolve(spark, "s13_idx", sf).toString
+    val cents = Similarity.loadCentroids(spark, idxDir)
+    val fresh = Similarity.ivfTopKWithCentroids(emb,
+      emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5, cents, nProbe = 4)
+      .collect().map(_.toSeq).toSeq
+    assert(got == fresh)
+    // the stream really appended: assignments cover the whole corpus,
+    // delta included
+    val assigned = spark.read.parquet(s"$idxDir/assignments")
+    assert(assigned.count() == emb.count())
+    assert(assigned.filter(col("neighbor_id") >= Similarity.indexBaseSplit).count() > 0)
+  }
+
   test("s10 chained rollup equals the batch rollup up to the watermark cutoff") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
