@@ -268,6 +268,17 @@ object SparkEntry {
     // t22: accent folding (French diacritics) proven by plant+fold
     // round trip against the untouched original text
     "t22_accent_fold"        -> (TextAnalysis.accentFoldRoundtrip _),
+    // q81: linear interpolation of planted gaps — q74's arithmetic
+    // upgrade; integer-exact fraction, one shared window partitioning
+    "q81_interpolate"        -> (Relational.linearInterpolate _),
+    // q82: fixed-point integer PageRank (3 unrolled iterations) on the
+    // customer↔supplier trading graph — bit-reproducible iterative
+    // graph analytics, fully oracle-checked
+    "q82_pagerank"           -> ((s: SparkSession, dir: String) =>
+      graft.operators.Graph.pageRank(s, dir)),
+    // t24: exact total-variation distance between per-language term
+    // distributions — corpus drift, integer-exact via |n_a·T_b−n_b·T_a|
+    "t24_domain_shift"       -> (TextAnalysis.domainShift _),
     // — event-time / streaming-unified (SURVEY §2.9) —
     "s01_hourly_type_counts" -> (Streams.hourlyTypeCountsBatch _),
     "s02_sliding_counts"     -> (Streams.slidingTypeCountsBatch _),
@@ -1505,6 +1516,46 @@ object SparkEntry {
       "t23_nfc_normalize" ->
         """SELECT doc_id, replace(text, 'e', 'é') AS text_nfc
           |FROM documents ORDER BY doc_id""".stripMargin,
+      // q81: same window algebra, DuckDB IGNORE-NULLS spelling +
+      // epoch_us; the interpolation arithmetic is integer-derived and
+      // order-free, so the hash compare is exact
+      "q81_interpolate" -> graft.operators.Relational.interpolateOracleSql,
+      // q82: the three PageRank iterations unrolled as CTEs — integer
+      // fixed-point algebra is engine-independent
+      "q82_pagerank" -> graft.operators.Graph.pageRankOracleSql,
+      // t24: exact TV distance — HUGEINT mirrors Spark's decimal(38,0);
+      // both are exact integer sums cast to double once at the end
+      "t24_domain_shift" -> {
+        val ls = Seq("de", "en", "es", "fr")
+        val prs = for { i <- ls.indices; j <- ls.indices if i < j }
+          yield (ls(i), ls(j))
+        val nCols = ls.map(l =>
+          s"CAST(sum(CASE WHEN lang = '$l' THEN 1 ELSE 0 END) AS BIGINT) AS n_$l")
+          .mkString(", ")
+        val tCols = ls.map(l => s"CAST(sum(n_$l) AS BIGINT) AS t_$l").mkString(", ")
+        val sCols = prs.map { case (a, b) =>
+          s"sum(abs(CAST(n_$a AS HUGEINT) * t_$b - CAST(n_$b AS HUGEINT) * t_$a)) AS s_${a}_$b"
+        }.mkString(", ")
+        val kCols = prs.map { case (a, b) =>
+          s"CAST(sum(CASE WHEN n_$a > 0 OR n_$b > 0 THEN 1 ELSE 0 END) AS BIGINT) AS k_${a}_$b"
+        }.mkString(", ")
+        val mCols = ls.map(l => s"max(t_$l) AS t_$l").mkString(", ")
+        val branches = prs.map { case (a, b) =>
+          s"""SELECT '$a' AS lang_a, '$b' AS lang_b,
+             | CAST(s_${a}_$b AS DOUBLE) / (2.0 * CAST(t_$a AS DOUBLE) * CAST(t_$b AS DOUBLE)) AS tv_distance,
+             | k_${a}_$b AS n_terms FROM g""".stripMargin
+        }.mkString("\nUNION ALL ")
+        s"""WITH tk AS (
+           | SELECT lang, unnest(${toks("text")}) AS term
+           | FROM documents WHERE lang IN ('de','en','es','fr')),
+           |pt AS (
+           | SELECT term, $nCols
+           | FROM tk WHERE length(term) > 0 GROUP BY term),
+           |a AS (SELECT pt.*, t.* FROM pt, (SELECT $tCols FROM pt) t),
+           |g AS (SELECT $sCols, $kCols, $mCols FROM a)
+           |$branches
+           |ORDER BY lang_a, lang_b""".stripMargin
+      },
       // d07: the WHOLE curation pipeline in SQL — quality metrics +
       // gate (the t02 expressions), exact dedup (min id per normalized
       // text), all-pairs exact Jaccard >= 0.6 on 5-char shingles of

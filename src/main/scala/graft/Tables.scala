@@ -25,16 +25,26 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = table(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "lineitem")
-  /** The events fixture stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark's vectorized reader rejects. Sessions set
-    * `spark.sql.legacy.parquet.nanosAsLong=true`, so the column arrives
-    * as long nanos; convert to a proper TimestampType (microseconds)
-    * with integer division — no double round-trip (ns-since-epoch
-    * exceeds 2^53).
+  /** The events fixture's `ts` physical type has varied across driver
+    * fixture generations: TIMESTAMP(NANOS) (arrives as long nanos under
+    * `spark.sql.legacy.parquet.nanosAsLong=true` — convert with integer
+    * division, no double round-trip since ns-since-epoch exceeds 2^53)
+    * and TIMESTAMP(MICROS, isAdjustedToUTC=false) (arrives as
+    * TIMESTAMP_NTZ — value-preserving cast to TimestampType; sessions
+    * run with UTC session timezone, matching the oracle's naive reads).
+    * Normalize adaptively so every downstream operator sees one
+    * TimestampType column regardless of fixture generation.
     */
+  private[graft] def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampType => df
+      case _ => df.withColumn("ts", expr("cast(ts as timestamp)"))
+    }
+
   def events(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    normalizeEventTs(table(spark, dir, "events"))
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 }

@@ -816,6 +816,67 @@ object Relational {
     spark.sql(gapSessionizeSql)
   }
 
+  /** q81: LINEAR interpolation of missing readings — the arithmetic
+    * upgrade of q74's forward fill (sensor resampling / feature-store
+    * gap repair where a stale carry-forward biases downstream windows).
+    * Same planted-null scheme as q74 (every 7th event), value
+    * reconstructed as pv + (nv−pv)·(t−t_prev)/(t_next−t_prev) between
+    * the nearest known neighbors, carried flat at the partition edges,
+    * and guarded against duplicate-timestamp zero spans.
+    *
+    * Oracle-exactness: timestamps enter as exact epoch-microsecond
+    * BIGINTs, so the interpolation fraction is one deterministic IEEE
+    * division of exact integers and the reconstruction a fixed
+    * three-op expression tree — bit-identical across engines (the t10
+    * convention; no order-dependent float sums anywhere).
+    *
+    * Scale shape: all four IGNORE-NULLS frames share ONE window
+    * partitioning (user_id) and ONE sort (us, event_id), so the whole
+    * query is a single shuffle plus a per-partition forward and
+    * backward sweep — linear at any scale, no joins. Two dialect nits
+    * carried by the template: Spark spells `last_value(v) IGNORE
+    * NULLS`, DuckDB `last_value(v IGNORE NULLS)`; epoch micros are
+    * `unix_micros` vs `epoch_us`.
+    */
+  private def interpolateSqlFor(ign: (String, String) => String,
+                                us: String): String = {
+    val frame = (fn: String, arg: String, dir: String) =>
+      s"""${ign(fn, arg)} OVER (
+         |    PARTITION BY user_id ORDER BY us, event_id
+         |    $dir)""".stripMargin
+    val prec = "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+    val foll = "ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING"
+    val vAt = "CASE WHEN v IS NOT NULL THEN us END"
+    s"""WITH e AS (
+       | SELECT event_id, user_id, $us AS us,
+       |  CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+       | FROM events),
+       |w AS (
+       | SELECT event_id, user_id, us, v,
+       |  ${frame("last_value", "v", prec)} AS pv,
+       |  ${frame("last_value", vAt, prec)} AS pus,
+       |  ${frame("first_value", "v", foll)} AS nv,
+       |  ${frame("first_value", vAt, foll)} AS nus
+       | FROM e)
+       |SELECT event_id, user_id,
+       | CASE WHEN v IS NOT NULL THEN v
+       |      WHEN pv IS NULL THEN nv
+       |      WHEN nv IS NULL THEN pv
+       |      WHEN nus = pus THEN pv
+       |      ELSE pv + (nv - pv) * (CAST(us - pus AS DOUBLE) / CAST(nus - pus AS DOUBLE))
+       | END AS v_interp
+       |FROM w ORDER BY event_id""".stripMargin
+  }
+  val interpolateSql: String =
+    interpolateSqlFor((fn, a) => s"$fn($a) IGNORE NULLS", "unix_micros(ts)")
+  val interpolateOracleSql: String =
+    interpolateSqlFor((fn, a) => s"$fn($a IGNORE NULLS)", "epoch_us(ts)")
+
+  def linearInterpolate(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir).createOrReplaceTempView("events")
+    spark.sql(interpolateSql)
+  }
+
   /** q79: correlated SCALAR subqueries in the SELECT list — the
     * per-row lookup shape (max order, order count per customer)
     * declared as the subquery it is; Catalyst decorrelates each into

@@ -647,4 +647,67 @@ object TextAnalysis {
         col("n_hapax").cast("double") / col("n_bigrams").cast("double"))
       .orderBy(col("doc_id"))
   }
+
+  /** t24: corpus domain shift — exact total-variation distance between
+    * the unigram term distributions of every pair of language slices.
+    * The drift monitor of a training-data pipeline: TV(P,Q) ∈ [0,1]
+    * quantifies how far two corpus slices diverge before mixing them
+    * (0 = identical term mix, 1 = disjoint vocabularies).
+    *
+    * Exactness design: TV = ½·Σ|p−q| over terms is normally an
+    * order-dependent float sum (engine-dependent → not oracle-able).
+    * Rewriting each |n_a/T_a − n_b/T_b| as |n_a·T_b − n_b·T_a| /
+    * (T_a·T_b) moves the summation into EXACT integer arithmetic —
+    * Σ|n_a·T_b − n_b·T_a| is a decimal(38,0) sum, order-independent —
+    * and the single final division is one deterministic IEEE op. The
+    * same trick BM25 (t10) uses for its rational idf. Products are
+    * carried as decimal(38,0) so counts up to ~1e18 tokens per slice
+    * cannot overflow (BIGINT would cap at n·T ≤ 9e18).
+    *
+    * Scale shape: tokenize→explode is map-side; one groupBy(term)
+    * builds the per-term per-slice counts with partial aggregation
+    * (the conditional sums pivot the lang dimension INTO columns, so
+    * there is no per-(term,lang) shuffle key — the row count after the
+    * shuffle is |vocabulary|, not |vocabulary|·|langs|); the totals
+    * row is a scalar broadcast; the 6 pair sums reduce in one final
+    * single-row aggregate, unpivoted with stack(). Two shuffles total,
+    * both on vocabulary-sized data.
+    */
+  def domainShift(spark: SparkSession, dir: String): DataFrame = {
+    val langs = Seq("de", "en", "es", "fr")
+    val perTerm = Tables.documents(spark, dir)
+      .filter(col("lang").isin(langs: _*))
+      .select(col("lang"), explode(tokens(normalizeText(col("text")))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("term"))
+      .agg(sum(when(col("lang") === langs.head, 1L).otherwise(0L))
+          .as(s"n_${langs.head}"),
+        langs.tail.map(l =>
+          sum(when(col("lang") === l, 1L).otherwise(0L)).as(s"n_$l")): _*)
+    val withTotals = perTerm.crossJoin(broadcast(
+      perTerm.agg(
+        sum(col(s"n_${langs.head}")).as(s"t_${langs.head}"),
+        langs.tail.map(l => sum(col(s"n_$l")).as(s"t_$l")): _*)))
+    val pairs = for {
+      i <- langs.indices; j <- langs.indices if i < j
+    } yield (langs(i), langs(j))
+    val sums = withTotals.agg(
+      sum(expr(s"abs(cast(n_${pairs.head._1} as decimal(19,0)) * t_${pairs.head._2}" +
+        s" - cast(n_${pairs.head._2} as decimal(19,0)) * t_${pairs.head._1})"))
+        .as(s"s_${pairs.head._1}_${pairs.head._2}"),
+      (pairs.tail.map { case (a, b) =>
+        sum(expr(s"abs(cast(n_$a as decimal(19,0)) * t_$b" +
+          s" - cast(n_$b as decimal(19,0)) * t_$a)")).as(s"s_${a}_$b")
+      } ++ pairs.map { case (a, b) =>
+        sum(when(col(s"n_$a") > 0 || col(s"n_$b") > 0, 1L).otherwise(0L))
+          .as(s"k_${a}_$b")
+      } ++ langs.map(l => max(col(s"t_$l")).as(s"t_$l"))): _*)
+    val stackArgs = pairs.map { case (a, b) =>
+      s"'$a', '$b', cast(s_${a}_$b as double) /" +
+        s" (2.0 * cast(t_$a as double) * cast(t_$b as double)), k_${a}_$b"
+    }.mkString(", ")
+    sums.select(expr(
+        s"stack(${pairs.size}, $stackArgs) as (lang_a, lang_b, tv_distance, n_terms)"))
+      .orderBy(col("lang_a"), col("lang_b"))
+  }
 }

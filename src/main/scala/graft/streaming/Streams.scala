@@ -72,21 +72,19 @@ object Streams {
 
   // — real-streaming-run gate entries (shared scaffolding) —
 
-  /** The events fixture's on-disk schema (`ts` is TIMESTAMP(NANOS),
-    * read as long under nanosAsLong and converted like Tables.events).
+  /** Stream source over the events fixture. `readStream` needs an
+    * explicit schema; take it from a batch footer read of the same file
+    * (cheap, metadata-only) so the stream sees whatever physical `ts`
+    * type this fixture generation carries, then normalize it to
+    * TimestampType exactly like the batch path (`Tables.events`).
     */
-  private val eventsFileSchema = org.apache.spark.sql.types.StructType(Seq(
-    org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
-    org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
-    org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
-    org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
-    org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
-    org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
-
-  private[graft] def eventsStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(eventsFileSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  private[graft] def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val fileSchema = spark.read
+      .option("pathGlobFilter", "events.parquet").parquet(dir).schema
+    graft.Tables.normalizeEventTs(
+      spark.readStream.schema(fileSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+  }
 
   /** Drain one streaming query into a parquet dir and read it back.
     * The output dir is DETERMINISTIC per (tag, input dir, session) and

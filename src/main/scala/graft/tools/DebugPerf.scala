@@ -24,6 +24,41 @@ object DebugPerf {
       println(f"[perf] $label%-30s ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
     }
 
+    // ---- q82 decomposition -------------------------------------------
+    if (args.length > 1 && args(1) == "q82") {
+      (1 to 2).foreach { rep =>
+        println(s"[perf] --- rep $rep ---")
+        val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+        val l = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+        val directed = l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .select(col("o_custkey").as("src"), (col("l_suppkey") + 1000000L).as("dst"))
+          .distinct()
+        time("q82 distinct edges")(println("edges=" + directed.count()))
+        val edges = directed.union(directed.select(col("dst").as("src"), col("src").as("dst")))
+        val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
+        val cEdges = time("q82 cEdges checkpoint")(
+          edges.join(deg, edges("src") === deg("node"))
+            .select(col("src"), col("dst"), col("outdeg")).localCheckpoint())
+        val nodes = time("q82 nodes checkpoint")(deg.select(col("node")).localCheckpoint())
+        var ranks = nodes.withColumn("r", lit(graft.operators.Graph.Scale))
+        for (i <- 1 to 3) {
+          val contrib = cEdges
+            .join(broadcast(ranks.withColumnRenamed("node", "rnode")),
+              col("src") === col("rnode"))
+            .select(col("dst").as("node"), expr("r div outdeg").as("c"))
+            .groupBy("node").agg(sum(col("c")).as("inflow"))
+          ranks = nodes.join(contrib, Seq("node"), "left")
+            .select(col("node"), (lit(graft.operators.Graph.Teleport) +
+              expr("(85L * coalesce(inflow, 0L)) div 100L")).as("r"))
+          time(s"q82 sweep $i")(ranks.count())
+        }
+        time("q82 final topk")(
+          ranks.orderBy(col("r").desc, col("node")).limit(20).count())
+        graft.Bench.dropAllStorage(spark)
+      }
+      spark.stop(); return
+    }
+
     // ---- d03 decomposition -------------------------------------------
     val base = Tables.documents(spark, dir)
       .select(col("doc_id").as("id"), TextFns.normalizeText(col("text")).as("text_norm"))

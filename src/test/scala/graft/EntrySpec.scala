@@ -173,6 +173,101 @@ class EntrySpec extends SparkSpec {
     }
   }
 
+  test("q81 linear interpolation matches a driver-side exact recomputation") {
+    // recompute every interpolated value in plain Scala with the SAME
+    // expression tree (exact integer micros, one IEEE division) — the
+    // distributed window result must be bit-identical
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byUser = ev.groupBy(_._2).map { case (u, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._1))
+      val vs = sorted.map(r => if (r._1 % 7 == 0) None else Some(r._4))
+      val expect = sorted.indices.map { i =>
+        vs(i) match {
+          case Some(v) => Some(v)
+          case None =>
+            val prev = (i - 1 to 0 by -1).find(j => vs(j).isDefined)
+            val next = (i + 1 until sorted.length).find(j => vs(j).isDefined)
+            (prev, next) match {
+              case (None, None) => None
+              case (Some(p), None) => Some(vs(p).get)
+              case (None, Some(n)) => Some(vs(n).get)
+              case (Some(p), Some(n)) =>
+                val (pu, nu, u0) = (sorted(p)._3, sorted(n)._3, sorted(i)._3)
+                if (nu == pu) Some(vs(p).get)
+                else Some(vs(p).get + (vs(n).get - vs(p).get) *
+                  ((u0 - pu).toDouble / (nu - pu).toDouble))
+            }
+        }
+      }
+      sorted.map(_._1).zip(expect).toMap
+    }.reduce(_ ++ _)
+    val got = operators.Relational.linearInterpolate(spark, sf).collect()
+    assert(got.length == ev.length)
+    got.foreach { r =>
+      val want = byUser(r.getLong(0))
+      val g = if (r.isNullAt(2)) None else Some(r.getDouble(2))
+      assert(g == want, s"event ${r.getLong(0)}: got $g want $want")
+    }
+  }
+
+  test("q82 fixed-point PageRank matches a driver-side integer reference") {
+    val edges = Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(spark, sf).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), (col("l_suppkey") + 1000000L).as("supp"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val bi = edges ++ edges.map(_.swap)
+    val outdeg = bi.groupBy(_._1).map { case (n, es) => n -> es.length.toLong }
+    val nodes = outdeg.keySet
+    var r = nodes.map(_ -> operators.Graph.Scale).toMap
+    for (_ <- 1 to 3) {
+      val inflow = bi.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => r(src) / outdeg(src) }.sum
+      }
+      r = nodes.map(n => n ->
+        (operators.Graph.Teleport +
+          operators.Graph.DampNum * inflow.getOrElse(n, 0L) / operators.Graph.DampDen))
+        .toMap
+    }
+    val want = r.toSeq.sortBy { case (n, rk) => (-rk, n) }.take(20)
+    val got = operators.Graph.pageRank(spark, sf)
+      .collect().map(row => (row.getLong(0), row.getLong(1))).toSeq
+    assert(got == want)
+  }
+
+  test("t24 TV distances match an exact BigInt recomputation and sit in [0,1]") {
+    import graft.functions.TextFns
+    val toks = Tables.documents(spark, sf)
+      .select(col("lang"), TextFns.tokens(TextFns.normalizeText(col("text"))).as("tk"))
+      .collect().flatMap(r =>
+        r.getSeq[String](1).filter(_.nonEmpty).map(t => (r.getString(0), t)))
+    val langs = Seq("de", "en", "es", "fr")
+    val counts = toks.filter(p => langs.contains(p._1))
+      .groupBy(identity).map { case ((l, t), xs) => (l, t) -> BigInt(xs.length) }
+    val totals = langs.map(l =>
+      l -> counts.collect { case ((`l`, _), n) => n }.sum).toMap
+    val vocab = counts.keySet.map(_._2)
+    val got = operators.TextAnalysis.domainShift(spark, sf).collect()
+    assert(got.length == 6)
+    got.foreach { row =>
+      val (a, b) = (row.getString(0), row.getString(1))
+      val s = vocab.toSeq.map { t =>
+        val na = counts.getOrElse((a, t), BigInt(0))
+        val nb = counts.getOrElse((b, t), BigInt(0))
+        (na * totals(b) - nb * totals(a)).abs
+      }.sum
+      val tv = s.toDouble / (2.0 * totals(a).toDouble * totals(b).toDouble)
+      assert(row.getDouble(2) == tv, s"$a/$b: got ${row.getDouble(2)} want $tv")
+      assert(row.getDouble(2) >= 0.0 && row.getDouble(2) <= 1.0)
+      val k = vocab.count(t =>
+        counts.contains((a, t)) || counts.contains((b, t)))
+      assert(row.getLong(3) == k.toLong)
+    }
+  }
+
   test("q23 HLL estimates stay within 5% of the exact per-group cardinalities") {
     // quantifies the rows-only exemption: approx_count_distinct is
     // engine-specific, but its error against the exact distinct counts

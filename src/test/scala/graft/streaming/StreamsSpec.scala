@@ -88,16 +88,13 @@ class StreamsSpec extends SparkSpec {
 
   test("file-source streaming: events parquet replayed as a stream matches batch") {
     val dir = sf // fixture dir; pathGlobFilter selects the events table
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
-      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // schema from a batch footer read + the shared adaptive ts
+    // normalization — robust to the fixture's physical ts type
+    val schema = spark.read
+      .option("pathGlobFilter", "events.parquet").parquet(dir).schema
+    val stream = graft.Tables.normalizeEventTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
     val q = Streams.hourlyTypeCountsStream(stream)
       .writeStream.format("memory").queryName("file_hourly")
       .outputMode("complete").start()
