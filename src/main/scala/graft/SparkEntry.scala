@@ -148,7 +148,11 @@ object SparkEntry {
     // — dedup (SURVEY §2.11) —
     "d01_exact_dedup"        -> (Dedup.exactDedup _),
     "d02_fingerprint_dedup"  -> (Dedup.fingerprintDedup _),
-    "d03_minhash_lsh"        -> (Dedup.minHashDedup _),
+    // d03: the ENGINE-PORTABLE MinHash+LSH pipeline (md5-60-bit grams,
+    // mod-M61 permutations) — hash-checked end-to-end by a DuckDB
+    // oracle that reproduces signature, banding, prefilter and verify;
+    // the XXH64 kernel (minHashLshPairs) stays the spec'd scale path
+    "d03_minhash_lsh"        -> (Dedup.minHashDedupPortable _),
     "d04_simhash"            -> (Dedup.simHashDedup _),
     "d05_ngram_jaccard"      -> (Dedup.ngramJaccardDedup _),
     "d06_embedding_neardup"  -> (Dedup.embeddingNearDup _),
@@ -710,6 +714,46 @@ object SparkEntry {
            | FROM sh a, sh b WHERE a.doc_id < b.doc_id)
            |WHERE jaccard >= 0.25
            |ORDER BY doc_a, doc_b""".stripMargin,
+      // d03: the full MinHash+LSH pipeline, stage by stage — the same
+      // md5-60-bit gram hashes (t08's portable hash), the same
+      // (a·h+b) mod 2^61−1 permutations via HUGEINT (constants
+      // interpolated from HashFns.PortableA/B — one source of truth),
+      // band keys = the 4 components themselves, the same integer
+      // ≥13-of-32 estimate prefilter, and exact jaccard over the SAME
+      // hashed shingle sets. Every stage is integer algebra until the
+      // one final division of identical ints.
+      "d03_minhash_lsh" -> {
+        val aLit = graft.functions.HashFns.PortableA.mkString("[", ", ", "]")
+        val bLit = graft.functions.HashFns.PortableB.mkString("[", ", ", "]")
+        s"""WITH hs AS (
+           | SELECT doc_id, list_sort(list_distinct(list_transform(
+           |   range(1, greatest(length(nt) - 3, 2)),
+           |   i -> ('0x' || substr(md5(substr(nt, i, 5)), 1, 15))::BIGINT))) AS hs
+           | FROM (SELECT doc_id, ${norm("text")} AS nt FROM documents)
+           |), sig AS (
+           | SELECT doc_id, hs, list_transform(range(0, 32),
+           |  j -> (list_min(list_transform(hs,
+           |   h -> (($aLit[j+1]::HUGEINT * h + $bLit[j+1])
+           |         % 2305843009213693951)::BIGINT)))) AS sig
+           | FROM hs
+           |), banded AS (
+           | SELECT doc_id, sig, b,
+           |  array_to_string(sig[1 + 4*b : 4 + 4*b], '-') AS bkey
+           | FROM sig, range(0, 8) t(b)
+           |), cand AS (
+           | SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           | FROM banded x JOIN banded y
+           |   ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+           | WHERE len(list_filter(range(1, 33), i -> x.sig[i] = y.sig[i])) >= 13
+           |)
+           |SELECT doc_a, doc_b, jaccard FROM (
+           | SELECT c.doc_a, c.doc_b,
+           |  CAST(len(list_intersect(p.hs, q.hs)) AS DOUBLE)
+           |   / (len(p.hs) + len(q.hs) - len(list_intersect(p.hs, q.hs))) AS jaccard
+           | FROM cand c JOIN hs p ON c.doc_a = p.doc_id JOIN hs q ON c.doc_b = q.doc_id)
+           |WHERE jaccard >= 0.6
+           |ORDER BY doc_a, doc_b""".stripMargin
+      },
       "t09_text_match" -> t09Sql,
       "d01_exact_dedup" ->
         s"""SELECT min(doc_id) AS keeper_id, count(*) AS n_copies

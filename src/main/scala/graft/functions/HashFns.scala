@@ -571,4 +571,195 @@ object HashFns {
   def minhashWordSig(tokens: Column, n: Int, numHashes: Int): Column =
     GraftColumnBridge.column(
       MinHashWordSig(GraftColumnBridge.expression(tokens), n, numHashes))
+
+  // — engine-portable MinHash (the t08 move applied to d03/d05): gram
+  //   hash = first 60 bits of MD5 (both engines compute MD5 of the
+  //   same UTF-8 bytes; 60 bits = 15 hex chars, always positive in a
+  //   signed 64-bit int on both sides), permutations = (a·h + b) mod
+  //   M61 with 31-bit constants — exact on DuckDB as HUGEINT
+  //   arithmetic, exact here as split-multiply long arithmetic (no
+  //   BigInt, no Decimal). The whole LSH pipeline — signature,
+  //   banding, candidate join, estimate prefilter, exact-jaccard
+  //   verify — then produces IDENTICAL rows in Spark and DuckDB and
+  //   the gate graduates from rows-only to hash-checked. —
+
+  /** 2^61 − 1 (Mersenne): modulus of the portable permutation family. */
+  val M61: Long = 2305843009213693951L
+
+  /** 32 multipliers (odd, 31-bit) / offsets (31-bit) of the portable
+    * permutation family. ONE source of truth: [[SparkEntry.oracleSql]]
+    * interpolates these same arrays into the DuckDB literals.
+    */
+  val PortableA: Array[Long] = Array(
+    1083260329L, 2100403129L, 486693445L, 682508699L, 1508920989L, 1125013669L,
+    580460369L, 100390633L, 732745991L, 434255593L, 1840101537L, 297888149L,
+    1892967029L, 1188936099L, 1508999011L, 818338013L, 745872241L, 2015402981L,
+    866325075L, 1168600161L, 973972171L, 433196563L, 334387653L, 1026583727L,
+    1561898831L, 1965667879L, 1424763935L, 661447465L, 915587883L, 8857115L,
+    395361567L, 426115673L)
+  val PortableB: Array[Long] = Array(
+    111033653L, 1908583461L, 1796767331L, 429140786L, 1834908172L, 615918189L,
+    1623535974L, 712786457L, 2140809552L, 1911756154L, 1012511371L, 1644249307L,
+    44765227L, 873062139L, 588226228L, 970523419L, 1942642673L, 1550183666L,
+    400268477L, 186477438L, 1603390405L, 322222631L, 1081041226L, 1412453142L,
+    500668152L, 1775721109L, 948092453L, 2113453211L, 404213559L, 601844632L,
+    96467830L, 1537843287L)
+
+  /** (a·h + b) mod M61, exact, for 0 ≤ h < 2^60 and 31-bit a, b —
+    * pure long arithmetic. Split h = hi·2^30 + lo; a·hi < 2^61 and
+    * a·lo < 2^61 fit a long; a·hi·2^30 folds over the Mersenne
+    * modulus as (a·hi div 2^31) + (a·hi mod 2^31)·2^30 (because
+    * 2^61 ≡ 1 mod M61); the three-term sum stays < 2^63 and two
+    * final folds reduce it below M61. `HashFnsSpec` property-tests
+    * this against the BigInt formula — the same value DuckDB's
+    * HUGEINT `%` produces.
+    */
+  def permuteM61(a: Long, b: Long, h: Long): Long = {
+    val hi = h >>> 30
+    val lo = h & 0x3FFFFFFFL
+    val t = a * hi // < 2^61
+    var x = (t >>> 31) + ((t & 0x7FFFFFFFL) << 30) + a * lo + b // < 2^63
+    x = (x & M61) + (x >>> 61)
+    if (x >= M61) x - M61 else x
+  }
+
+  /** First 60 bits of the MD5 of a UTF-8 byte slice — the value both
+    * engines spell `('0x' || substr(md5(s), 1, 15))::bigint` /
+    * `conv(substr(md5(s), 1, 15), 16, 10)`.
+    */
+  def md5Gram60(bytes: Array[Byte], start: Int, len: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(bytes, start, len)
+    val d = md.digest()
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
+    v >>> 4
+  }
+
+  /** Sorted distinct md5-60-bit codepoint n-gram hashes — the
+    * portable twin of [[sortedShingleHashes]] (same offsets walk and
+    * window rule: max(len − n + 1, 1) windows, the short-text window
+    * clipping at the end).
+    */
+  def sortedPortableShingleHashes(s: UTF8String, n: Int): ArrayData = {
+    val bytes = s.getBytes
+    val offsets = new Array[Int](bytes.length + 1)
+    var len = 0
+    var pos = 0
+    while (pos < bytes.length) {
+      offsets(len) = pos
+      pos += UTF8String.numBytesForFirstByte(bytes(pos))
+      len += 1
+    }
+    offsets(len) = bytes.length
+    val nWin = math.max(len - n + 1, 1)
+    val arr = new Array[Long](nWin)
+    var i = 0
+    while (i < nWin) {
+      val start = offsets(i)
+      val end = offsets(math.min(i + n, len))
+      arr(i) = md5Gram60(bytes, start, end - start)
+      i += 1
+    }
+    java.util.Arrays.sort(arr)
+    var w = 0
+    i = 0
+    while (i < nWin) {
+      if (w == 0 || arr(i) != arr(w - 1)) { arr(w) = arr(i); w += 1 }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(arr, w))
+  }
+
+  case class SortedPortableShingleHashSet(child: Expression, n: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "sorted_portable_shingle_hashes"
+    override def nullSafeEval(input: Any): Any =
+      sortedPortableShingleHashes(input.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashFns.sortedPortableShingleHashes($c, $n)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def sortedPortableShingleHashSet(text: Column, n: Int): Column =
+    GraftColumnBridge.column(
+      SortedPortableShingleHashSet(GraftColumnBridge.expression(text), n))
+
+  /** Portable MinHash signature from an array of 60-bit gram hashes:
+    * component i = min over the array of permuteM61(A(i), B(i), h).
+    * One pass, k running minima — O(k·|hs|) long ops, no hashing.
+    */
+  def portableMinhash(hs: ArrayData, k: Int): ArrayData = {
+    val n = hs.numElements()
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var j = 0
+      while (j < k) {
+        val v = permuteM61(PortableA(j), PortableB(j), h)
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    if (n == 0) java.util.Arrays.fill(sig, 0L) // defined empty-input value
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)
+  }
+
+  case class PortableMinhashSig(child: Expression, k: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "portable_minhash_sig"
+    override def nullSafeEval(input: Any): Any =
+      portableMinhash(input.asInstanceOf[ArrayData], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashFns.portableMinhash($c, $k)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def portableMinhashSig(hashes: Column, k: Int): Column =
+    GraftColumnBridge.column(
+      PortableMinhashSig(GraftColumnBridge.expression(hashes), k))
+
+  /** Count of positionally-equal components of two long-array
+    * signatures — the integer form of the estimate prefilter (both
+    * engines compare `nMatch >= ceil((thr − margin)·k)` with no
+    * doubles involved).
+    */
+  def sigMatchCount(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var same = 0
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) same += 1
+      i += 1
+    }
+    same
+  }
+
+  case class SigMatchCount(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = IntegerType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "sig_match_count"
+    override def nullSafeEval(a: Any, b: Any): Any =
+      sigMatchCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashFns.sigMatchCount($a, $b)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def signatureMatchCount(a: Column, b: Column): Column =
+    GraftColumnBridge.column(SigMatchCount(GraftColumnBridge.expression(a),
+                                           GraftColumnBridge.expression(b)))
 }

@@ -231,6 +231,78 @@ object Dedup {
   def minHashDedup(spark: SparkSession, dir: String): DataFrame =
     minHashLshPairs(Tables.documents(spark, dir), "doc_id", "text")
 
+  /** ENGINE-PORTABLE MinHash+LSH near-duplicate pairs — the registered
+    * d03 gate, hash-checked against a DuckDB oracle that reproduces
+    * every stage bit-for-bit (the t08 move applied to the full LSH
+    * pipeline). Same pipeline shape as [[minHashLshPairs]] — persist
+    * signatures, band, candidate self-join, estimate prefilter, ONE
+    * exact-jaccard verify, dedup at verified volume — but every
+    * engine-local choice swapped for a value both engines compute
+    * identically:
+    *
+    *  - gram hash: first 60 bits of MD5 of the codepoint 5-gram
+    *    (`HashFns.md5Gram60` ≡ DuckDB `('0x'||substr(md5(s),1,15))::bigint`)
+    *  - permutations: (a·h + b) mod 2^61−1 with shared 31-bit
+    *    constants (`HashFns.permuteM61` ≡ HUGEINT `%` — exact integer
+    *    algebra on both sides)
+    *  - band key: the 4 signature components THEMSELVES (joined as a
+    *    string), not an engine hash of them — no cross-value collisions
+    *  - prefilter: integer component-match count ≥ 13
+    *    (= ceil((0.6−0.2)·32) — no doubles), computed map-side from
+    *    signatures carried on the band rows, BEFORE the pair dedup
+    *    (the d04 verify-before-dedup shape: the dedup shuffle carries
+    *    only plausible pairs)
+    *  - verify: jaccard over the SAME md5-60-bit hashed shingle sets
+    *    on both engines (not string sets) — the ratio of the same two
+    *    ints, so the final doubles are bit-identical
+    *
+    * [[minHashLshPairs]] (XXH64 one-pass kernel) remains the
+    * throughput scale path, spec-pinned in `DedupSpec`; this portable
+    * variant is what CI gates, and its per-shingle cost is one MD5 +
+    * 32 fused long-ops — measured within noise of the XXH64 kernel at
+    * 10× stress density.
+    */
+  def minHashLshPairsPortable(docs: DataFrame, idCol: String, textCol: String,
+                              shingleLen: Int = 5, numHashes: Int = 32,
+                              bands: Int = 8, threshold: Double = 0.6): DataFrame = {
+    val rows = numHashes / bands
+    val minMatch = math.ceil((threshold - 0.2) * numHashes).toInt
+    val hashed = docs.select(col(idCol).as("id"),
+        HashFns.sortedPortableShingleHashSet(
+          normalizeText(col(textCol)), shingleLen).as("hs"))
+      .withColumn("sig", HashFns.portableMinhashSig(col("hs"), numHashes))
+      .persist()
+    val banded = hashed.select(col("id"), col("sig"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+                 array_join(slice(col("sig"), b * rows + 1, rows), "-").as("bkey"))
+        }: _*)).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bkey").as("bkey"),
+              col("id"), col("sig"))
+    val a = banded.select(col("band"), col("bkey"),
+                          col("id").as("doc_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bkey"),
+                          col("id").as("doc_b"), col("sig").as("sig_b"))
+    val candidates = a.join(b, Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(HashFns.signatureMatchCount(col("sig_a"), col("sig_b")) >= minMatch)
+      .select(col("doc_a"), col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val pairs = candidates
+      .join(hashed.select(col("id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+      .join(hashed.select(col("id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+      .withColumn("jaccard", HashFns.jaccardSortedLong(col("hs_a"), col("hs_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+      .localCheckpoint(true)
+    hashed.unpersist()
+    pairs
+  }
+
+  def minHashDedupPortable(spark: SparkSession, dir: String): DataFrame =
+    minHashLshPairsPortable(Tables.documents(spark, dir), "doc_id", "text")
+
   /** 64-bit SimHash: custom codegen'd expression (one token-array pass;
     * see [[graft.functions.HashFns.SimHash64]]).
     */

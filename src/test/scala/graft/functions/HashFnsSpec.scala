@@ -116,4 +116,57 @@ class HashFnsSpec extends SparkSpec {
       assert(packed >= exact && packed <= exact + 8.0 / 32, s"exact=$exact packed=$packed")
     }
   }
+
+  test("permuteM61 equals the BigInt formula DuckDB's HUGEINT % computes") {
+    val M = BigInt(HashFns.M61)
+    val rnd = new scala.util.Random(13)
+    // random 60-bit hashes x every permutation constant, plus the edges
+    val hs = Seq(0L, 1L, (1L << 60) - 1) ++ Seq.fill(200)(rnd.nextLong() >>> 4)
+    for (h <- hs; j <- 0 until 32) {
+      val a = HashFns.PortableA(j); val b = HashFns.PortableB(j)
+      val want = ((BigInt(a) * h + b) mod M).toLong
+      val got = HashFns.permuteM61(a, b, h)
+      assert(got == want, s"a=$a b=$b h=$h got=$got want=$want")
+    }
+  }
+
+  test("portable md5-60-bit shingle hashes equal the built-in conv(substr(md5)) route") {
+    // the same value DuckDB spells ('0x'||substr(md5(s),1,15))::bigint;
+    // accented text exercises the codepoint (not byte) windowing
+    val docs = Seq("spark makes big joins fast", "héllo wörld événement çà",
+                   "abc", "a", "répété répété répété")
+    docs.foreach { d =>
+      val viaExpr = Seq(d).toDF("nt").selectExpr(
+        """array_sort(array_distinct(transform(
+          |  sequence(1, greatest(length(nt) - 4, 1)),
+          |  i -> cast(conv(substr(md5(cast(substr(nt, i, 5) as binary)), 1, 15), 16, 10) as bigint))))"""
+          .stripMargin).as[Seq[Long]].head()
+      val viaKernel = Seq(d).toDF("nt")
+        .select(HashFns.sortedPortableShingleHashSet($"nt", 5)).as[Seq[Long]].head()
+      assert(viaKernel == viaExpr, s"doc=$d kernel=$viaKernel expr=$viaExpr")
+    }
+  }
+
+  test("portable minhash: identical sets match on all components; signature estimates jaccard") {
+    val a = "abcdefghijklmnopqrstuvwxyz0123456789"
+    val Seq(sa, sa2) = Seq(a, a).toDF("t")
+      .select(HashFns.portableMinhashSig(
+        HashFns.sortedPortableShingleHashSet($"t", 5), 32)).as[Seq[Long]].collect().toSeq
+    assert(sa == sa2 && sa.length == 32)
+    // a doc sharing roughly half its shingles should match roughly half
+    // the components (σ ≈ 1/√32 ≈ 0.18 at k=32 — wide bounds)
+    val b = "abcdefghijklmnopqr_ZZZZZZZZZZZZZZZZZ"
+    val Seq(ha, hb) = Seq(a, b).toDF("t")
+      .select(HashFns.sortedPortableShingleHashSet($"t", 5)).as[Seq[Long]].collect().toSeq
+    val j = ha.toSet.intersect(hb.toSet).size.toDouble / ha.toSet.union(hb.toSet).size
+    val Seq(sb) = Seq(b).toDF("t")
+      .select(HashFns.portableMinhashSig(
+        HashFns.sortedPortableShingleHashSet($"t", 5), 32)).as[Seq[Long]].collect().toSeq
+    val est = sa.zip(sb).count { case (x, y) => x == y }.toDouble / 32
+    assert(math.abs(est - j) < 0.3, s"est=$est true=$j")
+    // and the integer match-count kernel agrees with the driver-side count
+    val n = Seq((sa, sb)).toDF("a", "b")
+      .select(HashFns.signatureMatchCount($"a", $"b")).as[Int].head()
+    assert(n == sa.zip(sb).count { case (x, y) => x == y })
+  }
 }

@@ -30,6 +30,14 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 >= 4L), s"false positives: $pairs")
   }
 
+  test("portable minhash LSH (the d03 gate) finds the planted dups, no false positives") {
+    val pairs = Dedup.minHashLshPairsPortable(planted, "doc_id", "text")
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)), s"missing exact-dup pair, got $pairs")
+    assert(pairs.contains((2L, 3L)), s"missing near-dup pair, got $pairs")
+    assert(!pairs.exists(p => p._1 >= 4L), s"false positives: $pairs")
+  }
+
   test("simhash flags the near-dup pair within hamming budget") {
     val pairs = Dedup.simHashPairs(planted, "doc_id", "text", maxHamming = 10)
       .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
