@@ -153,8 +153,10 @@ object SparkEntry {
     // oracle that reproduces signature, banding, prefilter and verify;
     // the XXH64 kernel (minHashLshPairs) stays the spec'd scale path
     "d03_minhash_lsh"        -> (Dedup.minHashDedupPortable _),
-    "d04_simhash"            -> (Dedup.simHashDedup _),
-    "d05_ngram_jaccard"      -> (Dedup.ngramJaccardDedup _),
+    // d04/d05: engine-portable like d03 — the XXH64 kernels
+    // (simHashPairs / ngramJaccardPairs) stay the spec'd scale paths
+    "d04_simhash"            -> (Dedup.simHashDedupPortable _),
+    "d05_ngram_jaccard"      -> (Dedup.ngramJaccardDedupPortable _),
     "d06_embedding_neardup"  -> (Dedup.embeddingNearDup _),
     // d07 = the flagship pipeline on the exact-Jaccard kernel over the
     // bounded slice (fully oracle-checked); d11 = the identical
@@ -752,6 +754,65 @@ object SparkEntry {
            |   / (len(p.hs) + len(q.hs) - len(list_intersect(p.hs, q.hs))) AS jaccard
            | FROM cand c JOIN hs p ON c.doc_a = p.doc_id JOIN hs q ON c.doc_b = q.doc_id)
            |WHERE jaccard >= 0.6
+           |ORDER BY doc_a, doc_b""".stripMargin
+      },
+      // d04: portable SimHash — md5-60-bit token hashes, 60-bit
+      // majority-vote signature (integer tie rule 2·cnt > n), 4×15-bit
+      // bands, bit_count(xor) <= 3 verify. Integer algebra throughout.
+      "d04_simhash" ->
+        s"""WITH hs AS (
+           | SELECT doc_id, list_transform(string_split(nt, ' '),
+           |   t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs
+           | FROM (SELECT doc_id, ${norm("text")} AS nt FROM documents)
+           |), sig AS (
+           | SELECT doc_id, list_sum(list_transform(range(0, 60),
+           |  j -> CASE WHEN 2 * len(list_filter(hs, h -> (h >> j) & 1 = 1)) > len(hs)
+           |       THEN (1::BIGINT << j) ELSE 0::BIGINT END))::BIGINT AS sig
+           | FROM hs
+           |), banded AS (
+           | SELECT doc_id, sig, b, (sig >> (b * 15)) & 32767 AS bkey
+           | FROM sig, range(0, 4) t(b)
+           |)
+           |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+           |  bit_count(xor(x.sig, y.sig))::BIGINT AS hamming
+           |FROM banded x JOIN banded y
+           |  ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+           |WHERE bit_count(xor(x.sig, y.sig)) <= 3
+           |ORDER BY doc_a, doc_b""".stripMargin,
+      // d05: portable word-3-gram MinHash — same machinery as d03 with
+      // k=16, 4×4 bands, >=3-of-16 prefilter, jaccard >= 0.4; n-gram
+      // hash = md5-60-bit of the space-joined window (windows clip at
+      // the token-array end; the short-doc all-tokens window included)
+      "d05_ngram_jaccard" -> {
+        val aLit = graft.functions.HashFns.PortableA.take(16).mkString("[", ", ", "]")
+        val bLit = graft.functions.HashFns.PortableB.take(16).mkString("[", ", ", "]")
+        s"""WITH hs AS (
+           | SELECT doc_id, list_sort(list_distinct(list_transform(
+           |   range(1, greatest(len(toks) - 1, 2)),
+           |   i -> ('0x' || substr(md5(array_to_string(toks[i : i+2], ' ')), 1, 15))::BIGINT))) AS hs
+           | FROM (SELECT doc_id, ${toks("text")} AS toks FROM documents)
+           |), sig AS (
+           | SELECT doc_id, hs, list_transform(range(0, 16),
+           |  j -> (list_min(list_transform(hs,
+           |   h -> (($aLit[j+1]::HUGEINT * h + $bLit[j+1])
+           |         % 2305843009213693951)::BIGINT)))) AS sig
+           | FROM hs
+           |), banded AS (
+           | SELECT doc_id, sig, b,
+           |  array_to_string(sig[1 + 4*b : 4 + 4*b], '-') AS bkey
+           | FROM sig, range(0, 4) t(b)
+           |), cand AS (
+           | SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           | FROM banded x JOIN banded y
+           |   ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+           | WHERE len(list_filter(range(1, 17), i -> x.sig[i] = y.sig[i])) >= 3
+           |)
+           |SELECT doc_a, doc_b, jaccard FROM (
+           | SELECT c.doc_a, c.doc_b,
+           |  CAST(len(list_intersect(p.hs, q.hs)) AS DOUBLE)
+           |   / (len(p.hs) + len(q.hs) - len(list_intersect(p.hs, q.hs))) AS jaccard
+           | FROM cand c JOIN hs p ON c.doc_a = p.doc_id JOIN hs q ON c.doc_b = q.doc_id)
+           |WHERE jaccard >= 0.4
            |ORDER BY doc_a, doc_b""".stripMargin
       },
       "t09_text_match" -> t09Sql,

@@ -762,4 +762,134 @@ object HashFns {
   def signatureMatchCount(a: Column, b: Column): Column =
     GraftColumnBridge.column(SigMatchCount(GraftColumnBridge.expression(a),
                                            GraftColumnBridge.expression(b)))
+
+  /** Sorted distinct md5-60-bit WORD n-gram hashes — the portable twin
+    * of `TextFns.wordShingles` + hashing: same window rule (starts
+    * 0..max(nTok−n, 0), the short-doc all-tokens window included,
+    * windows clip at the array end), tokens joined with single spaces,
+    * then the joined string hashed like [[md5Gram60]]. DuckDB spells
+    * the same value `('0x' || substr(md5(array_to_string(
+    * toks[i : i+n−1], ' ')), 1, 15))::bigint`.
+    */
+  def sortedPortableWordShingleHashes(arr: ArrayData, n: Int): ArrayData = {
+    val nTok = arr.numElements()
+    val nWin = math.max(nTok - n + 1, 1)
+    val buf = new Array[UTF8String](n)
+    val sep = UTF8String.fromString(" ")
+    val out = new Array[Long](nWin)
+    var i = 0
+    while (i < nWin) {
+      val end = math.min(i + n, nTok)
+      var w = 0
+      while (w < end - i) {
+        buf(w) = if (arr.isNullAt(i + w)) null else arr.getUTF8String(i + w)
+        w += 1
+      }
+      while (w < n) { buf(w) = null; w += 1 } // concatWs skips nulls
+      val joined = UTF8String.concatWs(sep, buf: _*).getBytes
+      out(i) = md5Gram60(joined, 0, joined.length)
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    var w = 0
+    i = 0
+    while (i < nWin) {
+      if (w == 0 || out(i) != out(w - 1)) { out(w) = out(i); w += 1 }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(out, w))
+  }
+
+  case class SortedPortableWordShingleHashSet(child: Expression, n: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "sorted_portable_word_shingle_hashes"
+    override def nullSafeEval(input: Any): Any =
+      sortedPortableWordShingleHashes(input.asInstanceOf[ArrayData], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.HashFns.sortedPortableWordShingleHashes($c, $n)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def sortedPortableWordShingleHashSet(toks: Column, n: Int): Column =
+    GraftColumnBridge.column(
+      SortedPortableWordShingleHashSet(GraftColumnBridge.expression(toks), n))
+
+  /** md5-60-bit hash per token (multiset — duplicates kept: SimHash
+    * weights by occurrence).
+    */
+  def md5TokenHashes(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val b = if (arr.isNullAt(i)) Array.emptyByteArray else arr.getUTF8String(i).getBytes
+      out(i) = md5Gram60(b, 0, b.length)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  case class Md5TokenHashes(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "md5_token_hashes"
+    override def nullSafeEval(input: Any): Any =
+      md5TokenHashes(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashFns.md5TokenHashes($c)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def md5TokenHashCol(toks: Column): Column =
+    GraftColumnBridge.column(Md5TokenHashes(GraftColumnBridge.expression(toks)))
+
+  /** 60-bit portable SimHash over md5-60-bit token hashes: bit j is
+    * set iff strictly more tokens have bit j set than clear
+    * (2·cnt_j > n — the integer form of sign(Σ±1) > 0, ties → 0).
+    * One pass, 60 counters; DuckDB reproduces it as
+    * `2·len(list_filter(hs, h -> (h >> j) & 1 = 1)) > len(hs)`.
+    */
+  def portableSimhash60(hs: ArrayData): Long = {
+    val n = hs.numElements()
+    val cnt = new Array[Int](60)
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var j = 0
+      while (j < 60) {
+        if (((h >>> j) & 1L) == 1L) cnt(j) += 1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 60) {
+      if (2 * cnt(j) > n) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
+  case class PortableSimHash60(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "portable_simhash60"
+    override def nullSafeEval(input: Any): Any =
+      portableSimhash60(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashFns.portableSimhash60($c)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def portableSimhash(tokenHashes: Column): Column =
+    GraftColumnBridge.column(
+      PortableSimHash60(GraftColumnBridge.expression(tokenHashes)))
 }

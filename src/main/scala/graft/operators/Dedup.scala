@@ -341,6 +341,40 @@ object Dedup {
   def simHashDedup(spark: SparkSession, dir: String): DataFrame =
     simHashPairs(Tables.documents(spark, dir), "doc_id", "text")
 
+  /** ENGINE-PORTABLE SimHash near-dup pairs — the registered d04 gate,
+    * hash-checked end-to-end (the d03-portable move applied to
+    * SimHash). Token hash = md5-60-bit ([[graft.functions.HashFns.md5TokenHashes]]),
+    * signature = 60-bit majority vote with the integer tie rule
+    * 2·cnt_j > n, bands = 4×15 bits (pigeonhole still covers Hamming
+    * ≤ 3), verify = bit_count(xor) ≤ 3 — every stage integer algebra
+    * DuckDB reproduces exactly. Same verify-before-dedup shuffle shape
+    * as [[simHashPairs]], which remains the XXH64 64-bit scale path.
+    */
+  def simHashPairsPortable(docs: DataFrame, idCol: String, textCol: String,
+                           maxHamming: Int = 3): DataFrame = {
+    val sig = docs.select(col(idCol).as("id"),
+      HashFns.portableSimhash(
+        HashFns.md5TokenHashCol(tokens(normalizeText(col(textCol))))).as("sig"))
+    val banded = sig.select(col("id"), col("sig"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), b * 15).bitwiseAND(0x7FFFL).as("bkey"))
+      }: _*)).as("bb"))
+      .select(col("id"), col("sig"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val a = banded.select(col("band"), col("bkey"), col("id").as("doc_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bkey"), col("id").as("doc_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("doc_a", "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def simHashDedupPortable(spark: SparkSession, dir: String): DataFrame =
+    simHashPairsPortable(Tables.documents(spark, dir), "doc_id", "text")
+
   /** Word n-gram Jaccard near-dup: shingle (n tokens) sets compared for
     * LSH candidates only (reuses the MinHash banding for candidate
     * generation — exact Jaccard on word shingles as the verdict).
@@ -382,6 +416,59 @@ object Dedup {
 
   def ngramJaccardDedup(spark: SparkSession, dir: String): DataFrame =
     ngramJaccardPairs(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** ENGINE-PORTABLE word n-gram Jaccard near-dup pairs — the
+    * registered d05 gate, hash-checked end-to-end. Same shape as
+    * [[ngramJaccardPairs]] (which stays the XXH64 scale path) with
+    * every stage swapped portable, exactly as in
+    * [[minHashLshPairsPortable]]: n-gram hash = md5-60-bit of the
+    * space-joined window ([[graft.functions.HashFns.sortedPortableWordShingleHashes]]
+    * mirrors `TextFns.wordShingles`' window rule), 16 mod-M61
+    * permutations banded 4×4, integer ≥3-of-16 estimate prefilter
+    * before the pair dedup, exact jaccard over the same hashed n-gram
+    * sets on both engines.
+    */
+  def ngramJaccardPairsPortable(docs: DataFrame, idCol: String, textCol: String,
+                                n: Int = 3, threshold: Double = 0.4): DataFrame = {
+    val numHashes = 16
+    val bands = 4
+    val rows = numHashes / bands
+    val minMatch = math.ceil((threshold - 0.25) * numHashes).toInt
+    val hashed = docs.select(col(idCol).as("id"),
+        HashFns.sortedPortableWordShingleHashSet(
+          tokens(normalizeText(col(textCol))), n).as("hs"))
+      .withColumn("sig", HashFns.portableMinhashSig(col("hs"), numHashes))
+      .persist()
+    val banded = hashed.select(col("id"), col("sig"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+                 array_join(slice(col("sig"), b * rows + 1, rows), "-").as("bkey"))
+        }: _*)).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bkey").as("bkey"),
+              col("id"), col("sig"))
+    val a = banded.select(col("band"), col("bkey"),
+                          col("id").as("doc_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bkey"),
+                          col("id").as("doc_b"), col("sig").as("sig_b"))
+    val candidates = a.join(b, Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(HashFns.signatureMatchCount(col("sig_a"), col("sig_b")) >= minMatch)
+      .select(col("doc_a"), col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val pairs = candidates
+      .join(hashed.select(col("id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+      .join(hashed.select(col("id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+      .withColumn("jaccard", HashFns.jaccardSortedLong(col("hs_a"), col("hs_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+      .localCheckpoint(true)
+    hashed.unpersist()
+    pairs
+  }
+
+  def ngramJaccardDedupPortable(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairsPortable(Tables.documents(spark, dir), "doc_id", "text")
 
   /** Exact char-shingle Jaccard threshold pairs over a bounded id slice —
     * the DuckDB-checkable oracle anchor for the MinHash/LSH family:

@@ -45,6 +45,31 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((2L, 3L)))
   }
 
+  test("portable simhash (the d04 gate) flags the planted dups within hamming budget") {
+    val pairs = Dedup.simHashPairsPortable(planted, "doc_id", "text", maxHamming = 10)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)), s"got $pairs")
+    assert(pairs.contains((2L, 3L)), s"got $pairs")
+  }
+
+  test("portable word-ngram jaccard (the d05 gate) finds near dups, not unrelated docs") {
+    // (2,3) sits at word-3-gram jaccard ≈ 0.57 — at 4×4 banding each
+    // hash family deterministically hits or misses it (≈36% hit
+    // probability; XXH64 hits, this md5 family misses — the ORACLE
+    // misses it identically, which is why the gate hash-matches).
+    // Recall is asserted on a solidly-high-jaccard pair instead: 40
+    // tokens differing in one (j ≈ 0.86, miss probability ≈ 3%,
+    // deterministic for a fixed family).
+    val long1 = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val long2 = (1 to 40).map(i => if (i == 20) "CHANGED" else s"tok$i").mkString(" ")
+    val corpus = planted.union(Seq((10L, long1), (11L, long2)).toDF("doc_id", "text"))
+    val pairs = Dedup.ngramJaccardPairsPortable(corpus, "doc_id", "text", n = 3, threshold = 0.4)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)), s"got $pairs")
+    assert(pairs.contains((10L, 11L)), s"got $pairs")
+    assert(!pairs.exists(p => Set(4L, 5L, 6L, 7L, 8L, 9L).contains(p._1)), s"false positives: $pairs")
+  }
+
   test("word-ngram jaccard finds near dups, not unrelated docs") {
     val pairs = Dedup.ngramJaccardPairs(planted, "doc_id", "text", n = 3, threshold = 0.4)
       .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
