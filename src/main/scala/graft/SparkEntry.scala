@@ -334,6 +334,46 @@ object SparkEntry {
       s"""trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(lower($c), '\\r', ' ', 'g'), '&nbsp', ' ', 'g'), '[,*-.:;«»✔➡¿\\\\"·?!()/]', ' ', 'g'), '\\s', ' ', 'g'), ' +', ' ', 'g'))"""
     val toks: String => String = c => s"string_split(${norm(c)}, ' ')"
 
+    // The portable MinHash+LSH pipeline as a reusable CTE chain over a
+    // relation exposing (doc_id, nt): md5-60-bit 5-gram shingle hashes,
+    // 32 mod-M61 permutations (constants from HashFns.PortableA/B — one
+    // source of truth with the Spark kernel), 8×4 value-keyed bands,
+    // integer ≥13-of-32 estimate prefilter, exact jaccard ≥ 0.6 over
+    // the same hashed sets. Emits `lshpairs(doc_a, doc_b, jaccard)`.
+    // Used by d03 (standalone) and d11 (inside the curation pipeline).
+    def portableLshCtes(src: String): String = {
+      val aLit = graft.functions.HashFns.PortableA.mkString("[", ", ", "]")
+      val bLit = graft.functions.HashFns.PortableB.mkString("[", ", ", "]")
+      s"""hs AS (
+         | SELECT doc_id, list_sort(list_distinct(list_transform(
+         |   range(1, greatest(length(nt) - 3, 2)),
+         |   i -> ('0x' || substr(md5(substr(nt, i, 5)), 1, 15))::BIGINT))) AS hs
+         | FROM $src
+         |), sig AS (
+         | SELECT doc_id, hs, list_transform(range(0, 32),
+         |  j -> (list_min(list_transform(hs,
+         |   h -> (($aLit[j+1]::HUGEINT * h + $bLit[j+1])
+         |         % 2305843009213693951)::BIGINT)))) AS sig
+         | FROM hs
+         |), banded AS (
+         | SELECT doc_id, sig, b,
+         |  array_to_string(sig[1 + 4*b : 4 + 4*b], '-') AS bkey
+         | FROM sig, range(0, 8) t(b)
+         |), cand AS (
+         | SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         | FROM banded x JOIN banded y
+         |   ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+         | WHERE len(list_filter(range(1, 33), i -> x.sig[i] = y.sig[i])) >= 13
+         |), lshpairs AS (
+         | SELECT doc_a, doc_b, jaccard FROM (
+         |  SELECT c.doc_a, c.doc_b,
+         |   CAST(len(list_intersect(p.hs, q.hs)) AS DOUBLE)
+         |    / (len(p.hs) + len(q.hs) - len(list_intersect(p.hs, q.hs))) AS jaccard
+         |  FROM cand c JOIN hs p ON c.doc_a = p.doc_id JOIN hs q ON c.doc_b = q.doc_id)
+         | WHERE jaccard >= 0.6
+         |)""".stripMargin
+    }
+
     // t09/t10 ranker SQL — standalone entries below, and reused verbatim
     // as the shortlist CTE bodies of the t18 RRF fusion
     // BM25 with rational idf (no log): every step is integer-derived
@@ -724,38 +764,10 @@ object SparkEntry {
       // ≥13-of-32 estimate prefilter, and exact jaccard over the SAME
       // hashed shingle sets. Every stage is integer algebra until the
       // one final division of identical ints.
-      "d03_minhash_lsh" -> {
-        val aLit = graft.functions.HashFns.PortableA.mkString("[", ", ", "]")
-        val bLit = graft.functions.HashFns.PortableB.mkString("[", ", ", "]")
-        s"""WITH hs AS (
-           | SELECT doc_id, list_sort(list_distinct(list_transform(
-           |   range(1, greatest(length(nt) - 3, 2)),
-           |   i -> ('0x' || substr(md5(substr(nt, i, 5)), 1, 15))::BIGINT))) AS hs
-           | FROM (SELECT doc_id, ${norm("text")} AS nt FROM documents)
-           |), sig AS (
-           | SELECT doc_id, hs, list_transform(range(0, 32),
-           |  j -> (list_min(list_transform(hs,
-           |   h -> (($aLit[j+1]::HUGEINT * h + $bLit[j+1])
-           |         % 2305843009213693951)::BIGINT)))) AS sig
-           | FROM hs
-           |), banded AS (
-           | SELECT doc_id, sig, b,
-           |  array_to_string(sig[1 + 4*b : 4 + 4*b], '-') AS bkey
-           | FROM sig, range(0, 8) t(b)
-           |), cand AS (
-           | SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-           | FROM banded x JOIN banded y
-           |   ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id
-           | WHERE len(list_filter(range(1, 33), i -> x.sig[i] = y.sig[i])) >= 13
-           |)
-           |SELECT doc_a, doc_b, jaccard FROM (
-           | SELECT c.doc_a, c.doc_b,
-           |  CAST(len(list_intersect(p.hs, q.hs)) AS DOUBLE)
-           |   / (len(p.hs) + len(q.hs) - len(list_intersect(p.hs, q.hs))) AS jaccard
-           | FROM cand c JOIN hs p ON c.doc_a = p.doc_id JOIN hs q ON c.doc_b = q.doc_id)
-           |WHERE jaccard >= 0.6
-           |ORDER BY doc_a, doc_b""".stripMargin
-      },
+      "d03_minhash_lsh" ->
+        s"""WITH ${portableLshCtes(s"(SELECT doc_id, ${norm("text")} AS nt FROM documents)")}
+           |SELECT doc_a, doc_b, jaccard FROM lshpairs
+           |ORDER BY doc_a, doc_b""".stripMargin,
       // d04: portable SimHash — md5-60-bit token hashes, 60-bit
       // majority-vote signature (integer tie rule 2·cnt > n), 4×15-bit
       // bands, bit_count(xor) <= 3 verify. Integer algebra throughout.
@@ -1713,6 +1725,45 @@ object SparkEntry {
            |WHERE doc_id NOT IN (SELECT doc_id FROM nonroots)
            |ORDER BY doc_id""".stripMargin
       },
+      // d11: the d07 pipeline skeleton over the FULL corpus with the
+      // near-dup stage on the portable LSH chain (portableLshCtes) —
+      // quality gate, exact min-id dedup, LSH pairs, transitive
+      // clusters via the recursive reach CTE, min-id keep. With d03
+      // portable, the whole 100 TB curation path is now hash-checked,
+      // not just the bounded exact-kernel anchor.
+      "d11_curation_lsh" ->
+        s"""WITH RECURSIVE scored AS (
+           | SELECT doc_id, text, nt, len(toks) AS n_tokens,
+           |  CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS DOUBLE)
+           |    / len(toks) AS mean_token_len,
+           |  CAST(len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS DOUBLE)
+           |    / len(toks) AS stopword_ratio
+           | FROM (SELECT doc_id, text, nt, string_split(nt, ' ') AS toks
+           |       FROM (SELECT doc_id, text, ${norm("text")} AS nt FROM documents))),
+           |quality AS (
+           | SELECT doc_id, text, nt FROM scored
+           | WHERE n_tokens BETWEEN 5 AND 100000
+           |  AND mean_token_len >= 2.0 AND stopword_ratio <= 0.9),
+           |exact AS (
+           | SELECT doc_id, text, nt FROM (
+           |  SELECT doc_id, text, nt,
+           |   row_number() OVER (PARTITION BY nt ORDER BY doc_id) AS rn
+           |  FROM quality) WHERE rn = 1),
+           |${portableLshCtes("exact")},
+           |edges AS (
+           | SELECT doc_a AS s, doc_b AS d FROM lshpairs
+           | UNION SELECT doc_b, doc_a FROM lshpairs),
+           |reach AS (
+           | SELECT s, d FROM edges
+           | UNION
+           | SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+           |nonroots AS (
+           | SELECT doc_id FROM (
+           |  SELECT s AS doc_id, least(s, min(d)) AS cluster_id FROM reach GROUP BY s)
+           | WHERE doc_id <> cluster_id)
+           |SELECT doc_id, text FROM exact
+           |WHERE doc_id NOT IN (SELECT doc_id FROM nonroots)
+           |ORDER BY doc_id""".stripMargin,
       "s03_user_sessions" ->
         """SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions,
           | count(*) AS n_events

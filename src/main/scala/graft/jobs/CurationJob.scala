@@ -86,7 +86,7 @@ object CurationJob {
             graft.functions.HashFns.jaccardSorted(col("sh_a"), col("sh_b")))
           .filter(col("jaccard") >= t.nearDupJaccard)
           .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      } else Dedup.minHashLshPairs(exact, idCol, "__norm",
+      } else Dedup.minHashLshPairsPortable(exact, idCol, "__norm",
         threshold = t.nearDupJaccard, preNormalized = true)
     val dupIds = Dedup.dupClusters(pairs)
       .filter(col("doc_id") =!= col("cluster_id"))   // non-roots drop

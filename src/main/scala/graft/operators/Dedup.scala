@@ -264,12 +264,13 @@ object Dedup {
     */
   def minHashLshPairsPortable(docs: DataFrame, idCol: String, textCol: String,
                               shingleLen: Int = 5, numHashes: Int = 32,
-                              bands: Int = 8, threshold: Double = 0.6): DataFrame = {
+                              bands: Int = 8, threshold: Double = 0.6,
+                              preNormalized: Boolean = false): DataFrame = {
     val rows = numHashes / bands
     val minMatch = math.ceil((threshold - 0.2) * numHashes).toInt
+    val normed = if (preNormalized) col(textCol) else normalizeText(col(textCol))
     val hashed = docs.select(col(idCol).as("id"),
-        HashFns.sortedPortableShingleHashSet(
-          normalizeText(col(textCol)), shingleLen).as("hs"))
+        HashFns.sortedPortableShingleHashSet(normed, shingleLen).as("hs"))
       .withColumn("sig", HashFns.portableMinhashSig(col("hs"), numHashes))
       .persist()
     val banded = hashed.select(col("id"), col("sig"),
