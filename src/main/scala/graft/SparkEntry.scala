@@ -130,7 +130,10 @@ object SparkEntry {
     "t04_term_frequencies"   -> (TextAnalysis.termFrequencies _),
     "t05_langid_confusion"   -> (TextAnalysis.langIdConfusion _),
     "t06_fingerprints"       -> (TextAnalysis.fingerprints _),
-    "t07_doc_similarity"     -> (TextAnalysis.docSimilarity _),
+    // t07: engine-portable integer-TF ranking (md5-bucket TF vectors,
+    // exact dot²/(na·nb) rational) — the float hashingTfVec →
+    // bruteForceTopK bridge stays the spec'd ANN-integration path
+    "t07_doc_similarity"     -> (TextAnalysis.docSimilarityPortable _),
     "t08_winnowing"          -> (TextAnalysis.winnowingFingerprints _),
     "t09_text_match"         -> ((s: SparkSession, dir: String) => TextAnalysis.textMatch(s, dir)),
     "t10_bm25"               -> ((s: SparkSession, dir: String) => TextAnalysis.bm25Rank(s, dir)),
@@ -827,6 +830,31 @@ object SparkEntry {
            |WHERE jaccard >= 0.4
            |ORDER BY doc_a, doc_b""".stripMargin
       },
+      // t07: integer TF vectors (md5-60-bit token hash & 63 → 64
+      // buckets), ranking by the exact rational dot²/(‖q‖²·‖c‖²) —
+      // monotone-identical to cosine for non-negative dots; every
+      // product < 2^53 so the one double division is bit-identical
+      "t07_doc_similarity" ->
+        s"""WITH tf AS (
+           | SELECT doc_id, list_transform(range(0, 64), b ->
+           |   CAST(len(list_filter(hs, h -> (h & 63) = b)) AS BIGINT)) AS v
+           | FROM (SELECT doc_id, list_transform(${toks("text")},
+           |   t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs FROM documents)
+           |), n AS (
+           | SELECT doc_id, v,
+           |  (list_sum(list_transform(v, x -> x * x)))::BIGINT AS nsq FROM tf
+           |), scored AS (
+           | SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+           |  (list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i])))::BIGINT AS dot,
+           |  q.nsq AS na, c.nsq AS nb
+           | FROM n q JOIN n c ON q.doc_id < 5 AND c.doc_id <> q.doc_id
+           |)
+           |SELECT query_id, rank, neighbor_id FROM (
+           | SELECT query_id, neighbor_id,
+           |  row_number() OVER (PARTITION BY query_id
+           |    ORDER BY CAST(dot * dot AS DOUBLE) / (na * nb) DESC, neighbor_id) AS rank
+           | FROM scored) WHERE rank <= 3
+           |ORDER BY query_id, rank""".stripMargin,
       "t09_text_match" -> t09Sql,
       "d01_exact_dedup" ->
         s"""SELECT min(doc_id) AS keeper_id, count(*) AS n_copies

@@ -892,4 +892,64 @@ object HashFns {
   def portableSimhash(tokenHashes: Column): Column =
     GraftColumnBridge.column(
       PortableSimHash60(GraftColumnBridge.expression(tokenHashes)))
+
+  /** Integer hashing-trick TF vector: per-token md5-60-bit hash masked
+    * to `dim` buckets (dim a power of two; bucket = h & (dim−1)),
+    * counts as longs — the engine-portable integer twin of
+    * [[hashingTf]]. DuckDB: `len(list_filter(hs, h -> (h & (dim-1)) = b))`.
+    */
+  def md5TfCounts(arr: ArrayData, dim: Int): ArrayData = {
+    val out = new Array[Long](dim)
+    val mask = dim - 1
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val b = if (arr.isNullAt(i)) Array.emptyByteArray else arr.getUTF8String(i).getBytes
+      out((md5Gram60(b, 0, b.length) & mask).toInt) += 1
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  case class Md5TfCounts(child: Expression, dim: Int) extends UnaryExpression {
+    require((dim & (dim - 1)) == 0, "dim must be a power of two")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "md5_tf_counts"
+    override def nullSafeEval(input: Any): Any =
+      md5TfCounts(input.asInstanceOf[ArrayData], dim)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.HashFns.md5TfCounts($c, $dim)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def md5TfVec(toks: Column, dim: Int): Column =
+    GraftColumnBridge.column(Md5TfCounts(GraftColumnBridge.expression(toks), dim))
+
+  /** Integer dot product of two long arrays (zip to the shorter). */
+  def dotLongEval(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += a.getLong(i) * b.getLong(i); i += 1 }
+    acc
+  }
+
+  case class DotLong(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "dot_long"
+    override def nullSafeEval(a: Any, b: Any): Any =
+      dotLongEval(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashFns.dotLongEval($a, $b)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def dotLong(a: Column, b: Column): Column =
+    GraftColumnBridge.column(DotLong(GraftColumnBridge.expression(a),
+                                     GraftColumnBridge.expression(b)))
 }

@@ -107,6 +107,42 @@ object TextAnalysis {
       "doc_id", "vec", k = 3)
   }
 
+  /** ENGINE-PORTABLE doc similarity — the registered t07 gate. Same
+    * semantic as [[docSimilarity]] (hashing-trick TF vectors →
+    * brute-force cosine top-3 for the first 5 docs) made hash-checkable
+    * by keeping EVERY value integer until one exact final division:
+    * TF buckets come from md5-60-bit token hashes masked to 64 dims
+    * ([[graft.functions.HashFns.md5TfCounts]]), and ranking uses
+    * dot²/(‖q‖²·‖c‖²) instead of cosine — monotone-identical for
+    * non-negative TF dots, and with corpus-bounded products < 2^53 the
+    * division of exact ints yields bit-identical doubles in Spark and
+    * DuckDB, so `row_number` orders identically (ties broken by
+    * neighbor_id). The float `hashingTfVec → bruteForceTopK` bridge
+    * stays the spec'd ANN-integration path.
+    */
+  def docSimilarityPortable(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HashFns
+    val vecs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        HashFns.md5TfVec(tokens(normalizeText(col("text"))), 64).as("vec"))
+      .withColumn("nsq", HashFns.dotLong(col("vec"), col("vec")))
+    val q = vecs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"), col("vec").as("q_vec"), col("nsq").as("na"))
+    val scored = vecs
+      .select(col("doc_id").as("neighbor_id"), col("vec").as("c_vec"), col("nsq").as("nb"))
+      .crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("dot", HashFns.dotLong(col("q_vec"), col("c_vec")))
+      .withColumn("score",
+        (col("dot") * col("dot")).cast("double") / (col("na") * col("nb")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Analyzed full-text term match with relevance scoring — the
     * ES-analyzed-`text`-field capability the reference's store provides
     * via dynamic mapping (its Logstash query uses `.keyword` precisely

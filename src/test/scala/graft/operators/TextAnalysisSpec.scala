@@ -293,4 +293,25 @@ class TextAnalysisSpec extends SparkSpec {
       .filter($"text_folded" =!= $"text")
     assert(rt.count() == 0)
   }
+
+  test("t07 portable ranking: integer dot²/(na·nb) agrees with float cosine on the same vectors") {
+    import graft.functions.HashFns
+    // same md5-bucket TF vectors on both sides — the portable gate's
+    // rational score must order pairs exactly as float cosine does
+    // (monotone for non-negative dots, no near-tie inversions on the
+    // fixture)
+    val vecs = graft.Tables.documents(spark, sf)
+      .select($"doc_id",
+        HashFns.md5TfVec(graft.functions.TextFns.tokens(
+          graft.functions.TextFns.normalizeText($"text")), 64).as("vec"))
+      .withColumn("fvec", $"vec".cast("array<float>"))
+    val portable = TextAnalysis.docSimilarityPortable(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    val viaCosine = graft.operators.Similarity.bruteForceTopK(
+        vecs.select($"doc_id", $"fvec".as("vec")),
+        vecs.select($"doc_id", $"fvec".as("vec")).filter($"doc_id" < 5),
+        "doc_id", "vec", k = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(portable == viaCosine, s"portable=$portable cosine=$viaCosine")
+  }
 }
