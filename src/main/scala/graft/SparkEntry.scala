@@ -285,6 +285,10 @@ object SparkEntry {
     // graph analytics, fully oracle-checked
     "q82_pagerank"           -> ((s: SparkSession, dir: String) =>
       graft.operators.Graph.pageRank(s, dir)),
+    // q83: bounded-hop multi-source BFS over the same graph — integer
+    // hop counts, the full iterative sweep oracle-checked like q82
+    "q83_bfs_hops"           -> ((s: SparkSession, dir: String) =>
+      graft.operators.Graph.bfsHops(s, dir)),
     // t24: exact total-variation distance between per-language term
     // distributions — corpus drift, integer-exact via |n_a·T_b−n_b·T_a|
     "t24_domain_shift"       -> (TextAnalysis.domainShift _),
@@ -1668,6 +1672,7 @@ object SparkEntry {
       // q82: the three PageRank iterations unrolled as CTEs — integer
       // fixed-point algebra is engine-independent
       "q82_pagerank" -> graft.operators.Graph.pageRankOracleSql,
+      "q83_bfs_hops" -> graft.operators.Graph.bfsHopsOracleSql,
       // t24: exact TV distance — HUGEINT mirrors Spark's decimal(38,0);
       // both are exact integer sums cast to double once at the end
       "t24_domain_shift" -> {

@@ -98,6 +98,63 @@ object Graph {
       .select(col("node"), col("r").as("rank_fp"))
   }
 
+  /** q83: multi-source BFS hop distance over the trading graph — the
+    * reachability/radius side of graph curation (how far does a seed
+    * host set propagate?). Seeds = customer nodes with id < 10; three
+    * frontier sweeps; output = (node, hops) for every node reached
+    * within 3 hops, min hop count. All-integer (hop counts), so — like
+    * q82 — the full iterative computation hash-checks against unrolled
+    * DuckDB CTEs.
+    *
+    * Scale shape: each sweep is one join(dist ⋈ edges on src) + one
+    * min-groupBy — the same stationary-edge-table pattern as
+    * [[pageRank]] (broadcast hint on the frontier; drop it once the
+    * reached set outgrows the driver and it degrades to a shuffle join
+    * against the already-partitioned edge table). Bounded-hop BFS is
+    * the 100 TB-sane formulation: unbounded label propagation needs
+    * O(diameter) rounds, bounded-hop needs exactly `maxHops`.
+    */
+  def bfsHops(spark: SparkSession, dir: String, maxHops: Int = 3): DataFrame = {
+    val directed = tradingEdges(spark, dir)
+    val edges = directed.union(
+      directed.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    var dist = edges.select(col("src").as("node")).distinct()
+      .filter(col("node") < 10L)
+      .withColumn("hops", lit(0L))
+    for (_ <- 1 to maxHops) {
+      val next = edges
+        .join(broadcast(dist.withColumnRenamed("node", "dnode")),
+          col("src") === col("dnode"))
+        .select(col("dst").as("node"), (col("hops") + 1L).as("hops"))
+      dist = dist.union(next).groupBy("node").agg(min(col("hops")).as("hops"))
+    }
+    dist.orderBy(col("node"))
+  }
+
+  /** The three BFS sweeps unrolled for the DuckDB oracle — each sweep
+    * is the same union + min-group the Spark loop runs.
+    */
+  val bfsHopsOracleSql: String = {
+    def sweep(prev: String, out: String): String =
+      s"""$out AS (
+         | SELECT node, CAST(min(hops) AS BIGINT) AS hops FROM (
+         |  SELECT bi.dst AS node, d.hops + 1 AS hops
+         |  FROM bi JOIN $prev d ON bi.src = d.node
+         |  UNION ALL SELECT node, hops FROM $prev)
+         | GROUP BY node)""".stripMargin
+    s"""WITH e AS (
+       | SELECT DISTINCT o_custkey AS src, 1000000 + l_suppkey AS dst
+       | FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |bi AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+       |d0 AS (SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS hops
+       |       FROM bi WHERE src < 10),
+       |${sweep("d0", "d1")},
+       |${sweep("d1", "d2")},
+       |${sweep("d2", "d3")}
+       |SELECT node, hops FROM d3 ORDER BY node""".stripMargin
+  }
+
   /** The same three iterations unrolled as ANSI SQL for the DuckDB
     * oracle. `//` is DuckDB integer division (≡ Spark `div` on the
     * positive BIGINTs used here); sums are cast back to BIGINT because

@@ -238,6 +238,30 @@ class EntrySpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("q83 bounded-hop BFS matches a driver-side reference") {
+    val edges = Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(spark, sf).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), (col("l_suppkey") + 1000000L).as("supp"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val bi = edges ++ edges.map(_.swap)
+    val adj = bi.groupBy(_._1).map { case (n, es) => n -> es.map(_._2) }
+    var dist = adj.keySet.filter(_ < 10L).map(_ -> 0L).toMap
+    for (_ <- 1 to 3) {
+      val next = dist.toSeq.flatMap { case (n, h) =>
+        adj.getOrElse(n, Array.empty[Long]).map(_ -> (h + 1)) }
+      dist = (dist.toSeq ++ next).groupBy(_._1)
+        .map { case (n, hs) => n -> hs.map(_._2).min }
+    }
+    val want = dist.toSeq.sortBy(_._1)
+    val got = operators.Graph.bfsHops(spark, sf)
+      .collect().map(row => (row.getLong(0), row.getLong(1))).toSeq
+    assert(got == want)
+    // seeds stay at hop 0; everything reached is within the bound
+    assert(got.filter(_._1 < 10L).forall(_._2 == 0L))
+    assert(got.forall(_._2 <= 3L))
+  }
+
   test("t24 TV distances match an exact BigInt recomputation and sit in [0,1]") {
     import graft.functions.TextFns
     val toks = Tables.documents(spark, sf)
