@@ -625,10 +625,18 @@ object HashFns {
 
   /** First 60 bits of the MD5 of a UTF-8 byte slice — the value both
     * engines spell `('0x' || substr(md5(s), 1, 15))::bigint` /
-    * `conv(substr(md5(s), 1, 15), 16, 10)`.
+    * `conv(substr(md5(s), 1, 15), 16, 10)`. The digest instance is
+    * thread-local (MD5 `getInstance` allocates + provider-lookups;
+    * this runs once per SHINGLE on the hot path) and reset by
+    * `digest()` itself.
     */
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   def md5Gram60(bytes: Array[Byte], start: Int, len: Int): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = md5Local.get()
     md.update(bytes, start, len)
     val d = md.digest()
     var v = 0L
