@@ -48,6 +48,11 @@ object SparkEntry {
     "q21_above_cust_avg"    -> (Relational.aboveCustomerAverage _),
     "q22_topk_per_group_agg" -> (Relational.topOrdersPerPriorityAgg _),
     "q23_approx_distinct"   -> (Relational.approxDistinctParts _),
+    // q84: the engine-portable distinct sketch (KMV over md5-60-bit
+    // hashes) — approximate counting that hash-checks, where q23's
+    // engine-internal HLL cannot
+    "q84_kmv_distinct"      -> ((s: SparkSession, dir: String) =>
+      Relational.kmvDistinct(s, dir)),
     // q67: exact distinct via mergeable per-bucket bitmaps — the
     // persistable/incremental alternative to count(DISTINCT)
     "q67_bitmap_distinct"   -> (Relational.bitmapDistinct _),
@@ -1673,6 +1678,29 @@ object SparkEntry {
       // fixed-point algebra is engine-independent
       "q82_pagerank" -> graft.operators.Graph.pageRankOracleSql,
       "q83_bfs_hops" -> graft.operators.Graph.bfsHopsOracleSql,
+      // q84: same md5-60-bit hash, same k-smallest selection, same
+      // single-division estimator (63·2^60 is exact in a double; h_k
+      // rounds identically) — an approximate count that hash-matches
+      "q84_kmv_distinct" ->
+        """WITH h AS (
+          | SELECT DISTINCT o_orderpriority AS prio,
+          |  ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+          | FROM orders),
+          |k AS (
+          | SELECT prio, h, row_number() OVER (PARTITION BY prio ORDER BY h) AS rn
+          | FROM h),
+          |s AS (
+          | SELECT prio, max(h) AS h_k, count(*) AS n_kept
+          | FROM k WHERE rn <= 64 GROUP BY prio),
+          |x AS (
+          | SELECT o_orderpriority AS prio,
+          |  count(DISTINCT o_custkey) AS n_exact FROM orders GROUP BY 1)
+          |SELECT s.prio,
+          | CASE WHEN s.n_kept < 64 THEN s.n_kept::DOUBLE
+          |  ELSE (63.0 * 1152921504606846976.0) / s.h_k::DOUBLE END AS est_distinct,
+          | x.n_exact
+          |FROM s JOIN x ON s.prio = x.prio
+          |ORDER BY s.prio""".stripMargin,
       // t24: exact TV distance — HUGEINT mirrors Spark's decimal(38,0);
       // both are exact integer sums cast to double once at the end
       "t24_domain_shift" -> {

@@ -375,6 +375,50 @@ object Relational {
       .agg(sum(expr("bitmap_count(bm)")).as("n_custs"))
       .orderBy(col("o_orderpriority"))
 
+  /** q84: KMV (k-minimum-values) distinct sketch — the ENGINE-PORTABLE
+    * approximate-distinct that q23's HLL cannot be: the sketch state is
+    * the k smallest DISTINCT md5-60-bit key hashes per group, and the
+    * estimator (k−1)·2^60 / h_k (h_k = k-th smallest hash) touches a
+    * double exactly once, so DuckDB reproduces the whole computation —
+    * including the estimate — bit for bit (the constant 63·2^60 is 6
+    * significant bits × a power of two, hence exact; h_k rounds
+    * long→double identically on both engines). Groups with fewer than
+    * k distinct keys hold the entire key set and report the exact
+    * count (the standard KMV degenerate rule). Exact per-group
+    * distinct rides along as the error evidence — the spec pins
+    * relative error ≤ 3/√k.
+    *
+    * Scale shape: the gate form uses one per-group window for the
+    * k-smallest (fine for bounded group counts); the 100 TB form is a
+    * mergeable bounded top-k aggregate (the `Aggregators.TopKAgg`
+    * shape — per-partition k smallest, associative merge), identical
+    * estimator. KMV sketches union by keeping the k smallest of the
+    * merged sets — the same persist-partials pattern as q67's bitmaps,
+    * with fixed k·8-byte state instead of key-space-sized bitmaps.
+    */
+  def kmvDistinct(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    val hashed = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("prio"),
+        expr("cast(conv(substr(md5(cast(cast(o_custkey as string) as binary)), 1, 15), 16, 10) as bigint)").as("h"))
+      .distinct()
+    val w = Window.partitionBy(col("prio")).orderBy(col("h"))
+    val sketch = hashed
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy(col("prio"))
+      .agg(max(col("h")).as("h_k"), count(lit(1)).as("n_kept"))
+    val exact = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("prio"))
+      .agg(countDistinct(col("o_custkey")).as("n_exact"))
+    sketch.join(exact, "prio")
+      .select(col("prio"),
+        when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(lit((k - 1).toDouble * 1152921504606846976.0d) / col("h_k").cast("double"))
+          .as("est_distinct"),
+        col("n_exact"))
+      .orderBy(col("prio"))
+  }
+
   /** Date-part extraction histogram: orders per (year, quarter). */
   def ordersByYearQuarter(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)

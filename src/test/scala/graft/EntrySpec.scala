@@ -262,6 +262,21 @@ class EntrySpec extends SparkSpec {
     assert(got.forall(_._2 <= 3L))
   }
 
+  test("q84 KMV estimates stay within 3σ of exact (σ ≈ 1/√(k−2), k=64)") {
+    val rows = operators.Relational.kmvDistinct(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val est = r.getDouble(1)
+      val exact = r.getLong(2).toDouble
+      if (exact < 64) assert(est == exact, s"${r.getString(0)}: degenerate rule broken")
+      else {
+        val relErr = math.abs(est - exact) / exact
+        assert(relErr <= 3.0 / math.sqrt(62.0),
+          s"${r.getString(0)}: est=$est exact=$exact relErr=$relErr")
+      }
+    }
+  }
+
   test("t24 TV distances match an exact BigInt recomputation and sit in [0,1]") {
     import graft.functions.TextFns
     val toks = Tables.documents(spark, sf)
