@@ -53,6 +53,10 @@ object SparkEntry {
     // engine-internal HLL cannot
     "q84_kmv_distinct"      -> ((s: SparkSession, dir: String) =>
       Relational.kmvDistinct(s, dir)),
+    // q85/q86: the event-dashboard pair — ordered funnel + retention
+    // cohorts, integer time algebra, user-keyed shuffles only
+    "q85_funnel_steps"      -> (Relational.funnelSteps _),
+    "q86_retention_cohorts" -> (Relational.retentionCohorts _),
     // q67: exact distinct via mergeable per-bucket bitmaps — the
     // persistable/incremental alternative to count(DISTINCT)
     "q67_bitmap_distinct"   -> (Relational.bitmapDistinct _),
@@ -864,6 +868,38 @@ object SparkEntry {
            |    ORDER BY CAST(dot * dot AS DOUBLE) / (na * nb) DESC, neighbor_id) AS rank
            | FROM scored) WHERE rank <= 3
            |ORDER BY query_id, rank""".stripMargin,
+      // q85: the same strictly-after min-timestamp funnel rule on
+      // integer epoch micros
+      "q85_funnel_steps" ->
+        """WITH ev AS (
+          | SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+          |v AS (SELECT user_id, min(us) AS t1 FROM ev
+          |      WHERE event_type = 'view' GROUP BY 1),
+          |c AS (SELECT e.user_id, min(e.us) AS t2 FROM ev e
+          |      JOIN v ON e.user_id = v.user_id
+          |      WHERE e.event_type = 'click' AND e.us > v.t1 GROUP BY 1),
+          |p AS (SELECT e.user_id, min(e.us) AS t3 FROM ev e
+          |      JOIN c ON e.user_id = c.user_id
+          |      WHERE e.event_type = 'purchase' AND e.us > c.t2 GROUP BY 1)
+          |SELECT step, event_type, n_users FROM (
+          | SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+          |        CAST(count(*) AS BIGINT) AS n_users FROM v
+          | UNION ALL SELECT 2, 'click', count(*) FROM c
+          | UNION ALL SELECT 3, 'purchase', count(*) FROM p)
+          |ORDER BY step""".stripMargin,
+      // q86: UTC day truncation + integer day diff
+      "q86_retention_cohorts" ->
+        """WITH ev AS (
+          | SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+          |f AS (SELECT user_id, min(d) AS cohort_day FROM ev GROUP BY 1)
+          |SELECT cohort_day, offset_days, CAST(count(*) AS BIGINT) AS n_users
+          |FROM (
+          | SELECT DISTINCT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+          |  CAST(date_diff('day', f.cohort_day, ev.d) AS BIGINT) AS offset_days,
+          |  ev.user_id
+          | FROM ev JOIN f ON ev.user_id = f.user_id)
+          |GROUP BY cohort_day, offset_days
+          |ORDER BY cohort_day, offset_days""".stripMargin,
       "t09_text_match" -> t09Sql,
       "d01_exact_dedup" ->
         s"""SELECT min(doc_id) AS keeper_id, count(*) AS n_copies

@@ -419,6 +419,61 @@ object Relational {
       .orderBy(col("prio"))
   }
 
+  /** q85: ordered funnel analysis over the event stream — the
+    * dashboard staple the reference's Kibana layer implies: how many
+    * users progressed view → click → purchase IN ORDER. Step n's
+    * timestamp is the MIN event time strictly after step n−1's — a
+    * deterministic rule both engines compute exactly on integer epoch
+    * micros (no interval arithmetic, no timezone surface). Each step
+    * is one filtered aggregate + one equi-join against the previous
+    * step's (user, t) table — user-keyed shuffles only, no windows
+    * over the full stream, so the funnel runs map-side-combined at any
+    * event volume.
+    */
+  def funnelSteps(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("us")).as("t1"))
+    val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("us") > col("t1"))
+      .groupBy("user_id").agg(min(col("us")).as("t2"))
+    val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("us") > col("t2"))
+      .groupBy("user_id").agg(min(col("us")).as("t3"))
+    v.select(lit(1L).as("step"), lit("view").as("event_type"), col("user_id"))
+      .union(c.select(lit(2L), lit("click"), col("user_id")))
+      .union(p.select(lit(3L), lit("purchase"), col("user_id")))
+      .groupBy(col("step"), col("event_type"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("step"))
+  }
+
+  /** q86: retention cohorts — users grouped by first-seen day, counted
+    * once per (cohort, day-offset) they were active. Pure integer date
+    * algebra (UTC day truncation + day diff), one first-seen aggregate
+    * + one user-keyed join + one distinct — the cohort heat-map query
+    * every product dashboard runs, shaped so the only shuffles are
+    * keyed by user_id and by the (cohort, offset) output grid.
+    */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val firstDay = ev.groupBy("user_id").agg(min(col("d")).as("cohort_day"))
+    ev.join(firstDay, "user_id")
+      .select(
+        // ISO string, not DateType: date columns round-trip as
+        // different host types (Timestamp vs date) through the two
+        // engines' parquet/pandas paths; the string is unambiguous
+        date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        datediff(col("d"), col("cohort_day")).cast("long").as("offset_days"),
+        col("user_id"))
+      .distinct()
+      .groupBy(col("cohort_day"), col("offset_days"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_day"), col("offset_days"))
+  }
+
   /** Date-part extraction histogram: orders per (year, quarter). */
   def ordersByYearQuarter(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)

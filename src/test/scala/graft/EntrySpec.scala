@@ -277,6 +277,27 @@ class EntrySpec extends SparkSpec {
     }
   }
 
+  test("q85 funnel steps are monotone decreasing; q86 offset-0 equals cohort size") {
+    val funnel = operators.Relational.funnelSteps(spark, sf).collect()
+    assert(funnel.length == 3)
+    val ns = funnel.sortBy(_.getLong(0)).map(_.getLong(2))
+    assert(ns(0) >= ns(1) && ns(1) >= ns(2), ns.mkString(","))
+    assert(ns(2) > 0)
+    val ret = operators.Relational.retentionCohorts(spark, sf).collect()
+    // every user is active on their first-seen day: the offset-0 row of
+    // each cohort counts exactly the cohort's members
+    val cohortSizes = Tables.events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(org.apache.spark.sql.functions.min(to_date(col("ts"))).as("c"))
+      .groupBy(date_format(col("c"), "yyyy-MM-dd").as("cohort_day"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val zero = ret.filter(_.getLong(1) == 0L)
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(zero == cohortSizes)
+    assert(ret.forall(_.getLong(1) >= 0L))
+  }
+
   test("t24 TV distances match an exact BigInt recomputation and sit in [0,1]") {
     import graft.functions.TextFns
     val toks = Tables.documents(spark, sf)
