@@ -169,7 +169,10 @@ object SparkEntry {
     // (simHashPairs / ngramJaccardPairs) stay the spec'd scale paths
     "d04_simhash"            -> (Dedup.simHashDedupPortable _),
     "d05_ngram_jaccard"      -> (Dedup.ngramJaccardDedupPortable _),
-    "d06_embedding_neardup"  -> (Dedup.embeddingNearDup _),
+    // d06: engine-portable like d03/d04/d05 — md5-derived Rademacher
+    // hyperplanes instead of a seeded Gaussian RNG; the Gaussian
+    // kernel (embeddingNearDupPairs) stays the spec'd scale path
+    "d06_embedding_neardup"  -> (Dedup.embeddingNearDupPortable _),
     // d07 = the flagship pipeline on the exact-Jaccard kernel over the
     // bounded slice (fully oracle-checked); d11 = the identical
     // pipeline with MinHash+LSH near-dup — the scale path, rows-only
@@ -609,6 +612,34 @@ object SparkEntry {
           |FROM embeddings a, embeddings b
           |WHERE a.vec_id < b.vec_id
           |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+          |ORDER BY id_a, id_b""".stripMargin,
+      // d06: the identical md5-derived ±1 sign table (i is 1-based,
+      // matching the kernel's "b-j-i" key), signed sequential double
+      // sums for the sign bits, bucket self-join, cosine-threshold
+      // verify with ids-only output (the e03 convention)
+      "d06_embedding_neardup" ->
+        """WITH hp AS (
+          | SELECT b, j, list_transform(range(1, 65), i ->
+          |   CASE WHEN (('0x' || substr(md5(b::VARCHAR || '-' || j::VARCHAR || '-' || i::VARCHAR), 1, 15))::BIGINT & 1) = 1
+          |        THEN 1.0 ELSE -1.0 END) AS s
+          | FROM range(0, 8) t(b), range(0, 6) u(j)),
+          |bits AS (
+          | SELECT e.vec_id, hp.b, hp.j,
+          |  CASE WHEN list_sum(list_transform(range(1, 65),
+          |         i -> hp.s[i] * e.embedding[i]::DOUBLE)) >= 0
+          |       THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+          | FROM embeddings e, hp),
+          |keys AS (
+          | SELECT vec_id, b AS band, CAST(sum(bit * (1::BIGINT << j)) AS BIGINT) AS bkey
+          | FROM bits GROUP BY vec_id, b),
+          |cand AS (
+          | SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+          | FROM keys x JOIN keys y
+          |   ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id)
+          |SELECT id_a, id_b FROM cand c
+          |JOIN embeddings p ON c.id_a = p.vec_id
+          |JOIN embeddings q ON c.id_b = q.vec_id
+          |WHERE list_cosine_similarity(p.embedding, q.embedding) >= 0.25
           |ORDER BY id_a, id_b""".stripMargin,
       "q31_asof_join" ->
         """SELECT p.event_id, p.user_id, c.event_id AS prior_click_id

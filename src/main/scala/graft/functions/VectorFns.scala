@@ -364,4 +364,88 @@ object VectorFns {
   def centroidSimsCol(v: Column, centroids: Array[Array[Float]]): Column =
     GraftColumnBridge.column(CentroidCosines(
       GraftColumnBridge.expression(v), centroids.map(_.toSeq).toSeq))
+
+  // — ENGINE-PORTABLE hyperplane LSH (the d06 gate): Rademacher (±1)
+  //   hyperplanes derived from md5 — sign(b,j,i) = +1 iff the low bit
+  //   of md5Gram60("b-j-i") is set — instead of a seeded Gaussian RNG
+  //   DuckDB cannot reproduce. ±1 components make the projection a
+  //   signed SUM of the vector's own values: each product is exact
+  //   (multiplying a float-widened double by ±1.0), and both engines
+  //   accumulate sequentially in doubles, so the sign bits — and hence
+  //   bucket keys — are bit-identical. Rademacher projections are a
+  //   standard LSH/JL family (Achlioptas 2001), so recall behavior
+  //   matches the Gaussian kernel it replaces. —
+
+  private val rademacherCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Double]]()
+
+  /** ±1 sign table for (bands × bits × dim), flattened band-major —
+    * derived from the same md5-60-bit hash DuckDB computes from the
+    * literal string "b-j-i" (i 1-based, matching `range(1, dim+1)`).
+    */
+  def rademacherSigns(bands: Int, bits: Int, dim: Int): Array[Double] =
+    rademacherCache.computeIfAbsent(s"$bands-$bits-$dim", _ => {
+      val out = new Array[Double](bands * bits * dim)
+      var idx = 0
+      var b = 0
+      while (b < bands) {
+        var j = 0
+        while (j < bits) {
+          var i = 1
+          while (i <= dim) {
+            val key = s"$b-$j-$i".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            out(idx) = if ((HashFns.md5Gram60(key, 0, key.length) & 1L) == 1L) 1.0 else -1.0
+            idx += 1
+            i += 1
+          }
+          j += 1
+        }
+        b += 1
+      }
+      out
+    })
+
+  /** Band keys from md5-derived Rademacher hyperplanes: key_b =
+    * Σ_j (Σ_i sign(b,j,i)·v_i ≥ 0) << j. One pass per (band, bit),
+    * sequential double accumulation.
+    */
+  def rademacherBandKeysEval(v: ArrayData, bands: Int, bits: Int, dim: Int): ArrayData = {
+    val signs = rademacherSigns(bands, bits, dim)
+    val n = math.min(dim, v.numElements())
+    val keys = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var key = 0L
+      var j = 0
+      while (j < bits) {
+        val off = (b * bits + j) * dim
+        var acc = 0.0
+        var i = 0
+        while (i < n) { acc += signs(off + i) * v.getFloat(i); i += 1 }
+        if (acc >= 0.0) key |= (1L << j)
+        j += 1
+      }
+      keys(b) = key
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(keys)
+  }
+
+  case class RademacherBandKeys(child: Expression, bands: Int, bits: Int, dim: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "rademacher_band_keys"
+    override def nullSafeEval(input: Any): Any =
+      rademacherBandKeysEval(input.asInstanceOf[ArrayData], bands, bits, dim)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.VectorFns.rademacherBandKeysEval($c, $bands, $bits, $dim)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def rademacherBandKeys(v: Column, bands: Int, bits: Int, dim: Int): Column =
+    GraftColumnBridge.column(RademacherBandKeys(
+      GraftColumnBridge.expression(v), bands, bits, dim))
 }

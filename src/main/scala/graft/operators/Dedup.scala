@@ -616,6 +616,44 @@ object Dedup {
     embeddingNearDupPairs(Tables.embeddings(spark, dir), "vec_id", "embedding",
       dim = 64, threshold = 0.25)
 
+  /** ENGINE-PORTABLE embedding near-dup — the registered d06 gate.
+    * Same pipeline as [[embeddingNearDupPairs]] with the two
+    * engine-local pieces swapped portable: hyperplanes are md5-derived
+    * Rademacher ±1 vectors ([[graft.functions.VectorFns.rademacherBandKeys]]
+    * — DuckDB derives the identical sign table from
+    * `md5(b||'-'||j||'-'||i)`, and ±1 projections are signed sums both
+    * engines accumulate identically in doubles), and the output is the
+    * verified PAIR SET (ids only, the e03 oracle convention — the
+    * cosine stays internal to the threshold predicate, where both
+    * engines agree at fixture margins). The Gaussian-hyperplane kernel
+    * stays the spec'd scale path.
+    */
+  def embeddingNearDupPairsPortable(emb: DataFrame, idCol: String, vecCol: String,
+                                    dim: Int, threshold: Double = 0.25,
+                                    bands: Int = 8, bitsPerBand: Int = 6): DataFrame = {
+    val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val sig = vecs
+      .select(col("id"),
+        posexplode(VectorFns.rademacherBandKeys(col("v"), bands, bitsPerBand, dim))
+          .as(Seq("band", "bkey")))
+      .select(col("band"), col("bkey"), col("id"))
+    val a = sig.select(col("band"), col("bkey"), col("id").as("id_a"))
+    val b = sig.select(col("band"), col("bkey"), col("id").as("id_b"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
+      .withColumn("cos", VectorFns.cosineSim(col("v_a"), col("v_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  def embeddingNearDupPortable(spark: SparkSession, dir: String): DataFrame =
+    embeddingNearDupPairsPortable(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      dim = 64, threshold = 0.25)
+
   /** d10: dup-cluster resolution through the driver gate — connected
     * components ([[dupClusters]]) over the DETERMINISTIC exact-jaccard
     * edge list of [[jaccardExactPairs]], so the transitive-closure

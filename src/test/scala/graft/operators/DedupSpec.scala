@@ -78,6 +78,21 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 >= 4L))
   }
 
+  test("portable embedding near-dup (the d06 gate) finds planted almost-parallel vectors") {
+    val rnd = new scala.util.Random(23)
+    def v(): Array[Float] = Array.fill(64)(rnd.nextFloat() * 2 - 1)
+    val base = v()
+    val near = base.map(x => x + 0.01f * (rnd.nextFloat() - 0.5f))
+    val rows = Seq((0L, base.toSeq), (1L, near.toSeq)) ++
+      (2L until 40L).map(i => (i, v().toSeq))
+    val emb = rows.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast(ArrayType(FloatType)).as("embedding"))
+    val pairs = Dedup.embeddingNearDupPairsPortable(emb, "vec_id", "embedding",
+      dim = 64, threshold = 0.95)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)), s"got $pairs")
+  }
+
   test("embedding near-dup finds planted almost-parallel vectors") {
     val rnd = new scala.util.Random(11)
     def v(): Array[Float] = Array.fill(32)(rnd.nextFloat() * 2 - 1)
