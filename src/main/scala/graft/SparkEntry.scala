@@ -221,7 +221,9 @@ object SparkEntry {
     "m06_media_phash"        -> (graft.operators.Multimodal.mediaPerceptualDedup _),
     // — similarity search (SURVEY §2.11) —
     "e01_knn_brute"          -> (Similarity.knnBruteForce _),
-    "e02_knn_lsh"            -> (Similarity.knnLsh _),
+    // e02: portable Rademacher banding, ids+rank output (the e01
+    // oracle convention); Gaussian kernel stays the spec'd scale path
+    "e02_knn_lsh"            -> (Similarity.knnLshPortable _),
     "e04_knn_ivf"            -> (Similarity.knnIvf _),
     "e06_knn_ivf_kmeans"     -> (Similarity.knnIvfKmeans _),
     "e07_knn_pq"             -> (Similarity.knnPq _),
@@ -613,6 +615,36 @@ object SparkEntry {
           |WHERE a.vec_id < b.vec_id
           |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4
           |ORDER BY id_a, id_b""".stripMargin,
+      // e02: same Rademacher sign table at 16×6, candidates from the
+      // bucket join, rank by list_cosine_similarity (ordering agreement
+      // proven by e01's green hash-match), ids+rank output
+      "e02_knn_lsh" ->
+        """WITH hp AS (
+          | SELECT b, j, list_transform(range(1, 65), i ->
+          |   CASE WHEN (('0x' || substr(md5(b::VARCHAR || '-' || j::VARCHAR || '-' || i::VARCHAR), 1, 15))::BIGINT & 1) = 1
+          |        THEN 1.0 ELSE -1.0 END) AS s
+          | FROM range(0, 16) t(b), range(0, 6) u(j)),
+          |bits AS (
+          | SELECT e.vec_id, hp.b, hp.j,
+          |  CASE WHEN list_sum(list_transform(range(1, 65),
+          |         i -> hp.s[i] * e.embedding[i]::DOUBLE)) >= 0
+          |       THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+          | FROM embeddings e, hp),
+          |keys AS (
+          | SELECT vec_id, b AS band, CAST(sum(bit * (1::BIGINT << j)) AS BIGINT) AS bkey
+          | FROM bits GROUP BY vec_id, b),
+          |cand AS (
+          | SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+          | FROM keys q JOIN keys c ON q.band = c.band AND q.bkey = c.bkey
+          | WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+          |SELECT query_id, rank, neighbor_id FROM (
+          | SELECT cand.query_id, cand.neighbor_id,
+          |  row_number() OVER (PARTITION BY cand.query_id
+          |    ORDER BY list_cosine_similarity(qe.embedding, ce.embedding) DESC,
+          |             cand.neighbor_id) AS rank
+          | FROM cand JOIN embeddings qe ON cand.query_id = qe.vec_id
+          |           JOIN embeddings ce ON cand.neighbor_id = ce.vec_id)
+          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
       // d06: the identical md5-derived ±1 sign table (i is 1-based,
       // matching the kernel's "b-j-i" key), signed sequential double
       // sums for the sign bits, bucket self-join, cosine-threshold

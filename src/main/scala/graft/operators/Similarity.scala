@@ -86,6 +86,44 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** ENGINE-PORTABLE LSH top-k — the registered e02 gate. Same
+    * band-on-ids/re-join-by-id shape as [[lshTopK]] with the two
+    * engine-local pieces swapped portable (the d06 move): band keys
+    * from md5-derived Rademacher ±1 hyperplanes
+    * ([[graft.functions.VectorFns.rademacherBandKeys]] — bit-identical
+    * sign sums on both engines), and the output is (query_id, rank,
+    * neighbor_id) — the e01 oracle convention, whose green hash-match
+    * already proves cross-engine cosine ORDERING agreement on this
+    * fixture; the cosine value itself never surfaces. The Gaussian
+    * kernel stays the spec'd scale path (e08 recall-audits both).
+    */
+  def lshTopKPortable(corpus: DataFrame, queries: DataFrame,
+                      idCol: String, vecCol: String, dim: Int, k: Int,
+                      bands: Int = 16, bitsPerBand: Int = 6): DataFrame = {
+    def keysOf(v: org.apache.spark.sql.Column) =
+      VectorFns.rademacherBandKeys(v, bands, bitsPerBand, dim)
+    val cVecs = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val qVecs = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("v"))
+      .select(col("neighbor_id"), posexplode(keysOf(col("v"))).as(Seq("band", "bkey")))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("v"))
+      .select(col("query_id"), posexplode(keysOf(col("v"))).as(Seq("band", "bkey")))
+    val candidates = c.join(broadcast(q), Seq("band", "bkey"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    candidates
+      .join(broadcast(qVecs), "query_id")
+      .join(cVecs, "neighbor_id")
+      .withColumn("cos", VectorFns.cosineSim(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Largest corpus [[cosinePairsExact]] will accept: beyond this the
     * O(n²) pair count stops being a "small-corpus oracle" and the LSH
     * path ([[graft.operators.Dedup.embeddingNearDupPairs]]) is the only
@@ -516,6 +554,15 @@ object Similarity {
       dim = 64, k = 5, bands = 16, bitsPerBand = 6)
   }
 
+  /** The registered (portable) e02: same 16×6 parameters on the
+    * Rademacher family.
+    */
+  def knnLshPortable(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    lshTopKPortable(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+      dim = 64, k = 5, bands = 16, bitsPerBand = 6)
+  }
+
   /** e11: maximal-marginal-relevance (MMR, Carbonell & Goldstein 1998)
     * diversified top-k — the diversity reranker of a retrieval stack:
     * instead of the k most similar (often near-duplicates of each
@@ -761,7 +808,9 @@ object Similarity {
       .localCheckpoint(true)
     val total = exact.count()
     val methods: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
-      "e02_knn_lsh" -> (knnLsh _),
+      // audit the REGISTERED (portable Rademacher) gate; the Gaussian
+      // kernel is spec'd separately in SimilaritySpec
+      "e02_knn_lsh" -> (knnLshPortable _),
       "e04_knn_ivf" -> (knnIvf _),
       "e06_knn_ivf_kmeans" -> (knnIvfKmeans _),
       "e07_knn_pq" -> (knnPq _),
