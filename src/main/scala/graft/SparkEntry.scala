@@ -224,7 +224,10 @@ object SparkEntry {
     // e02: portable Rademacher banding, ids+rank output (the e01
     // oracle convention); Gaussian kernel stays the spec'd scale path
     "e02_knn_lsh"            -> (Similarity.knnLshPortable _),
-    "e04_knn_ivf"            -> (Similarity.knnIvf _),
+    // e04: portable md5-ordered centroid selection; machinery
+    // unchanged; ids+rank output
+    "e04_knn_ivf"            -> ((s: SparkSession, dir: String) =>
+      Similarity.knnIvfPortable(s, dir)),
     "e06_knn_ivf_kmeans"     -> (Similarity.knnIvfKmeans _),
     "e07_knn_pq"             -> (Similarity.knnPq _),
     // e09: scalar int8 quantization (SQ8) — closed-form quantizer +
@@ -644,6 +647,42 @@ object SparkEntry {
           |             cand.neighbor_id) AS rank
           | FROM cand JOIN embeddings qe ON cand.query_id = qe.vec_id
           |           JOIN embeddings ce ON cand.neighbor_id = ce.vec_id)
+          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+      // e04: md5-hash-ordered centroid pick (tie-broken by id), the
+      // same first-max assignment rule (s DESC, cn ASC), the same
+      // (−sim, idx) probe order, exact-cosine re-rank, ids+rank output
+      "e04_knn_ivf" ->
+        """WITH cent AS (
+          | SELECT cid, cv, row_number() OVER (ORDER BY h, cid) AS cn FROM (
+          |  SELECT vec_id AS cid, embedding AS cv,
+          |   ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h
+          |  FROM embeddings)),
+          |cent16 AS (SELECT cid, cv, cn FROM cent WHERE cn <= 16),
+          |sims AS (
+          | SELECT e.vec_id, c.cn,
+          |  list_cosine_similarity(e.embedding, c.cv) AS s
+          | FROM embeddings e, cent16 c),
+          |asg AS (
+          | SELECT vec_id AS neighbor_id, cn AS cell FROM (
+          |  SELECT vec_id, cn,
+          |   row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cn) AS r
+          |  FROM sims) WHERE r = 1),
+          |probes AS (
+          | SELECT vec_id AS query_id, cn AS cell FROM (
+          |  SELECT vec_id, cn,
+          |   row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cn) AS r
+          |  FROM sims WHERE vec_id < 10) WHERE r <= 4),
+          |cand AS (
+          | SELECT p.query_id, a.neighbor_id
+          | FROM probes p JOIN asg a ON a.cell = p.cell
+          | WHERE a.neighbor_id <> p.query_id)
+          |SELECT query_id, rank, neighbor_id FROM (
+          | SELECT c.query_id, c.neighbor_id,
+          |  row_number() OVER (PARTITION BY c.query_id
+          |    ORDER BY list_cosine_similarity(qe.embedding, ne.embedding) DESC,
+          |             c.neighbor_id) AS rank
+          | FROM cand c JOIN embeddings qe ON qe.vec_id = c.query_id
+          |             JOIN embeddings ne ON ne.vec_id = c.neighbor_id)
           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
       // d06: the identical md5-derived ±1 sign table (i is 1-based,
       // matching the kernel's "b-j-i" key), signed sequential double

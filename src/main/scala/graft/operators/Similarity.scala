@@ -296,6 +296,30 @@ object Similarity {
     ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
   }
 
+  /** ENGINE-PORTABLE IVF — the registered e04 gate. The machinery is
+    * [[ivfTopKWithCentroids]] unchanged (first-max cell assignment,
+    * (−sim, idx) probe order, exact-cosine re-rank — every rule DuckDB
+    * reproduces with window functions); the ONE engine-local piece,
+    * centroid selection by xxhash sample order, becomes the md5-60-bit
+    * hash order both engines compute (tie-broken by id), and the
+    * output drops the cosine column (the e01/e02 ids+rank convention —
+    * ordering agreement is what e01's green hash-match proves).
+    */
+  def knnIvfPortable(spark: SparkSession, dir: String,
+                     nCells: Int = 16, nProbe: Int = 4, k: Int = 5): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val centroids = emb.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      .orderBy(expr(
+        "cast(conv(substr(md5(cast(cast(cid as string) as binary)), 1, 15), 16, 10) as bigint)"),
+        col("cid"))
+      .limit(nCells)
+      .collect()
+      .map(r => r.getSeq[Float](1).toArray)
+    ivfTopKWithCentroids(emb, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k, centroids, nProbe)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
   def knnIvfKmeans(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     kmeansIvfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
@@ -811,7 +835,7 @@ object Similarity {
       // audit the REGISTERED (portable Rademacher) gate; the Gaussian
       // kernel is spec'd separately in SimilaritySpec
       "e02_knn_lsh" -> (knnLshPortable _),
-      "e04_knn_ivf" -> (knnIvf _),
+      "e04_knn_ivf" -> ((sp: SparkSession, d: String) => knnIvfPortable(sp, d)),
       "e06_knn_ivf_kmeans" -> (knnIvfKmeans _),
       "e07_knn_pq" -> (knnPq _),
       "e09_knn_int8" -> (knnInt8 _))
