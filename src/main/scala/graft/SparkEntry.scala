@@ -335,6 +335,10 @@ object SparkEntry {
     // answered from the loaded index (rows-only: k-means centroids
     // are engine-specific; drained ≡ one-pass anchor in StreamsSpec)
     "s13_streaming_index_append" -> (Streams.streamingIndexAppend _),
+    // s14: the q85 funnel as a stateful streaming query (per-user
+    // mapGroupsWithState + max-stage foreachBatch upsert); drained
+    // counts equal the batch funnel, so the oracle is q85's verbatim
+    "s14_streaming_funnel"   -> (Streams.streamingFunnel _),
     // s07: the transformWithState (state API v2, RocksDB) operator run
     // through a REAL streaming drain; integer-cents state makes the
     // final totals batch-boundary-invariant and oracle-exact
@@ -1975,6 +1979,8 @@ object SparkEntry {
     )
     // d16 = d12's semantics behind a Bloom prefilter (no false
     // negatives + exact join after ⇒ identical result) — same oracle
-    base + ("d16_decontaminate_bloom" -> base("d12_decontamination"))
+    // s14 drains to exactly the batch funnel counts — same oracle as q85
+    base + ("d16_decontaminate_bloom" -> base("d12_decontamination"),
+            "s14_streaming_funnel" -> base("q85_funnel_steps"))
   }
 }

@@ -324,6 +324,116 @@ object Streams {
       .orderBy(col("user_id"))
   }
 
+  // — s14: streaming funnel (the q85 semantics through a stateful stream) —
+
+  case class FunnelEvent(user_id: Long, event_type: String, us: Long)
+  /** Per-user funnel state. t1/t2/t3 = min view ts / min click strictly
+    * after t1 / min purchase strictly after t2 (Long.MaxValue = absent);
+    * pendClicks/pendPurchases buffer out-of-order events that arrived
+    * BEFORE the threshold they must be strictly after — t1 and t2 only
+    * ever decrease, so a pending event is promoted the moment its
+    * threshold drops below it and an applied event can never become
+    * invalid. The buffers hold only events ≤ the current threshold
+    * (typically none when streams are roughly time-ordered); everything
+    * else folds into the three longs — bounded state, exact
+    * batch-equivalence.
+    */
+  case class FunnelState(t1: Long, t2: Long, t3: Long,
+                         pendClicks: List[Long], pendPurchases: List[Long])
+  case class FunnelUpdate(user_id: Long, stage: Int)
+
+  private[graft] def funnelAdvance(s: FunnelState, tpe: String, ts: Long): FunnelState = {
+    var t1 = s.t1; var t2 = s.t2; var t3 = s.t3
+    var pc = s.pendClicks; var pp = s.pendPurchases
+    tpe match {
+      case "view"     => if (ts < t1) t1 = ts
+      case "click"    => if (ts > t1) { if (ts < t2) t2 = ts } else pc ::= ts
+      case "purchase" => if (ts > t2) { if (ts < t3) t3 = ts } else pp ::= ts
+      case _          => ()
+    }
+    // cascade: a lower t1 may validate pending clicks; a lower t2 (from
+    // either path) may validate pending purchases
+    val (promC, keepC) = pc.partition(_ > t1)
+    if (promC.nonEmpty) { val m = promC.min; if (m < t2) t2 = m }
+    val (promP, keepP) = pp.partition(_ > t2)
+    if (promP.nonEmpty) { val m = promP.min; if (m < t3) t3 = m }
+    FunnelState(t1, t2, t3, keepC, keepP)
+  }
+
+  private[graft] def funnelStage(s: FunnelState): Int =
+    if (s.t3 != Long.MaxValue) 3
+    else if (s.t2 != Long.MaxValue) 2
+    else if (s.t1 != Long.MaxValue) 1
+    else 0
+
+  /** s14: the ordered funnel (q85) executed as a STATEFUL STREAMING
+    * query — `mapGroupsWithState` keeps the per-user [[FunnelState]],
+    * every micro-batch emits the user's current stage (update mode),
+    * and a `foreachBatch` keyed upsert folds emissions into a stage
+    * table keeping each user's MAX stage (stages are monotone because
+    * t1/t2/t3 only decrease — so last-write and max-write agree, and a
+    * batch replay re-applies to the same fixed point, the s12
+    * idempotence story). After the drain the stage table aggregates to
+    * exactly the batch funnel counts: the oracle is q85's SQL verbatim.
+    */
+  def streamingFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, Trigger}
+    val tableDir = graft.util.Scratch.dir(spark, "s14_table", dir).toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_s14_ckpt")
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = eventsStream(spark, dir)
+        .select(col("user_id"), col("event_type"),
+          expr("unix_micros(ts)").as("us"))
+        .as[FunnelEvent]
+        .groupByKey(_.user_id)
+        .mapGroupsWithState[FunnelState, FunnelUpdate](GroupStateTimeout.NoTimeout) {
+          (uid: Long, rows: Iterator[FunnelEvent],
+           state: org.apache.spark.sql.streaming.GroupState[FunnelState]) =>
+            var s = state.getOption.getOrElse(
+              FunnelState(Long.MaxValue, Long.MaxValue, Long.MaxValue, Nil, Nil))
+            rows.foreach(e => s = funnelAdvance(s, e.event_type, e.us))
+            state.update(s)
+            FunnelUpdate(uid, funnelStage(s))
+        }
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[FunnelUpdate], _: Long) =>
+          val sp = batch.sparkSession
+          val b = batch.toDF()
+          val existing =
+            try sp.read.parquet(tableDir)
+            catch {
+              case _: org.apache.spark.sql.AnalysisException
+                  if !java.nio.file.Files.exists(java.nio.file.Paths.get(tableDir)) =>
+                b.limit(0)
+            }
+          existing.unionByName(b)
+            .groupBy(col("user_id"))
+            .agg(max(col("stage")).as("stage"))
+            .localCheckpoint(true)
+            .write.mode("overwrite").parquet(tableDir)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      graft.util.Scratch.rmTree(ckpt)
+    }
+    val st = spark.read.parquet(tableDir)
+    def stepRow(step: Int, name: String) =
+      st.filter(col("stage") >= step)
+        .agg(count(lit(1)).as("n_users"))
+        .select(lit(step.toLong).as("step"), lit(name).as("event_type"),
+          col("n_users"))
+    stepRow(1, "view").union(stepRow(2, "click")).union(stepRow(3, "purchase"))
+      .orderBy(col("step"))
+  }
+
   /** s13: STREAMING maintenance of the persisted ANN index — the e13
     * build/append split driven by Structured Streaming. The base index
     * builds once (batch k-means, frozen centroids); the delta slice

@@ -385,4 +385,40 @@ class StreamsSpec extends SparkSpec {
     assert(got == expected)
     assert(got.nonEmpty)
   }
+
+  test("s14 funnel state machine reaches the batch-rule fixed point under ANY arrival order") {
+    val rnd = new scala.util.Random(99)
+    val types = Array("view", "click", "purchase", "error")
+    (1 to 200).foreach { _ =>
+      val events = Seq.fill(rnd.nextInt(12) + 1)(
+        (types(rnd.nextInt(4)), rnd.nextInt(20).toLong))
+      // batch rule (the q85 semantics)
+      val views = events.collect { case ("view", t) => t }
+      val t1 = if (views.nonEmpty) views.min else Long.MaxValue
+      val clicks = events.collect { case ("click", t) if t > t1 => t }
+      val t2 = if (clicks.nonEmpty) clicks.min else Long.MaxValue
+      val purchases = events.collect { case ("purchase", t) if t > t2 => t }
+      val t3 = if (purchases.nonEmpty) purchases.min else Long.MaxValue
+      val wantStage = if (t3 != Long.MaxValue) 3 else if (t2 != Long.MaxValue) 2
+        else if (t1 != Long.MaxValue) 1 else 0
+      // fold in a random (adversarial, out-of-order) arrival order
+      val shuffled = rnd.shuffle(events)
+      val folded = shuffled.foldLeft(
+        Streams.FunnelState(Long.MaxValue, Long.MaxValue, Long.MaxValue, Nil, Nil)) {
+        case (s, (tpe, ts)) => Streams.funnelAdvance(s, tpe, ts)
+      }
+      assert((folded.t1, folded.t2, folded.t3) == (t1, t2, t3),
+        s"events=$events order=$shuffled folded=$folded want=($t1,$t2,$t3)")
+      assert(Streams.funnelStage(folded) == wantStage)
+    }
+  }
+
+  test("s14 streaming funnel drains to the batch funnel counts") {
+    val batch = graft.operators.Relational.funnelSteps(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val streamed = Streams.streamingFunnel(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(streamed == batch)
+    assert(streamed.length == 3)
+  }
 }
