@@ -309,6 +309,22 @@ object SparkEntry {
     // t24: exact total-variation distance between per-language term
     // distributions — corpus drift, integer-exact via |n_a·T_b−n_b·T_a|
     "t24_domain_shift"       -> (TextAnalysis.domainShift _),
+    // t25: CCNet-style unigram-LM quality score (mean corpus frequency
+    // of a doc's tokens) — integer-exact until two fixed-order
+    // divisions; the frequency join is skew-split (broadcast head,
+    // shuffled tail)
+    "t25_rare_token_score"   -> ((s: SparkSession, dir: String) =>
+      TextAnalysis.rareTokenScore(s, dir)),
+    // q87: degree-oriented distributed triangle count over the part
+    // co-purchase graph — all-integer output; the oracle runs the
+    // naive id-ordered join, the engine the O(√m)-bounded orientation
+    "q87_triangle_count"     -> ((s: SparkSession, dir: String) =>
+      graft.operators.Graph.triangleCount(s, dir)),
+    // e14: hybrid sparse+dense retrieval — BM25 shortlist ⊕ exact
+    // cosine shortlist via reciprocal-rank fusion; integer ranks make
+    // the fused doubles bit-identical cross-engine
+    "e14_hybrid_search"      -> ((s: SparkSession, dir: String) =>
+      Similarity.hybridSearch(s, dir)),
     // — event-time / streaming-unified (SURVEY §2.9) —
     "s01_hourly_type_counts" -> (Streams.hourlyTypeCountsBatch _),
     "s02_sliding_counts"     -> (Streams.slidingTypeCountsBatch _),
@@ -1876,6 +1892,66 @@ object SparkEntry {
            |$branches
            |ORDER BY lang_a, lang_b""".stripMargin
       },
+      // t25: unigram-LM quality score — integer-exact cnt_sum/dl,
+      // score = (cnt_sum/dl)/n_total divided left-to-right (the same
+      // two IEEE divisions the Spark expression performs)
+      "t25_rare_token_score" ->
+        s"""WITH tok AS (
+           | SELECT doc_id, term FROM (
+           |  SELECT doc_id, unnest(${toks("text")}) AS term FROM documents)
+           | WHERE length(term) > 0),
+           |freqs AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt
+           |          FROM tok GROUP BY term),
+           |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM tok)
+           |SELECT doc_id, dl, cnt_sum,
+           | CAST(cnt_sum AS DOUBLE) / CAST(dl AS DOUBLE)
+           |  / CAST(n_total AS DOUBLE) AS score
+           |FROM (
+           | SELECT t.doc_id, CAST(count(*) AS BIGINT) AS dl,
+           |  CAST(sum(f.cnt) AS BIGINT) AS cnt_sum
+           | FROM tok t JOIN freqs f USING (term) GROUP BY t.doc_id), tot
+           |ORDER BY doc_id""".stripMargin,
+      // q87: naive id-ordered triangle join — same count as the
+      // engine's degree-oriented plan (each triangle a<b<c counted at
+      // its id-minimum vertex here, its (deg,id)-minimum vertex there)
+      "q87_triangle_count" ->
+        """WITH op AS (
+          | SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+          |e AS (
+          | SELECT DISTINCT a.pk AS s, b.pk AS d
+          | FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk),
+          |n AS (SELECT CAST(count(DISTINCT v) AS BIGINT) AS n_nodes FROM (
+          |       SELECT s AS v FROM e UNION ALL SELECT d FROM e)),
+          |m AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e),
+          |t AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+          |      FROM e e1
+          |      JOIN e e2 ON e2.s = e1.d
+          |      JOIN e e3 ON e3.s = e1.s AND e3.d = e2.d)
+          |SELECT n_nodes, n_edges, n_triangles FROM n, m, t""".stripMargin,
+      // e14: RRF fusion of the t10 BM25 shortlist and the e01-shaped
+      // exact-cosine shortlist for query vector 0 — integer ranks in,
+      // fixed-order rational doubles out
+      "e14_hybrid_search" ->
+        s"""WITH txt AS (
+           | SELECT doc_id,
+           |  row_number() OVER (ORDER BY score DESC, doc_id) AS rank_text
+           | FROM ($t10Sql)),
+           |vec AS (
+           | SELECT nid AS doc_id, rank AS rank_vec FROM (
+           |  SELECT e.vec_id AS nid,
+           |   row_number() OVER (ORDER BY
+           |     list_cosine_similarity(q.embedding, e.embedding) DESC,
+           |     e.vec_id) AS rank
+           |  FROM embeddings q, embeddings e
+           |  WHERE q.vec_id = 0 AND e.vec_id <> 0)
+           | WHERE rank <= 50)
+           |SELECT doc_id,
+           | COALESCE(rank_text, 0) AS rank_text,
+           | COALESCE(rank_vec, 0) AS rank_vec,
+           | COALESCE(CAST(1 AS DOUBLE) / (60.0 + CAST(rank_text AS DOUBLE)), CAST(0 AS DOUBLE))
+           |  + COALESCE(CAST(1 AS DOUBLE) / (60.0 + CAST(rank_vec AS DOUBLE)), CAST(0 AS DOUBLE)) AS rrf_score
+           |FROM txt FULL OUTER JOIN vec USING (doc_id)
+           |ORDER BY rrf_score DESC, doc_id LIMIT 20""".stripMargin,
       // d07: the WHOLE curation pipeline in SQL — quality metrics +
       // gate (the t02 expressions), exact dedup (min id per normalized
       // text), all-pairs exact Jaccard >= 0.6 on 5-char shingles of

@@ -185,4 +185,72 @@ object Graph {
        |SELECT node, r AS rank_fp FROM r3
        |ORDER BY rank_fp DESC, node LIMIT 20""".stripMargin
   }
+
+  /** The part co-purchase graph: one undirected edge (canonical
+    * `src < dst`) per pair of parts sharing at least one order. Pair
+    * fan-out per order is C(items, 2) — bounded by the basket size,
+    * so the edge build is linear in lineitem with a small constant.
+    */
+  private def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
+    val op = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val a = op.select(col("ok"), col("pk").as("src"))
+    val b = op.select(col("ok").as("ok2"), col("pk").as("dst"))
+    a.join(b, col("ok") === col("ok2") && col("src") < col("dst"))
+      .select(col("src"), col("dst")).distinct()
+  }
+
+  /** q87: triangle count over the part co-purchase graph — the
+    * clustering-density probe of a link/citation graph (how cliquish
+    * is the co-occurrence structure a crawl sampler would follow?).
+    * Output is one fully integer row: nodes, edges, triangles.
+    *
+    * Scale shape — DEGREE-ORIENTED wedge join (the classic
+    * MapReduce-triangles design): every undirected edge is oriented
+    * from its (degree, id)-smaller endpoint, so wedges are enumerated
+    * only at each triangle's (degree, id)-minimum vertex. The
+    * wedge-join fan-out per vertex is then out-degree², and
+    * orientation bounds out-degree by O(√m) on any graph (arboricity
+    * bound) — a hub with a million undirected neighbors enumerates
+    * none of its wedge pairs; its low-degree neighbors each enumerate
+    * a few. The naive id-ordered join (what the DuckDB oracle runs)
+    * has unbounded deg² blowup at hubs and dies at scale; both count
+    * each triangle exactly once, which is the cross-check.
+    * Three shuffles total: degree agg, orientation join, wedge join +
+    * closing-edge semi-join.
+    */
+  def triangleCount(spark: SparkSession, dir: String): DataFrame = {
+    val edges = coPurchaseEdges(spark, dir).localCheckpoint()
+    val deg = edges.select(col("src").as("v"))
+      .union(edges.select(col("dst").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+
+    // orient by (deg, id): u -> w where u is the smaller endpoint
+    val ds = deg.select(col("v").as("src"), col("deg").as("deg_s"))
+    val dd = deg.select(col("v").as("dst"), col("deg").as("deg_d"))
+    val oriented = edges.join(ds, "src").join(dd, "dst")
+      .select(
+        when(col("deg_s") < col("deg_d") ||
+          (col("deg_s") === col("deg_d") && col("src") < col("dst")),
+          col("src")).otherwise(col("dst")).as("u"),
+        when(col("deg_s") < col("deg_d") ||
+          (col("deg_s") === col("deg_d") && col("src") < col("dst")),
+          col("dst")).otherwise(col("src")).as("w"))
+
+    // wedges centered at u (the minimum vertex of any triangle they
+    // close); canonicalize the open pair for the closing-edge lookup
+    val e1 = oriented.select(col("u"), col("w").as("w1"))
+    val e2 = oriented.select(col("u").as("u2"), col("w").as("w2"))
+    // wedge rows are distinct per (center, pair) and a triangle has
+    // exactly ONE (deg, id)-minimum vertex, so the inner join against
+    // the deduped edge list matches each wedge at most once and each
+    // triangle exactly once — a plain count, no dedup needed
+    val wedges = e1.join(e2, col("u") === col("u2") && col("w1") < col("w2"))
+      .select(col("w1").as("src"), col("w2").as("dst"))
+    val triCount = wedges.join(edges, Seq("src", "dst"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val nEdges = edges.agg(count(lit(1)).as("n_edges"))
+    nNodes.crossJoin(nEdges).crossJoin(triCount)
+  }
 }

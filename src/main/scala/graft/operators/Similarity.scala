@@ -846,4 +846,48 @@ object Similarity {
       (name, hits * 100L / total)
     }.toDF("method", "recall_x100").orderBy(col("method"))
   }
+
+  /** e14: HYBRID retrieval — BM25 text shortlist fused with an exact
+    * cosine vector shortlist by reciprocal-rank fusion, the RAG-stack
+    * retrieval shape (sparse + dense, one ranked answer). Text leg =
+    * the t10 BM25 ranker (top 50); vector leg = exact cosine top 50
+    * for the query vector `vec_id = 0` (documents and embeddings share
+    * the id space — the embedding IS the document's vector); fusion =
+    * `Σ 1/(60 + rank)` over the legs a doc appears in, top `kOut`.
+    *
+    * Hash-checkable because every fused input is an integer RANK:
+    * `1/(60+r)` and the two-term fixed-order sum are deterministic
+    * IEEE arithmetic in any engine, so the oracle reproduces the
+    * doubles bit-for-bit without reproducing either leg's float
+    * internals (BM25 is rational-idf by construction; the cosine leg
+    * only contributes order, exactly like e01's oracle).
+    *
+    * Scale shape: each leg is shortlist-bounded (≤50 rows) regardless
+    * of corpus size — the text leg's corpus pass is the q50 inverted-
+    * index shape, the vector leg swaps in any indexed ANN path
+    * (e02/e06/e13) unchanged — and the fusion full-outer join is over
+    * two bounded shortlists: driver-free, broadcast-trivial, constant
+    * cost at 100 TB.
+    */
+  def hybridSearch(spark: SparkSession, dir: String, kOut: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // ranks within the 50-row BM25 shortlist: the unpartitioned window
+    // sorts 50 rows, not the corpus
+    val text = TextAnalysis.bm25Rank(spark, dir)
+      .select(col("doc_id"), row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))).cast("long").as("rank_text"))
+    val emb = Tables.embeddings(spark, dir)
+    val vec = bruteForceTopK(emb, emb.filter(col("vec_id") === 0L),
+        "vec_id", "embedding", k = 50)
+      .select(col("neighbor_id").as("doc_id"), col("rank").as("rank_vec"))
+    val rrfTerm: Column => Column = r =>
+      coalesce(lit(1.0) / (lit(60.0) + r.cast("double")), lit(0.0))
+    text.join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("rank_text"), lit(0L)).as("rank_text"),
+        coalesce(col("rank_vec"), lit(0L)).as("rank_vec"),
+        (rrfTerm(col("rank_text")) + rrfTerm(col("rank_vec"))).as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+      .limit(kOut)
+  }
 }

@@ -746,4 +746,66 @@ object TextAnalysis {
         s"stack(${pairs.size}, $stackArgs) as (lang_a, lang_b, tv_distance, n_terms)"))
       .orderBy(col("lang_a"), col("lang_b"))
   }
+
+  /** t25: CCNet-style unigram-LM quality score — the mean corpus
+    * frequency of a document's tokens, low = rare-token-heavy (OCR
+    * noise, boilerplate hashes, code dumps), the cheap proxy for the
+    * KenLM perplexity filter of a web-scale curation pipeline.
+    *
+    * INTEGER-EXACT until two fixed-order divisions: per-doc
+    * `cnt_sum` (sum of corpus unigram counts over the doc's tokens)
+    * and `dl` are exact BIGINTs, and `score = (cnt_sum / dl) /
+    * n_total` divides exact-integer-valued doubles left-to-right —
+    * bit-identical IEEE results in any engine, which is what makes a
+    * frequency-JOIN query hash-checkable where a log-prob sum (order-
+    * dependent float reduction) never is.
+    *
+    * Scale shape: the frequency table is explode → partial-agg (the
+    * shuffle carries distinct (partition, term) rows, not token
+    * occurrences). The token→frequency join is keyed by TERM — the
+    * most skewed key there is (Zipf: the top word alone is percents of
+    * the stream) — so it is split skew-aware: the `headK` heaviest
+    * terms (found by the t11 Misra-Gries sketch pass, a bounded
+    * collect like t12's) are mapped via a broadcast literal map with
+    * NO shuffle, and only the long tail — whose per-term multiplicity
+    * is bounded by the head threshold — shuffle-joins. At 100 TB the
+    * tail join is well-conditioned by construction and the head never
+    * moves.
+    */
+  def rareTokenScore(spark: SparkSession, dir: String, headK: Int = 32): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(normalizeText(col("text")))).as("term"))
+      .filter(length(col("term")) > 0)
+    val freqs = tok.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val totals = tok.agg(count(lit(1)).as("n_total"))
+
+    // head split: ≤headK (term, cnt) pairs — bounded driver state, the
+    // same two-pass shape as heavyHittersExact (sketch would bound the
+    // first pass at scale; exact top-k over the already-aggregated
+    // frequency table is one TakeOrdered here)
+    val head: Array[(String, Long)] = freqs
+      .orderBy(col("cnt").desc, col("term")).limit(headK)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val headCnt: Column =
+      if (head.isEmpty) lit(null).cast("long")
+      else element_at(
+        map(head.flatMap { case (t, c) => Seq(lit(t), lit(c)) }: _*), col("term"))
+
+    val withHead = tok.withColumn("head_cnt", headCnt)
+    val headRows = withHead.filter(col("head_cnt").isNotNull)
+      .select(col("doc_id"), col("head_cnt").as("cnt"))
+    val tailRows = withHead.filter(col("head_cnt").isNull)
+      .select(col("doc_id"), col("term"))
+      .join(freqs, Seq("term"))
+      .select(col("doc_id"), col("cnt"))
+
+    headRows.unionByName(tailRows)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dl"), sum(col("cnt")).as("cnt_sum"))
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("dl"), col("cnt_sum"),
+        (col("cnt_sum").cast("double") / col("dl").cast("double") /
+          col("n_total").cast("double")).as("score"))
+      .orderBy(col("doc_id"))
+  }
 }

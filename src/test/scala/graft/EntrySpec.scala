@@ -367,4 +367,49 @@ class EntrySpec extends SparkSpec {
       assert(math.abs(nov - hapax.toDouble / n) < 1e-15)
     }
   }
+
+  test("q87 degree-oriented triangle count equals a driver-side naive count") {
+    // naive reference: collected co-purchase edges, id-ordered a<b<c scan
+    val op = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = op.groupBy(_._1).valuesIterator.flatMap { items =>
+      val ps = items.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2))
+    val byA = edges.groupBy(_._1)
+    val triangles = edges.iterator.map { case (a, b) =>
+      byA.getOrElse(b, Set.empty).count { case (_, c) => edges.contains((a, c)) }
+    }.sum
+    val got = operators.Graph.triangleCount(spark, sf).collect().head
+    assert(got.getAs[Long]("n_nodes") == nodes.size.toLong)
+    assert(got.getAs[Long]("n_edges") == edges.size.toLong)
+    assert(got.getAs[Long]("n_triangles") == triangles.toLong)
+    assert(triangles > 0L, "fixture should contain triangles or the gate is vacuous")
+  }
+
+  test("t25 rare-token score matches an exact driver-side frequency recompute") {
+    import graft.functions.TextFns
+    // pull the engine's own token stream (one source of truth for the
+    // normalize+split semantics), recompute freqs/scores exactly
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"), TextFns.tokens(TextFns.normalizeText(col("text"))).as("t"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).filter(_.nonEmpty))
+    val freq = toks.flatMap(_._2).groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    val nTotal = toks.iterator.map(_._2.length.toLong).sum
+    val want = toks.filter(_._2.nonEmpty).map { case (id, ts) =>
+      val cntSum = ts.iterator.map(freq).sum
+      (id, ts.length.toLong, cntSum, cntSum.toDouble / ts.length.toDouble / nTotal.toDouble)
+    }.sortBy(_._1).toSeq
+    val got = operators.TextAnalysis.rareTokenScore(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == want)
+    // the skew split must not depend on headK: identical result with a
+    // tiny head (nearly everything through the shuffle-join tail)
+    val gotSmallHead = operators.TextAnalysis.rareTokenScore(spark, sf, headK = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(gotSmallHead == want)
+  }
 }

@@ -382,4 +382,27 @@ class SimilaritySpec extends SparkSpec {
       assert(rs.map(_._2).sorted.toSeq == (1L to rs.length.toLong))
     }
   }
+
+  test("e14 hybrid search: RRF of the two legs recomputed exactly from their ranks") {
+    val got = Similarity.hybridSearch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got.size == 20)
+
+    // the legs, computed independently of the fused operator
+    val emb = Tables.embeddings(spark, sf)
+    val vecRanks = Similarity.bruteForceTopK(
+        emb, emb.filter($"vec_id" === 0L), "vec_id", "embedding", k = 50)
+      .select($"neighbor_id", $"rank").as[(Long, Long)].collect().toMap
+    val textRanks = TextAnalysis.bm25Rank(spark, sf)
+      .select($"doc_id").as[Long].collect().zipWithIndex
+      .map { case (id, i) => id -> (i + 1L) }.toMap
+    def rrf(r: Option[Long]): Double = r.map(x => 1.0 / (60.0 + x)).getOrElse(0.0)
+    val want = (textRanks.keySet ++ vecRanks.keySet).toSeq.map { id =>
+      (id, textRanks.getOrElse(id, 0L), vecRanks.getOrElse(id, 0L),
+        rrf(textRanks.get(id)) + rrf(vecRanks.get(id)))
+    }.sortBy { case (id, _, _, s) => (-s, id) }.take(20)
+    assert(got == want)
+    // a doc on BOTH shortlists must outrank a same-rank single-leg doc
+    assert(got.head._4 >= got.last._4)
+  }
 }
