@@ -355,6 +355,10 @@ object SparkEntry {
     // mapGroupsWithState + max-stage foreachBatch upsert); drained
     // counts equal the batch funnel, so the oracle is q85's verbatim
     "s14_streaming_funnel"   -> (Streams.streamingFunnel _),
+    // s15: stream-STATIC enrichment join (events stream ⋈ broadcast
+    // customer dimension) through a real complete-mode drain —
+    // stateless join, batch-equal totals, fully oracle-checked
+    "s15_streaming_enrich"   -> (Streams.streamingEnrichedSegments _),
     // s07: the transformWithState (state API v2, RocksDB) operator run
     // through a REAL streaming drain; integer-cents state makes the
     // final totals batch-boundary-invariant and oracle-exact
@@ -2043,6 +2047,13 @@ object SparkEntry {
            |SELECT doc_id, text FROM exact
            |WHERE doc_id NOT IN (SELECT doc_id FROM nonroots)
            |ORDER BY doc_id""".stripMargin,
+      // s15: stream-static enrichment — the drained complete-mode
+      // aggregate equals the plain batch join+group (decimal-exact sums)
+      "s15_streaming_enrich" ->
+        """SELECT c_mktsegment, event_type, count(*) AS n,
+          | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+          |FROM events JOIN customer ON user_id = c_custkey
+          |GROUP BY 1, 2 ORDER BY c_mktsegment, event_type""".stripMargin,
       "s03_user_sessions" ->
         """SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions,
           | count(*) AS n_events

@@ -207,6 +207,36 @@ object Streams {
       mode = "append", outputMode = "append")
       .orderBy(col("day_start"), col("event_type"))
 
+  /** Stream-STATIC enrichment: the event stream inner-joined to the
+    * batch `customer` dimension (user → market segment), then a
+    * windowless segment×type aggregate. The static side is
+    * broadcast — stream-static joins keep NO join state (the static
+    * side is re-planned per micro-batch; only the aggregation holds
+    * state), which is the canonical streaming-ETL enrichment shape: a
+    * dimension table of any freshness joined to an unbounded fact
+    * stream with zero watermark bookkeeping on the dimension.
+    */
+  def enrichedSegmentCounts(events: DataFrame, customers: DataFrame): DataFrame =
+    events.join(
+        broadcast(customers.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+
+  /** s15: [[enrichedSegmentCounts]] through a REAL streaming drain —
+    * `readStream` events ⋈ batch customer dimension, complete-mode
+    * aggregate, foreachBatch parquet sink. Complete mode over a fully
+    * drained `AvailableNow` run makes the result batch-equal, so the
+    * stream-static join operator itself (per-batch static re-plan,
+    * broadcast, stateless join) sits inside the DuckDB gate.
+    */
+  def streamingEnrichedSegments(spark: SparkSession, dir: String): DataFrame =
+    drainToParquet(spark, "s15", dir,
+      s => enrichedSegmentCounts(s, Tables.customer(spark, dir)),
+      mode = "overwrite", outputMode = "complete")
+      .orderBy(col("c_mktsegment"), col("event_type"))
+
   /** Stream-stream interval join: each purchase joined to the same
     * user's clicks within ±1 hour. Both sides carry watermarks and the
     * join condition bounds the time skew, so the state store holds only

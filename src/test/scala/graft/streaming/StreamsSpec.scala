@@ -421,4 +421,19 @@ class StreamsSpec extends SparkSpec {
     assert(streamed == batch)
     assert(streamed.length == 3)
   }
+
+  test("s15 stream-static enrichment drains to the batch join+aggregate") {
+    val batch = Streams.enrichedSegmentCounts(
+        graft.Tables.events(spark, sf), graft.Tables.customer(spark, sf))
+      .orderBy($"c_mktsegment", $"event_type")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    val streamed = Streams.streamingEnrichedSegments(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    // every event joins (fixture user ids ⊂ custkeys), so counts total
+    // to the full event count — the inner join drops nothing
+    val total = graft.Tables.events(spark, sf).count()
+    assert(streamed.map(_._3).sum == total)
+  }
 }
