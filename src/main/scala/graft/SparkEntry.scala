@@ -325,6 +325,10 @@ object SparkEntry {
     // the fused doubles bit-identical cross-engine
     "e14_hybrid_search"      -> ((s: SparkSession, dir: String) =>
       Similarity.hybridSearch(s, dir)),
+    // q88: variance/correlation/regression moments from exact DECIMAL
+    // power sums + fixed-order double epilogue — reproducible at any
+    // parallelism where float-accumulating var_samp/corr are not
+    "q88_stats_moments"      -> (graft.operators.DataQuality.statsMoments _),
     // — event-time / streaming-unified (SURVEY §2.9) —
     "s01_hourly_type_counts" -> (Streams.hourlyTypeCountsBatch _),
     "s02_sliding_counts"     -> (Streams.slidingTypeCountsBatch _),
@@ -1956,6 +1960,26 @@ object SparkEntry {
            |  + COALESCE(CAST(1 AS DOUBLE) / (60.0 + CAST(rank_vec AS DOUBLE)), CAST(0 AS DOUBLE)) AS rrf_score
            |FROM txt FULL OUTER JOIN vec USING (doc_id)
            |ORDER BY rrf_score DESC, doc_id LIMIT 20""".stripMargin,
+      // q88: the same exact power sums (DECIMAL, order-independent)
+      // and the same fixed-order double formulas — bit-equal moments
+      "q88_stats_moments" ->
+        """WITH s AS (
+          | SELECT l_returnflag,
+          |  count(*) AS n_raw,
+          |  CAST(count(*) AS DOUBLE) AS n,
+          |  CAST(sum(q) AS DOUBLE) AS s1, CAST(sum(q*q) AS DOUBLE) AS s2,
+          |  CAST(sum(p) AS DOUBLE) AS t1, CAST(sum(p*p) AS DOUBLE) AS t2,
+          |  CAST(sum(q*p) AS DOUBLE) AS sp
+          | FROM (SELECT l_returnflag,
+          |        CAST(l_quantity AS DECIMAL(18,2)) AS q,
+          |        CAST(l_extendedprice AS DECIMAL(18,2)) AS p FROM lineitem)
+          | GROUP BY l_returnflag)
+          |SELECT l_returnflag, n_raw AS n,
+          | (n*s2 - s1*s1) / (n*(n - 1.0)) AS var_qty,
+          | sqrt((n*s2 - s1*s1) / (n*(n - 1.0))) AS std_qty,
+          | (n*sp - s1*t1) / sqrt((n*s2 - s1*s1) * (n*t2 - t1*t1)) AS corr_qty_price,
+          | (n*sp - s1*t1) / (n*s2 - s1*s1) AS slope_price_qty
+          |FROM s ORDER BY l_returnflag""".stripMargin,
       // d07: the WHOLE curation pipeline in SQL — quality metrics +
       // gate (the t02 expressions), exact dedup (min id per normalized
       // text), all-pairs exact Jaccard >= 0.6 on 5-char shingles of

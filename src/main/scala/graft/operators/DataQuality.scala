@@ -147,4 +147,50 @@ object DataQuality {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("change_type"))
   }
+
+  /** q88: distributed second-moment statistics — per-returnflag
+    * variance/stddev of quantity, quantity↔price correlation, and the
+    * price-on-quantity regression slope — computed PORTABLY: exact
+    * DECIMAL power sums (n, Σq, Σq², Σp, Σp², Σqp — order-independent
+    * by exactness, one map-side-combined shuffle) cast to double once,
+    * then the closed-form moment formulas in a fixed operation order.
+    *
+    * Built-in `var_samp`/`corr` accumulate FLOATS in partition order —
+    * different partitioning, different ULPs, and a hash gate (or a
+    * re-run on another cluster layout) breaks. Power sums make the
+    * aggregation exact and the float arithmetic a deterministic
+    * per-group epilogue: the same bit pattern at any parallelism, and
+    * DuckDB reproduces it from the same SQL formula. (Textbook caveat
+    * applies and is the tradeoff: one-pass power sums lose precision
+    * to cancellation when stddev ≪ mean — for profiling-grade moments
+    * that is acceptable; Welford-style merging is not reproducible
+    * across partitionings.)
+    */
+  def statsMoments(spark: SparkSession, dir: String): DataFrame = {
+    val d182 = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(18, 2))
+    val l = Tables.lineitem(spark, dir).select(
+      col("l_returnflag"),
+      d182(col("l_quantity")).as("q"),
+      d182(col("l_extendedprice")).as("p"))
+    val sums = l.groupBy(col("l_returnflag")).agg(
+      count(lit(1)).as("n"),
+      sum(col("q")).as("s1"), sum(col("q") * col("q")).as("s2"),
+      sum(col("p")).as("t1"), sum(col("p") * col("p")).as("t2"),
+      sum(col("q") * col("p")).as("sp"))
+    // one cast per exact sum, then fixed-order double arithmetic —
+    // the identical expression tree the oracle SQL spells out
+    val n = col("n").cast("double")
+    val Seq(s1, s2, t1, t2, sp) =
+      Seq("s1", "s2", "t1", "t2", "sp").map(c => col(c).cast("double"))
+    val varNumQ = n * s2 - s1 * s1
+    val varNumP = n * t2 - t1 * t1
+    val covNum = n * sp - s1 * t1
+    sums.select(
+        col("l_returnflag"), col("n"),
+        (varNumQ / (n * (n - lit(1.0)))).as("var_qty"),
+        sqrt(varNumQ / (n * (n - lit(1.0)))).as("std_qty"),
+        (covNum / sqrt(varNumQ * varNumP)).as("corr_qty_price"),
+        (covNum / varNumQ).as("slope_price_qty"))
+      .orderBy(col("l_returnflag"))
+  }
 }

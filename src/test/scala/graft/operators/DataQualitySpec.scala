@@ -72,6 +72,32 @@ class DataQualitySpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("q88 power-sum moments agree with Spark's built-in var_samp/stddev/corr/regr_slope") {
+    val got = DataQuality.statsMoments(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    val ref = Tables.lineitem(spark, sf)
+      .groupBy($"l_returnflag").agg(
+        count(lit(1)).as("n"),
+        var_samp($"l_quantity").as("v"), stddev_samp($"l_quantity").as("s"),
+        corr($"l_quantity", $"l_extendedprice").as("c"),
+        regr_slope($"l_extendedprice", $"l_quantity").as("b"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(got.keySet == ref.keySet && got.nonEmpty)
+    got.foreach { case (flag, (n, v, s, c, b)) =>
+      val (rn, rv, rs, rc, rb) = ref(flag)
+      assert(n == rn)
+      // built-ins accumulate floats in partition order; the power-sum
+      // epilogue is algebraically identical, so only ULP-noise differs
+      assert(math.abs(v - rv) / rv < 1e-9, s"$flag var $v vs $rv")
+      assert(math.abs(s - rs) / rs < 1e-9)
+      assert(math.abs(c - rc) < 1e-9)
+      assert(math.abs(b - rb) / math.abs(rb) < 1e-9)
+    }
+  }
+
   test("observed profile on an EMPTY input yields a null-row profile, not a crash") {
     // sum/min/max observe as null on zero rows; the profile must read
     // them null-safely and emit one all-null row (count 0), because a
