@@ -250,6 +250,10 @@ object SparkEntry {
     // loaded≡fresh equality anchor lives in SimilaritySpec)
     "e13_knn_persisted"      -> (Similarity.knnPersisted _),
     "e05_cosine_range"       -> (Similarity.knnRange _),
+    // e15: IVF+PQ composite (coarse cells bound rows touched, PQ codes
+    // bound per-row cost — the FAISS-IVFPQ shape; rows-only: k-means +
+    // codebook are engine-specific; recall pinned in e08 and spec)
+    "e15_knn_ivf_pq"         -> (Similarity.knnIvfPq _),
     // e08: in-gate ANN quality audit — recall of every approximate
     // index vs the e01 exact ranks (rows-only; values are seeded but
     // hash-dependent). A recall collapse now reds the gate, not just

@@ -489,6 +489,86 @@ object Similarity {
     pqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
   }
 
+  /** e15: IVF+PQ composite — the FAISS-IVFPQ index shape and the one
+    * every billion-vector deployment actually runs: a coarse k-means
+    * cell assignment bounds WHICH rows a query touches (nProbe/nCells
+    * of the corpus) while PQ codes bound WHAT each touched row costs
+    * (m byte-lookups instead of a d-float dot) — the two savings
+    * multiply. Candidate scan = codes ⋈ broadcast(query × probed
+    * cell) on cell id: the only corpus-wide data motion is the one-off
+    * shuffle on cell id at build time; at query time the per-cell code
+    * lists are pruned join partitions. ADC shortlist → exact cosine
+    * re-rank by id re-join, so compression costs recall only, never
+    * final-order correctness (the pqTopK invariant).
+    *
+    * Simplification vs the paper: ONE global codebook over L2-
+    * normalized vectors rather than per-cell residual codebooks —
+    * residual encoding is the recall upgrade a production build adds,
+    * and it changes only the encode/ADC inputs (v − centroid), not
+    * this operator's join shape.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
+                idCol: String, vecCol: String, k: Int,
+                nCells: Int = 16, nProbe: Int = 4,
+                m: Int = 8, codebookK: Int = 16, shortlistFactor: Int = 4,
+                sampleN: Int = 1000, seed: Long = 42L,
+                trainFraction: Double = 0.25): DataFrame = {
+    val centroids = trainCentroids(corpus, vecCol, nCells, seed, trainFraction)
+
+    // build side: cell-assign, then swap the float payload for PQ codes
+    val normed = withL2Normalized(
+      assignCells(corpus, idCol, vecCol, centroids), col("c_vec"), "nv")
+      .select(col("neighbor_id"), col("cell"), col("nv"))
+    val sample = normed
+      .orderBy(xxhash64(col("neighbor_id"), lit(seed)))
+      .limit(sampleN)
+      .collect().map(_.getSeq[Float](2).toArray)
+    val cb = graft.functions.Pq.train(sample, m, codebookK)
+    val codes = normed.select(col("neighbor_id"), col("cell"),
+      graft.functions.Pq.encodeCol(col("nv"), cb).as("code"))
+
+    // query side: nProbe cells per query + one fused ADC table
+    def centroidSims(v: Column): Column = VectorFns.centroidSimsCol(v, centroids)
+    val q = withL2Normalized(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("v")),
+      col("v"), "q_nv")
+      .withColumn("sims", centroidSims(col("v")))
+      .withColumn("ranked", expr(
+        "transform(array_sort(zip_with(sims, sequence(1, size(sims)), (s, i) -> struct(-s AS negs, i AS idx))), p -> p.idx)"))
+      .withColumn("cell", explode(expr(s"slice(ranked, 1, $nProbe)")))
+      .select(col("query_id"), col("cell"),
+        graft.functions.Pq.adcTableCol(col("q_nv"), cb).as("adc_table"))
+
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("neighbor_id"))
+    val short = codes.join(broadcast(q), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc",
+        graft.functions.Pq.adcLookupCol(col("adc_table"), col("code"), cb(0).length))
+      .select(col("query_id"), col("neighbor_id"), col("adc"))
+      .withColumn("arank", row_number().over(wAdc))
+      .filter(col("arank") <= k * shortlistFactor)
+      .select(col("query_id"), col("neighbor_id"))
+
+    val vecs = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val qVecs = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    short.join(vecs, Seq("neighbor_id"))
+      .join(broadcast(qVecs), Seq("query_id"))
+      .withColumn("cos", VectorFns.cosineSim(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def knnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    ivfPqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+  }
+
   /** e09: scalar int8-quantized ANN — the simplest production
     * quantization path (what vector stores call SQ8): each vector is
     * compressed 4× to per-vector-scaled int8 codes, the shortlist scan
@@ -838,7 +918,8 @@ object Similarity {
       "e04_knn_ivf" -> ((sp: SparkSession, d: String) => knnIvfPortable(sp, d)),
       "e06_knn_ivf_kmeans" -> (knnIvfKmeans _),
       "e07_knn_pq" -> (knnPq _),
-      "e09_knn_int8" -> (knnInt8 _))
+      "e09_knn_int8" -> (knnInt8 _),
+      "e15_knn_ivf_pq" -> (knnIvfPq _))
     import spark.implicits._
     methods.map { case (name, fn) =>
       val approx = fn(spark, dir).select(col("query_id"), col("neighbor_id"))

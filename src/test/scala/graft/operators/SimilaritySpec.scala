@@ -34,9 +34,23 @@ class SimilaritySpec extends SparkSpec {
     val rows = Similarity.recallAudit(spark, sf)
       .as[(String, Long)].collect().toMap
     assert(rows.keySet == Set("e02_knn_lsh", "e04_knn_ivf",
-      "e06_knn_ivf_kmeans", "e07_knn_pq", "e09_knn_int8"))
+      "e06_knn_ivf_kmeans", "e07_knn_pq", "e09_knn_int8", "e15_knn_ivf_pq"))
     rows.foreach { case (m, r) =>
       assert(r >= 40L && r <= 100L, s"$m recall_x100=$r")
+    }
+  }
+
+  test("e15 IVF+PQ: deterministic, ranks dense, no self-neighbors") {
+    val a = Similarity.knnIvfPq(spark, sf).as[(Long, Long, Long, Double)].collect().toSeq
+    val b = Similarity.knnIvfPq(spark, sf).as[(Long, Long, Long, Double)].collect().toSeq
+    assert(a == b, "seeded build must be run-to-run deterministic")
+    assert(a.nonEmpty)
+    assert(a.forall { case (q, _, n, _) => q != n })
+    a.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._2).sorted == (1L to rs.length.toLong))
+      // exact re-rank: cosines non-increasing down the rank order
+      val byRank = rs.sortBy(_._2).map(_._4)
+      assert(byRank.zip(byRank.drop(1)).forall { case (x, y) => x >= y })
     }
   }
 
