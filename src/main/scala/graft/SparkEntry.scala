@@ -1923,15 +1923,17 @@ object SparkEntry {
            |  CAST(sum(f.cnt) AS BIGINT) AS cnt_sum
            | FROM tok t JOIN freqs f USING (term) GROUP BY t.doc_id), tot
            |ORDER BY doc_id""".stripMargin,
-      // q87: naive id-ordered triangle join — same count as the
-      // engine's degree-oriented plan (each triangle a<b<c counted at
-      // its id-minimum vertex here, its (deg,id)-minimum vertex there)
+      // q87: naive id-ordered triangle join over the same support-≥2
+      // co-purchase graph — same count as the engine's degree-oriented
+      // plan (each triangle a<b<c counted at its id-minimum vertex
+      // here, its (deg,id)-minimum vertex there)
       "q87_triangle_count" ->
         """WITH op AS (
           | SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
           |e AS (
-          | SELECT DISTINCT a.pk AS s, b.pk AS d
-          | FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk),
+          | SELECT a.pk AS s, b.pk AS d
+          | FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+          | GROUP BY a.pk, b.pk HAVING count(*) >= 2),
           |n AS (SELECT CAST(count(DISTINCT v) AS BIGINT) AS n_nodes FROM (
           |       SELECT s AS v FROM e UNION ALL SELECT d FROM e)),
           |m AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e),

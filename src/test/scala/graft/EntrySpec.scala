@@ -369,14 +369,17 @@ class EntrySpec extends SparkSpec {
   }
 
   test("q87 degree-oriented triangle count equals a driver-side naive count") {
-    // naive reference: collected co-purchase edges, id-ordered a<b<c scan
+    // naive reference: collected support-≥2 co-purchase edges,
+    // id-ordered a<b<c scan
     val op = Tables.lineitem(spark, sf)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val edges = op.groupBy(_._1).valuesIterator.flatMap { items =>
       val ps = items.map(_._2).distinct.sorted
       for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
-    }.toSet
+    // NB: .collect{case (e, _) => e} on a Map would REBUILD a Map keyed
+    // by edge.src (tuple results re-enter as entries) — keySet it is
+    }.toSeq.groupBy(identity).filter(_._2.size >= 2).keySet
     val nodes = edges.flatMap(e => Seq(e._1, e._2))
     val byA = edges.groupBy(_._1)
     val triangles = edges.iterator.map { case (a, b) =>
