@@ -230,8 +230,13 @@ object Graph {
     * Three shuffles total: degree agg, orientation join, wedge join +
     * closing-edge semi-join.
     */
-  def triangleCount(spark: SparkSession, dir: String): DataFrame = {
-    val edges = coPurchaseEdges(spark, dir).localCheckpoint()
+  def triangleCount(spark: SparkSession, dir: String,
+                    checkpoint: Boolean = true): DataFrame = {
+    // the edge table feeds four consumers (degree agg, orientation
+    // join, closing-edge join, edge count) — materialize it once;
+    // checkpoint=false keeps the build lazy for plan dumps
+    val built = coPurchaseEdges(spark, dir)
+    val edges = if (checkpoint) built.localCheckpoint() else built
     val deg = edges.select(col("src").as("v"))
       .union(edges.select(col("dst").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))

@@ -128,7 +128,14 @@ object ScaleStress {
       // by `factor` — t21's count join runs at maximal key density;
       // d21's delta (everything ≥250) dedups against the stored index
       // at full corpus width; t22 is the map-only fold ceiling check
-      "t21_bigram_novelty", "d21_incremental_dedup", "t22_accent_fold")
+      "t21_bigram_novelty", "d21_incremental_dedup", "t22_accent_fold",
+      // round-7 second batch: t25's frequency join runs with every
+      // corpus count multiplied by `factor` (the Zipf head gets
+      // heavier — exactly what the broadcast-head split is for); e14's
+      // legs stay shortlist-bounded by construction (the fusion cost
+      // must NOT grow); e15's cells hold factor× rows with cos≈0.999
+      // near-ties (ADC shortlist rank stability under density)
+      "t25_rare_token_score", "e14_hybrid_search", "e15_knn_ivf_pq")
 
     // SPARK_GRAFT_ONLY=name1,name2 narrows the run (iteration / probes)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
