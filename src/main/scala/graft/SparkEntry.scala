@@ -333,6 +333,11 @@ object SparkEntry {
     // power sums + fixed-order double epilogue — reproducible at any
     // parallelism where float-accumulating var_samp/corr are not
     "q88_stats_moments"      -> (graft.operators.DataQuality.statsMoments _),
+    // q89: pairwise slice-overlap matrix by KMV set algebra — one
+    // corpus scan builds per-slice sketches, every pair estimate
+    // touches only sketch rows; md5-deterministic ⇒ fully hash-checked
+    "q89_kmv_overlap"        -> ((s: SparkSession, dir: String) =>
+      Relational.kmvOverlap(s, dir)),
     // — event-time / streaming-unified (SURVEY §2.9) —
     "s01_hourly_type_counts" -> (Streams.hourlyTypeCountsBatch _),
     "s02_sliding_counts"     -> (Streams.slidingTypeCountsBatch _),
@@ -1966,6 +1971,54 @@ object SparkEntry {
            |  + COALESCE(CAST(1 AS DOUBLE) / (60.0 + CAST(rank_vec AS DOUBLE)), CAST(0 AS DOUBLE)) AS rrf_score
            |FROM txt FULL OUTER JOIN vec USING (doc_id)
            |ORDER BY rrf_score DESC, doc_id LIMIT 20""".stripMargin,
+      // q89: KMV set algebra in SQL — same sketches, same union merge,
+      // same inclusion-exclusion estimator arithmetic as the engine
+      "q89_kmv_overlap" ->
+        """WITH h AS (
+          | SELECT DISTINCT o_orderpriority AS prio,
+          |  ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+          | FROM orders),
+          |kk AS (
+          | SELECT prio, h, row_number() OVER (PARTITION BY prio ORDER BY h) AS rn
+          | FROM h),
+          |sk AS (SELECT prio, h FROM kk WHERE rn <= 64),
+          |g AS (SELECT prio, max(h) AS h_k, count(*) AS n_kept FROM sk GROUP BY prio),
+          |pairs AS (
+          | SELECT a.prio AS prio_a, a.h_k AS h_a, a.n_kept AS n_a,
+          |        b.prio AS prio_b, b.h_k AS h_b, b.n_kept AS n_b
+          | FROM g a JOIN g b ON a.prio < b.prio),
+          |u AS (
+          | SELECT DISTINCT p.prio_a, p.prio_b, s.h
+          | FROM pairs p JOIN sk s ON s.prio = p.prio_a OR s.prio = p.prio_b),
+          |uk AS (
+          | SELECT prio_a, prio_b, h,
+          |  row_number() OVER (PARTITION BY prio_a, prio_b ORDER BY h) AS rn
+          | FROM u),
+          |us AS (
+          | SELECT prio_a, prio_b, max(h) AS h_u, count(*) AS n_u
+          | FROM uk WHERE rn <= 64 GROUP BY prio_a, prio_b),
+          |cust AS (SELECT DISTINCT o_orderpriority AS prio, o_custkey AS c FROM orders),
+          |ex AS (
+          | SELECT a.prio AS prio_a, b.prio AS prio_b,
+          |  CAST(count(*) AS BIGINT) AS n_inter_exact
+          | FROM cust a JOIN cust b ON a.c = b.c AND a.prio < b.prio
+          | GROUP BY 1, 2)
+          |SELECT p.prio_a, p.prio_b,
+          | CASE WHEN us.n_u < 64 THEN us.n_u::DOUBLE
+          |  ELSE (63.0 * 1152921504606846976.0) / us.h_u::DOUBLE END AS est_union,
+          | greatest(
+          |  (CASE WHEN p.n_a < 64 THEN p.n_a::DOUBLE
+          |    ELSE (63.0 * 1152921504606846976.0) / p.h_a::DOUBLE END
+          |   + CASE WHEN p.n_b < 64 THEN p.n_b::DOUBLE
+          |    ELSE (63.0 * 1152921504606846976.0) / p.h_b::DOUBLE END)
+          |  - CASE WHEN us.n_u < 64 THEN us.n_u::DOUBLE
+          |    ELSE (63.0 * 1152921504606846976.0) / us.h_u::DOUBLE END,
+          |  CAST(0 AS DOUBLE)) AS est_inter,
+          | COALESCE(ex.n_inter_exact, 0) AS n_inter_exact
+          |FROM pairs p
+          |JOIN us USING (prio_a, prio_b)
+          |LEFT JOIN ex USING (prio_a, prio_b)
+          |ORDER BY prio_a, prio_b""".stripMargin,
       // q88: the same exact power sums (DECIMAL, order-independent)
       // and the same fixed-order double formulas — bit-equal moments
       "q88_stats_moments" ->

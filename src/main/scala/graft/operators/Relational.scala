@@ -419,6 +419,77 @@ object Relational {
       .orderBy(col("prio"))
   }
 
+  /** q89: pairwise overlap matrix in SKETCH space — audience overlap
+    * between the order-priority customer sets estimated by KMV set
+    * algebra: per-slice sketch = q84's k smallest distinct md5-60-bit
+    * key hashes; a pair's union sketch = k smallest of the two merged
+    * hash sets; |A∩B| ≈ est(A) + est(B) − est(A∪B) (inclusion-
+    * exclusion on the estimators, clamped at 0). Every input to every
+    * estimate is a deterministic md5-derived integer, so — unlike any
+    * engine-internal sketch — the whole overlap matrix hash-checks in
+    * DuckDB (the q84 portability argument, extended to set algebra).
+    *
+    * Scale shape: the corpus is scanned ONCE to build per-slice
+    * sketches (bounded window per group; the mergeable-top-k aggregate
+    * at 100 TB, see q84); all |G|²/2 pairwise estimates then touch
+    * ONLY sketch rows (≤ k per slice) — estimating a 100×100 slice
+    * overlap matrix costs 100 sketches + a driver-sized merge, where
+    * exact pairwise `count(DISTINCT)` would be 4950 corpus-wide joins.
+    * The exact intersection rides along as error evidence (feasible at
+    * 5 slices; at scale it is exactly what you would NOT compute).
+    */
+  def kmvOverlap(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    val hashed = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("prio"),
+        expr("cast(conv(substr(md5(cast(cast(o_custkey as string) as binary)), 1, 15), 16, 10) as bigint)").as("h"))
+      .distinct()
+    val w = Window.partitionBy(col("prio")).orderBy(col("h"))
+    val skRows = hashed.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).select(col("prio"), col("h"))
+      .localCheckpoint() // |slices|·k rows, consumed three times below
+    val perGroup = skRows.groupBy(col("prio"))
+      .agg(max(col("h")).as("h_k"), count(lit(1)).as("n_kept"))
+    def est(hk: Column, nk: Column): Column =
+      when(nk < k, nk.cast("double"))
+        .otherwise(lit((k - 1).toDouble * 1152921504606846976.0d) / hk.cast("double"))
+
+    val pairs = perGroup
+      .select(col("prio").as("prio_a"), col("h_k").as("h_a"), col("n_kept").as("n_a"))
+      .crossJoin(broadcast(perGroup
+        .select(col("prio").as("prio_b"), col("h_k").as("h_b"), col("n_kept").as("n_b"))))
+      .filter(col("prio_a") < col("prio_b"))
+    val ra = pairs.select(col("prio_a"), col("prio_b"))
+      .join(skRows.withColumnRenamed("prio", "prio_a"), Seq("prio_a"))
+    val rb = pairs.select(col("prio_a"), col("prio_b"))
+      .join(skRows.withColumnRenamed("prio", "prio_b"), Seq("prio_b"))
+    val wu = Window.partitionBy(col("prio_a"), col("prio_b")).orderBy(col("h"))
+    val unionSk = ra.select(col("prio_a"), col("prio_b"), col("h"))
+      .union(rb.select(col("prio_a"), col("prio_b"), col("h")))
+      .dropDuplicates("prio_a", "prio_b", "h")
+      .withColumn("rn", row_number().over(wu)).filter(col("rn") <= k)
+      .groupBy(col("prio_a"), col("prio_b"))
+      .agg(max(col("h")).as("h_u"), count(lit(1)).as("n_u"))
+
+    val cust = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("prio"), col("o_custkey").as("c")).distinct()
+    val exact = cust.select(col("prio").as("prio_a"), col("c"))
+      .join(cust.select(col("prio").as("prio_b"), col("c")), Seq("c"))
+      .filter(col("prio_a") < col("prio_b"))
+      .groupBy(col("prio_a"), col("prio_b"))
+      .agg(count(lit(1)).as("n_inter_exact"))
+
+    pairs.join(unionSk, Seq("prio_a", "prio_b"))
+      .join(exact, Seq("prio_a", "prio_b"), "left")
+      .na.fill(0L, Seq("n_inter_exact"))
+      .select(col("prio_a"), col("prio_b"),
+        est(col("h_u"), col("n_u")).as("est_union"),
+        greatest(est(col("h_a"), col("n_a")) + est(col("h_b"), col("n_b"))
+          - est(col("h_u"), col("n_u")), lit(0.0)).as("est_inter"),
+        col("n_inter_exact"))
+      .orderBy(col("prio_a"), col("prio_b"))
+  }
+
+
   /** q85: ordered funnel analysis over the event stream — the
     * dashboard staple the reference's Kibana layer implies: how many
     * users progressed view → click → purchase IN ORDER. Step n's

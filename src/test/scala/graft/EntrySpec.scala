@@ -368,6 +368,43 @@ class EntrySpec extends SparkSpec {
     }
   }
 
+  test("q89 KMV overlap matrix matches a driver-side sketch-algebra recompute") {
+    import java.security.MessageDigest
+    def h60(x: Long): Long = {
+      val hex = MessageDigest.getInstance("MD5")
+        .digest(x.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val k = 64
+    val sets: Map[String, Set[Long]] = Tables.orders(spark, sf)
+      .select(col("o_orderpriority"), col("o_custkey")).distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).toSet }
+    def est(hs: Set[Long]): Double = {
+      val sk = hs.toSeq.sorted.take(k)
+      if (sk.size < k) sk.size.toDouble
+      else (k - 1).toDouble * 1152921504606846976.0d / sk.last.toDouble
+    }
+    val want = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      ha = sets(a).map(h60); hb = sets(b).map(h60)
+    } yield (a, b, est(ha ++ hb),
+        math.max(est(ha) + est(hb) - est(ha ++ hb), 0.0),
+        sets(a).intersect(sets(b)).size.toLong))
+      .toSeq.sortBy(t => (t._1, t._2))
+    val got = operators.Relational.kmvOverlap(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toSeq
+    assert(got == want)
+    // estimates must actually track the truth on the fixture: the
+    // union estimator inherits q84's 3σ bound
+    got.foreach { case (a, b, estU, _, _) =>
+      val exactU = sets(a).union(sets(b)).size.toDouble
+      if (exactU >= k)
+        assert(math.abs(estU - exactU) / exactU <= 3.0 / math.sqrt(62.0), s"$a-$b")
+    }
+  }
+
   test("q87 degree-oriented triangle count equals a driver-side naive count") {
     // naive reference: collected support-≥2 co-purchase edges,
     // id-ordered a<b<c scan
