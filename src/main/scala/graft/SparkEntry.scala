@@ -219,6 +219,10 @@ object SparkEntry {
     // catches brightness-shifted re-encoded copies exact byte hashing
     // (m02) cannot; d04's banding scheme applied to images
     "m06_media_phash"        -> (graft.operators.Multimodal.mediaPerceptualDedup _),
+    // m07: perceptual audio near-dup — gain-invariant energy hash over
+    // decoded PCM through the d04 banding (rows-only: WAV bytes are
+    // not SQL-derivable; planted-pair recovery spec'd)
+    "m07_media_audiodedup"   -> (graft.operators.Multimodal.mediaAudioDedup _),
     // — similarity search (SURVEY §2.11) —
     "e01_knn_brute"          -> (Similarity.knnBruteForce _),
     // e02: portable Rademacher banding, ids+rank output (the e01

@@ -558,9 +558,20 @@ object Multimodal {
     */
   def perceptualPairs(images: DataFrame, maxHamming: Int = 3): DataFrame = {
     import images.sparkSession.implicits._
-    val hashed = images.select(col("media_id"), col("payload"))
-      .map(r => (r.getLong(0), averageHash64(r.getAs[Array[Byte]](1))))
-      .toDF("id", "ahash")
+    bandedHammingPairs(
+      images.select(col("media_id"), col("payload"))
+        .map(r => (r.getLong(0), averageHash64(r.getAs[Array[Byte]](1))))
+        .toDF("id", "ahash"),
+      maxHamming)
+  }
+
+  /** The shared 64-bit-hash near-dup join (d04's SimHash banding over
+    * any perceptual hash column): 4×16-bit value-keyed bands — any
+    * pair within Hamming ≤ 3 shares ≥1 exact chunk (pigeonhole) —
+    * verified by `bit_count(xor)`. Input is `(id, ahash)`; the shuffle
+    * carries 16 bytes per row, never payloads.
+    */
+  private def bandedHammingPairs(hashed: DataFrame, maxHamming: Int): DataFrame = {
     val banded = hashed.select(col("id"), col("ahash"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),
@@ -576,6 +587,113 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
       .select(col("media_a"), col("media_b"), col("hamming"))
       .orderBy(col("media_a"), col("media_b"))
+  }
+
+  /** 64-bit audio ENERGY hash — the aHash analog for sound: bit i =
+    * (windowed RMS energy of segment i) > (mean energy). Ratios of
+    * energies are invariant under uniform gain, so a re-encoded copy
+    * at different volume — zero shared bytes — keeps (nearly) the
+    * same hash; content with different temporal structure diverges.
+    */
+  private[operators] def energyHash64(payload: Array[Byte]): Long = {
+    val e = audioFeatures(payload, 64)
+    var mean = 0.0
+    e.foreach(mean += _)
+    mean /= 64.0
+    var h = 0L
+    var i = 0
+    while (i < 64) {
+      if (e(i) > mean) h |= (1L << i)
+      i += 1
+    }
+    h
+  }
+
+  /** WAV with a 64-step id-keyed amplitude ENVELOPE (the plain
+    * [[encodeWav]] sine has CONSTANT window energy — an energy hash
+    * needs temporal structure to key on, as real speech/music has).
+    */
+  private[operators] def encodeWavEnveloped(i: Long, n: Int,
+                                            rate: Int = 16000): Array[Byte] = {
+    val freq = 100.0 + (i * 7 % 997)
+    val steps = 64
+    val win = (n / steps) max 1
+    val samples = new Array[Short](n)
+    // murmur-style finalizer: without avalanche, neighboring ids get
+    // near-identical (merely shifted) envelopes and every neighbor
+    // pair lands within Hamming 3 of each other
+    def mix(a: Long, b: Long): Long = {
+      var h = a * 0x9E3779B97F4A7C15L ^ b * 0xC2B2AE3D27D4EB4FL
+      h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
+      h
+    }
+    var t = 0
+    while (t < n) {
+      val step = (t / win) min (steps - 1)
+      val amp = 2000.0 + ((mix(i, step.toLong) >>> 1) % 10000L).toDouble
+      samples(t) = (math.sin(2.0 * math.Pi * freq * t / rate) * amp).toShort
+      t += 1
+    }
+    wavFromPcm(samples, rate)
+  }
+
+  private[operators] def wavFromPcm(samples: Array[Short], rate: Int): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1)
+      .putInt(rate).putInt(rate * 2)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** Gain-change + re-encode perturbation for audio (the near-dup a
+    * pipeline must catch: same recording at different volume, zero
+    * shared bytes): decode PCM, scale each sample by num/den with
+    * clamping, rebuild the WAV container.
+    */
+  private[operators] def perturbAudio(media: DataFrame,
+                                      num: Int, den: Int): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(
+      StructType(media.schema.fields.toIndexedSeq))
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](payloadIdx)))
+        val bytes = in.readAllBytes()
+        in.close()
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val out = new Array[Short](bytes.length / 2)
+        var k = 0
+        while (k < out.length) {
+          val v = bb.getShort(k * 2).toInt * num / den
+          out(k) = (v.max(Short.MinValue.toInt).min(Short.MaxValue.toInt)).toShort
+          k += 1
+        }
+        val vals = r.toSeq.toArray
+        vals(payloadIdx) = wavFromPcm(out, 16000)
+        org.apache.spark.sql.Row(vals.toIndexedSeq: _*)
+      }
+    }(enc)
+  }
+
+  /** Perceptual near-dup pairs over an audio frame: energy hash per
+    * row (one codec pass), then the shared banded-Hamming join.
+    */
+  def audioPerceptualPairs(audio: DataFrame, maxHamming: Int = 3): DataFrame = {
+    import audio.sparkSession.implicits._
+    bandedHammingPairs(
+      audio.select(col("media_id"), col("payload"))
+        .map(r => (r.getLong(0), energyHash64(r.getAs[Array[Byte]](1))))
+        .toDF("id", "ahash"),
+      maxHamming)
   }
 
   /** Content-hash dedup over the opaque payload (exact dedup works on
@@ -643,6 +761,25 @@ object Multimodal {
     val variants = perturbImages(images.filter(col("media_id") < 60), delta = 8)
       .withColumn("media_id", col("media_id") + 2000L)
     perceptualPairs(images.unionByName(variants))
+  }
+
+  /** m07: perceptual AUDIO near-dup — m06's capability for the sound
+    * modality. 100 envelope-structured WAVs; the first 20 re-encoded
+    * at 70% gain under new ids (zero shared payload bytes — exact
+    * content hashing is blind to them, asserted in `MultimodalSpec`);
+    * the gain-invariant energy hash keeps every planted pair within
+    * Hamming ≤ 3 and the shared banded join surfaces them. Rows-only
+    * (WAV byte streams are not ANSI-SQL-derivable); the banding shape
+    * is the oracle-anchored d04 scheme applied to PCM energies.
+    */
+  def mediaAudioDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val audio = (0 until 100).map { i =>
+      (i.toLong, encodeWavEnveloped(i.toLong, 4000))
+    }.toDF("media_id", "payload")
+    val variants = perturbAudio(audio.filter(col("media_id") < 20), num = 7, den = 10)
+      .withColumn("media_id", col("media_id") + 3000L)
+    audioPerceptualPairs(audio.unionByName(variants))
   }
 
   /** m04: the REAL image resize pipeline — decode PNG, nearest-neighbor

@@ -196,4 +196,28 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getAs[Number]("hamming").longValue <= 3, r.toString)
     }
   }
+
+  test("m07 audio near-dup: gain-changed re-encodes recovered, exact hash blind") {
+    import spark.implicits._
+    val audio = (0 until 100).map { i =>
+      (i.toLong, Multimodal.encodeWavEnveloped(i.toLong, 4000))
+    }.toDF("media_id", "payload")
+    val variants = Multimodal.perturbAudio(audio.filter($"media_id" < 20), 7, 10)
+      .withColumn("media_id", $"media_id" + 3000L)
+    // 70% gain rewrites every sample: zero byte-identical payloads
+    val exact = audio.unionByName(variants)
+      .groupBy(xxhash64($"payload")).agg(count(lit(1)).as("n"))
+      .filter($"n" > 1)
+    assert(exact.count() == 0)
+    // the energy hash is gain-invariant: exactly the 20 planted pairs
+    val pairs = Multimodal.mediaAudioDedup(spark, "unused").collect()
+    assert(pairs.length == 20)
+    pairs.foreach { r =>
+      assert(r.getLong(1) == r.getLong(0) + 3000L, r.toString)
+      assert(r.getAs[Number]("hamming").longValue <= 3, r.toString)
+    }
+    // envelope structure separates distinct recordings: no original-
+    // original pair collides (expected hamming ≈ 32 between profiles)
+    assert(pairs.forall(r => r.getLong(0) < 20L))
+  }
 }
