@@ -376,6 +376,11 @@ object SparkEntry {
     // customer dimension) through a real complete-mode drain —
     // stateless join, batch-equal totals, fully oracle-checked
     "s15_streaming_enrich"   -> (Streams.streamingEnrichedSegments _),
+    // s16: streaming KMV distinct sketch — bounded k·8-byte state per
+    // key via transformWithState; md5-deterministic + merge-order-
+    // insensitive, so the drained estimate hash-checks (q84's math)
+    "s16_streaming_kmv"      -> ((s: SparkSession, dir: String) =>
+      Streams.streamingKmvDistinct(s, dir)),
     // s07: the transformWithState (state API v2, RocksDB) operator run
     // through a REAL streaming drain; integer-cents state makes the
     // final totals batch-boundary-invariant and oracle-exact
@@ -2134,6 +2139,29 @@ object SparkEntry {
            |SELECT doc_id, text FROM exact
            |WHERE doc_id NOT IN (SELECT doc_id FROM nonroots)
            |ORDER BY doc_id""".stripMargin,
+      // s16: the drained sketch state equals the batch KMV — same
+      // hashes, same k-smallest rule, same q84 estimator arithmetic
+      "s16_streaming_kmv" ->
+        """WITH h AS (
+          | SELECT DISTINCT event_type,
+          |  ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+          | FROM events),
+          |kk AS (
+          | SELECT event_type, h,
+          |  row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+          | FROM h),
+          |s AS (
+          | SELECT event_type, max(h) AS h_k, count(*) AS n_kept
+          | FROM kk WHERE rn <= 64 GROUP BY event_type),
+          |x AS (
+          | SELECT event_type, count(DISTINCT user_id) AS n_exact
+          | FROM events GROUP BY 1)
+          |SELECT s.event_type,
+          | CASE WHEN s.n_kept < 64 THEN s.n_kept::DOUBLE
+          |  ELSE (63.0 * 1152921504606846976.0) / s.h_k::DOUBLE END AS est_distinct,
+          | x.n_exact
+          |FROM s JOIN x USING (event_type)
+          |ORDER BY event_type""".stripMargin,
       // s15: stream-static enrichment — the drained complete-mode
       // aggregate equals the plain batch join+group (decimal-exact sums)
       "s15_streaming_enrich" ->

@@ -865,4 +865,85 @@ object Streams {
           }
       }
   }
+
+  case class KmvInput(event_type: String, h: Long)
+  case class KmvEmit(event_type: String, version: Long, n_kept: Long, h_k: Long)
+
+  /** Streaming KMV distinct sketch — SKETCH state in a stateful
+    * operator: per key the state is the k smallest distinct md5-60-bit
+    * element hashes (a FIXED k·8-byte buffer however many elements
+    * stream past — the bounded-state property that makes cardinality
+    * tracking viable in an unbounded stream, where s07/s08-style exact
+    * counters are per-key scalars and an exact distinct would need
+    * per-ELEMENT state). Each batch emits the updated sketch summary
+    * under a monotone version number, so the drained final per key is
+    * the max-version row whatever the micro-batch split.
+    */
+  class KmvSketchProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, KmvInput, KmvEmit] {
+    @transient private var state:
+        org.apache.spark.sql.streaming.ValueState[(Long, Array[Long])] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[(Long, Array[Long])]("kmv_sketch",
+        org.apache.spark.sql.Encoders.product[(Long, Array[Long])],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        eventType: String, rows: Iterator[KmvInput],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[KmvEmit] = {
+      val (v0, s0) = if (state.exists()) state.get() else (0L, Array.empty[Long])
+      // merge = k smallest of the distinct union (the KMV merge rule)
+      val merged = (s0.iterator ++ rows.map(_.h))
+        .foldLeft(scala.collection.immutable.SortedSet.empty[Long])(_ + _)
+        .take(k).toArray
+      state.update((v0 + 1L, merged))
+      Iterator.single(KmvEmit(eventType, v0 + 1L, merged.length.toLong,
+        if (merged.isEmpty) 0L else merged.last))
+    }
+  }
+
+  /** s16: [[KmvSketchProcessor]] through a real streaming drain — the
+    * per-event-type distinct-USER cardinality estimate maintained as
+    * bounded sketch state. Every input to the estimator is a
+    * deterministic md5-derived integer and KMV merge is order- and
+    * batch-boundary-insensitive (the k smallest of a set are the k
+    * smallest under any arrival order), so — uniquely among streaming
+    * sketches — the drained estimate hash-checks against the q84-style
+    * DuckDB SQL. Exact distinct rides along as error evidence.
+    */
+  def streamingKmvDistinct(spark: SparkSession, dir: String,
+                           k: Int = 64): DataFrame = {
+    import spark.implicits._
+    val drained = withRocksDBStateStore(spark) {
+      drainStreamed(spark, "s16", dir,
+        eventsStream(spark, dir)
+          .select(col("event_type"),
+            expr("cast(conv(substr(md5(cast(cast(user_id as string) as binary)), 1, 15), 16, 10) as bigint)").as("h"))
+          .as[KmvInput]
+          .groupByKey(_.event_type)
+          .transformWithState(new KmvSketchProcessor(k),
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Update())
+          .toDF(),
+        mode = "append", outputMode = "update")
+    }
+    val finals = drained
+      .groupBy(col("event_type"))
+      .agg(max(struct(col("version"), col("n_kept"), col("h_k"))).as("m"))
+      .select(col("event_type"), col("m.n_kept").as("n_kept"), col("m.h_k").as("h_k"))
+    val exact = Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    finals.join(exact, "event_type")
+      .select(col("event_type"),
+        when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(lit((k - 1).toDouble * 1152921504606846976.0d) / col("h_k").cast("double"))
+          .as("est_distinct"),
+        col("n_exact"))
+      .orderBy(col("event_type"))
+  }
 }

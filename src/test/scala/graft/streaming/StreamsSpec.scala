@@ -422,6 +422,28 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.length == 3)
   }
 
+  test("s16 streaming KMV sketch drains to the batch KMV estimate") {
+    import java.security.MessageDigest
+    def h60(x: Long): Long = java.lang.Long.parseLong(
+      MessageDigest.getInstance("MD5").digest(x.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15), 16)
+    val k = 64
+    val sets = graft.Tables.events(spark, sf)
+      .select($"event_type", $"user_id").distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).toSet }
+    val want = sets.toSeq.map { case (t, users) =>
+      val sk = users.map(h60).toSeq.sorted.take(k)
+      val est = if (sk.size < k) sk.size.toDouble
+        else (k - 1).toDouble * 1152921504606846976.0d / sk.last.toDouble
+      (t, est, users.size.toLong)
+    }.sortBy(_._1)
+    val got = Streams.streamingKmvDistinct(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("s15 stream-static enrichment drains to the batch join+aggregate") {
     val batch = Streams.enrichedSegmentCounts(
         graft.Tables.events(spark, sf), graft.Tables.customer(spark, sf))
