@@ -317,6 +317,10 @@ object SparkEntry {
     // t24: exact total-variation distance between per-language term
     // distributions — corpus drift, integer-exact via |n_a·T_b−n_b·T_a|
     "t24_domain_shift"       -> (TextAnalysis.domainShift _),
+    // t26: Flesch readability (vowel-group syllable proxy) — integer
+    // counts, fixed-order three-term formula; sentence punctuation
+    // planted closed-form (the d18/t22 pattern)
+    "t26_readability"        -> (TextAnalysis.readability _),
     // t25: CCNet-style unigram-LM quality score (mean corpus frequency
     // of a doc's tokens) — integer-exact until two fixed-order
     // divisions; the frequency join is skew-split (broadcast head,
@@ -1918,6 +1922,23 @@ object SparkEntry {
            |$branches
            |ORDER BY lang_a, lang_b""".stripMargin
       },
+      // t26: same planted sentences, same integer counts, same
+      // fixed-order Flesch arithmetic
+      "t26_readability" ->
+        s"""SELECT doc_id, n_words, n_sentences, n_syllables,
+           | CAST(206.835 AS DOUBLE)
+           |  - CAST(1.015 AS DOUBLE) * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+           |  - CAST(84.6 AS DOUBLE) * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) AS flesch
+           |FROM (
+           | SELECT doc_id,
+           |  CAST(len(list_filter(string_split(nt, ' '), t -> length(t) > 0)) AS BIGINT) AS n_words,
+           |  CAST(len(regexp_extract_all(planted, '[.!?]+')) + 1 AS BIGINT) AS n_sentences,
+           |  CAST(len(regexp_extract_all(nt, '[aeiouy]+')) AS BIGINT) AS n_syllables
+           | FROM (
+           |  SELECT doc_id, planted, ${norm("planted")} AS nt
+           |  FROM (SELECT doc_id, replace(text, ' s', '. s') AS planted
+           |        FROM documents)))
+           |WHERE n_words > 0 ORDER BY doc_id""".stripMargin,
       // t25: unigram-LM quality score — integer-exact cnt_sum/dl,
       // score = (cnt_sum/dl)/n_total divided left-to-right (the same
       // two IEEE divisions the Spark expression performs)

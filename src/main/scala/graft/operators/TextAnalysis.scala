@@ -772,6 +772,41 @@ object TextAnalysis {
     * tail join is well-conditioned by construction and the head never
     * moves.
     */
+  /** t26: readability scoring (Flesch reading ease) — the classic
+    * curation-pipeline quality gate for prose: 206.835 − 1.015·(words/
+    * sentences) − 84.6·(syllables/words), with the syllable count
+    * proxied by vowel-group runs (`[aeiouy]+`) — the standard
+    * dictionary-free approximation. Every count is an exact integer
+    * and the three-term formula is fixed-order double arithmetic, so
+    * the score hash-checks (the t14/t19 rational-metric pattern).
+    *
+    * The synthetic fixture has no sentence punctuation, so the query
+    * PLANTS it closed-form (the d18/t22 hazard pattern): every ` s` →
+    * `. s` — a real per-doc sentence-length distribution; the
+    * normalizer strips the planted periods, so word and syllable
+    * counts are untouched and only the sentence rule sees them.
+    * Map-only expression chain, zero shuffles before the output sort.
+    */
+  def readability(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr("replace(text, ' s', '. s')").as("planted"))
+      .select(col("doc_id"), col("planted"),
+        normalizeText(col("planted")).as("nt"))
+      .select(col("doc_id"),
+        size(filter(tokens(col("nt")), t => length(t) > 0))
+          .cast("long").as("n_words"),
+        (size(regexp_extract_all(col("planted"), lit("[.!?]+"), lit(0))) + lit(1))
+          .cast("long").as("n_sentences"),
+        size(regexp_extract_all(col("nt"), lit("[aeiouy]+"), lit(0)))
+          .cast("long").as("n_syllables"))
+      .filter(col("n_words") > 0)
+      .withColumn("flesch",
+        lit(206.835) -
+          lit(1.015) * (col("n_words").cast("double") / col("n_sentences").cast("double")) -
+          lit(84.6) * (col("n_syllables").cast("double") / col("n_words").cast("double")))
+      .orderBy(col("doc_id"))
+
   def rareTokenScore(spark: SparkSession, dir: String, headK: Int = 32): DataFrame = {
     val tok = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(tokens(normalizeText(col("text")))).as("term"))

@@ -294,6 +294,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rt.count() == 0)
   }
 
+  test("t26 readability: formula recompute exact, planted sentences vary") {
+    val rows = TextAnalysis.readability(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val w = r.getLong(1); val s = r.getLong(2); val syl = r.getLong(3)
+      assert(w > 0 && s >= 1 && syl > 0)
+      // the exact double the fixed-order formula must produce
+      val want = 206.835 - 1.015 * (w.toDouble / s.toDouble) -
+        84.6 * (syl.toDouble / w.toDouble)
+      assert(r.getDouble(4) == want, r.toString)
+    }
+    // the planted '. s' rule yields a real distribution, not a constant
+    assert(rows.map(_.getLong(2)).distinct.length > 1)
+  }
+
   test("t07 portable ranking: integer dot²/(na·nb) agrees with float cosine on the same vectors") {
     import graft.functions.HashFns
     // same md5-bucket TF vectors on both sides — the portable gate's
