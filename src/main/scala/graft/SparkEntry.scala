@@ -200,6 +200,11 @@ object SparkEntry {
     // per-batch cost scales with the delta, the corpus is never
     // rescanned; oracle proves increment ≡ full rebuild
     "d21_incremental_dedup"  -> (Dedup.incrementalDedup _),
+    // d22: EXACT Jaccard-threshold set-similarity self-join via prefix
+    // filtering (AllPairs/PPJoin) — deterministic completeness where
+    // d03/d05 are probabilistic; oracle brute-forces all pairs, the
+    // engine never does
+    "d22_setsim_prefix"      -> (Dedup.setSimDedup _),
     // d19: CCNet/C4-style paragraph-level corpus dedup — keep each
     // distinct 10-word chunk's first (doc_id, pos) occurrence via an
     // algebraic min-struct aggregate (map-side combinable, no window
@@ -346,6 +351,21 @@ object SparkEntry {
     // touches only sketch rows; md5-deterministic ⇒ fully hash-checked
     "q89_kmv_overlap"        -> ((s: SparkSession, dir: String) =>
       Relational.kmvOverlap(s, dir)),
+    // q90: association rules (support/confidence/lift) over co-purchase
+    // baskets — basket-keyed pair join, broadcast scalar N, exact-int
+    // ratios ⇒ hash-checked
+    "q90_assoc_rules"        -> ((s: SparkSession, dir: String) =>
+      graft.operators.Graph.assocRules(s, dir)),
+    // q91: per-user Markov transition matrix — one user-keyed lag
+    // window + a |types|²-row normalize; exact-int prob ratios
+    "q91_transition_matrix"  -> (Relational.transitionMatrix _),
+    // q92: per-group z-score outliers via exact DECIMAL power sums
+    // rearranged division-free — the q88 pattern as a portable FILTER
+    "q92_value_outliers"     -> ((s: SparkSession, dir: String) =>
+      graft.operators.DataQuality.valueOutliers(s, dir)),
+    // q93: percent_rank/cume_dist/ntile cohort distribution ranks —
+    // tie-broken ordering makes every rank integer-deterministic
+    "q93_distribution_ranks" -> (Relational.distributionRanks _),
     // — event-time / streaming-unified (SURVEY §2.9) —
     "s01_hourly_type_counts" -> (Streams.hourlyTypeCountsBatch _),
     "s02_sliding_counts"     -> (Streams.slidingTypeCountsBatch _),
@@ -995,6 +1015,28 @@ object SparkEntry {
            |WHERE jaccard >= 0.4
            |ORDER BY doc_a, doc_b""".stripMargin
       },
+      // d22: the oracle brute-forces EXACT Jaccard over ALL pairs of
+      // the same hashed word-3-gram shingle sets (d05's element space)
+      // — equality proves the engine's prefix filter loses no pair
+      // while never itself running O(n²)
+      "d22_setsim_prefix" ->
+        s"""WITH hs AS (
+           | SELECT doc_id, list_sort(list_distinct(list_transform(
+           |   range(1, greatest(len(toks) - 1, 2)),
+           |   i -> ('0x' || substr(md5(array_to_string(toks[i : i+2], ' ')), 1, 15))::BIGINT))) AS hs
+           | FROM (SELECT doc_id, ${toks("text")} AS toks FROM documents)
+           |), s AS (
+           | SELECT doc_id, hs, len(hs) AS sz FROM hs WHERE len(hs) > 0
+           |), p AS (
+           | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sz AS sza,
+           |        b.sz AS szb, len(list_intersect(a.hs, b.hs)) AS i
+           | FROM s a JOIN s b ON a.doc_id < b.doc_id
+           |)
+           |SELECT doc_a, doc_b,
+           |       CAST(i AS DOUBLE) / (sza + szb - i) AS jaccard
+           |FROM p
+           |WHERE CAST(i AS DOUBLE) / (sza + szb - i) >= 0.5
+           |ORDER BY doc_a, doc_b""".stripMargin,
       // t07: integer TF vectors (md5-60-bit token hash & 63 → 64
       // buckets), ranking by the exact rational dot²/(‖q‖²·‖c‖²) —
       // monotone-identical to cosine for non-negative dots; every
@@ -2049,6 +2091,76 @@ object SparkEntry {
           |JOIN us USING (prio_a, prio_b)
           |LEFT JOIN ex USING (prio_a, prio_b)
           |ORDER BY prio_a, prio_b""".stripMargin,
+      // q90: identical exact-int counts off one DISTINCT basket table;
+      // confidence and lift are each one double division of int64
+      // products — bit-identical cross-engine
+      "q90_assoc_rules" ->
+        """WITH b AS (
+          | SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+          |), cnt AS (
+          | SELECT pk, count(*) AS c FROM b GROUP BY pk
+          |), n AS (
+          | SELECT count(DISTINCT ok) AS n_orders FROM b
+          |), p AS (
+          | SELECT x.pk AS part_a, y.pk AS part_b, count(*) AS pair_cnt
+          | FROM b x JOIN b y ON x.ok = y.ok AND x.pk < y.pk
+          | GROUP BY x.pk, y.pk
+          |)
+          |SELECT part_a, part_b, pair_cnt, ca.c AS cnt_a, cb.c AS cnt_b,
+          | CAST(pair_cnt AS DOUBLE) / ca.c AS confidence,
+          | CAST(pair_cnt * n.n_orders AS DOUBLE) / (ca.c * cb.c) AS lift
+          |FROM p
+          |JOIN cnt ca ON p.part_a = ca.pk
+          |JOIN cnt cb ON p.part_b = cb.pk, n
+          |WHERE pair_cnt >= 2
+          |ORDER BY part_a, part_b""".stripMargin,
+      // q91: same lag window keyed (ts, event_id); prob is one double
+      // division of exact int64 counts
+      "q91_transition_matrix" ->
+        """WITH seq AS (
+          | SELECT event_type AS to_type,
+          |  lag(event_type) OVER (PARTITION BY user_id
+          |                        ORDER BY ts, event_id) AS from_type
+          | FROM events
+          |), c AS (
+          | SELECT from_type, to_type, count(*) AS n FROM seq
+          | WHERE from_type IS NOT NULL GROUP BY from_type, to_type
+          |)
+          |SELECT from_type, to_type, n,
+          | CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type) AS prob
+          |FROM c
+          |ORDER BY from_type, to_type""".stripMargin,
+      // q92: exact DECIMAL power sums, then the division-free outlier
+      // test (n·x − Σx)² > 9·(n·Σx² − (Σx)²) in pinned double order —
+      // the boolean is bit-deterministic on both engines
+      "q92_value_outliers" ->
+        """WITH s AS (
+          | SELECT event_type, count(*) AS n,
+          |  sum(CAST(value AS DECIMAL(18,2))) AS s1,
+          |  sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS s2
+          | FROM events GROUP BY event_type
+          |)
+          |SELECT e.event_type, e.event_id,
+          | CAST(CAST(e.value AS DECIMAL(18,2)) AS DOUBLE) AS value
+          |FROM events e JOIN s USING (event_type)
+          |WHERE (CAST(s.n AS DOUBLE) * CAST(CAST(e.value AS DECIMAL(18,2)) AS DOUBLE)
+          |        - CAST(s.s1 AS DOUBLE))
+          |    * (CAST(s.n AS DOUBLE) * CAST(CAST(e.value AS DECIMAL(18,2)) AS DOUBLE)
+          |        - CAST(s.s1 AS DOUBLE))
+          |  > 9.0 * (CAST(s.n AS DOUBLE) * CAST(s.s2 AS DOUBLE)
+          |        - CAST(s.s1 AS DOUBLE) * CAST(s.s1 AS DOUBLE))
+          |ORDER BY event_type, event_id""".stripMargin,
+      // q93: identical (value, key)-ordered windows; percent_rank and
+      // cume_dist are one int/int double division each, ntile integer
+      "q93_distribution_ranks" ->
+        """SELECT o_orderkey, o_orderpriority, o_totalprice,
+          | percent_rank() OVER w AS pct_rank,
+          | cume_dist() OVER w AS cume,
+          | CAST(ntile(10) OVER w AS BIGINT) AS decile
+          |FROM orders
+          |WINDOW w AS (PARTITION BY o_orderpriority
+          |             ORDER BY o_totalprice, o_orderkey)
+          |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
       // q88: the same exact power sums (DECIMAL, order-independent)
       // and the same fixed-order double formulas — bit-equal moments
       "q88_stats_moments" ->

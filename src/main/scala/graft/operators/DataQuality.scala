@@ -193,4 +193,43 @@ object DataQuality {
         (covNum / varNumQ).as("slope_price_qty"))
       .orderBy(col("l_returnflag"))
   }
+
+  /** q92: per-group z-score outlier detection — rows whose value sits
+    * more than k population-σ from their group mean (the profiling
+    * primitive behind "flag anomalous records before training"; the
+    * events.value column is heavy-tailed, so a 3σ gate is selective
+    * but non-empty). Statistically: flag x iff (x−μ)² > k²·σ².
+    *
+    * Portability (the q88 exact-power-sums pattern, applied as a
+    * FILTER): per-group n, Σx, Σx² accumulate as exact DECIMALs —
+    * order-independent under any partitioning — then the test is
+    * rearranged to avoid division entirely:
+    *   (n·x − Σx)² > k² · (n·Σx² − (Σx)²)
+    * evaluated in doubles in a pinned operation order. Every operand
+    * is an exactly-representable integer-scaled value, so both sides
+    * are bit-deterministic and the BOOLEAN is engine-portable (no
+    * float aggregation order anywhere).
+    *
+    * Scale shape: one map-side-combined groupBy over |event types|
+    * groups, the 5-row stats frame broadcast back onto the scan — the
+    * flagging pass is map-only; no row-level shuffle at all.
+    */
+  def valueOutliers(spark: SparkSession, dir: String, k: Double = 3.0): DataFrame = {
+    val d182 = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(18, 2))
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), d182(col("value")).as("v"))
+    val sums = ev.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      sum(col("v")).as("s1"), sum(col("v") * col("v")).as("s2"))
+    val n = col("n").cast("double")
+    val s1 = col("s1").cast("double")
+    val s2 = col("s2").cast("double")
+    val x = col("v").cast("double")
+    val dev = n * x - s1
+    val rhs = lit(k * k) * (n * s2 - s1 * s1)
+    ev.join(broadcast(sums), "event_type")
+      .filter(dev * dev > rhs)
+      .select(col("event_type"), col("event_id"), x.as("value"))
+      .orderBy(col("event_type"), col("event_id"))
+  }
 }

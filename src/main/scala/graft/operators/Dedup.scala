@@ -812,6 +812,101 @@ object Dedup {
     fuzzyPrefixPairs(Tables.documents(spark, dir), "doc_id", "text")
       .orderBy(col("doc_a"), col("doc_b"))
 
+  // — EXACT set-similarity join via prefix filtering (d22) —
+
+  /** d22: EXACT Jaccard-threshold set-similarity self-join via PREFIX
+    * FILTERING (the AllPairs/PPJoin family — Chaudhuri et al. ICDE'06,
+    * Bayardo et al. WWW'07) over hashed word n-gram shingle sets — the
+    * same element space the MinHash gate (d05) estimates over, but with
+    * a DETERMINISTIC completeness guarantee instead of a probabilistic
+    * one: every pair with Jaccard ≥ τ is emitted, no recall caveat.
+    *
+    * Prefix-filtering principle: under one global total order on
+    * elements, if |A∩B| ≥ α then the (|A|−α+1)-prefixes of A and B
+    * must share an element (else the intersection fits inside a
+    * suffix of size α−1 — pigeonhole). Jaccard ≥ τ implies
+    * |A∩B| ≥ τ·|A∪B| ≥ τ·max(|A|,|B|), so a prefix of length
+    * |x| − ⌈τ·|x|⌉ + 1 per set suffices. Elements are ordered
+    * RAREST-FIRST (document frequency asc, hash asc): prefixes carry a
+    * set's most selective members, so candidate volume per element h
+    * is bounded by df(h)² over only the rare tail — common elements
+    * never join.
+    *
+    * Scale shape (all shuffles keyed, no all-pairs stage): one
+    * map-side-combined groupBy for element document frequencies, one
+    * equi-join element→df, one per-doc window (partitioned by doc id —
+    * bounded by set size) to take the rarity-ordered prefix, one
+    * candidate equi-join on prefix elements with the τ-feasibility
+    * length filter (τ·|A| ≤ |B| ≤ |A|/τ), then one exact verify over
+    * candidates via the sorted-array merge kernel. The DuckDB oracle
+    * brute-forces all pairs — result equality at the fixture proves
+    * the filter exact, while the Spark plan is the one that survives
+    * 100 TB (the naive O(n²) oracle does not).
+    */
+  def setSimJoinPrefix(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val hashed = docs.select(col(idCol).as("id"),
+        HashFns.sortedPortableWordShingleHashSet(
+          tokens(normalizeText(col(textCol))), n).as("hs"))
+      .withColumn("sz", size(col("hs")))
+      .filter(col("sz") > 0)
+      .persist()
+    // global element rarity: document frequency over distinct-per-doc
+    // elements (hs is already a distinct set per doc)
+    val el = hashed.select(col("id"), col("sz"), explode(col("hs")).as("h"))
+    val dfreq = el.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // per-doc prefix: the p = sz - ceil(tau*sz) + 1 rarest elements
+    // under the global (df, h) order
+    val byRarity = Window.partitionBy(col("id")).orderBy(col("df"), col("h"))
+    val prefix = el.join(dfreq, "h")
+      .withColumn("rk", row_number().over(byRarity))
+      .filter(col("rk") <=
+        col("sz") - ceil(lit(threshold) * col("sz")) + lit(1))
+      .select(col("h"), col("id"), col("sz"))
+    val a = prefix.select(col("h"), col("id").as("doc_a"), col("sz").as("sz_a"))
+    val b = prefix.select(col("h"), col("id").as("doc_b"), col("sz").as("sz_b"))
+    val candidates = a.join(b, Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      // Jaccard >= tau forces tau*|A| <= |B| <= |A|/tau — prune
+      // infeasible sizes before the dedup shuffle
+      .filter(col("sz_b").cast("double") >= lit(threshold) * col("sz_a") &&
+              col("sz_a").cast("double") >= lit(threshold) * col("sz_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val pairs = candidates
+      .join(hashed.select(col("id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+      .join(hashed.select(col("id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+      .withColumn("jaccard", HashFns.jaccardSortedLong(col("hs_a"), col("hs_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+      .localCheckpoint(true)
+    hashed.unpersist()
+    pairs
+  }
+
+  /** Reference brute-force for [[setSimJoinPrefix]] (spec cross-check
+    * only — O(n²), never registered): exact Jaccard over ALL pairs.
+    */
+  private[operators] def setSimJoinNaive(docs: DataFrame, idCol: String,
+                                         textCol: String, n: Int = 3,
+                                         threshold: Double = 0.5): DataFrame = {
+    val hashed = docs.select(col(idCol).as("id"),
+        HashFns.sortedPortableWordShingleHashSet(
+          tokens(normalizeText(col(textCol))), n).as("hs"))
+      .filter(size(col("hs")) > 0)
+    val a = hashed.select(col("id").as("doc_a"), col("hs").as("hs_a"))
+    val b = hashed.select(col("id").as("doc_b"), col("hs").as("hs_b"))
+    a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .withColumn("jaccard", HashFns.jaccardSortedLong(col("hs_a"), col("hs_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def setSimDedup(spark: SparkSession, dir: String): DataFrame =
+    setSimJoinPrefix(Tables.documents(spark, dir), "doc_id", "text")
+
   // — semantic dedup via embedding clustering (d17) —
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):

@@ -269,4 +269,49 @@ object Graph {
     val nEdges = edges.agg(count(lit(1)).as("n_edges"))
     nNodes.crossJoin(nEdges).crossJoin(triCount)
   }
+
+  /** q90: association rules over the part co-purchase baskets —
+    * support / confidence / lift for every part pair bought together
+    * in ≥ `minSupport` orders (the 2-itemset core of market-basket /
+    * co-occurrence mining; at corpus scale, the same shape ranks
+    * "documents cited together" or "tokens co-occurring in a window").
+    *
+    * Portability: all counts are exact integers off one basket table;
+    * `confidence = pair/cnt_a` and `lift = pair·N/(cnt_a·cnt_b)` are
+    * each ONE double division of exact int64 products — deterministic
+    * IEEE bits on any engine, so the gate hash-checks.
+    *
+    * Scale shape: the pair enumeration joins the basket table to
+    * itself ON THE ORDER KEY — co-partitioned by basket, fan-out
+    * C(items-per-basket, 2), never cross-basket; per-part counts are
+    * one map-side-combined groupBy; the scalar basket count rides in
+    * as a broadcast single row (no driver collect); the two count
+    * lookups are key joins on the (much smaller) pair table.
+    */
+  def assocRules(spark: SparkSession, dir: String,
+                 minSupport: Long = 2L): DataFrame = {
+    val baskets = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+      .localCheckpoint() // feeds pair join (twice), counts, and N
+    val cnt = baskets.groupBy(col("pk")).agg(count(lit(1)).as("c"))
+    val nOrders = baskets.agg(countDistinct(col("ok")).as("n_orders"))
+    val x = baskets.select(col("ok"), col("pk").as("part_a"))
+    val y = baskets.select(col("ok").as("ok2"), col("pk").as("part_b"))
+    val pairs = x.join(y, col("ok") === col("ok2") &&
+                          col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("pair_cnt"))
+      .filter(col("pair_cnt") >= minSupport)
+    pairs
+      .join(cnt.select(col("pk").as("part_a"), col("c").as("cnt_a")), "part_a")
+      .join(cnt.select(col("pk").as("part_b"), col("c").as("cnt_b")), "part_b")
+      .crossJoin(broadcast(nOrders))
+      .select(col("part_a"), col("part_b"), col("pair_cnt"),
+        col("cnt_a"), col("cnt_b"),
+        (col("pair_cnt").cast("double") / col("cnt_a")).as("confidence"),
+        ((col("pair_cnt") * col("n_orders")).cast("double") /
+          (col("cnt_a") * col("cnt_b"))).as("lift"))
+      .orderBy(col("part_a"), col("part_b"))
+  }
 }

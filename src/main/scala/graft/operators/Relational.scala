@@ -1109,4 +1109,64 @@ object Relational {
       .unionByName(counted(a.intersectAll(b), "intersect_all"))
       .orderBy(col("op"), col("k"))
   }
+
+  /** q91: first-order Markov transition matrix over per-user event
+    * sequences — the path-analysis primitive behind "what do users do
+    * after X" dashboards and behavioral-cloning corpus stats. Each
+    * user's events are ordered by (ts, event_id); consecutive pairs
+    * (lag window) are counted into a from→to matrix, and each row is
+    * normalized into transition probabilities.
+    *
+    * Portability: counts are exact int64; `prob = n / Σn(from)` is one
+    * double division of two exact integers — deterministic bits.
+    *
+    * Scale shape: ONE shuffle by user_id for the lag window (per-user
+    * state, arbitrarily parallel across users), one map-side-combined
+    * groupBy on (from, to) — cardinality = |event types|², tiny — and
+    * the row-normalizing window runs on that tiny matrix. No stage
+    * touches cross-user data.
+    */
+  def transitionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val steps = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type").as("to_type"),
+        lag(col("event_type"), 1).over(byUser).as("from_type"))
+      .filter(col("from_type").isNotNull)
+    val counts = steps.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val rowTotal = Window.partitionBy(col("from_type"))
+    counts
+      .withColumn("prob",
+        col("n").cast("double") / sum(col("n")).over(rowTotal))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** q93: distribution-rank windows — `percent_rank`, `cume_dist` and
+    * `ntile(10)` of order value within each priority class (the
+    * "where does this record sit in its cohort's distribution"
+    * primitive behind quantile-bucketed training mixes and per-cohort
+    * score calibration).
+    *
+    * Portability: percent_rank = (rank−1)/(n−1) and cume_dist =
+    * rows≤x / n are each ONE double division of exact integers; ntile
+    * is all-integer (SQL-standard remainder-to-front rule on both
+    * engines). The window orders by (value, key) so ties cannot make
+    * rank assignment engine-dependent.
+    *
+    * Scale shape: one shuffle by the partition key; each cohort sorts
+    * independently (no global sort). A skewed cohort is the known
+    * limit of any ranked window — the q35/q36 salting pattern applies
+    * if a cohort outgrows an executor.
+    */
+  def distributionRanks(spark: SparkSession, dir: String): DataFrame = {
+    val byPrio = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        percent_rank().over(byPrio).as("pct_rank"),
+        cume_dist().over(byPrio).as("cume"),
+        ntile(10).over(byPrio).cast("long").as("decile"))
+      .orderBy(col("o_orderpriority"), col("o_orderkey"))
+  }
 }

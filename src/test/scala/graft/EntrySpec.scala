@@ -262,6 +262,47 @@ class EntrySpec extends SparkSpec {
     assert(got.forall(_._2 <= 3L))
   }
 
+  test("q90 association rules recompute from first principles on one pair") {
+    import spark.implicits._
+    val rows = operators.Graph.assocRules(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // structural invariants on every rule
+    rows.foreach { r =>
+      val (pc, ca, cb) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(pc >= 2L && pc <= math.min(ca, cb))
+      assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0) // confidence
+      assert(r.getDouble(6) > 0.0)                          // lift
+    }
+    // hand-recount the first rule off the raw table
+    val r0 = rows.head
+    val (pa, pb) = (r0.getLong(0), r0.getLong(1))
+    val baskets = Tables.lineitem(spark, sf)
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .map { case (ok, xs) => ok -> xs.map(_._2).toSet }
+    val n = baskets.size.toDouble
+    val ca = baskets.count(_._2.contains(pa)).toDouble
+    val cb = baskets.count(_._2.contains(pb)).toDouble
+    val pc = baskets.count(b => b._2.contains(pa) && b._2.contains(pb)).toDouble
+    assert(r0.getLong(2) == pc.toLong && r0.getLong(3) == ca.toLong)
+    assert(math.abs(r0.getDouble(5) - pc / ca) < 1e-12)
+    assert(math.abs(r0.getDouble(6) - pc * n / (ca * cb)) < 1e-12)
+  }
+
+  test("q91 transition rows sum to 1 per from-type and conserve steps") {
+    import spark.implicits._
+    val rows = operators.Relational.transitionMatrix(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (from, rs) =>
+      val total = rs.map(_.getDouble(3)).sum
+      assert(math.abs(total - 1.0) < 1e-9, s"$from rows sum to $total")
+    }
+    // each user contributes (events - 1) transitions
+    val ev = Tables.events(spark, sf).select($"user_id").as[Long].collect()
+    val wantSteps = ev.groupBy(identity).map(_._2.length - 1L).sum
+    assert(rows.map(_.getLong(2)).sum == wantSteps)
+  }
+
   test("q84 KMV estimates stay within 3σ of exact (σ ≈ 1/√(k−2), k=64)") {
     val rows = operators.Relational.kmvDistinct(spark, sf).collect()
     assert(rows.nonEmpty)

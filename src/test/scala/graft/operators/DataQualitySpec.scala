@@ -107,4 +107,27 @@ class DataQualitySpec extends SparkSpec {
     assert(row.getLong(0) == 0L)
     assert(row.isNullAt(1) && row.isNullAt(2) && row.isNullAt(3))
   }
+
+  test("q92 outliers are exactly the rows beyond k sigma of their group") {
+    // cross-check against a direct two-pass computation with plain
+    // double stats (tolerant compare — the operator's exact-decimal
+    // path must agree with textbook z-scores on which rows are out)
+    val ev = Tables.events(spark, sf)
+      .select($"event_id", $"event_type", $"value").collect()
+    val byType = ev.groupBy(_.getString(1)).toSeq
+    val expected = byType.flatMap { case (t, rows) =>
+      val xs = rows.map(r => math.rint(r.getDouble(2) * 100) / 100)
+      val n = xs.length.toDouble
+      val mean = xs.sum / n
+      val variance = xs.map(x => (x - mean) * (x - mean)).sum / n
+      rows.zip(xs).collect {
+        case (r, x) if (x - mean) * (x - mean) > 9.0 * variance =>
+          (t, r.getLong(0))
+      }
+    }.toSet
+    val got = DataQuality.valueOutliers(spark, sf)
+      .select($"event_type", $"event_id").as[(String, Long)].collect().toSet
+    assert(got == expected)
+    assert(got.nonEmpty, "heavy-tailed fixture must have 3-sigma outliers")
+  }
 }

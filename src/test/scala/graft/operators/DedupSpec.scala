@@ -432,4 +432,22 @@ class DedupSpec extends SparkSpec {
     assert(got == full)
     assert(got.nonEmpty)
   }
+
+  test("d22 prefix-filtered set-similarity join equals brute force, exactly") {
+    // planted corpus: the filter must keep (0,1) and (2,3) and nothing
+    // else — and more fundamentally, must EQUAL the all-pairs scan
+    val gotPlanted = Dedup.setSimJoinPrefix(planted, "doc_id", "text")
+      .collect().toSeq
+    val naivePlanted = Dedup.setSimJoinNaive(planted, "doc_id", "text")
+      .collect().toSeq
+    assert(gotPlanted == naivePlanted)
+    assert(gotPlanted.map(r => (r.getLong(0), r.getLong(1))).toSet
+      .contains((0L, 1L)))
+    // fixture corpus: completeness at realistic density
+    val docs = graft.Tables.documents(spark, sf)
+    val got = Dedup.setSimJoinPrefix(docs, "doc_id", "text").collect().toSeq
+    val naive = Dedup.setSimJoinNaive(docs, "doc_id", "text").collect().toSeq
+    assert(got == naive)
+    assert(got.nonEmpty, "fixture has planted near-dups; d22 must find them")
+  }
 }
