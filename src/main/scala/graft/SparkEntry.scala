@@ -205,6 +205,10 @@ object SparkEntry {
     // d03/d05 are probabilistic; oracle brute-forces all pairs, the
     // engine never does
     "d22_setsim_prefix"      -> (Dedup.setSimDedup _),
+    // d23: EXACT containment-threshold join (|A∩B|/|A| ≥ 0.9) via
+    // ONE-SIDED prefix filtering — the asymmetric decontamination/
+    // quotation primitive; oracle brute-forces all ordered pairs
+    "d23_containment_join"   -> (Dedup.containmentDedup _),
     // d19: CCNet/C4-style paragraph-level corpus dedup — keep each
     // distinct 10-word chunk's first (doc_id, pos) occurrence via an
     // algebraic min-struct aggregate (map-side combinable, no window
@@ -405,6 +409,10 @@ object SparkEntry {
     // insensitive, so the drained estimate hash-checks (q84's math)
     "s16_streaming_kmv"      -> ((s: SparkSession, dir: String) =>
       Streams.streamingKmvDistinct(s, dir)),
+    // s17: streaming anomaly gate — the q92 exact-power-sum z-score
+    // filter over the event stream vs a broadcast static profile;
+    // stateless append-mode drain is batch-equal ⇒ q92's oracle
+    "s17_streaming_outliers" -> (Streams.streamingOutlierGate _),
     // s07: the transformWithState (state API v2, RocksDB) operator run
     // through a REAL streaming drain; integer-cents state makes the
     // final totals batch-boundary-invariant and oracle-exact
@@ -1036,6 +1044,25 @@ object SparkEntry {
            |       CAST(i AS DOUBLE) / (sza + szb - i) AS jaccard
            |FROM p
            |WHERE CAST(i AS DOUBLE) / (sza + szb - i) >= 0.5
+           |ORDER BY doc_a, doc_b""".stripMargin,
+      // d23: ordered-pair brute force over the same element space;
+      // containment divides by |A| only
+      "d23_containment_join" ->
+        s"""WITH hs AS (
+           | SELECT doc_id, list_sort(list_distinct(list_transform(
+           |   range(1, greatest(len(toks) - 1, 2)),
+           |   i -> ('0x' || substr(md5(array_to_string(toks[i : i+2], ' ')), 1, 15))::BIGINT))) AS hs
+           | FROM (SELECT doc_id, ${toks("text")} AS toks FROM documents)
+           |), s AS (
+           | SELECT doc_id, hs, len(hs) AS sz FROM hs WHERE len(hs) > 0
+           |), p AS (
+           | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sz AS sza,
+           |        len(list_intersect(a.hs, b.hs)) AS i
+           | FROM s a JOIN s b ON a.doc_id <> b.doc_id
+           |)
+           |SELECT doc_a, doc_b, CAST(i AS DOUBLE) / sza AS containment
+           |FROM p
+           |WHERE CAST(i AS DOUBLE) / sza >= 0.9
            |ORDER BY doc_a, doc_b""".stripMargin,
       // t07: integer TF vectors (md5-60-bit token hash & 63 → 64
       // buckets), ranking by the exact rational dot²/(‖q‖²·‖c‖²) —
@@ -2315,7 +2342,10 @@ object SparkEntry {
     // d16 = d12's semantics behind a Bloom prefilter (no false
     // negatives + exact join after ⇒ identical result) — same oracle
     // s14 drains to exactly the batch funnel counts — same oracle as q85
+    // s17 drains the stateless stream filter to exactly the q92 batch
+    // outlier set — same oracle
     base + ("d16_decontaminate_bloom" -> base("d12_decontamination"),
-            "s14_streaming_funnel" -> base("q85_funnel_steps"))
+            "s14_streaming_funnel" -> base("q85_funnel_steps"),
+            "s17_streaming_outliers" -> base("q92_value_outliers"))
   }
 }

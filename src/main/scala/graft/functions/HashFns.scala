@@ -500,6 +500,46 @@ object HashFns {
     GraftColumnBridge.column(SortedJaccardLong(GraftColumnBridge.expression(a),
                                                GraftColumnBridge.expression(b)))
 
+  /** Exact |A∩B| of two SORTED long arrays — the same merge pass as
+    * [[sortedJaccardLong]] returning the raw count (the containment
+    * join divides by |A| only, which jaccard cannot express).
+    */
+  def sortedIntersectCountLong(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter
+  }
+
+  case class SortedIntersectCountLong(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "sorted_intersect_count_long"
+    override def nullSafeEval(a: Any, b: Any): Any =
+      sortedIntersectCountLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (a, b) => s"graft.functions.HashFns.sortedIntersectCountLong($a, $b)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def intersectCountSortedLong(a: Column, b: Column): Column =
+    GraftColumnBridge.column(
+      SortedIntersectCountLong(GraftColumnBridge.expression(a),
+                               GraftColumnBridge.expression(b)))
+
   /** Pack a MinHash signature (array<long>) into one byte per
     * component (low byte — minima are uniform). Component equality ⇒
     * byte equality; false byte-equality adds ~1/256·(1−j) to the

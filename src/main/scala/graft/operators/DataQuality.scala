@@ -214,22 +214,40 @@ object DataQuality {
     * groups, the 5-row stats frame broadcast back onto the scan — the
     * flagging pass is map-only; no row-level shuffle at all.
     */
-  def valueOutliers(spark: SparkSession, dir: String, k: Double = 3.0): DataFrame = {
-    val d182 = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(18, 2))
-    val ev = Tables.events(spark, dir)
-      .select(col("event_id"), col("event_type"), d182(col("value")).as("v"))
-    val sums = ev.groupBy(col("event_type")).agg(
-      count(lit(1)).as("n"),
-      sum(col("v")).as("s1"), sum(col("v") * col("v")).as("s2"))
+  private def d182(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+
+  /** Per-group exact power sums (n, Σx, Σx²) of events.value — the
+    * reference PROFILE side of the outlier gate. A tiny DataFrame
+    * (one row per event type), broadcastable into batch or stream.
+    */
+  def outlierProfile(events: DataFrame): DataFrame =
+    events.select(col("event_type"), d182(col("value")).as("v"))
+      .groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        sum(col("v")).as("s1"), sum(col("v") * col("v")).as("s2"))
+
+  /** Flag rows of `events` beyond k·σ of their group per `profile` —
+    * a STATELESS map-side filter (broadcast profile join + pinned
+    * double arithmetic), usable identically on a batch frame or an
+    * unbounded stream (no watermark, no state store).
+    */
+  def flagOutliers(events: DataFrame, profile: DataFrame,
+                   k: Double): DataFrame = {
     val n = col("n").cast("double")
     val s1 = col("s1").cast("double")
     val s2 = col("s2").cast("double")
     val x = col("v").cast("double")
     val dev = n * x - s1
     val rhs = lit(k * k) * (n * s2 - s1 * s1)
-    ev.join(broadcast(sums), "event_type")
+    events.select(col("event_id"), col("event_type"), d182(col("value")).as("v"))
+      .join(broadcast(profile), "event_type")
       .filter(dev * dev > rhs)
       .select(col("event_type"), col("event_id"), x.as("value"))
+  }
+
+  def valueOutliers(spark: SparkSession, dir: String, k: Double = 3.0): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    flagOutliers(ev, outlierProfile(ev), k)
       .orderBy(col("event_type"), col("event_id"))
   }
 }

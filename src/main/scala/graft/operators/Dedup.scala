@@ -907,6 +907,87 @@ object Dedup {
   def setSimDedup(spark: SparkSession, dir: String): DataFrame =
     setSimJoinPrefix(Tables.documents(spark, dir), "doc_id", "text")
 
+  // — EXACT containment join via one-sided prefix filtering (d23) —
+
+  /** d23: EXACT containment-threshold join — ordered pairs (A, B) with
+    * |A∩B|/|A| ≥ c over hashed word n-gram shingle sets: "most of A's
+    * content appears inside B". This is the ASYMMETRIC relative of d22
+    * — the decontamination/quotation primitive (a benchmark prompt
+    * embedded in a training doc scores high containment but low
+    * Jaccard when the host doc is large), exact where d12/d16 key on
+    * whole-chunk equality.
+    *
+    * One-sided prefix filtering: containment ≥ c forces
+    * |A∩B| ≥ ⌈c·|A|⌉ — a bound on A ALONE — so only the contained
+    * side needs a prefix: if A∩B avoided A's (|A|−⌈c·|A|⌉+1)-prefix
+    * it would fit inside the remaining ⌈c·|A|⌉−1 elements
+    * (pigeonhole). The probe side B joins with its FULL element list;
+    * candidate volume is Σ df(h) over A-prefix elements only — the
+    * rarest-first order keeps that sum near-linear. The
+    * |B| ≥ c·|A| size filter prunes infeasible candidates before the
+    * pair dedup.
+    *
+    * Scale shape mirrors [[setSimJoinPrefix]] minus one prefix pass;
+    * the DuckDB oracle brute-forces all ordered pairs — equality
+    * proves the one-sided filter loses nothing.
+    */
+  def containmentJoinPrefix(docs: DataFrame, idCol: String, textCol: String,
+                            n: Int = 3, c: Double = 0.9): DataFrame = {
+    val hashed = docs.select(col(idCol).as("id"),
+        HashFns.sortedPortableWordShingleHashSet(
+          tokens(normalizeText(col(textCol))), n).as("hs"))
+      .withColumn("sz", size(col("hs")))
+      .filter(col("sz") > 0)
+      .persist()
+    val el = hashed.select(col("id"), col("sz"), explode(col("hs")).as("h"))
+    val dfreq = el.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy(col("id")).orderBy(col("df"), col("h"))
+    val prefixA = el.join(dfreq, "h")
+      .withColumn("rk", row_number().over(byRarity))
+      .filter(col("rk") <= col("sz") - ceil(lit(c) * col("sz")) + lit(1))
+      .select(col("h"), col("id").as("doc_a"), col("sz").as("sz_a"))
+    val allB = el.select(col("h"), col("id").as("doc_b"), col("sz").as("sz_b"))
+    val candidates = prefixA.join(allB, Seq("h"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .filter(col("sz_b").cast("double") >= lit(c) * col("sz_a"))
+      .select(col("doc_a"), col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val pairs = candidates
+      .join(hashed.select(col("id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+      .join(hashed.select(col("id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+      .withColumn("containment",
+        HashFns.intersectCountSortedLong(col("hs_a"), col("hs_b"))
+          .cast("double") / size(col("hs_a")))
+      .filter(col("containment") >= c)
+      .select(col("doc_a"), col("doc_b"), col("containment"))
+      .orderBy(col("doc_a"), col("doc_b"))
+      .localCheckpoint(true)
+    hashed.unpersist()
+    pairs
+  }
+
+  /** Reference brute-force for [[containmentJoinPrefix]] (spec only). */
+  private[operators] def containmentJoinNaive(docs: DataFrame, idCol: String,
+                                              textCol: String, n: Int = 3,
+                                              c: Double = 0.9): DataFrame = {
+    val hashed = docs.select(col(idCol).as("id"),
+        HashFns.sortedPortableWordShingleHashSet(
+          tokens(normalizeText(col(textCol))), n).as("hs"))
+      .filter(size(col("hs")) > 0)
+    val a = hashed.select(col("id").as("doc_a"), col("hs").as("hs_a"))
+    val b = hashed.select(col("id").as("doc_b"), col("hs").as("hs_b"))
+    a.crossJoin(b).filter(col("doc_a") =!= col("doc_b"))
+      .withColumn("containment",
+        HashFns.intersectCountSortedLong(col("hs_a"), col("hs_b"))
+          .cast("double") / size(col("hs_a")))
+      .filter(col("containment") >= c)
+      .select(col("doc_a"), col("doc_b"), col("containment"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def containmentDedup(spark: SparkSession, dir: String): DataFrame =
+    containmentJoinPrefix(Tables.documents(spark, dir), "doc_id", "text")
+
   // — semantic dedup via embedding clustering (d17) —
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):

@@ -237,6 +237,26 @@ object Streams {
       mode = "overwrite", outputMode = "complete")
       .orderBy(col("c_mktsegment"), col("event_type"))
 
+  /** s17: streaming anomaly gate — the q92 z-score outlier filter run
+    * over the event STREAM against a broadcast static reference
+    * profile ([[graft.operators.DataQuality.outlierProfile]]'s exact
+    * power sums). The filter is STATELESS (no watermark, no state
+    * store, append mode): each micro-batch joins the tiny profile and
+    * flags map-side, the canonical "score a live stream against a
+    * trained/offline profile" production shape. A fully drained
+    * `AvailableNow` run over the same fixture is batch-equal, so the
+    * gate reuses q92's DuckDB oracle verbatim — the streaming operator
+    * itself sits inside a hash check.
+    */
+  def streamingOutlierGate(spark: SparkSession, dir: String): DataFrame = {
+    val profile = graft.operators.DataQuality.outlierProfile(
+      Tables.events(spark, dir))
+    drainToParquet(spark, "s17", dir,
+      s => graft.operators.DataQuality.flagOutliers(s, profile, 3.0),
+      mode = "append", outputMode = "append")
+      .orderBy(col("event_type"), col("event_id"))
+  }
+
   /** Stream-stream interval join: each purchase joined to the same
     * user's clicks within ±1 hour. Both sides carry watermarks and the
     * join condition bounds the time skew, so the state store holds only

@@ -450,4 +450,31 @@ class DedupSpec extends SparkSpec {
     assert(got == naive)
     assert(got.nonEmpty, "fixture has planted near-dups; d22 must find them")
   }
+
+  test("d23 one-sided-prefix containment join equals brute force, exactly") {
+    // planted asymmetric case: doc 10 is a SNIPPET of doc 11 — high
+    // containment 10→11, low jaccard (11 is much larger), so d22's
+    // symmetric gate cannot see it but d23 must
+    // 17 tokens → 16 shingle windows; only the end-clipped window can
+    // miss in the host, so containment = 15/16 ≥ 0.9 by construction
+    val snippet = "the committee approved the annual budget for renewable " +
+      "energy research with unanimous support from all regional delegates"
+    val host = snippet + " after extensive deliberation spanning several " +
+      "sessions the members debated infrastructure allocations tax incentives " +
+      "municipal bonds and long term sustainability commitments across regions"
+    import spark.implicits._
+    val asym = planted.unionByName(
+      Seq((10L, snippet), (11L, host)).toDF("doc_id", "text"))
+    val got = Dedup.containmentJoinPrefix(asym, "doc_id", "text").collect().toSeq
+    val naive = Dedup.containmentJoinNaive(asym, "doc_id", "text").collect().toSeq
+    assert(got == naive)
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).contains((10L, 11L)),
+      s"snippet-in-host containment missed: $got")
+    // fixture corpus completeness
+    val docs = graft.Tables.documents(spark, sf)
+    val gotF = Dedup.containmentJoinPrefix(docs, "doc_id", "text").collect().toSeq
+    val naiveF = Dedup.containmentJoinNaive(docs, "doc_id", "text").collect().toSeq
+    assert(gotF == naiveF)
+    assert(gotF.nonEmpty)
+  }
 }

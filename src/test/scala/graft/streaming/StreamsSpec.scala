@@ -458,4 +458,13 @@ class StreamsSpec extends SparkSpec {
     val total = graft.Tables.events(spark, sf).count()
     assert(streamed.map(_._3).sum == total)
   }
+
+  test("s17 streaming outlier gate drains to exactly the q92 batch set") {
+    val batch = graft.operators.DataQuality.valueOutliers(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val streamed = Streams.streamingOutlierGate(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
 }
