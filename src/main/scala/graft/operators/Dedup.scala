@@ -844,7 +844,8 @@ object Dedup {
     * 100 TB (the naive O(n²) oracle does not).
     */
   def setSimJoinPrefix(docs: DataFrame, idCol: String, textCol: String,
-                       n: Int = 3, threshold: Double = 0.5): DataFrame = {
+                       n: Int = 3, threshold: Double = 0.5,
+                       materialize: Boolean = true): DataFrame = {
     val hashed = docs.select(col(idCol).as("id"),
         HashFns.sortedPortableWordShingleHashSet(
           tokens(normalizeText(col(textCol))), n).as("hs"))
@@ -873,14 +874,15 @@ object Dedup {
               col("sz_a").cast("double") >= lit(threshold) * col("sz_b"))
       .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    val pairs = candidates
+    val built = candidates
       .join(hashed.select(col("id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
       .join(hashed.select(col("id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
       .withColumn("jaccard", HashFns.jaccardSortedLong(col("hs_a"), col("hs_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
-      .localCheckpoint(true)
+    if (!materialize) return built
+    val pairs = built.localCheckpoint(true)
     hashed.unpersist()
     pairs
   }
@@ -932,7 +934,8 @@ object Dedup {
     * proves the one-sided filter loses nothing.
     */
   def containmentJoinPrefix(docs: DataFrame, idCol: String, textCol: String,
-                            n: Int = 3, c: Double = 0.9): DataFrame = {
+                            n: Int = 3, c: Double = 0.9,
+                            materialize: Boolean = true): DataFrame = {
     val hashed = docs.select(col(idCol).as("id"),
         HashFns.sortedPortableWordShingleHashSet(
           tokens(normalizeText(col(textCol))), n).as("hs"))
@@ -952,7 +955,7 @@ object Dedup {
       .filter(col("sz_b").cast("double") >= lit(c) * col("sz_a"))
       .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    val pairs = candidates
+    val built = candidates
       .join(hashed.select(col("id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
       .join(hashed.select(col("id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
       .withColumn("containment",
@@ -961,7 +964,8 @@ object Dedup {
       .filter(col("containment") >= c)
       .select(col("doc_a"), col("doc_b"), col("containment"))
       .orderBy(col("doc_a"), col("doc_b"))
-      .localCheckpoint(true)
+    if (!materialize) return built
+    val pairs = built.localCheckpoint(true)
     hashed.unpersist()
     pairs
   }

@@ -73,7 +73,13 @@ object DumpPlans {
     // IVF+PQ probed-cell code scan (s15 is excluded like s06: its
     // registered entry executes a streaming drain)
     "t25_rare_token_score", "q87_triangle_count", "e14_hybrid_search",
-    "q88_stats_moments", "e15_knn_ivf_pq")
+    "q88_stats_moments", "e15_knn_ivf_pq",
+    // round-7 third batch: the two exact prefix-filter joins (rarity
+    // groupBy + per-doc window + candidate equi-join — NO cross join
+    // anywhere in the plan), the basket-keyed rule mining join, and
+    // the broadcast-profile outlier filter (map-side, no row shuffle)
+    "d22_setsim_prefix", "d23_containment_join", "q90_assoc_rules",
+    "q92_value_outliers")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -105,7 +111,11 @@ object DumpPlans {
       "d11_curation_lsh" -> (graft.jobs.CurationJob.curatePlan _),
       "q68_stable_ids" -> ((s, d) => graft.operators.Layout.stableIds(
         graft.Tables.orders(s, d).select(org.apache.spark.sql.functions.col("o_orderkey")),
-        "o_orderkey", s.sessionState.conf.numShufflePartitions, pin = false)))
+        "o_orderkey", s.sessionState.conf.numShufflePartitions, pin = false)),
+      "d22_setsim_prefix" -> ((s, d) => graft.operators.Dedup.setSimJoinPrefix(
+        graft.Tables.documents(s, d), "doc_id", "text", materialize = false)),
+      "d23_containment_join" -> ((s, d) => graft.operators.Dedup.containmentJoinPrefix(
+        graft.Tables.documents(s, d), "doc_id", "text", materialize = false)))
       // q87 dumps the REGISTERED (checkpointed) form deliberately: the
       // edge table feeds four consumers, so the lazy plan would repeat
       // the whole pair-build subtree per consumer — the checkpoint IS

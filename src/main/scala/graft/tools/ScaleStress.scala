@@ -135,7 +135,15 @@ object ScaleStress {
       // legs stay shortlist-bounded by construction (the fusion cost
       // must NOT grow); e15's cells hold factor× rows with cos≈0.999
       // near-ties (ADC shortlist rank stability under density)
-      "t25_rare_token_score", "e14_hybrid_search", "e15_knn_ivf_pq")
+      "t25_rare_token_score", "e14_hybrid_search", "e15_knn_ivf_pq",
+      // round-7 third batch: the copy corpus is the worst case for the
+      // EXACT join pair (every doc gains factor-1 partners ABOVE both
+      // thresholds, so true-pair volume grows ~factor²·n while the
+      // prefix filters must keep CANDIDATE volume near it, not at n²);
+      // d23's one-sided prefix is 10% of each set at c=0.9 — the
+      // strong-filter regime — while d22's τ=0.5 prefix is the weak
+      // half-set regime, probing both ends of the family
+      "d22_setsim_prefix", "d23_containment_join")
 
     // SPARK_GRAFT_ONLY=name1,name2 narrows the run (iteration / probes)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
