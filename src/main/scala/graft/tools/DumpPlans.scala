@@ -130,6 +130,16 @@ object DumpPlans {
       // inner LSH pass eagerly)
       graft.Bench.dropAllStorage(spark)
     }
+    // PRESERVE the manually-maintained stress section (ScaleStress
+    // results live at the end of PLANS.md; a plans regeneration must
+    // not clobber them — it did once in round 7)
+    val stressHeader = "## 10× corpus stress"
+    val existing = Paths.get("PLANS.md")
+    if (Files.exists(existing)) {
+      val old = Files.readString(existing)
+      val i = old.indexOf(stressHeader)
+      if (i >= 0) sb.append("\n").append(old.substring(i))
+    }
     Files.writeString(Paths.get("PLANS.md"), sb.toString)
     println(s"[plans] wrote PLANS.md (${headline.size} queries)")
     spark.stop()
