@@ -232,6 +232,10 @@ object SparkEntry {
     // decoded PCM through the d04 banding (rows-only: WAV bytes are
     // not SQL-derivable; planted-pair recovery spec'd)
     "m07_media_audiodedup"   -> (graft.operators.Multimodal.mediaAudioDedup _),
+    // m08: perceptual VIDEO near-dup — temporal-luminance hash over
+    // the decoded AVI/JPEG frames through the shared banded join
+    // (rows-only: media byte streams are not SQL-derivable)
+    "m08_media_videodedup"   -> (graft.operators.Multimodal.mediaVideoDedup _),
     // — similarity search (SURVEY §2.11) —
     "e01_knn_brute"          -> (Similarity.knnBruteForce _),
     // e02: portable Rademacher banding, ids+rank output (the e01
@@ -370,6 +374,10 @@ object SparkEntry {
     // q93: percent_rank/cume_dist/ntile cohort distribution ranks —
     // tie-broken ordering makes every rank integer-deterministic
     "q93_distribution_ranks" -> (Relational.distributionRanks _),
+    // q94: ROBUST outliers via discrete median + MAD — all-decimal
+    // decision path, no floats anywhere
+    "q94_mad_outliers"       -> ((s: SparkSession, dir: String) =>
+      graft.operators.DataQuality.madOutliers(s, dir)),
     // — event-time / streaming-unified (SURVEY §2.9) —
     "s01_hourly_type_counts" -> (Streams.hourlyTypeCountsBatch _),
     "s02_sliding_counts"     -> (Streams.slidingTypeCountsBatch _),
@@ -2188,6 +2196,35 @@ object SparkEntry {
           |WINDOW w AS (PARTITION BY o_orderpriority
           |             ORDER BY o_totalprice, o_orderkey)
           |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+      // q94: identical discrete-median rank selection (row at
+      // ⌊(n+1)/2⌋ under the same tie-broken order) and exact-decimal
+      // k·MAD comparison — no float in the decision path
+      "q94_mad_outliers" ->
+        """WITH v AS (
+          | SELECT event_type, event_id, CAST(value AS DECIMAL(18,2)) AS v
+          | FROM events
+          |), r AS (
+          | SELECT *, row_number() OVER (PARTITION BY event_type
+          |                              ORDER BY v, event_id) AS rn,
+          |  count(*) OVER (PARTITION BY event_type) AS n FROM v
+          |), med AS (
+          | SELECT event_type, max(CASE WHEN rn = (n+1)//2 THEN v END) AS med
+          | FROM r GROUP BY event_type
+          |), d AS (
+          | SELECT v.event_type, v.event_id, v.v, abs(v.v - med.med) AS dev
+          | FROM v JOIN med USING (event_type)
+          |), r2 AS (
+          | SELECT *, row_number() OVER (PARTITION BY event_type
+          |                              ORDER BY dev, event_id) AS rn,
+          |  count(*) OVER (PARTITION BY event_type) AS n FROM d
+          |), mad AS (
+          | SELECT event_type, max(CASE WHEN rn = (n+1)//2 THEN dev END) AS mad
+          | FROM r2 GROUP BY event_type
+          |)
+          |SELECT d.event_type, d.event_id, CAST(d.v AS DOUBLE) AS value
+          |FROM d JOIN mad USING (event_type)
+          |WHERE d.dev > 3 * mad.mad
+          |ORDER BY event_type, event_id""".stripMargin,
       // q88: the same exact power sums (DECIMAL, order-independent)
       // and the same fixed-order double formulas — bit-equal moments
       "q88_stats_moments" ->

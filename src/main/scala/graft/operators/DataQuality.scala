@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -248,6 +249,58 @@ object DataQuality {
   def valueOutliers(spark: SparkSession, dir: String, k: Double = 3.0): DataFrame = {
     val ev = Tables.events(spark, dir)
     flagOutliers(ev, outlierProfile(ev), k)
+      .orderBy(col("event_type"), col("event_id"))
+  }
+
+  /** Lower-middle DISCRETE median of `valCol` per event_type — an
+    * actual element of the multiset (row at rank ⌊(n+1)/2⌋ under a
+    * tie-broken total order), never an interpolation: integer rank
+    * selection is engine-portable where `quantile_cont`'s two-point
+    * float interpolation is formula-dependent.
+    */
+  private def discMedian(df: DataFrame, valCol: String,
+                         out: String): DataFrame = {
+    val byVal = Window.partitionBy(col("event_type"))
+      .orderBy(col(valCol), col("event_id"))
+    val grp = Window.partitionBy(col("event_type"))
+    df.withColumn("rn", row_number().over(byVal))
+      .withColumn("n", count(lit(1)).over(grp))
+      .groupBy(col("event_type"))
+      .agg(max(when(col("rn") === floor((col("n") + lit(1)) / lit(2)).cast("long"),
+        col(valCol))).as(out))
+  }
+
+  /** q94: ROBUST per-group outlier detection via MAD (median absolute
+    * deviation) — the q92 complement for when the mean/σ themselves
+    * are corrupted by the outliers they should find (σ breaks down at
+    * 0% contamination asymptotics; the median/MAD pair tolerates up to
+    * 50%): flag x iff |x − median| > k·MAD. On the heavy-tailed
+    * events.value this flags ~10× more of the tail than the 3σ gate —
+    * the two emit different sets by design.
+    *
+    * Portability: both medians are DISCRETE (see [[discMedian]]), all
+    * deviations exact DECIMALs, and the k·MAD comparison stays in
+    * exact decimal arithmetic — NO floating point anywhere in the
+    * decision path (q92 needs a pinned double epilogue; this needs
+    * none).
+    *
+    * Scale shape: two group-keyed sort windows (the exact-median cost
+    * — each group sorts independently; the approximate alternative is
+    * q30's `approx_percentile`), two broadcast joins of 5-row median
+    * frames, flagging map-side.
+    */
+  def madOutliers(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), d182(col("value")).as("v"))
+    val med = discMedian(ev, "v", "med")
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("v") - col("med")))
+    val mad = discMedian(dev.select(col("event_type"), col("event_id"),
+      col("dev")), "dev", "mad")
+    dev.join(broadcast(mad), "event_type")
+      .filter(col("dev") > lit(k) * col("mad"))
+      .select(col("event_type"), col("event_id"),
+        col("v").cast("double").as("value"))
       .orderBy(col("event_type"), col("event_id"))
   }
 }

@@ -696,6 +696,83 @@ object Multimodal {
       maxHamming)
   }
 
+  /** 64-bit temporal-luminance hash for VIDEO — the [[energyHash64]]
+    * analog over time: bit i = (mean luminance of temporal slot i) >
+    * (mean over all slots). "Brighter-than-average at time i" survives
+    * a uniform brightness shift (the mean shifts with every slot) and
+    * JPEG requantization, so a re-encoded brightness-graded copy with
+    * zero shared bytes keeps (nearly) the same hash, while videos with
+    * different temporal structure diverge. One container walk + one
+    * JPEG decode per frame, map-side.
+    */
+  private[operators] def temporalHash64(payload: Array[Byte]): Long = {
+    val e = videoFeatures(payload, 64)
+    var mean = 0.0
+    e.foreach(mean += _)
+    mean /= 64.0
+    var h = 0L
+    var i = 0
+    while (i < 64) {
+      if (e(i) > mean) h |= (1L << i)
+      i += 1
+    }
+    h
+  }
+
+  /** Brightness-shift + re-encode perturbation for video (the near-dup
+    * a pipeline must catch: the same footage re-graded and
+    * re-compressed, zero shared bytes): walk the AVI, decode each
+    * JPEG frame, shift every channel by `delta` (clamped), re-encode
+    * the frame, rebuild the container.
+    */
+  private[operators] def perturbVideos(media: DataFrame, delta: Int): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(
+      StructType(media.schema.fields.toIndexedSeq))
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val frames = aviMjpegFrames(r.getAs[Array[Byte]](payloadIdx))
+        var w = 0
+        var h = 0
+        val shifted = frames.map { jpeg =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(jpeg))
+          w = img.getWidth; h = img.getHeight
+          val dst = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              def c(v: Int) = (v + delta).max(0).min(255)
+              dst.setRGB(x, y, (c((p >> 16) & 0xFF) << 16) |
+                (c((p >> 8) & 0xFF) << 8) | c(p & 0xFF))
+              x += 1
+            }
+            y += 1
+          }
+          encodeJpeg(dst)
+        }
+        val vals = r.toSeq.toArray
+        vals(payloadIdx) = encodeAviMjpeg(shifted, w, h)
+        org.apache.spark.sql.Row(vals.toIndexedSeq: _*)
+      }
+    }(enc)
+  }
+
+  /** Perceptual near-dup pairs over a video frame: temporal hash per
+    * row (one container walk), then the shared banded-Hamming join.
+    */
+  def videoPerceptualPairs(videos: DataFrame, maxHamming: Int = 3): DataFrame = {
+    import videos.sparkSession.implicits._
+    bandedHammingPairs(
+      videos.select(col("media_id"), col("payload"))
+        .map(r => (r.getLong(0), temporalHash64(r.getAs[Array[Byte]](1))))
+        .toDF("id", "ahash"),
+      maxHamming)
+  }
+
   /** Content-hash dedup over the opaque payload (exact dedup works on
     * any modality without decoding).
     */
@@ -780,6 +857,24 @@ object Multimodal {
     val variants = perturbAudio(audio.filter(col("media_id") < 20), num = 7, den = 10)
       .withColumn("media_id", col("media_id") + 3000L)
     audioPerceptualPairs(audio.unionByName(variants))
+  }
+
+  /** m08: perceptual VIDEO near-dup — the third modality of the
+    * m06/m07 family, keyed on the dimension only video has: TIME. The
+    * fixture's video rows are brightness-shifted (+8 per channel per
+    * frame) and re-encoded (new JPEG bytes, new container — zero
+    * shared payload bytes; exact content hashing provably blind,
+    * asserted in `MultimodalSpec`); the temporal-luminance hash keeps
+    * each re-graded copy within Hamming ≤ 3 of its original through
+    * the same banded join. Rows-only (AVI/JPEG byte streams are not
+    * ANSI-SQL-derivable); banding shape = the oracle-anchored d04
+    * scheme applied to temporal luminance.
+    */
+  def mediaVideoDedup(spark: SparkSession, dir: String): DataFrame = {
+    val videos = syntheticMedia(spark, 300).filter(col("kind") === "video")
+    val variants = perturbVideos(videos.filter(col("media_id") < 90), delta = 8)
+      .withColumn("media_id", col("media_id") + 4000L)
+    videoPerceptualPairs(videos.unionByName(variants))
   }
 
   /** m04: the REAL image resize pipeline — decode PNG, nearest-neighbor

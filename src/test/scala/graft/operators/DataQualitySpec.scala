@@ -130,4 +130,30 @@ class DataQualitySpec extends SparkSpec {
     assert(got == expected)
     assert(got.nonEmpty, "heavy-tailed fixture must have 3-sigma outliers")
   }
+
+  test("q94 MAD outliers match a driver-side discrete-median recompute") {
+    val ev = Tables.events(spark, sf)
+      .select($"event_id", $"event_type", $"value").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+    def discMed(xs: Seq[(BigDecimal, Long)]): BigDecimal = {
+      val sorted = xs.sortBy(identity)
+      sorted(((sorted.length + 1) / 2) - 1)._1
+    }
+    val expected = ev.groupBy(_._2).toSeq.flatMap { case (t, rows) =>
+      val med = discMed(rows.map(r => (r._3, r._1)).toSeq)
+      val devs = rows.map(r => (r._1, (r._3 - med).abs))
+      val mad = discMed(devs.map { case (id, d) => (d, id) }.toSeq)
+      devs.collect { case (id, d) if d > mad * 3 => (t, id) }
+    }.toSet
+    val got = DataQuality.madOutliers(spark, sf)
+      .select($"event_type", $"event_id").as[(String, Long)].collect().toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // MAD is the robust complement: on this heavy tail it must flag a
+    // superset-sized set vs the 3-sigma gate (sigma is inflated by the
+    // very outliers it should detect)
+    val zCount = DataQuality.valueOutliers(spark, sf).count()
+    assert(got.size > zCount)
+  }
 }

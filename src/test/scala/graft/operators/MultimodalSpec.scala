@@ -220,4 +220,27 @@ class MultimodalSpec extends SparkSpec {
     // original pair collides (expected hamming ≈ 32 between profiles)
     assert(pairs.forall(r => r.getLong(0) < 20L))
   }
+
+  test("m08 video near-dup: re-graded re-encodes recovered, exact hash blind") {
+    import spark.implicits._
+    val videos = Multimodal.syntheticMedia(spark, 300)
+      .filter($"kind" === "video")
+    val variants = Multimodal.perturbVideos(
+        videos.filter($"media_id" < 90), delta = 8)
+      .withColumn("media_id", $"media_id" + 4000L)
+    // brightness shift + JPEG re-encode rewrites every byte: no
+    // byte-identical payloads survive
+    val exact = videos.unionByName(variants)
+      .groupBy(xxhash64($"payload")).agg(count(lit(1)).as("n"))
+      .filter($"n" > 1)
+    assert(exact.count() == 0)
+    // the temporal hash is brightness-shift-invariant: every planted
+    // (original, re-grade) pair surfaces within the Hamming budget
+    val planted = videos.filter($"media_id" < 90).count()
+    val pairs = Multimodal.mediaVideoDedup(spark, "unused").collect()
+    val plantedPairs = pairs.filter(r => r.getLong(1) == r.getLong(0) + 4000L)
+    assert(plantedPairs.length == planted,
+      s"expected $planted planted pairs, got ${plantedPairs.length} of ${pairs.length}")
+    pairs.foreach(r => assert(r.getAs[Number]("hamming").longValue <= 3, r.toString))
+  }
 }
