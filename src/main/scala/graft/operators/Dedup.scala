@@ -857,21 +857,35 @@ object Dedup {
     val el = hashed.select(col("id"), col("sz"), explode(col("hs")).as("h"))
     val dfreq = el.groupBy(col("h")).agg(count(lit(1)).as("df"))
     // per-doc prefix: the p = sz - ceil(tau*sz) + 1 rarest elements
-    // under the global (df, h) order
+    // under the global (df, h) order, POSITIONS kept for the PPJoin
+    // positional filter below
     val byRarity = Window.partitionBy(col("id")).orderBy(col("df"), col("h"))
     val prefix = el.join(dfreq, "h")
       .withColumn("rk", row_number().over(byRarity))
       .filter(col("rk") <=
         col("sz") - ceil(lit(threshold) * col("sz")) + lit(1))
-      .select(col("h"), col("id"), col("sz"))
-    val a = prefix.select(col("h"), col("id").as("doc_a"), col("sz").as("sz_a"))
-    val b = prefix.select(col("h"), col("id").as("doc_b"), col("sz").as("sz_b"))
+      .select(col("h"), col("id"), col("sz"), col("rk"))
+    val a = prefix.select(col("h"), col("id").as("doc_a"),
+      col("sz").as("sz_a"), col("rk").as("rk_a"))
+    val b = prefix.select(col("h"), col("id").as("doc_b"),
+      col("sz").as("sz_b"), col("rk").as("rk_b"))
     val candidates = a.join(b, Seq("h"))
       .filter(col("doc_a") < col("doc_b"))
       // Jaccard >= tau forces tau*|A| <= |B| <= |A|/tau — prune
       // infeasible sizes before the dedup shuffle
       .filter(col("sz_b").cast("double") >= lit(threshold) * col("sz_a") &&
               col("sz_a").cast("double") >= lit(threshold) * col("sz_b"))
+      // PPJoin POSITIONAL filter (Xiao et al. WWW'08): a match at
+      // ranks (rk_a, rk_b) bounds the overlap by 1 + min(remaining
+      // suffix on each side), while Jaccard >= tau forces overlap >=
+      // tau/(1+tau)·(|A|+|B|). Every qualifying pair's EARLIEST
+      // common element (which the prefix principle puts inside both
+      // prefixes) satisfies the bound, so filtering per matched row
+      // before the pair dedup is lossless — spec'd prefix ≡ naive.
+      .filter(lit(1.0) +
+        least(col("sz_a") - col("rk_a"), col("sz_b") - col("rk_b"))
+          .cast("double") >=
+        lit(threshold / (1.0 + threshold)) * (col("sz_a") + col("sz_b")))
       .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     val built = candidates
