@@ -378,6 +378,9 @@ object SparkEntry {
     // decision path, no floats anywhere
     "q94_mad_outliers"       -> ((s: SparkSession, dir: String) =>
       graft.operators.DataQuality.madOutliers(s, dir)),
+    // q95: last-touch attribution — conditional forward-fill window
+    // (q74's frame, filtered payload) + exact-decimal credit sums
+    "q95_attribution"        -> (Relational.lastTouchAttribution _),
     // — event-time / streaming-unified (SURVEY §2.9) —
     "s01_hourly_type_counts" -> (Streams.hourlyTypeCountsBatch _),
     "s02_sliding_counts"     -> (Streams.slidingTypeCountsBatch _),
@@ -2196,6 +2199,21 @@ object SparkEntry {
           |WINDOW w AS (PARTITION BY o_orderpriority
           |             ORDER BY o_totalprice, o_orderkey)
           |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+      // q95: the same IGNORE-NULLS preceding-rows frame; credited
+      // sums exact DECIMAL cast to double once
+      "q95_attribution" ->
+        """WITH w AS (
+          | SELECT user_id, event_type, CAST(value AS DECIMAL(18,2)) AS v,
+          |  last_value(CASE WHEN event_type <> 'purchase'
+          |                  THEN event_type END IGNORE NULLS)
+          |   OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
+          | FROM events
+          |)
+          |SELECT channel, count(*) AS n_purchases,
+          | CAST(sum(v) AS DOUBLE) AS credited
+          |FROM w WHERE event_type = 'purchase' AND channel IS NOT NULL
+          |GROUP BY channel ORDER BY channel""".stripMargin,
       // q94: identical discrete-median rank selection (row at
       // ⌊(n+1)/2⌋ under the same tie-broken order) and exact-decimal
       // k·MAD comparison — no float in the decision path

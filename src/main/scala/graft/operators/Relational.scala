@@ -1169,4 +1169,36 @@ object Relational {
         ntile(10).over(byPrio).cast("long").as("decile"))
       .orderBy(col("o_orderpriority"), col("o_orderkey"))
   }
+
+  /** q95: LAST-TOUCH attribution — each purchase's value credited to
+    * the user's most recent preceding non-purchase event type (the
+    * conversion-attribution primitive behind "which channel drives
+    * revenue" dashboards; the same carry-last-qualifying-row-forward
+    * window underlies label propagation along event timelines).
+    *
+    * The channel is a `last_value(... IGNORE NULLS)` over a
+    * rows-preceding frame — the q74 forward-fill frame with a
+    * CONDITIONAL payload (only non-purchase rows emit a value to
+    * carry). Credited sums accumulate as exact DECIMAL(18,2) and cast
+    * to double once — hash-checked.
+    *
+    * Scale shape: ONE shuffle by user_id for the window (per-user
+    * frames, parallel across users), then a map-side-combined groupBy
+    * on the |types|-sized channel key.
+    */
+  def lastTouchAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        col("value").cast(DecimalType(18, 2)).as("v"),
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(byUser).as("channel"))
+      .filter(col("event_type") === "purchase" && col("channel").isNotNull)
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("v")).cast("double").as("credited"))
+      .orderBy(col("channel"))
+  }
 }

@@ -303,6 +303,31 @@ class EntrySpec extends SparkSpec {
     assert(rows.map(_.getLong(2)).sum == wantSteps)
   }
 
+  test("q95 last-touch attribution matches a driver-side timeline replay") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", $"event_type", $"ts", $"event_id", $"value")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2), r.getLong(3),
+        BigDecimal(r.getDouble(4)).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+    val expected = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r._3.getTime, r._4))
+      var channel: String = null
+      val credits = scala.collection.mutable.ArrayBuffer.empty[(String, BigDecimal)]
+      ordered.foreach { r =>
+        if (r._2 == "purchase") { if (channel != null) credits += ((channel, r._5)) }
+        else channel = r._2
+      }
+      credits
+    }.groupBy(_._1).map { case (ch, xs) =>
+      (ch, xs.size.toLong, xs.map(_._2).sum.toDouble)
+    }.toSet
+    val got = operators.Relational.lastTouchAttribution(spark, sf)
+      .as[(String, Long, Double)].collect().toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("q84 KMV estimates stay within 3σ of exact (σ ≈ 1/√(k−2), k=64)") {
     val rows = operators.Relational.kmvDistinct(spark, sf).collect()
     assert(rows.nonEmpty)
