@@ -381,6 +381,10 @@ object SparkEntry {
     // q95: last-touch attribution — conditional forward-fill window
     // (q74's frame, filtered payload) + exact-decimal credit sums
     "q95_attribution"        -> (Relational.lastTouchAttribution _),
+    // q96: portable approximate quantiles — deterministic md5-sample
+    // + discrete rank selection; the approximate answer hash-checks
+    "q96_sampled_quantiles"  -> ((s: SparkSession, dir: String) =>
+      graft.operators.DataQuality.sampledQuantiles(s, dir)),
     // — event-time / streaming-unified (SURVEY §2.9) —
     "s01_hourly_type_counts" -> (Streams.hourlyTypeCountsBatch _),
     "s02_sliding_counts"     -> (Streams.slidingTypeCountsBatch _),
@@ -2214,6 +2218,31 @@ object SparkEntry {
           | CAST(sum(v) AS DOUBLE) AS credited
           |FROM w WHERE event_type = 'purchase' AND channel IS NOT NULL
           |GROUP BY channel ORDER BY channel""".stripMargin,
+      // q96: identical md5 sample (k hash-smallest per group) and
+      // identical discrete rank selection — the approximation itself
+      // is engine-portable
+      "q96_sampled_quantiles" ->
+        """WITH h AS (
+          | SELECT event_type, event_id, CAST(value AS DECIMAL(18,2)) AS v,
+          |  ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT AS hk
+          | FROM events
+          |), s AS (
+          | SELECT * FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY event_type
+          |                               ORDER BY hk) AS rn FROM h)
+          | WHERE rn <= 256
+          |), r AS (
+          | SELECT event_type, v,
+          |  row_number() OVER (PARTITION BY event_type
+          |                     ORDER BY v, event_id) AS vr,
+          |  count(*) OVER (PARTITION BY event_type) AS m FROM s
+          |)
+          |SELECT event_type, q,
+          | max(CASE WHEN vr = greatest(1, CAST(ceil(q*m) AS BIGINT))
+          |     THEN CAST(v AS DOUBLE) END) AS est
+          |FROM r, (VALUES (0.25),(0.5),(0.75),(0.9)) t(q)
+          |GROUP BY event_type, q
+          |ORDER BY event_type, q""".stripMargin,
       // q94: identical discrete-median rank selection (row at
       // ⌊(n+1)/2⌋ under the same tie-broken order) and exact-decimal
       // k·MAD comparison — no float in the decision path

@@ -289,6 +289,49 @@ object DataQuality {
     * q30's `approx_percentile`), two broadcast joins of 5-row median
     * frames, flagging map-side.
     */
+  /** q96: PORTABLE approximate quantiles by deterministic hash
+    * sampling — the q84 KMV trick applied to ORDER STATISTICS: the
+    * per-group sample is the k rows with the smallest md5(event_id)
+    * (a uniform, engine-reproducible "random" subset — no RNG, no
+    * engine sketch), and each quantile is a DISCRETE rank selection
+    * from that sample. Where `approx_percentile`'s KLL state is
+    * engine-internal (q30 can only rows-check it), every stage here
+    * is SQL-derivable, so the approximate answer itself hash-checks;
+    * sampling theory bounds the rank error by ~1/√k (spec'd at 0.1
+    * rank-fraction for k=256).
+    *
+    * Scale shape: the k-smallest-hash selection is written as a
+    * per-group window (what DuckDB mirrors); at 100 TB the same
+    * sample comes from the q84 bounded top-k aggregate (fixed k·8-byte
+    * state per group, map-side combined) — identical rows by
+    * construction, since both keep exactly the k hash-smallest.
+    * Everything after the sample touches ≤ 4·k rows per group.
+    */
+  def sampledQuantiles(spark: SparkSession, dir: String,
+                       k: Int = 256): DataFrame = {
+    val qs = Seq(0.25, 0.5, 0.75, 0.9)
+    val ev = Tables.events(spark, dir).select(
+      col("event_type"), col("event_id"), d182(col("value")).as("v"),
+      expr("cast(conv(substr(md5(cast(cast(event_id as string) as binary)), 1, 15), 16, 10) as bigint)")
+        .as("hk"))
+    val byHash = Window.partitionBy(col("event_type")).orderBy(col("hk"))
+    val sample = ev.withColumn("rn", row_number().over(byHash))
+      .filter(col("rn") <= k)
+    val byVal = Window.partitionBy(col("event_type"))
+      .orderBy(col("v"), col("event_id"))
+    val grp = Window.partitionBy(col("event_type"))
+    sample
+      .withColumn("vr", row_number().over(byVal))
+      .withColumn("m", count(lit(1)).over(grp))
+      .select(col("event_type"), col("v"), col("vr"), col("m"),
+        explode(array(qs.map(lit(_)): _*)).as("q"))
+      .groupBy(col("event_type"), col("q"))
+      .agg(max(when(
+        col("vr") === greatest(lit(1L), ceil(col("q") * col("m")).cast("long")),
+        col("v").cast("double"))).as("est"))
+      .orderBy(col("event_type"), col("q"))
+  }
+
   def madOutliers(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("event_id"), col("event_type"), d182(col("value")).as("v"))

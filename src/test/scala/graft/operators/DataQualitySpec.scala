@@ -156,4 +156,21 @@ class DataQualitySpec extends SparkSpec {
     val zCount = DataQuality.valueOutliers(spark, sf).count()
     assert(got.size > zCount)
   }
+
+  test("q96 sampled quantiles land within 0.1 rank-fraction of the target") {
+    val full = Tables.events(spark, sf)
+      .select($"event_type", $"value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sorted }
+    val rows = DataQuality.sampledQuantiles(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (t, q, est) = (r.getString(0), r.getDouble(1), r.getDouble(2))
+      val xs = full(t)
+      // realized rank fraction of the estimate in the FULL distribution
+      val frac = xs.count(_ <= est).toDouble / xs.length
+      assert(math.abs(frac - q) <= 0.1,
+        s"$t q=$q est=$est realized-rank=$frac")
+    }
+  }
 }
