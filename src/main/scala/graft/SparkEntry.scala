@@ -428,6 +428,11 @@ object SparkEntry {
     // filter over the event stream vs a broadcast static profile;
     // stateless append-mode drain is batch-equal ⇒ q92's oracle
     "s17_streaming_outliers" -> (Streams.streamingOutlierGate _),
+    // s18: streaming quantile sample sketch — q96's deterministic
+    // md5 sample as bounded transformWithState state; the drained
+    // discrete rank selections hash-check against q96's oracle
+    "s18_streaming_quantiles" -> ((s: SparkSession, dir: String) =>
+      Streams.streamingSampledQuantiles(s, dir)),
     // s07: the transformWithState (state API v2, RocksDB) operator run
     // through a REAL streaming drain; integer-cents state makes the
     // final totals batch-boundary-invariant and oracle-exact
@@ -2428,8 +2433,11 @@ object SparkEntry {
     // s14 drains to exactly the batch funnel counts — same oracle as q85
     // s17 drains the stateless stream filter to exactly the q92 batch
     // outlier set — same oracle
+    // s18's drained bounded-state sample equals the q96 batch sample
+    // by construction (k hash-smallest is split-insensitive)
     base + ("d16_decontaminate_bloom" -> base("d12_decontamination"),
             "s14_streaming_funnel" -> base("q85_funnel_steps"),
-            "s17_streaming_outliers" -> base("q92_value_outliers"))
+            "s17_streaming_outliers" -> base("q92_value_outliers"),
+            "s18_streaming_quantiles" -> base("q96_sampled_quantiles"))
   }
 }

@@ -889,6 +889,91 @@ object Streams {
   case class KmvInput(event_type: String, h: Long)
   case class KmvEmit(event_type: String, version: Long, n_kept: Long, h_k: Long)
 
+  case class QsInput(event_type: String, event_id: Long, hk: Long, cents: Long)
+  case class QsState(version: Long, hks: Array[Long], ids: Array[Long],
+                     cents: Array[Long])
+  case class QsEmit(event_type: String, version: Long, q: Double, est: Double)
+
+  /** Streaming QUANTILE sample sketch — the [[KmvSketchProcessor]]
+    * idea applied to ORDER STATISTICS (q96's batch sample maintained
+    * as stream state): per key the state is the k rows with the
+    * smallest md5(event_id) hash — a fixed k·24-byte buffer under
+    * unbounded input. "k hash-smallest rows" is arrival-order- and
+    * batch-split-insensitive, so the drained final sample — and the
+    * discrete rank selections computed from it — equal the batch q96
+    * result exactly, whatever the micro-batch layout.
+    */
+  class QuantileSampleProcessor(k: Int, qs: Seq[Double])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, QsInput, QsEmit] {
+    @transient private var state:
+        org.apache.spark.sql.streaming.ValueState[QsState] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[QsState]("q_sample",
+        org.apache.spark.sql.Encoders.product[QsState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        eventType: String, rows: Iterator[QsInput],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[QsEmit] = {
+      val s0 = if (state.exists()) state.get()
+               else QsState(0L, Array.empty, Array.empty, Array.empty)
+      // merge = k hash-smallest of old sample ∪ new rows (dedup by id:
+      // replayed rows must not double-enter the sample)
+      val merged = (s0.hks.indices.iterator
+          .map(i => (s0.hks(i), s0.ids(i), s0.cents(i))) ++
+        rows.map(r => (r.hk, r.event_id, r.cents)))
+        .toSeq.distinct.sortBy(t => (t._1, t._2)).take(k)
+      state.update(QsState(s0.version + 1L, merged.map(_._1).toArray,
+        merged.map(_._2).toArray, merged.map(_._3).toArray))
+      // discrete rank selection over the in-state sample, ordered by
+      // (value, id) — the exact q96 rule
+      val byVal = merged.sortBy(t => (t._3, t._2))
+      val m = byVal.length
+      qs.iterator.map { q =>
+        val rank = math.max(1L, math.ceil(q * m).toLong)
+        QsEmit(eventType, s0.version + 1L, q,
+          byVal((rank - 1).toInt)._3 / 100.0)
+      }
+    }
+  }
+
+  /** s18: [[QuantileSampleProcessor]] through a real streaming drain —
+    * per-event-type approximate quantiles maintained as bounded sample
+    * state. Deterministic md5 sampling + discrete rank selection make
+    * the drained estimates hash-check against q96's DuckDB SQL
+    * VERBATIM — the second streaming sketch an oracle can pin (s16
+    * pinned cardinality; this pins order statistics).
+    */
+  def streamingSampledQuantiles(spark: SparkSession, dir: String,
+                                k: Int = 256): DataFrame = {
+    import spark.implicits._
+    val drained = withRocksDBStateStore(spark) {
+      drainStreamed(spark, "s18", dir,
+        eventsStream(spark, dir)
+          .select(col("event_type"), col("event_id"),
+            expr("cast(conv(substr(md5(cast(cast(event_id as string) as binary)), 1, 15), 16, 10) as bigint)").as("hk"),
+            (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) *
+              100).cast("long").as("cents"))
+          .as[QsInput]
+          .groupByKey(_.event_type)
+          .transformWithState(
+            new QuantileSampleProcessor(256, Seq(0.25, 0.5, 0.75, 0.9)),
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Update())
+          .toDF(),
+        mode = "append", outputMode = "update")
+    }
+    drained
+      .groupBy(col("event_type"), col("q"))
+      .agg(max(struct(col("version"), col("est"))).as("m"))
+      .select(col("event_type"), col("q"), col("m.est").as("est"))
+      .orderBy(col("event_type"), col("q"))
+  }
+
   /** Streaming KMV distinct sketch — SKETCH state in a stateful
     * operator: per key the state is the k smallest distinct md5-60-bit
     * element hashes (a FIXED k·8-byte buffer however many elements

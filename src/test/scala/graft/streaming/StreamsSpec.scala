@@ -467,4 +467,13 @@ class StreamsSpec extends SparkSpec {
     assert(streamed == batch)
     assert(streamed.nonEmpty)
   }
+
+  test("s18 streaming quantile sample drains to exactly the q96 batch estimates") {
+    val batch = graft.operators.DataQuality.sampledQuantiles(spark, sf)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq
+    val streamed = Streams.streamingSampledQuantiles(spark, sf)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
 }
