@@ -271,6 +271,11 @@ object SparkEntry {
     // bound per-row cost — the FAISS-IVFPQ shape; rows-only: k-means +
     // codebook are engine-specific; recall pinned in e08 and spec)
     "e15_knn_ivf_pq"         -> (Similarity.knnIvfPq _),
+    // e16: FILTERED vector search through the IVF index — metadata
+    // predicate pruning the assignment table before the probe join,
+    // nProbe widened for the filtered-recall hazard (rows-only:
+    // k-means; e10 is the exact filtered baseline)
+    "e16_knn_filtered_ivf"   -> (Similarity.knnFilteredIvf _),
     // e08: in-gate ANN quality audit — recall of every approximate
     // index vs the e01 exact ranks (rows-only; values are seeded but
     // hash-dependent). A recall collapse now reds the gate, not just

@@ -650,6 +650,37 @@ object Similarity {
       emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
   }
 
+  /** e16: FILTERED vector search THROUGH the IVF index — the
+    * production shape every vector store exposes (pgvector/Milvus
+    * "metadata filtering"): e10 proves the filtered-brute-force
+    * baseline; this composes the filter with e06's index so query
+    * cost stays bounded by nProbe/nCells of the FILTERED corpus, not
+    * a full scan. Centroids train on the UNFILTERED corpus (an index
+    * is built once; predicates vary per query), the predicate prunes
+    * the assignment table BEFORE the probe join (at the parquet scan
+    * when the assignment is persisted — the e13 build), and the
+    * classic filtered-recall hazard (a selective predicate empties
+    * probed cells) is countered the standard way: widen nProbe (8 of
+    * 16 here vs e06's 4). Rows-only (k-means training); e10 is the
+    * exact oracle anchor and the spec pins recall against it plus
+    * predicate soundness of every returned neighbor.
+    */
+  def filteredIvfTopK(corpus: DataFrame, queries: DataFrame,
+                      idCol: String, vecCol: String, predicate: Column,
+                      k: Int, nCells: Int = 16, nProbe: Int = 8,
+                      seed: Long = 42L,
+                      trainFraction: Double = 0.25): DataFrame = {
+    val centroids = trainCentroids(corpus, vecCol, nCells, seed, trainFraction)
+    ivfTopKWithCentroids(corpus.filter(predicate), queries,
+      idCol, vecCol, k, centroids, nProbe)
+  }
+
+  def knnFilteredIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    filteredIvfTopK(emb, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", col("label") === 3, k = 5)
+  }
+
   def knnLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     // 16 bands × 6 bits: ~65% band-level recall for cos≈0.4 neighbors

@@ -87,6 +87,26 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq.sortBy(t => (t._1, t._2)) == exp)
   }
 
+  test("e16 filtered IVF: predicate-sound neighbors, >=40% recall vs the e10 exact baseline") {
+    val emb = Tables.embeddings(spark, sf)
+    val got = Similarity.knnFilteredIvf(spark, sf)
+      .select($"query_id", $"rank", $"neighbor_id")
+      .as[(Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    // predicate soundness: every neighbor is from the filtered slice
+    val label3 = emb.filter($"label" === 3).select($"vec_id").as[Long].collect().toSet
+    assert(got.forall(r => label3.contains(r._3)))
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1L to rows.length))
+    }
+    // recall vs the exact filtered baseline (e10)
+    val exact = Similarity.knnFiltered(spark, sf)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._3)).toSet
+    val approx = got.map(r => (r._1, r._3)).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"filtered-IVF recall $recall")
+  }
+
   test("e12 kNN join: >=40% recall vs exact for every-row top-3; never self; dense ranks") {
     val got = Similarity.knnJoinQuery(spark, sf)
       .as[(Long, Long, Long)].collect()
