@@ -79,7 +79,14 @@ object DumpPlans {
     // anywhere in the plan), the basket-keyed rule mining join, and
     // the broadcast-profile outlier filter (map-side, no row shuffle)
     "d22_setsim_prefix", "d23_containment_join", "q90_assoc_rules",
-    "q92_value_outliers")
+    "q92_value_outliers",
+    // round-7 fourth batch: the user-keyed lag/forward-fill windows
+    // (one shuffle each), the two-sort-window robust-stats stack, the
+    // hash-sampled quantile stack, and the filtered IVF probe (the
+    // predicate must prune the assignment scan) — s18 is excluded
+    // like s06/s15: its registered entry executes a streaming drain
+    "q91_transition_matrix", "q94_mad_outliers", "q95_attribution",
+    "q96_sampled_quantiles", "e16_knn_filtered_ivf")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
