@@ -390,6 +390,12 @@ object SparkEntry {
     // + discrete rank selection; the approximate answer hash-checks
     "q96_sampled_quantiles"  -> ((s: SparkSession, dir: String) =>
       graft.operators.DataQuality.sampledQuantiles(s, dir)),
+    // q97: GDPR cascading referential delete — three anti-joins, one
+    // per referencing table; all-integer erasure ledger
+    "q97_cascade_delete"     -> (Relational.cascadeDelete _),
+    // q98: schema evolution across parquet generations — mergeSchema
+    // read reconciling files written before/after a column existed
+    "q98_schema_evolution"   -> (graft.operators.Layout.schemaEvolution _),
     // — event-time / streaming-unified (SURVEY §2.9) —
     "s01_hourly_type_counts" -> (Streams.hourlyTypeCountsBatch _),
     "s02_sliding_counts"     -> (Streams.slidingTypeCountsBatch _),
@@ -2253,6 +2259,39 @@ object SparkEntry {
           |FROM r, (VALUES (0.25),(0.5),(0.75),(0.9)) t(q)
           |GROUP BY event_type, q
           |ORDER BY event_type, q""".stripMargin,
+      // q97: the same cascade derived closed-form — forget set is the
+      // c_custkey % 97 slice, lineitem cascades through deleted orders
+      "q97_cascade_delete" ->
+        """WITH f AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+          |del_o AS (SELECT o_orderkey FROM orders
+          |          WHERE o_custkey IN (SELECT c_custkey FROM f))
+          |SELECT 'customer' AS "table",
+          | (SELECT count(*) FROM customer) AS n_before,
+          | (SELECT count(*) FROM f) AS n_deleted,
+          | (SELECT count(*) FROM customer) - (SELECT count(*) FROM f) AS n_after
+          |UNION ALL
+          |SELECT 'orders',
+          | (SELECT count(*) FROM orders),
+          | (SELECT count(*) FROM del_o),
+          | (SELECT count(*) FROM orders) - (SELECT count(*) FROM del_o)
+          |UNION ALL
+          |SELECT 'lineitem',
+          | (SELECT count(*) FROM lineitem),
+          | (SELECT count(*) FROM lineitem
+          |  WHERE l_orderkey IN (SELECT o_orderkey FROM del_o)),
+          | (SELECT count(*) FROM lineitem) -
+          | (SELECT count(*) FROM lineitem
+          |  WHERE l_orderkey IN (SELECT o_orderkey FROM del_o))
+          |ORDER BY "table"""".stripMargin,
+      // q98: the merged-read semantics re-derived closed-form — the
+      // pre-evolution generation is the NULL o_year group
+      "q98_schema_evolution" ->
+        """SELECT CASE WHEN o_orderkey % 2 = 1
+          |        THEN CAST(year(o_orderdate) AS BIGINT) END AS o_year,
+          | count(*) AS n_orders,
+          | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |FROM orders
+          |GROUP BY 1 ORDER BY o_year""".stripMargin,
       // q94: identical discrete-median rank selection (row at
       // ⌊(n+1)/2⌋ under the same tie-broken order) and exact-decimal
       // k·MAD comparison — no float in the decision path

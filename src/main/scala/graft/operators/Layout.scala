@@ -79,6 +79,40 @@ object Layout {
       .orderBy(col("doc_id"))
   }
 
+  /** q98: SCHEMA EVOLUTION across parquet file generations — the
+    * schema-drift reality of any long-lived 100 TB table: files
+    * written before a column existed sit beside files written after.
+    * Generation v1 (even order keys) lacks `o_year`; generation v2
+    * (odd keys) carries it. `mergeSchema=true` reconciles the footers
+    * at read time (the column is NULL for v1 rows — no rewrite of old
+    * files), and the aggregate groups by the evolved column with the
+    * null group = the pre-evolution generation. The oracle re-derives
+    * the same result from the fixture closed-form, pinning exactly
+    * what the merged read must produce.
+    *
+    * Scale note: mergeSchema footer reconciliation scans every file's
+    * footer at planning time — production tables pin the merged schema
+    * in a catalog instead; the READ semantics (absent column → null)
+    * are identical and are what this gate pins.
+    */
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Scratch.dir(spark, "q98_evo", dir).toString
+    val orders = Tables.orders(spark, dir)
+    orders.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$tmp/gen=v1")
+    orders.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .write.mode("overwrite").parquet(s"$tmp/gen=v2")
+    spark.read.option("mergeSchema", "true").parquet(tmp)
+      .groupBy(col("o_year"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("total"))
+      .orderBy(col("o_year"))
+  }
+
   /** q61: raw-TEXT round trip — the line-oriented `text` source, the
     * format raw LLM training corpora actually arrive in (one document
     * per line). Written as `doc_id<TAB>text` lines, read back, split on

@@ -711,6 +711,50 @@ object Relational {
       .orderBy(col("c_custkey"))
   }
 
+  /** q97: cascading referential DELETE — the GDPR "right to be
+    * forgotten" pipeline shape: erasing a customer set must cascade
+    * through every table that references it (customer → orders →
+    * lineitem), and the erasure LEDGER (how many rows each table
+    * lost) is itself a compliance artifact. Forget set = the
+    * deterministic ~1% slice c_custkey % 97 == 0.
+    *
+    * Scale shape: each cascade level is ONE anti-join on the parent
+    * key — the forget set and the deleted-orders key set broadcast
+    * when small (the common case; a shuffled anti-join is the same
+    * plan shape at any size). No table is scanned more than once for
+    * its delete; counts are side outputs of the same pass. All-integer
+    * ledger — hash-checked.
+    */
+  def cascadeDelete(spark: SparkSession, dir: String): DataFrame = {
+    val forget = Tables.customer(spark, dir)
+      .filter(col("c_custkey") % 97 === 0)
+      .select(col("c_custkey").as("fk"))
+    val customer = Tables.customer(spark, dir)
+    val orders = Tables.orders(spark, dir)
+    val lineitem = Tables.lineitem(spark, dir)
+    val deletedOrders = orders
+      .join(broadcast(forget), col("o_custkey") === col("fk"))
+      .select(col("o_orderkey").as("dk"))
+    def ledger(table: String, df: DataFrame, kept: DataFrame): DataFrame = {
+      val before = df.agg(count(lit(1)).as("n_before"))
+      val after = kept.agg(count(lit(1)).as("n_after"))
+      before.crossJoin(after).select(lit(table).as("table"),
+        col("n_before"), (col("n_before") - col("n_after")).as("n_deleted"),
+        col("n_after"))
+    }
+    val keptCustomer = customer
+      .join(broadcast(forget), col("c_custkey") === col("fk"), "left_anti")
+    val keptOrders = orders
+      .join(broadcast(forget), col("o_custkey") === col("fk"), "left_anti")
+    val keptLineitem = lineitem
+      .join(broadcast(deletedOrders), col("l_orderkey") === col("dk"),
+        "left_anti")
+    ledger("customer", customer, keptCustomer)
+      .unionByName(ledger("orders", orders, keptOrders))
+      .unionByName(ledger("lineitem", lineitem, keptLineitem))
+      .orderBy(col("table"))
+  }
+
   /** q60: incremental aggregate maintenance — the materialized-view
     * refresh shape: a per-customer partial aggregate of orders
     * (n_orders, total cents) is MATERIALIZED once; when a delta batch

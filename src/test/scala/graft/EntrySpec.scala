@@ -328,6 +328,25 @@ class EntrySpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("q97 cascade ledger reconciles; q98 merged read nulls the pre-evolution generation") {
+    val ledger = operators.Relational.cascadeDelete(spark, sf).collect()
+    assert(ledger.length == 3)
+    ledger.foreach { r =>
+      assert(r.getLong(1) - r.getLong(2) == r.getLong(3), r.toString)
+      assert(r.getLong(2) > 0, s"cascade deleted nothing in ${r.getString(0)}")
+    }
+    val forgetN = Tables.customer(spark, sf)
+      .filter(col("c_custkey") % 97 === 0).count()
+    assert(ledger.find(_.getString(0) == "customer").get.getLong(2) == forgetN)
+
+    val evo = operators.Layout.schemaEvolution(spark, sf).collect()
+    val evenN = Tables.orders(spark, sf)
+      .filter(col("o_orderkey") % 2 === 0).count()
+    // the null o_year group is exactly the v1 (pre-evolution) files
+    assert(evo.find(_.isNullAt(0)).get.getLong(1) == evenN)
+    assert(evo.count(!_.isNullAt(0)) > 1, "multiple evolved year groups expected")
+  }
+
   test("q84 KMV estimates stay within 3σ of exact (σ ≈ 1/√(k−2), k=64)") {
     val rows = operators.Relational.kmvDistinct(spark, sf).collect()
     assert(rows.nonEmpty)
