@@ -339,6 +339,10 @@ object SparkEntry {
     // counts, fixed-order three-term formula; sentence punctuation
     // planted closed-form (the d18/t22 pattern)
     "t26_readability"        -> (TextAnalysis.readability _),
+    // t27: exact phrase search over positional postings — term-
+    // prefiltered n-way position-chained self-join; all-integer
+    "t27_phrase_search"      -> ((s: SparkSession, dir: String) =>
+      TextAnalysis.phraseSearch(s, dir)),
     // t25: CCNet-style unigram-LM quality score (mean corpus frequency
     // of a doc's tokens) — integer-exact until two fixed-order
     // divisions; the frequency join is skew-split (broadcast head,
@@ -2039,6 +2043,21 @@ object SparkEntry {
            |  FROM (SELECT doc_id, replace(text, ' s', '. s') AS planted
            |        FROM documents)))
            |WHERE n_words > 0 ORDER BY doc_id""".stripMargin,
+      // t27: the same positional postings derived in SQL (1-based vs
+      // Spark's 0-based — only position DIFFERENCES matter), adjacency
+      // = pos + 1; all-integer occurrence counts
+      "t27_phrase_search" ->
+        s"""WITH t AS (
+           | SELECT doc_id, ${toks("text")} AS toks FROM documents
+           |), p AS (
+           | SELECT doc_id, i AS pos, toks[i] AS tok
+           | FROM t, lateral unnest(range(1, len(toks) + 1)) r(i)
+           |)
+           |SELECT a.doc_id, count(*) AS n_occurrences
+           |FROM p a JOIN p b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+           |WHERE a.tok = 'hash' AND b.tok = 'join'
+           |GROUP BY a.doc_id
+           |ORDER BY a.doc_id""".stripMargin,
       // t25: unigram-LM quality score — integer-exact cnt_sum/dl,
       // score = (cnt_sum/dl)/n_total divided left-to-right (the same
       // two IEEE divisions the Spark expression performs)

@@ -843,4 +843,37 @@ object TextAnalysis {
           col("n_total").cast("double")).as("score"))
       .orderBy(col("doc_id"))
   }
+
+  /** t27: exact PHRASE search over positional postings — the IR
+    * capability tf·idf/BM25 term matching (t09/t10) cannot express:
+    * "these words ADJACENT, in this order". Postings = (doc, pos,
+    * term) from one tokenize pass (q50's inverted index grown a
+    * position column — at 100 TB the postings table is built once and
+    * persisted); the phrase is an n-way self-join on doc with the
+    * position chained `pos + i`, each leg pre-filtered to its term
+    * BEFORE joining, so the join touches only the phrase terms'
+    * postings (rare-term-first ordering bounds the intermediate at
+    * scale). Output: per-doc occurrence counts — all-integer,
+    * hash-checked.
+    */
+  def phraseSearch(spark: SparkSession, dir: String,
+                   phrase: Seq[String] = Seq("hash", "join")): DataFrame = {
+    require(phrase.nonEmpty)
+    val postings = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(tokens(normalizeText(col("text")))).as(Seq("pos", "tok")))
+    val first = postings.filter(col("tok") === phrase.head)
+      .select(col("doc_id"), col("pos"))
+    val matched = phrase.zipWithIndex.tail.foldLeft(first) {
+      case (acc, (w, i)) =>
+        val leg = postings.filter(col("tok") === w)
+          .select(col("doc_id"), col("pos").as("npos"))
+        acc.join(leg, Seq("doc_id"))
+          .filter(col("npos") === col("pos") + i)
+          .drop("npos")
+    }
+    matched.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("doc_id"))
+  }
 }

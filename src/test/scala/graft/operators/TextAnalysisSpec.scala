@@ -329,4 +329,21 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq
     assert(portable == viaCosine, s"portable=$portable cosine=$viaCosine")
   }
+
+  test("t27 phrase search: n-way position chaining, adjacency strict, order strict") {
+    import org.apache.spark.sql.SparkSession
+    val planted = Seq(
+      (0L, "the quick brown fox and the quick brown fox again"), // 2 occurrences
+      (1L, "quick brown stuff between brown fox"),               // broken adjacency
+      (2L, "brown quick fox"),                                   // wrong order
+      (3L, "prefix quick brown fox suffix"),                     // 1 occurrence
+    ).toDF("doc_id", "text")
+    val dirTmp = java.nio.file.Files.createTempDirectory("t27fix")
+    planted.write.mode("overwrite")
+      .parquet(dirTmp.resolve("documents.parquet").toString)
+    val got = TextAnalysis.phraseSearch(spark, dirTmp.toString,
+        Seq("quick", "brown", "fox"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 2L, 3L -> 1L), got.toString)
+  }
 }
