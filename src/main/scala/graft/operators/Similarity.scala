@@ -952,11 +952,24 @@ object Similarity {
       "e09_knn_int8" -> (knnInt8 _),
       "e15_knn_ivf_pq" -> (knnIvfPq _))
     import spark.implicits._
-    methods.map { case (name, fn) =>
+    // e16 is audited against its OWN baseline (the e10 filtered exact
+    // ranks — an unfiltered baseline would count predicate-excluded
+    // neighbors as misses)
+    val filteredExact = knnFiltered(spark, dir)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(true)
+    val filteredTotal = filteredExact.count()
+    val rows = methods.map { case (name, fn) =>
       val approx = fn(spark, dir).select(col("query_id"), col("neighbor_id"))
       val hits = exact.join(approx, Seq("query_id", "neighbor_id")).count()
       (name, hits * 100L / total)
-    }.toDF("method", "recall_x100").orderBy(col("method"))
+    } :+ {
+      val approx = knnFilteredIvf(spark, dir)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = filteredExact.join(approx, Seq("query_id", "neighbor_id")).count()
+      ("e16_knn_filtered_ivf", hits * 100L / filteredTotal)
+    }
+    rows.toDF("method", "recall_x100").orderBy(col("method"))
   }
 
   /** e14: HYBRID retrieval — BM25 text shortlist fused with an exact

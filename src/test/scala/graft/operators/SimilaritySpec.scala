@@ -34,7 +34,8 @@ class SimilaritySpec extends SparkSpec {
     val rows = Similarity.recallAudit(spark, sf)
       .as[(String, Long)].collect().toMap
     assert(rows.keySet == Set("e02_knn_lsh", "e04_knn_ivf",
-      "e06_knn_ivf_kmeans", "e07_knn_pq", "e09_knn_int8", "e15_knn_ivf_pq"))
+      "e06_knn_ivf_kmeans", "e07_knn_pq", "e09_knn_int8", "e15_knn_ivf_pq",
+      "e16_knn_filtered_ivf"))
     rows.foreach { case (m, r) =>
       assert(r >= 40L && r <= 100L, s"$m recall_x100=$r")
     }
