@@ -37,6 +37,24 @@ object PropertiesCheck extends Properties("graft") {
       (sa.isEmpty && self == 0.0) || self == 1.0
     }
 
+  // — sortedIntersectCountLong ≡ set intersection, and the jaccard
+  //   kernel is exactly inter/(|a|+|b|−inter) over it —
+  private val longSetGen = Gen.listOf(Gen.choose(0L, 60L))
+  property("sortedIntersectCountLong matches set semantics; jaccard consistent") =
+    Prop.forAll(longSetGen, longSetGen) { (a, b) =>
+      val sa = a.distinct.sorted
+      val sb = b.distinct.sorted
+      val aa = new GenericArrayData(sa.toArray[Any])
+      val bb = new GenericArrayData(sb.toArray[Any])
+      val inter = HashFns.sortedIntersectCountLong(aa, bb)
+      val expInter = sa.toSet.intersect(sb.toSet).size.toLong
+      val jac = HashFns.sortedJaccardLong(aa, bb)
+      val expJac =
+        if (sa.isEmpty && sb.isEmpty) 0.0
+        else inter.toDouble / (sa.size + sb.size - inter)
+      inter == expInter && jac == expJac
+    }
+
   // — minhash determinism + permutation sensitivity only via content —
   private val strGen = Gen.alphaNumStr.suchThat(_.length >= 5)
   property("minhash signature is deterministic and content-addressed") =
