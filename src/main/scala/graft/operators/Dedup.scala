@@ -814,6 +814,22 @@ object Dedup {
 
   // — EXACT set-similarity join via prefix filtering (d22) —
 
+  /** Slack subtracted inside every CANDIDATE-side bound of d22/d23
+    * (prefix length, size filter, PPJoin positional filter) before a
+    * ceil or a >=. The bounds' exact values are rationals (tau*sz,
+    * tau/(1+tau)*(szA+szB)) whose IEEE evaluation can land an ulp
+    * ABOVE the true value when tau*sz is an exact integer — which
+    * would shorten a prefix / strengthen a filter by one element and
+    * silently drop a qualifying pair for thresholds beyond the
+    * shipped ones. Subtracting eps makes every filter err only toward
+    * ADMITTING candidates (fl error here is < 1e-12 for any sz <
+    * 1e4, and real decision margins are >= 1/(sz*(1+tau)) >> eps), so
+    * completeness holds for ANY threshold; the exact verify pass
+    * discards the few extra candidates, so results are unchanged.
+    */
+  private val FilterEps = 1e-7
+
+
   /** d22: EXACT Jaccard-threshold set-similarity self-join via PREFIX
     * FILTERING (the AllPairs/PPJoin family — Chaudhuri et al. ICDE'06,
     * Bayardo et al. WWW'07) over hashed word n-gram shingle sets — the
@@ -863,7 +879,7 @@ object Dedup {
     val prefix = el.join(dfreq, "h")
       .withColumn("rk", row_number().over(byRarity))
       .filter(col("rk") <=
-        col("sz") - ceil(lit(threshold) * col("sz")) + lit(1))
+        col("sz") - ceil(lit(threshold) * col("sz") - lit(FilterEps)) + lit(1))
       .select(col("h"), col("id"), col("sz"), col("rk"))
     val a = prefix.select(col("h"), col("id").as("doc_a"),
       col("sz").as("sz_a"), col("rk").as("rk_a"))
@@ -873,8 +889,8 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       // Jaccard >= tau forces tau*|A| <= |B| <= |A|/tau — prune
       // infeasible sizes before the dedup shuffle
-      .filter(col("sz_b").cast("double") >= lit(threshold) * col("sz_a") &&
-              col("sz_a").cast("double") >= lit(threshold) * col("sz_b"))
+      .filter(col("sz_b").cast("double") >= lit(threshold) * col("sz_a") - lit(FilterEps) &&
+              col("sz_a").cast("double") >= lit(threshold) * col("sz_b") - lit(FilterEps))
       // PPJoin POSITIONAL filter (Xiao et al. WWW'08): a match at
       // ranks (rk_a, rk_b) bounds the overlap by 1 + min(remaining
       // suffix on each side), while Jaccard >= tau forces overlap >=
@@ -885,7 +901,8 @@ object Dedup {
       .filter(lit(1.0) +
         least(col("sz_a") - col("rk_a"), col("sz_b") - col("rk_b"))
           .cast("double") >=
-        lit(threshold / (1.0 + threshold)) * (col("sz_a") + col("sz_b")))
+        lit(threshold / (1.0 + threshold)) * (col("sz_a") + col("sz_b")) -
+          lit(FilterEps))
       .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     val built = candidates
@@ -961,12 +978,13 @@ object Dedup {
     val byRarity = Window.partitionBy(col("id")).orderBy(col("df"), col("h"))
     val prefixA = el.join(dfreq, "h")
       .withColumn("rk", row_number().over(byRarity))
-      .filter(col("rk") <= col("sz") - ceil(lit(c) * col("sz")) + lit(1))
+      .filter(col("rk") <=
+        col("sz") - ceil(lit(c) * col("sz") - lit(FilterEps)) + lit(1))
       .select(col("h"), col("id").as("doc_a"), col("sz").as("sz_a"))
     val allB = el.select(col("h"), col("id").as("doc_b"), col("sz").as("sz_b"))
     val candidates = prefixA.join(allB, Seq("h"))
       .filter(col("doc_a") =!= col("doc_b"))
-      .filter(col("sz_b").cast("double") >= lit(c) * col("sz_a"))
+      .filter(col("sz_b").cast("double") >= lit(c) * col("sz_a") - lit(FilterEps))
       .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     val built = candidates

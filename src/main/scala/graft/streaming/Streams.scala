@@ -961,7 +961,7 @@ object Streams {
           .as[QsInput]
           .groupByKey(_.event_type)
           .transformWithState(
-            new QuantileSampleProcessor(256, Seq(0.25, 0.5, 0.75, 0.9)),
+            new QuantileSampleProcessor(k, Seq(0.25, 0.5, 0.75, 0.9)),
             org.apache.spark.sql.streaming.TimeMode.None(),
             org.apache.spark.sql.streaming.OutputMode.Update())
           .toDF(),
