@@ -245,7 +245,11 @@ object SparkEntry {
     // unchanged; ids+rank output
     "e04_knn_ivf"            -> ((s: SparkSession, dir: String) =>
       Similarity.knnIvfPortable(s, dir)),
-    "e06_knn_ivf_kmeans"     -> (Similarity.knnIvfKmeans _),
+    // e06: trained IVF with the Lloyd iterations in fixed-point
+    // INTEGER arithmetic — the whole train→assign→probe→re-rank
+    // pipeline hash-checks against an unrolled DuckDB CTE chain; the
+    // float MLlib kernel stays as the spec'd scale path
+    "e06_knn_ivf_kmeans"     -> (Similarity.knnIvfKmeansFixedPoint _),
     "e07_knn_pq"             -> (Similarity.knnPq _),
     // e09: scalar int8 quantization (SQ8) — closed-form quantizer +
     // all-integer shortlist scores make this the one ANN index whose
@@ -265,7 +269,11 @@ object SparkEntry {
     // append of the delta with frozen centroids, query from the LOADED
     // index (rows-only: k-means centroids are engine-specific; the
     // loaded≡fresh equality anchor lives in SimilaritySpec)
-    "e13_knn_persisted"      -> (Similarity.knnPersisted _),
+    // e13 is the fixed-point persisted cycle (build on base slice,
+    // frozen-centroid append, query the LOADED index) — hash-checked
+    // against the e06 CTE chain with base-restricted training; the
+    // float-MLlib persisted path stays spec'd and feeds s13
+    "e13_knn_persisted"      -> (Similarity.knnPersistedFixedPoint _),
     "e05_cosine_range"       -> (Similarity.knnRange _),
     // e15: IVF+PQ composite (coarse cells bound rows touched, PQ codes
     // bound per-row cost — the FAISS-IVFPQ shape; rows-only: k-means +
@@ -278,8 +286,10 @@ object SparkEntry {
     "e16_knn_filtered_ivf"   -> (Similarity.knnFilteredIvf _),
     // e08: in-gate ANN quality audit — recall of every approximate
     // index vs the e01 exact ranks (rows-only; values are seeded but
-    // hash-dependent). A recall collapse now reds the gate, not just
-    // the test suite.
+    // hash-dependent). The output contains ONLY methods at-or-above
+    // their recallFloors floor, so spark_rows == |floors| ENCODES the
+    // quality bar: a collapsed index drops its row and the driver's
+    // rows-only check moves — gate-visible, not just spec-visible.
     "e08_recall_audit"       -> (Similarity.recallAudit _),
     // — ingestion layer (SURVEY §2.1 S1-S5/S7/S9/S12, §3 E1): the
     //   production DSv2 + java.net.http path against an in-process
@@ -797,6 +807,17 @@ object SparkEntry {
           | FROM cand c JOIN embeddings qe ON qe.vec_id = c.query_id
           |             JOIN embeddings ne ON ne.vec_id = c.neighbor_id)
           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+      // e06: fixed-point integer Lloyd — md5-ordered seeds, 4 unrolled
+      // assign/update iterations in pure integer arithmetic (truncating
+      // division), frozen-centroid assignment + 4-cell probe, exact
+      // cosine re-rank. Generated by ivfKmeansOracleSql so the SQL and
+      // the Spark kernel share one set of constants.
+      "e06_knn_ivf_kmeans" -> Similarity.ivfKmeansOracleSql(),
+      // e13: the same chain with training restricted to the base
+      // slice — final assignment covers base + delta with the frozen
+      // centroids, which IS the append semantics
+      "e13_knn_persisted" -> Similarity.ivfKmeansOracleSql(
+        trainMax = Similarity.indexBaseSplit),
       // d06: the identical md5-derived ±1 sign table (i is 1-based,
       // matching the kernel's "b-j-i" key), signed sequential double
       // sums for the sign bits, bucket self-join, cosine-threshold
@@ -1847,16 +1868,17 @@ object SparkEntry {
           | c_mktsegment AS romeCode,
           | 'R' || CAST(c_custkey % 3 AS VARCHAR) AS region,
           | 'R' || CAST(c_custkey % 3 AS VARCHAR) || 'D' || CAST(c_custkey % 2 AS VARCHAR) AS departement
-          |FROM customer ORDER BY id""".stripMargin,
+          |FROM customer WHERE c_custkey <= 5000 ORDER BY id""".stripMargin,
       // i02: integer-exact run invariants — every 50th customer is
       // served id-less and must surface as a dead-letter row, and the
       // ledger must balance (accounted = 1)
       "i02_ingest_reconciliation" ->
         """SELECT 'collected' AS metric, count(*) AS value
-          | FROM customer WHERE c_custkey % 50 <> 0
+          | FROM customer WHERE c_custkey % 50 <> 0 AND c_custkey <= 5000
           |UNION ALL SELECT 'dead_letter', count(*)
-          | FROM customer WHERE c_custkey % 50 = 0
+          | FROM customer WHERE c_custkey % 50 = 0 AND c_custkey <= 5000
           |UNION ALL SELECT 'expected', count(*) FROM customer
+          | WHERE c_custkey <= 5000
           |UNION ALL SELECT 'accounted', CAST(1 AS BIGINT)
           |ORDER BY metric""".stripMargin,
       // i03: the P6 zero-result guard — a pushed region predicate no
@@ -2264,7 +2286,7 @@ object SparkEntry {
           |), s AS (
           | SELECT * FROM (
           |  SELECT *, row_number() OVER (PARTITION BY event_type
-          |                               ORDER BY hk) AS rn FROM h)
+          |                               ORDER BY hk, event_id) AS rn FROM h)
           | WHERE rn <= 256
           |), r AS (
           | SELECT event_type, v,

@@ -365,6 +365,92 @@ object VectorFns {
     GraftColumnBridge.column(CentroidCosines(
       GraftColumnBridge.expression(v), centroids.map(_.toSeq).toSeq))
 
+  // — FIXED-POINT integer kernels (the e06 trained-IVF oracle path):
+  //   quantize float components to floor(x * 2^20) longs, then run
+  //   every Lloyd-training comparison and update in INTEGER arithmetic.
+  //   Integer sums are associative — partition order cannot perturb
+  //   them — and truncating long division matches DuckDB's `//`
+  //   exactly, so the TRAINED index (not just its query pass) is
+  //   bit-reproducible in another engine. Scale 2^20: a float widened
+  //   to double then multiplied by a power of two is exact, and
+  //   floor() agrees in both engines on exact doubles. —
+
+  /** floor(x · scale) per component, array<float> → array<long>. */
+  def quantizeFixedPointEval(v: ArrayData, scale: Long): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = math.floor(v.getFloat(i).toDouble * scale).toLong
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  case class QuantizeFixedPoint(child: Expression, scale: Long)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "quantize_fixed_point"
+    override def nullSafeEval(input: Any): Any =
+      quantizeFixedPointEval(input.asInstanceOf[ArrayData], scale)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.VectorFns.quantizeFixedPointEval($c, ${scale}L)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def quantizeFixedPoint(v: Column, scale: Long): Column =
+    GraftColumnBridge.column(QuantizeFixedPoint(
+      GraftColumnBridge.expression(v), scale))
+
+  /** Squared euclidean distance to EVERY centroid in one fused pass,
+    * array<long> × long[][] → array<long>. All-integer: diffs ≤ 2·2^20
+    * per component, squares ≤ 2^42, 64-dim sums ≤ 2^48 — exact in
+    * long, no overflow headroom concerns below ~2^21 dims.
+    */
+  def centroidSqDistsI64Eval(v: ArrayData, cents: Array[Array[Long]]): ArrayData = {
+    val out = new Array[Long](cents.length)
+    var c = 0
+    while (c < cents.length) {
+      val cen = cents(c)
+      val n = math.min(v.numElements(), cen.length)
+      var s = 0L
+      var i = 0
+      while (i < n) {
+        val d = v.getLong(i) - cen(i)
+        s += d * d
+        i += 1
+      }
+      out(c) = s
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  case class CentroidSqDistsI64(child: Expression, centroids: Seq[Seq[Long]])
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "centroid_sq_dists_i64"
+    @transient private lazy val centroidsArr: Array[Array[Long]] =
+      centroids.map(_.toArray).toArray
+    override def nullSafeEval(input: Any): Any =
+      centroidSqDistsI64Eval(input.asInstanceOf[ArrayData], centroidsArr)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("centroids", centroidsArr, "long[][]")
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.VectorFns.centroidSqDistsI64Eval($c, $ref)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def centroidSqDistsI64(v: Column, centroids: Array[Array[Long]]): Column =
+    GraftColumnBridge.column(CentroidSqDistsI64(
+      GraftColumnBridge.expression(v), centroids.map(_.toSeq).toSeq))
+
   // — ENGINE-PORTABLE hyperplane LSH (the d06 gate): Rademacher (±1)
   //   hyperplanes derived from md5 — sign(b,j,i) = +1 iff the low bit
   //   of md5Gram60("b-j-i") is set — instead of a seeded Gaussian RNG

@@ -314,7 +314,11 @@ object DataQuality {
       col("event_type"), col("event_id"), d182(col("value")).as("v"),
       expr("cast(conv(substr(md5(cast(cast(event_id as string) as binary)), 1, 15), 16, 10) as bigint)")
         .as("hk"))
-    val byHash = Window.partitionBy(col("event_type")).orderBy(col("hk"))
+    // tie-break by event_id: a 60-bit hash tie at the k boundary must
+    // pick the same row in both engines AND in s18's state merge,
+    // which orders by (hk, event_id)
+    val byHash = Window.partitionBy(col("event_type"))
+      .orderBy(col("hk"), col("event_id"))
     val sample = ev.withColumn("rn", row_number().over(byHash))
       .filter(col("rn") <= k)
     val byVal = Window.partitionBy(col("event_type"))

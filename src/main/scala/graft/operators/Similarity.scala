@@ -325,6 +325,277 @@ object Similarity {
     kmeansIvfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
   }
 
+  // — e06 (registered gate): trained IVF whose TRAINING is itself
+  //   engine-portable — Lloyd's algorithm in FIXED-POINT INTEGER
+  //   arithmetic. Components quantize to floor(x·2^20) longs; every
+  //   assignment compares integer squared distances (first-min tie
+  //   rule = smallest cell id); every centroid update is an integer
+  //   sum divided by the member count with truncating division (Scala
+  //   Long `/` ≡ DuckDB `//`). Integer sums are order-independent, so
+  //   partition scheduling cannot perturb the trained index — which is
+  //   what lets a DuckDB CTE chain reproduce the WHOLE pipeline
+  //   (train → assign → probe → exact-cosine re-rank) bit-for-bit,
+  //   converting the one family that was rows-only "because k-means"
+  //   into a hash-checked gate. The float MLlib kernel
+  //   ([[kmeansIvfTopK]]) stays as the spec'd scale path; recall of
+  //   the registered path is audited in e08.
+  //
+  //   Scale shape: training runs `iters` bounded jobs over the train
+  //   set — cell assignment is one fused codegen'd expression pass
+  //   (centroids ride in as literals), the update one map-side-
+  //   combinable groupBy(cell, dim) collecting only nCells·dim longs
+  //   to the driver. At 100 TB the train set is the md5-smallest-M
+  //   rows (the q84 bounded-top-k trick — still deterministic, still
+  //   oracle-reproducible); the full-corpus pass is assignment only,
+  //   exactly like the MLlib path. —
+
+  /** 2^20: float→double widening then a power-of-two multiply is
+    * exact, and floor agrees across engines on exact doubles.
+    */
+  val fixedPointScale = 1048576L
+  val ivfKmeansCells = 16
+  val ivfKmeansProbe = 4
+  val ivfKmeansIters = 4
+
+  private def quantized(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(col(idCol), col(vecCol),
+      VectorFns.quantizeFixedPoint(col(vecCol), fixedPointScale).as("qv"))
+
+  /** argmin-distance cell id (1-based; ties → smallest id, the
+    * first-position rule both engines share) over a `dists` column.
+    */
+  private def argminCell: Column =
+    expr("array_position(dists, array_min(dists))").cast("int")
+
+  /** Fixed-point integer Lloyd: seeds = the md5-60-bit-smallest
+    * `nCells` vectors (e04's portable seed order), then `iters` rounds
+    * of integer assign/update. Empty cells keep their previous
+    * centroid. Returns the trained centroids as plain long arrays —
+    * they inline into codegen downstream exactly like the float paths.
+    */
+  private[graft] def trainCentroidsFixedPoint(qemb: DataFrame, idCol: String,
+                                              nCells: Int, iters: Int): Array[Array[Long]] = {
+    val seeds = qemb
+      .orderBy(expr(s"cast(conv(substr(md5(cast(cast($idCol as string) as binary)), 1, 15), 16, 10) as bigint)"),
+        col(idCol))
+      .limit(nCells)
+      .select(col("qv"))
+      .collect()
+      .map(_.getSeq[Long](0).toArray)
+    var cents = seeds
+    var it = 0
+    while (it < iters) {
+      // one fused assignment pass + one map-side-combined integer-sum
+      // aggregation; only nCells·dim (cell, dim, sum, count) rows
+      // reach the driver per round
+      val sums = qemb
+        .withColumn("dists", VectorFns.centroidSqDistsI64(col("qv"), cents))
+        .withColumn("cell", argminCell)
+        .select(col("cell"), posexplode(col("qv")).as(Seq("pos", "qd")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("qd")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone)
+      sums.foreach { r =>
+        next(r.getInt(0) - 1)(r.getInt(1)) = r.getLong(2) / r.getLong(3)
+      }
+      cents = next
+      it += 1
+    }
+    cents
+  }
+
+  /** Frozen-centroid INTEGER cell assignment →
+    * (neighbor_id, c_vec, cell) — the fixed-point analog of
+    * [[assignCells]]; shared by the in-memory e06 path and the
+    * persisted e13 build/append (assignment is a pure per-row function
+    * of the centroids, so increment ≡ rebuild by construction).
+    */
+  private def assignCellsFixedPoint(df: DataFrame, idCol: String, vecCol: String,
+                                    cents: Array[Array[Long]]): DataFrame =
+    quantized(df, idCol, vecCol)
+      .withColumn("dists", VectorFns.centroidSqDistsI64(col("qv"), cents))
+      .withColumn("cell", argminCell)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), col("cell"))
+
+  /** Multi-probe + exact-cosine re-rank over an already-assigned
+    * corpus, probing by INTEGER distance (ASC, cell ASC) — the
+    * fixed-point analog of [[probeAssigned]].
+    */
+  private def probeAssignedFixedPoint(assigned: DataFrame, queries: DataFrame,
+                                      idCol: String, vecCol: String, k: Int,
+                                      cents: Array[Array[Long]],
+                                      nProbe: Int): DataFrame = {
+    val probes = quantized(queries, idCol, vecCol)
+      .withColumn("dists", VectorFns.centroidSqDistsI64(col("qv"), cents))
+      // probe order (distance ASC, cell id ASC): the struct sort is
+      // lexicographic, mirroring the oracle's ORDER BY dist, cn
+      .withColumn("ranked", expr(
+        "transform(array_sort(zip_with(dists, sequence(1, size(dists)), (s, i) -> struct(s AS d, i AS idx))), p -> p.idx)"))
+      .withColumn("cell", explode(expr(s"slice(ranked, 1, $nProbe)")))
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"), col("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", VectorFns.cosineSim(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** IVF top-k with fixed-point-Lloyd-trained centroids: integer cell
+    * assignment and probe selection, exact double-cosine re-rank (the
+    * e01/e04 convention the oracle reproduces).
+    */
+  def kmeansIvfTopKFixedPoint(corpus: DataFrame, queries: DataFrame,
+                              idCol: String, vecCol: String, k: Int,
+                              nCells: Int = ivfKmeansCells,
+                              nProbe: Int = ivfKmeansProbe,
+                              iters: Int = ivfKmeansIters,
+                              trainOn: Option[DataFrame] = None): DataFrame = {
+    val trainSet = quantized(trainOn.getOrElse(corpus), idCol, vecCol).persist()
+    val cents = trainCentroidsFixedPoint(trainSet, idCol, nCells, iters)
+    trainSet.unpersist()
+    // frozen-centroid index over a FRESH plan: the returned query must
+    // not reference the (now released) training cache
+    probeAssignedFixedPoint(
+      assignCellsFixedPoint(corpus, idCol, vecCol, cents),
+      queries, idCol, vecCol, k, cents, nProbe)
+  }
+
+  /** The registered e06 gate: fixed-point trained IVF, top-5 for the
+    * first 10 vectors.
+    */
+  def knnIvfKmeansFixedPoint(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    kmeansIvfTopKFixedPoint(emb, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5)
+  }
+
+  // — e13 (registered gate): the PERSISTED index cycle with the SAME
+  //   fixed-point training — build trains integer-Lloyd centroids on
+  //   the BASE slice and writes the frozen index (qcentroids +
+  //   assignments) to parquet, append assigns the delta with the
+  //   frozen centroids (increment ≡ rebuild: assignment is a pure
+  //   per-row function of the centroids), query loads and probes.
+  //   Because every stored artifact is integer-derived, the WHOLE
+  //   build→append→load→query cycle hash-checks against the e06 CTE
+  //   chain restricted to base-slice training — the float-MLlib
+  //   persisted path ([[knnPersisted]]) stays as the spec'd scale
+  //   path, and s13's streaming maintenance keeps exercising it. —
+
+  def buildIvfIndexFixedPoint(corpus: DataFrame, idCol: String, vecCol: String,
+                              indexDir: String, nCells: Int = ivfKmeansCells,
+                              iters: Int = ivfKmeansIters): Unit = {
+    val spark = corpus.sparkSession
+    val trainSet = quantized(corpus, idCol, vecCol).persist()
+    val cents = trainCentroidsFixedPoint(trainSet, idCol, nCells, iters)
+    trainSet.unpersist()
+    import spark.implicits._
+    cents.zipWithIndex.toSeq
+      .map { case (c, i) => (i + 1, c.toSeq) }
+      .toDF("cell", "qcentroid")
+      .coalesce(1) // nCells rows — one tiny footer
+      .write.mode("overwrite").parquet(s"$indexDir/qcentroids")
+    assignCellsFixedPoint(corpus, idCol, vecCol, cents)
+      .write.mode("overwrite").parquet(s"$indexDir/assignments")
+  }
+
+  def appendIvfIndexFixedPoint(rows: DataFrame, idCol: String, vecCol: String,
+                               indexDir: String): Unit =
+    assignCellsFixedPoint(rows, idCol, vecCol,
+      loadQCentroids(rows.sparkSession, indexDir))
+      .write.mode("append").parquet(s"$indexDir/assignments")
+
+  private[graft] def loadQCentroids(spark: SparkSession,
+                                    indexDir: String): Array[Array[Long]] =
+    spark.read.parquet(s"$indexDir/qcentroids")
+      .collect()
+      .sortBy(_.getInt(0))
+      .map(_.getSeq[Long](1).toArray)
+
+  def queryIvfIndexFixedPoint(spark: SparkSession, indexDir: String,
+                              queries: DataFrame, idCol: String, vecCol: String,
+                              k: Int, nProbe: Int = ivfKmeansProbe): DataFrame = {
+    val cents = loadQCentroids(spark, indexDir)
+    probeAssignedFixedPoint(spark.read.parquet(s"$indexDir/assignments"),
+      queries, idCol, vecCol, k, cents, nProbe)
+  }
+
+  /** The registered e13 gate: build on base, append delta, query the
+    * LOADED index.
+    */
+  def knnPersistedFixedPoint(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val idxDir = graft.util.Scratch.dir(spark, "e13fp_idx", dir).toString
+    buildIvfIndexFixedPoint(emb.filter(col("vec_id") < indexBaseSplit),
+      "vec_id", "embedding", idxDir)
+    appendIvfIndexFixedPoint(emb.filter(col("vec_id") >= indexBaseSplit),
+      "vec_id", "embedding", idxDir)
+    queryIvfIndexFixedPoint(spark, idxDir, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5)
+  }
+
+  /** DuckDB CTE chain reproducing [[knnIvfKmeansFixedPoint]] — the
+    * Lloyd iterations unrolled (the q82 PageRank pattern), long-form
+    * (vec_id, dim, component) relational algebra instead of array
+    * kernels, every arithmetic step integer-identical to the Spark
+    * expressions (`//` ≡ Long `/`: both truncate toward zero).
+    */
+  def ivfKmeansOracleSql(dim: Int = 64, nCells: Int = ivfKmeansCells,
+                         nProbe: Int = ivfKmeansProbe, k: Int = 5,
+                         iters: Int = ivfKmeansIters,
+                         trainMax: Long = -1L): String = {
+    // trainMax >= 0 restricts SEED SELECTION and the Lloyd iterations
+    // to vec_id < trainMax (the e13 persisted-index base slice); the
+    // final assignment/probe stages always cover the full corpus —
+    // exactly the frozen-centroid append semantics
+    val trainPred = if (trainMax >= 0) s" WHERE q.vec_id < $trainMax" else ""
+    val seedPred = if (trainMax >= 0) s" WHERE vec_id < $trainMax" else ""
+    def assignSql(cTab: String, extra: String): String =
+      s"SELECT q.vec_id, c.cn, row_number() OVER (PARTITION BY q.vec_id\n" +
+      s"    ORDER BY sum((q.qd - c.cd)*(q.qd - c.cd)), c.cn) AS r\n" +
+      s"  FROM q JOIN $cTab c ON q.d = c.d$extra GROUP BY q.vec_id, c.cn"
+    val iterBlocks = (1 to iters).map { i =>
+      s"a$i AS (\n" +
+      s" SELECT vec_id, cn AS cell FROM (\n" +
+      s"  ${assignSql(s"c${i - 1}", trainPred)}) WHERE r = 1),\n" +
+      s"u$i AS (\n" +
+      s" SELECT a.cell AS cn, q.d, CAST(sum(q.qd) AS BIGINT) // count(*) AS cd\n" +
+      s" FROM a$i a JOIN q ON q.vec_id = a.vec_id GROUP BY a.cell, q.d),\n" +
+      s"c$i AS (\n" +
+      s" SELECT c.cn, c.d, coalesce(u.cd, c.cd) AS cd\n" +
+      s" FROM c${i - 1} c LEFT JOIN u$i u ON u.cn = c.cn AND u.d = c.d),"
+    }.mkString("\n")
+    s"WITH q AS (\n" +
+    s" SELECT e.vec_id, d, CAST(floor(CAST(e.embedding[d] AS DOUBLE) * $fixedPointScale) AS BIGINT) AS qd\n" +
+    s" FROM embeddings e, range(1, ${dim + 1}) t(d)),\n" +
+    s"seed AS (\n" +
+    s" SELECT vec_id AS cid, row_number() OVER (ORDER BY h, vec_id) AS cn FROM (\n" +
+    s"  SELECT vec_id, ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h\n" +
+    s"  FROM embeddings$seedPred)),\n" +
+    s"c0 AS (SELECT s.cn, q.d, q.qd AS cd FROM seed s JOIN q ON q.vec_id = s.cid WHERE s.cn <= $nCells),\n" +
+    s"$iterBlocks\n" +
+    s"asg AS (\n" +
+    s" SELECT vec_id AS neighbor_id, cn AS cell FROM (\n" +
+    s"  ${assignSql(s"c$iters", "")}) WHERE r = 1),\n" +
+    s"probes AS (\n" +
+    s" SELECT vec_id AS query_id, cn AS cell FROM (\n" +
+    s"  ${assignSql(s"c$iters", " WHERE q.vec_id < 10")}) WHERE r <= $nProbe),\n" +
+    s"cand AS (\n" +
+    s" SELECT p.query_id, a.neighbor_id FROM probes p JOIN asg a ON a.cell = p.cell\n" +
+    s" WHERE a.neighbor_id <> p.query_id)\n" +
+    s"SELECT query_id, rank, neighbor_id FROM (\n" +
+    s" SELECT c.query_id, c.neighbor_id,\n" +
+    s"  row_number() OVER (PARTITION BY c.query_id\n" +
+    s"    ORDER BY list_cosine_similarity(qe.embedding, ne.embedding) DESC, c.neighbor_id) AS rank\n" +
+    s" FROM cand c JOIN embeddings qe ON qe.vec_id = c.query_id\n" +
+    s"             JOIN embeddings ne ON ne.vec_id = c.neighbor_id)\n" +
+    s"WHERE rank <= $k ORDER BY query_id, rank"
+  }
+
   /** e13 split rule (closed-form, spec-mirrored): base = vec_id <
     * [[indexBaseSplit]], delta = the rest — one constant so the gate,
     * the spec, and any future oracle cannot drift apart (the d21
@@ -935,6 +1206,24 @@ object Similarity {
     * gate now fails loudly if any index's recall collapses — without
     * this, only `sbt test` would notice a quality regression.
     */
+  /** Per-method recall floors (recall_x100) for [[recallAudit]]. A
+    * method whose audited recall falls BELOW its floor is excluded
+    * from the gate output entirely, so the driver's rows-only check
+    * sees a row-count change — index-quality collapse is gate-visible,
+    * not just `sbt test`-visible (SimilaritySpec additionally pins the
+    * row count to exactly recallFloors.size). Floors are deliberately
+    * loose versus observed fixture values (e09 sits at ~100, the
+    * banded/quantized paths 60-100): they catch collapse, not drift.
+    */
+  val recallFloors: Seq[(String, Long)] = Seq(
+    "e02_knn_lsh" -> 40L,
+    "e04_knn_ivf" -> 40L,
+    "e06_knn_ivf_kmeans" -> 40L,
+    "e07_knn_pq" -> 40L,
+    "e09_knn_int8" -> 80L,
+    "e15_knn_ivf_pq" -> 40L,
+    "e16_knn_filtered_ivf" -> 40L)
+
   def recallAudit(spark: SparkSession, dir: String): DataFrame = {
     // small (|queries|·k rows); checkpoint so the exact ranks compute
     // once, not once per audited method
@@ -947,7 +1236,9 @@ object Similarity {
       // kernel is spec'd separately in SimilaritySpec
       "e02_knn_lsh" -> (knnLshPortable _),
       "e04_knn_ivf" -> ((sp: SparkSession, d: String) => knnIvfPortable(sp, d)),
-      "e06_knn_ivf_kmeans" -> (knnIvfKmeans _),
+      // the REGISTERED fixed-point gate; the float MLlib kernel's
+      // recall is pinned separately in SimilaritySpec
+      "e06_knn_ivf_kmeans" -> (knnIvfKmeansFixedPoint _),
       "e07_knn_pq" -> (knnPq _),
       "e09_knn_int8" -> (knnInt8 _),
       "e15_knn_ivf_pq" -> (knnIvfPq _))
@@ -959,17 +1250,26 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"))
       .localCheckpoint(true)
     val filteredTotal = filteredExact.count()
+    // zero-guarded: an empty exact baseline reads as recall 0 (the
+    // method then fails its floor and drops from the gate row set —
+    // a loud, visible collapse) rather than ArithmeticException
+    def recallPct(hits: Long, denom: Long): Long =
+      if (denom == 0L) 0L else hits * 100L / denom
     val rows = methods.map { case (name, fn) =>
       val approx = fn(spark, dir).select(col("query_id"), col("neighbor_id"))
       val hits = exact.join(approx, Seq("query_id", "neighbor_id")).count()
-      (name, hits * 100L / total)
+      (name, recallPct(hits, total))
     } :+ {
       val approx = knnFilteredIvf(spark, dir)
         .select(col("query_id"), col("neighbor_id"))
       val hits = filteredExact.join(approx, Seq("query_id", "neighbor_id")).count()
-      ("e16_knn_filtered_ivf", hits * 100L / filteredTotal)
+      ("e16_knn_filtered_ivf", recallPct(hits, filteredTotal))
     }
-    rows.toDF("method", "recall_x100").orderBy(col("method"))
+    val floors = recallFloors.toMap
+    rows.map { case (name, r) => (name, r, floors(name)) }
+      .filter { case (_, r, floor) => r >= floor }
+      .toDF("method", "recall_x100", "floor")
+      .orderBy(col("method"))
   }
 
   /** e14: HYBRID retrieval — BM25 text shortlist fused with an exact

@@ -85,4 +85,36 @@ class VectorFnsSpec extends SparkSpec {
     val viaSpark = df.limit(1).select(VectorFns.cosineSim($"a", $"b")).as[Double].head()
     assert(math.abs(interpreted - viaSpark) < 1e-15)
   }
+
+  test("fixed-point quantize: floor(x * 2^20) exactly, codegen = HOF reference") {
+    val scale = 1048576L
+    val got = df.select(VectorFns.quantizeFixedPoint($"a", scale).as("q"),
+        transform($"a", x => floor(x.cast("double") * scale).cast("long")).as("ref"))
+      .filter(not($"q" <=> $"ref")).count()
+    assert(got == 0)
+    // and against driver-side math.floor on the same floats
+    val rows = df.select($"a", VectorFns.quantizeFixedPoint($"a", scale).as("q"))
+      .as[(Seq[Float], Seq[Long])].collect()
+    rows.foreach { case (a, q) =>
+      assert(q == a.map(x => math.floor(x.toDouble * scale).toLong))
+    }
+  }
+
+  test("integer centroid sq-dists: codegen kernel = driver loop, first-min stable") {
+    val scale = 1048576L
+    val cents: Array[Array[Long]] = Array(
+      Array.fill(16)(0L),
+      Array.tabulate(16)(i => (i.toLong - 8) * 1000),
+      Array.fill(16)(250000L))
+    val rows = df
+      .select($"a", VectorFns.centroidSqDistsI64(
+        VectorFns.quantizeFixedPoint($"a", scale), cents).as("d"))
+      .as[(Seq[Float], Seq[Long])].collect()
+    rows.foreach { case (a, d) =>
+      val q = a.map(x => math.floor(x.toDouble * scale).toLong)
+      val exp = cents.map(c => q.zip(c).map { case (x, y) =>
+        (x - y) * (x - y) }.sum).toSeq
+      assert(d == exp)
+    }
+  }
 }

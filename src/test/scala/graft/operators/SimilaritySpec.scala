@@ -30,14 +30,18 @@ class SimilaritySpec extends SparkSpec {
     assert(got == exp)
   }
 
-  test("e08 recall audit: one row per method, every recall >= 40") {
+  test("e08 recall audit: EVERY floored method present (count is the gate signal)") {
     val rows = Similarity.recallAudit(spark, sf)
-      .as[(String, Long)].collect().toMap
-    assert(rows.keySet == Set("e02_knn_lsh", "e04_knn_ivf",
-      "e06_knn_ivf_kmeans", "e07_knn_pq", "e09_knn_int8", "e15_knn_ivf_pq",
-      "e16_knn_filtered_ivf"))
-    rows.foreach { case (m, r) =>
-      assert(r >= 40L && r <= 100L, s"$m recall_x100=$r")
+      .as[(String, Long, Long)].collect().toSeq
+    // the audit emits ONLY methods at-or-above their floor, so this
+    // count pin is the collapse detector: one degraded index => one
+    // missing row => this assert AND the driver's spark_rows both move
+    assert(rows.size == Similarity.recallFloors.size,
+      s"methods below floor: ${
+        Similarity.recallFloors.map(_._1).toSet -- rows.map(_._1).toSet}")
+    assert(rows.map(_._1).toSet == Similarity.recallFloors.map(_._1).toSet)
+    rows.foreach { case (m, r, floor) =>
+      assert(r >= floor && r <= 100L, s"$m recall_x100=$r floor=$floor")
     }
   }
 
@@ -439,5 +443,102 @@ class SimilaritySpec extends SparkSpec {
     assert(got == want)
     // a doc on BOTH shortlists must outrank a same-rank single-leg doc
     assert(got.head._4 >= got.last._4)
+  }
+
+  test("fixed-point trained IVF (e06): matches a driver-side integer Lloyd reference") {
+    val emb = Tables.embeddings(spark, sf)
+    val got = Similarity.knnIvfKmeansFixedPoint(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+
+    // independent reference: the same kernel in plain Scala over
+    // collected arrays — md5 seed order, integer assign (first-min
+    // ties), truncating-division updates, integer probe order, double
+    // cosine re-rank. Agreement here plus the DuckDB hash gate pins
+    // the distributed path from two directions.
+    val all = emb.select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+    val ids = all.map(_._1)
+    val vs = all.map(_._2.toArray)
+    val qv = vs.map(_.map(x =>
+      math.floor(x.toDouble * Similarity.fixedPointScale).toLong))
+    def md5h(id: Long): BigInt = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      BigInt(1, d).>>(68) // top 60 bits = first 15 hex chars
+    }
+    val nc = Similarity.ivfKmeansCells
+    val seedIdx = ids.indices.sortBy(i => (md5h(ids(i)), ids(i))).take(nc)
+    var cents = seedIdx.map(i => qv(i).clone()).toArray
+    def sqd(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    def cell(v: Array[Long]): Int = {
+      var best = 0; var bd = Long.MaxValue; var c = 0
+      while (c < nc) {
+        val d = sqd(v, cents(c)); if (d < bd) { bd = d; best = c }; c += 1
+      }
+      best
+    }
+    for (_ <- 1 to Similarity.ivfKmeansIters) {
+      val asg = qv.map(cell)
+      val next = cents.map(_.clone)
+      for (c <- 0 until nc) {
+        val members = qv.indices.filter(asg(_) == c)
+        if (members.nonEmpty) {
+          next(c) = Array.tabulate(qv(0).length)(d =>
+            members.map(qv(_)(d)).sum / members.length)
+        }
+      }
+      cents = next
+    }
+    val asg = qv.map(cell)
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      graft.functions.VectorFns.cosineScalar(a, b)
+    val exp = ids.indices.filter(ids(_) < 10).flatMap { qi =>
+      val dists = cents.indices.map(c => (sqd(qv(qi), cents(c)), c))
+      val probed = dists.sorted.take(Similarity.ivfKmeansProbe).map(_._2).toSet
+      val cand = ids.indices
+        .filter(j => probed.contains(asg(j)) && ids(j) != ids(qi))
+      cand.map(j => (ids(j), cos(vs(qi), vs(j))))
+        .sortBy { case (nid, c) => (-c, nid) }
+        .take(5).zipWithIndex
+        .map { case ((nid, _), r) => (ids(qi), (r + 1).toLong, nid) }
+    }.sortBy(t => (t._1, t._2))
+    assert(got == exp)
+  }
+
+  test("fixed-point trained IVF (e06): deterministic and >=40% recall vs brute force") {
+    val brute = Similarity.knnBruteForce(spark, sf)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val a = Similarity.knnIvfKmeansFixedPoint(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    val b = Similarity.knnIvfKmeansFixedPoint(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(a == b, "fixed-point training must be run-to-run deterministic")
+    val approx = a.map(t => (t._1, t._3)).toSet
+    val recall = brute.intersect(approx).size.toDouble / brute.size
+    assert(recall >= 0.4, s"recall=$recall")
+  }
+
+  test("e13 fixed-point persisted: build+append+load == fresh in-memory, base-trained") {
+    val got = Similarity.knnPersistedFixedPoint(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    // fresh in-memory run with the SAME training slice: if the stored
+    // qcentroids/assignments round-trip loses a bit anywhere, the two
+    // paths diverge — this is a strict equality, not a recall bound
+    val emb = Tables.embeddings(spark, sf)
+    val fresh = Similarity.kmeansIvfTopKFixedPoint(
+      emb, emb.filter($"vec_id" < 10), "vec_id", "embedding", k = 5,
+      trainOn = Some(emb.filter($"vec_id" < Similarity.indexBaseSplit)))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == fresh)
+    // quality floor vs exact, so the base-trained cells stay usable
+    val brute = Similarity.knnBruteForce(spark, sf)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = got.map(t => (t._1, t._3)).toSet
+    val recall = brute.intersect(approx).size.toDouble / brute.size
+    assert(recall >= 0.4, s"recall=$recall")
   }
 }
