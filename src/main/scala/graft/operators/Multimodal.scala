@@ -789,6 +789,81 @@ object Multimodal {
       "media_id", "feature", k)
   }
 
+
+  // — golden DECODE digests (gate-visible byte pinning). The media
+  //   gates are rows-only (DuckDB cannot decode PNG/WAV/AVI), so a
+  //   codec regression that PRESERVED cardinality would previously
+  //   pass the driver check. Every media gate now carries a digest of
+  //   the decoded pixels/samples/frames — per row where a row is one
+  //   media item, as a constant corpus_digest column on pair-shaped
+  //   outputs — and `MultimodalSpec` pins the fixture values as
+  //   literals, so byte drift fails the spec AND (for corpus digests)
+  //   flips a gate-visible column value. —
+
+  /** FNV-1a-64 fold of one int. */
+  @inline private def fnv(h: Long, v: Int): Long =
+    (h ^ (v & 0xFFFFFFFFL)) * 0x100000001b3L
+
+  /** Digest of the DECODED content of one payload: image = dims +
+    * every ARGB pixel; audio = every 16-bit PCM sample; video = dims +
+    * every pixel of every MJPEG frame. Decode drift of a single pixel,
+    * sample, or frame moves the value.
+    */
+  private[operators] def decodeDigest64(kind: String, payload: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    def foldImage(img: java.awt.image.BufferedImage): Unit = {
+      h = fnv(h, img.getWidth); h = fnv(h, img.getHeight)
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) { h = fnv(h, img.getRGB(x, y)); x += 1 }
+        y += 1
+      }
+    }
+    kind match {
+      case "image" =>
+        foldImage(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload)))
+      case "audio" =>
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val bytes = in.readAllBytes()
+        in.close()
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        var i = 0
+        while (i + 1 < bytes.length) { h = fnv(h, bb.getShort(i)); i += 2 }
+      case _ =>
+        aviMjpegFrames(payload).foreach { fr =>
+          foldImage(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(fr)))
+        }
+    }
+    h
+  }
+
+  /** (media_id, digest) per item — distributed, one decode pass. */
+  private def decodeDigests(media: DataFrame): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select(col("media_id"), col("kind"), col("payload"))
+      .map(r => (r.getLong(0),
+        decodeDigest64(r.getString(1), r.getAs[Array[Byte]](2))))
+      .toDF("media_id", "digest")
+  }
+
+  /** One-row corpus digest: order-independent XOR of the id-salted
+    * per-item decode digests (salting by id keeps identical payloads
+    * under different ids from cancelling).
+    */
+  private[operators] def corpusDigest(media: DataFrame): DataFrame =
+    decodeDigests(media)
+      .select(xxhash64(col("media_id"), col("digest")).as("d"))
+      .agg(expr("bit_xor(d)").as("corpus_digest"))
+
+  /** Constant corpus_digest column for pair/group-shaped gate outputs. */
+  private def withCorpusDigest(out: DataFrame, media: DataFrame): DataFrame =
+    out.crossJoin(broadcast(corpusDigest(media)))
+
   // — registered queries (rows-only: PNG/WAV byte streams and content
   //   hashes are not ANSI-SQL-derivable, though image/audio decode is
   //   REAL) — the binary-column plumbing runs inside the driver gate —
@@ -797,18 +872,25 @@ object Multimodal {
     * top-3 per probe item. The synthetic fixture stands in for a media
     * table; `dir` is unused.
     */
-  def mediaAnn(spark: SparkSession, dir: String): DataFrame =
-    nearestMedia(syntheticMedia(spark, 300), k = 3)
+  def mediaAnn(spark: SparkSession, dir: String): DataFrame = {
+    val media = syntheticMedia(spark, 300)
+    withCorpusDigest(nearestMedia(media, k = 3), media)
+  }
 
   /** m03: frame sampling for the video rows (every 5th frame index,
     * explode-based, shuffle-free) rolled up to a per-media frame count
     * — deterministic over the seeded fixture.
     */
-  def mediaFrameSample(spark: SparkSession, dir: String): DataFrame =
+  def mediaFrameSample(spark: SparkSession, dir: String): DataFrame = {
+    val videos = syntheticMedia(spark, 300).filter(col("kind") === "video")
     sampleFrames(syntheticMedia(spark, 300), stride = 5)
       .groupBy(col("media_id"))
       .agg(count(lit(1)).as("n_sampled"), max(col("frame_idx")).as("max_idx"))
+      // per-media decode digest (broadcast: one row per video) pins
+      // the frames BYTES the sampler walked, not just their count
+      .join(broadcast(decodeDigests(videos)), Seq("media_id"))
       .orderBy(col("media_id"))
+  }
 
   /** m02: exact content dedup over opaque payloads with planted binary
     * duplicates (first 20 items re-ingested under new ids) — every
@@ -818,9 +900,12 @@ object Multimodal {
     val media = syntheticMedia(spark, 300)
     val redelivered = media.filter(col("media_id") < 20)
       .withColumn("media_id", col("media_id") + 1000L)
-    dedupByContent(media.unionByName(redelivered))
-      .select(col("keeper_id"), col("n_copies"))
-      .orderBy(col("keeper_id"))
+    val corpus = media.unionByName(redelivered)
+    withCorpusDigest(
+      dedupByContent(corpus)
+        .select(col("keeper_id"), col("n_copies"))
+        .orderBy(col("keeper_id")),
+      corpus)
   }
 
   /** m06: perceptual near-dup — the content-level dedup m02's exact
@@ -837,7 +922,8 @@ object Multimodal {
     val images = syntheticMedia(spark, 300).filter(col("kind") === "image")
     val variants = perturbImages(images.filter(col("media_id") < 60), delta = 8)
       .withColumn("media_id", col("media_id") + 2000L)
-    perceptualPairs(images.unionByName(variants))
+    val corpus = images.unionByName(variants)
+    withCorpusDigest(perceptualPairs(corpus), corpus)
   }
 
   /** m07: perceptual AUDIO near-dup — m06's capability for the sound
@@ -856,7 +942,8 @@ object Multimodal {
     }.toDF("media_id", "payload")
     val variants = perturbAudio(audio.filter(col("media_id") < 20), num = 7, den = 10)
       .withColumn("media_id", col("media_id") + 3000L)
-    audioPerceptualPairs(audio.unionByName(variants))
+    val corpus = audio.unionByName(variants).withColumn("kind", lit("audio"))
+    withCorpusDigest(audioPerceptualPairs(corpus), corpus)
   }
 
   /** m08: perceptual VIDEO near-dup — the third modality of the
@@ -874,7 +961,8 @@ object Multimodal {
     val videos = syntheticMedia(spark, 300).filter(col("kind") === "video")
     val variants = perturbVideos(videos.filter(col("media_id") < 90), delta = 8)
       .withColumn("media_id", col("media_id") + 4000L)
-    videoPerceptualPairs(videos.unionByName(variants))
+    val corpus = videos.unionByName(variants)
+    withCorpusDigest(videoPerceptualPairs(corpus), corpus)
   }
 
   /** m04: the REAL image resize pipeline — decode PNG, nearest-neighbor
@@ -891,16 +979,18 @@ object Multimodal {
       StructField("media_id", LongType, nullable = false),
       StructField("width", IntegerType, nullable = false),
       StructField("height", IntegerType, nullable = false),
-      StructField("mean_lum_x1e6", LongType, nullable = false)))
+      StructField("mean_lum_x1e6", LongType, nullable = false),
+      StructField("digest", LongType, nullable = false)))
     val enc = org.apache.spark.sql.Encoders.row(schema)
     val payloadIdx = resized.schema.fieldIndex("payload")
     val idIdx = resized.schema.fieldIndex("media_id")
     resized.mapPartitions { rows =>
       rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
         val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](payloadIdx)))
+          new java.io.ByteArrayInputStream(bytes))
         org.apache.spark.sql.Row(r.getLong(idIdx), img.getWidth, img.getHeight,
-          meanLumX1e6(img))
+          meanLumX1e6(img), decodeDigest64("image", bytes))
       }
     }(enc).orderBy(col("media_id"))
   }
@@ -953,7 +1043,8 @@ object Multimodal {
       StructField("n_bytes", LongType, nullable = false),
       StructField("width", IntegerType, nullable = false),
       StructField("height", IntegerType, nullable = false),
-      StructField("mean_lum_x1e6", LongType, nullable = false)))
+      StructField("mean_lum_x1e6", LongType, nullable = false),
+      StructField("digest", LongType, nullable = false)))
     val enc = org.apache.spark.sql.Encoders.row(schema)
     files
       .select(
@@ -964,7 +1055,8 @@ object Multimodal {
           val bytes = r.getAs[Array[Byte]](2)
           val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
           org.apache.spark.sql.Row(r.getLong(0), r.getLong(1),
-            img.getWidth, img.getHeight, meanLumX1e6(img))
+            img.getWidth, img.getHeight, meanLumX1e6(img),
+            decodeDigest64("image", bytes))
         }
       }(enc)
       .orderBy(col("media_id"))

@@ -57,6 +57,7 @@ class MultimodalSpec extends SparkSpec {
 
   test("m04 real resize: dims capped, aspect kept, luminance preserved-ish") {
     val rows = Multimodal.mediaResize(spark, sf)
+      .select("media_id", "width", "height", "mean_lum_x1e6")
       .as[(Long, Int, Int, Long)].collect()
     assert(rows.nonEmpty)
     rows.foreach { case (id, w, h, lum) =>
@@ -65,7 +66,9 @@ class MultimodalSpec extends SparkSpec {
       // mid-range; a hash-stub would be uniform-random per run
       assert(lum > 100000L && lum < 900000L, s"media $id mean lum $lum")
     }
-    val again = Multimodal.mediaResize(spark, sf).as[(Long, Int, Int, Long)].collect()
+    val again = Multimodal.mediaResize(spark, sf)
+      .select("media_id", "width", "height", "mean_lum_x1e6")
+      .as[(Long, Int, Int, Long)].collect()
     assert(rows.toSeq == again.toSeq, "resize pipeline deterministic")
   }
 
@@ -157,6 +160,7 @@ class MultimodalSpec extends SparkSpec {
 
   test("m05 binaryFile ingest: glob prunes decoys, decode matches the in-memory fixture") {
     val got = Multimodal.mediaIngest(spark, sf)
+      .select("media_id", "n_bytes", "width", "height", "mean_lum_x1e6")
       .as[(Long, Long, Int, Int, Long)].collect()
     // exactly the 100 PNGs — the .dat decoys never entered the scan
     assert(got.length == 100)
@@ -242,5 +246,33 @@ class MultimodalSpec extends SparkSpec {
     assert(plantedPairs.length == planted,
       s"expected $planted planted pairs, got ${plantedPairs.length} of ${pairs.length}")
     pairs.foreach(r => assert(r.getAs[Number]("hamming").longValue <= 3, r.toString))
+  }
+
+  test("golden decode digests: every media gate pins its decoded bytes to literals") {
+    // GOLDEN values, harvested once from the deterministic fixtures.
+    // These pin the decoded pixels/samples/frames BYTE-FOR-BYTE: a
+    // codec regression that preserves row counts (the blind spot of a
+    // rows-only driver gate) moves a digest and fails here — and for
+    // the corpus_digest gates also flips a gate-visible column value.
+    def corpusDigestOf(df: org.apache.spark.sql.DataFrame): Long =
+      df.select("corpus_digest").distinct().as[Long].collect() match {
+        case Array(d) => d
+        case other => fail(s"non-constant corpus_digest: ${other.toSeq}")
+      }
+    assert(corpusDigestOf(Multimodal.mediaAnn(spark, sf)) == -5485036059650784336L)
+    assert(corpusDigestOf(Multimodal.mediaDedup(spark, sf)) == -6564337682782418519L)
+    assert(corpusDigestOf(Multimodal.mediaPerceptualDedup(spark, sf)) == 2129255203832918759L)
+    assert(corpusDigestOf(Multimodal.mediaAudioDedup(spark, sf)) == -5783958225204661091L)
+    assert(corpusDigestOf(Multimodal.mediaVideoDedup(spark, sf)) == -8196483133408499214L)
+    // per-media digests: spot-pin rows of each per-item gate
+    val m3 = Multimodal.mediaFrameSample(spark, sf)
+      .select("media_id", "digest").as[(Long, Long)].collect().toMap
+    assert(m3(5L) == -237153225339989035L && m3(8L) == 4018627402996903084L)
+    val m4 = Multimodal.mediaResize(spark, sf)
+      .select("media_id", "digest").as[(Long, Long)].collect().toMap
+    assert(m4(0L) == 3434350829934258765L && m4(3L) == 2730447647591412698L)
+    val m5 = Multimodal.mediaIngest(spark, sf)
+      .select("media_id", "digest").as[(Long, Long)].collect().toMap
+    assert(m5(0L) == -5209383763847649939L && m5(1L) == -841123900711623507L)
   }
 }
