@@ -86,7 +86,11 @@ object DumpPlans {
     // predicate must prune the assignment scan) — s18 is excluded
     // like s06/s15: its registered entry executes a streaming drain
     "q91_transition_matrix", "q94_mad_outliers", "q95_attribution",
-    "q96_sampled_quantiles", "e16_knn_filtered_ivf")
+    "q96_sampled_quantiles", "e16_knn_filtered_ivf",
+    // round-8: e13's registered entry WRITES the index then queries it,
+    // so its dumped plan is the loaded-index probe join (the
+    // interesting part: assignment scan + broadcast probes, no train)
+    "e13_knn_persisted")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")

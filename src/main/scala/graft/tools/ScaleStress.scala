@@ -143,7 +143,11 @@ object ScaleStress {
       // d23's one-sided prefix is 10% of each set at c=0.9 — the
       // strong-filter regime — while d22's τ=0.5 prefix is the weak
       // half-set regime, probing both ends of the family
-      "d22_setsim_prefix", "d23_containment_join")
+      "d22_setsim_prefix", "d23_containment_join",
+      // round-8: the two fixed-point-trained gates (e06 swapped
+      // kernels, e13 newly scale-pathed here — build+append+query over
+      // the 20k-vector corpus with cos≈0.999 near-ties per cell)
+      "e13_knn_persisted")
 
     // SPARK_GRAFT_ONLY=name1,name2 narrows the run (iteration / probes)
     val only = sys.env.get("SPARK_GRAFT_ONLY")

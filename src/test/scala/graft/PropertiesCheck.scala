@@ -183,4 +183,51 @@ object PropertiesCheck extends Properties("graft") {
       graft.functions.Bloom.contains(probe, bits) ==
         graft.functions.Bloom.contains(probe, bits)
     }
+
+  // — the portable-hash family vs an independent BigInt reference —
+  //   the md5/mod-M61 split-multiply arithmetic is load-bearing for
+  //   nine cross-engine hash gates (d03/d04/d05/d06/d11/t07/t08/
+  //   e02/e04), so each layer gets a generator-driven exact check:
+  //   hash (md5Gram60 = first 15 md5 hex digits as a 60-bit int),
+  //   permutation (split-multiply = HUGEINT (a·h+b) mod M61),
+  //   signature (running minima of the permutations), and band
+  //   extraction (slice boundaries + "-" join).
+  private val bytesGen = Gen.nonEmptyListOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
+  property("md5Gram60 = BigInt(first 15 md5 hex chars) over random bytes") =
+    Prop.forAll(bytesGen) { bs =>
+      val arr = bs.toArray
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(arr).map("%02x".format(_)).mkString
+      HashFns.md5Gram60(arr, 0, arr.length) == BigInt(hex.take(15), 16).toLong
+    }
+
+  private val h60Gen = Gen.chooseNum(0L, (1L << 60) - 1)
+  private val c31Gen = Gen.chooseNum(0L, (1L << 31) - 1)
+  property("permuteM61 = BigInt (a·h + b) mod M61 for any 31-bit a,b and 60-bit h") =
+    Prop.forAll(c31Gen, c31Gen, h60Gen) { (a, b, h) =>
+      HashFns.permuteM61(a, b, h) ==
+        ((BigInt(a) * h + b) mod BigInt(HashFns.M61)).toLong
+    }
+
+  private val hashSetGen = Gen.nonEmptyListOf(h60Gen).map(_.distinct.sorted)
+  property("portableMinhash = per-component BigInt minima; bands slice exactly") =
+    Prop.forAll(hashSetGen) { hs =>
+      val k = 32
+      val sig = HashFns.portableMinhash(
+        new GenericArrayData(hs.toArray[Any]), k)
+      val M = BigInt(HashFns.M61)
+      val expSig = (0 until k).map { j =>
+        hs.map(h => ((BigInt(HashFns.PortableA(j)) * h +
+          HashFns.PortableB(j)) mod M).toLong).min
+      }
+      val gotSig = (0 until k).map(sig.getLong)
+      // band extraction contract (d03's slice(sig, b·rows+1, rows) +
+      // array_join): 8 bands × 4 rows tile the signature exactly, in
+      // order, with the "-" join DuckDB reproduces
+      val bands = 8; val rows = k / bands
+      val gotKeys = (0 until bands).map(b =>
+        gotSig.slice(b * rows, b * rows + rows).mkString("-"))
+      val expKeys = expSig.grouped(rows).map(_.mkString("-")).toSeq
+      gotSig == expSig && gotKeys == expKeys
+    }
 }
