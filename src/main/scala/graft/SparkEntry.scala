@@ -187,10 +187,11 @@ object SparkEntry {
     "d13_substring_dups"     -> (Dedup.substringDups _),
     "d14_fuzzy_pairs"        -> ((s: SparkSession, dir: String) => Dedup.fuzzyTitleDedup(s, dir)),
     "d15_substring_coverage" -> (Dedup.substringCoverage _),
-    // d17: SemDeDup-style semantic dedup — k-means cells + in-cluster
-    // greedy representative sweep (rows-only: k-means training is not
-    // SQL-derivable; sweep semantics spec-verified vs brute force)
-    "d17_semantic_dedup"     -> (Dedup.semanticDedup _),
+    // d17: SemDeDup-style semantic dedup — fixed-point integer-Lloyd
+    // cells + in-cluster greedy sweep on INTEGER quantized-normalized
+    // dots since r8, so the survivor set hash-checks (oracle sweeps
+    // via a recursive CTE); float cosine-k-means kernel stays spec'd
+    "d17_semantic_dedup"     -> (Dedup.semanticDedupPortableGate _),
     // d18: URL-keyed dedup — parse_url canonicalization chain
     // (host case, www., default port, trailing slash, tracking params,
     // fragments) + keep-min groupBy; oracle derives the canonical key
@@ -250,7 +251,9 @@ object SparkEntry {
     // pipeline hash-checks against an unrolled DuckDB CTE chain; the
     // float MLlib kernel stays as the spec'd scale path
     "e06_knn_ivf_kmeans"     -> (Similarity.knnIvfKmeansFixedPoint _),
-    "e07_knn_pq"             -> (Similarity.knnPq _),
+    // e07: PQ with fixed-point integer train/encode/ADC — the whole
+    // compressed-scan pipeline hash-checks; float kernels stay spec'd
+    "e07_knn_pq"             -> (Similarity.knnPqFixedPoint _),
     // e09: scalar int8 quantization (SQ8) — closed-form quantizer +
     // all-integer shortlist scores make this the one ANN index whose
     // shortlist AND final ranks are fully oracle-checked
@@ -259,9 +262,11 @@ object SparkEntry {
     // parquet scan BEFORE any distance arithmetic
     "e10_knn_filtered"       -> (Similarity.knnFiltered _),
     // e11: MMR diversified top-k — greedy relevance-vs-novelty rerank
-    // over the e01 shortlist (rows-only: sequential greedy, not
-    // SQL-derivable; pinned against a driver reference in spec)
-    "e11_knn_mmr"            -> (Similarity.knnMmr _),
+    // over the e01 shortlist; PORTABLE integer scores since r8 (λ=1/2
+    // makes the objective order the integer rel − maxSim), so the
+    // greedy pick sequence hash-checks against k unrolled CTE steps;
+    // the float kernel stays the spec'd scale path
+    "e11_knn_mmr"            -> (Similarity.knnMmrPortable _),
     // e12: kNN JOIN — top-k for EVERY row, both sides large (LSH
     // candidates, never O(n²); rows-only: hyperplane-seed-dependent)
     "e12_knn_join"           -> (Similarity.knnJoinQuery _),
@@ -278,12 +283,15 @@ object SparkEntry {
     // e15: IVF+PQ composite (coarse cells bound rows touched, PQ codes
     // bound per-row cost — the FAISS-IVFPQ shape; rows-only: k-means +
     // codebook are engine-specific; recall pinned in e08 and spec)
-    "e15_knn_ivf_pq"         -> (Similarity.knnIvfPq _),
+    // e15: IVF+PQ with BOTH trained structures fixed-point — cells,
+    // codes, and the ADC shortlist all hash-check; float kernels spec'd
+    "e15_knn_ivf_pq"         -> (Similarity.knnIvfPqFixedPoint _),
     // e16: FILTERED vector search through the IVF index — metadata
-    // predicate pruning the assignment table before the probe join,
-    // nProbe widened for the filtered-recall hazard (rows-only:
-    // k-means; e10 is the exact filtered baseline)
-    "e16_knn_filtered_ivf"   -> (Similarity.knnFilteredIvf _),
+    // predicate pruning the assigned slice before the probe join,
+    // nProbe widened for the filtered-recall hazard; fixed-point
+    // training since r8, so the composition hash-checks (e10 stays
+    // the exact filtered baseline; float kernel spec'd)
+    "e16_knn_filtered_ivf"   -> (Similarity.knnFilteredIvfFixedPoint _),
     // e08: in-gate ANN quality audit — recall of every approximate
     // index vs the e01 exact ranks (rows-only; values are seeded but
     // hash-dependent). The output contains ONLY methods at-or-above
@@ -433,8 +441,9 @@ object SparkEntry {
     "s12_streaming_upsert"   -> (Streams.streamingUpsertApply _),
     // s13: streaming maintenance of the e13 persisted ANN index —
     // micro-batch frozen-centroid appends via foreachBatch, queries
-    // answered from the loaded index (rows-only: k-means centroids
-    // are engine-specific; drained ≡ one-pass anchor in StreamsSpec)
+    // answered from the loaded index. Fixed-point centroids since r8:
+    // the drained answers hash-check against e13's oracle verbatim
+    // (drained ≡ one-pass additionally pinned in StreamsSpec)
     "s13_streaming_index_append" -> (Streams.streamingIndexAppend _),
     // s14: the q85 funnel as a stateful streaming query (per-user
     // mapGroupsWithState + max-stage foreachBatch upsert); drained
@@ -818,6 +827,31 @@ object SparkEntry {
       // centroids, which IS the append semantics
       "e13_knn_persisted" -> Similarity.ivfKmeansOracleSql(
         trainMax = Similarity.indexBaseSplit),
+      // e07: per-subspace integer Lloyd (one CTE chain trains all m
+      // codebooks, keys carry the subspace id), integer ADC shortlist,
+      // exact-cosine re-rank
+      "e07_knn_pq" -> Similarity.pqOracleSql(),
+      // e15: the composite chain — e06's coarse CTEs + e07's codebook
+      // CTEs, candidates from probed cells, ADC over candidates only
+      "e15_knn_ivf_pq" -> Similarity.ivfPqOracleSql(),
+      // s13: the STREAMING append cycle lands the identical
+      // integer-derived index, so the drained query answers are e13's
+      // oracle verbatim — the whole streamed maintenance path is now
+      // hash-checked, not just spec-pinned
+      "s13_streaming_index_append" -> Similarity.ivfKmeansOracleSql(
+        trainMax = Similarity.indexBaseSplit),
+      // e16: the e06 chain with the label predicate applied at the
+      // ASSIGNMENT stage (training unfiltered — an index is built
+      // once, predicates vary per query) and the widened probe
+      "e16_knn_filtered_ivf" -> Similarity.ivfKmeansOracleSql(
+        nProbe = Similarity.filteredIvfProbe, asgFilterSql = "label = 3"),
+      // e11: float exact-cosine shortlist (the e01 contract), then the
+      // k greedy MMR picks unrolled as CTEs over integer rel/sim dots
+      "e11_knn_mmr" -> Similarity.mmrOracleSql(),
+      // d17: e06 coarse CTEs for cells, integer-dot adjacency, the
+      // greedy sweep as a recursive CTE (kept ids strictly increase,
+      // so each round appends the smallest eligible id per cell)
+      "d17_semantic_dedup" -> Dedup.semanticDedupOracleSql(),
       // d06: the identical md5-derived ±1 sign table (i is 1-based,
       // matching the kernel's "b-j-i" key), signed sequential double
       // sums for the sign bits, bucket self-join, cosine-threshold

@@ -1100,14 +1100,152 @@ object Dedup {
       .toDF("vec_id", "cell")
   }
 
-  /** d17: semantic dedup survivors over the embeddings table — rows-only
-    * in the driver gate (k-means training is not ANSI-SQL-derivable);
-    * the greedy-sweep semantics are spec-verified against a brute-force
-    * reference on a planted corpus.
+  /** The float-MLlib d17 kernel (cosine k-means cells + float-cosine
+    * sweep) — since r8 the spec'd scale path behind the portable
+    * registered gate; the greedy-sweep semantics are spec-verified
+    * against a brute-force reference on a planted corpus.
     */
   def semanticDedup(spark: SparkSession, dir: String): DataFrame =
     semanticDedupKeep(Tables.embeddings(spark, dir), "vec_id", "embedding")
       .orderBy(col("vec_id"))
+
+  /** d17 PORTABLE similarity floor: a pair is "same neighborhood" iff
+    * the integer dot of its floor(nv·2^20)-quantized L2-normalized
+    * vectors is ≥ this — the integer image of cosine ≥ 0.4
+    * (0.4·2^40 = 439804651110.4, floored; the quantized dot is a
+    * deterministic ≈cos·2^40, so this is a sharp integer threshold
+    * BOTH engines evaluate identically — the e11 discipline applied
+    * to the SemDeDup drop rule).
+    */
+  val semanticTauInt = 439804651110L
+
+  /** d17 (registered gate since r8): PORTABLE SemDeDup — the same
+    * cluster-then-sweep shape with every decision an integer
+    * comparison, so the survivor set hash-checks:
+    *
+    *  - cells = the e06 fixed-point integer Lloyd over
+    *    floor(x·2^20)-quantized RAW components
+    *    ([[Similarity.trainCentroidsFixedPoint]] — md5-seeded,
+    *    order-independent integer sums);
+    *  - the within-cell ascending-id greedy sweep drops a vector iff
+    *    its INTEGER quantized-normalized dot to an already-kept
+    *    vector of the same cell is ≥ [[semanticTauInt]].
+    *
+    * The oracle reproduces the sweep with a RECURSIVE CTE carrying
+    * the kept-id list per cell (kept ids are strictly increasing, so
+    * each round appends the smallest id above the last kept that is
+    * not adjacent to any kept — exactly the sequential sweep). The
+    * float cosine-k-means kernel ([[semanticDedupKeep]]) stays the
+    * spec'd scale path. Same scale shape: one cell shuffle, sweep
+    * sequential only within a cell, parallel across cells.
+    */
+  def semanticDedupPortable(emb: DataFrame, idCol: String, vecCol: String,
+                            tauInt: Long = semanticTauInt,
+                            nCells: Int = Similarity.ivfKmeansCells,
+                            iters: Int = Similarity.ivfKmeansIters): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val trainSet = Similarity.quantized(emb, idCol, vecCol).persist()
+    val cents = Similarity.trainCentroidsFixedPoint(trainSet, idCol, nCells, iters)
+    trainSet.unpersist()
+    val cells = Similarity.assignCellsFixedPoint(emb, idCol, vecCol, cents)
+      .select(col("neighbor_id").as("id"), col("cell"))
+    val qn = Similarity.quantizedNormalized(emb, idCol, vecCol, "id")
+    cells.join(qn, Seq("id"))
+      .select(col("id").cast("long"), col("cell"), col("qn"))
+      .as[(Long, Int, Array[Long])]
+      .groupByKey(_._2)
+      .flatMapGroups { (cell: Int, rows: Iterator[(Long, Int, Array[Long])]) =>
+        def dot(a: Array[Long], b: Array[Long]): Long = {
+          var s = 0L; var i = 0
+          while (i < a.length) { s += a(i) * b(i); i += 1 }
+          s
+        }
+        val sorted = rows.toArray.sortBy(_._1)
+        val kept = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+        sorted.foreach { case (id, _, v) =>
+          if (!kept.exists(kv => dot(kv, v) >= tauInt)) {
+            kept += v
+            out += ((id, cell))
+          }
+        }
+        out
+      }
+      .toDF("vec_id", "cell")
+  }
+
+  def semanticDedupPortableGate(spark: SparkSession, dir: String): DataFrame =
+    semanticDedupPortable(Tables.embeddings(spark, dir), "vec_id", "embedding")
+      .orderBy(col("vec_id"))
+
+  /** DuckDB chain reproducing [[semanticDedupPortableGate]]: the e06
+    * coarse CTEs (quantized raw, integer Lloyd) for cells, the e07
+    * quantized-normalized rows for the similarity floor, an in-cell
+    * adjacency self-join (DuckDB-side only — the Spark kernel never
+    * materializes pairs, its sweep compares against KEPT survivors),
+    * and the greedy sweep as a recursive CTE appending the smallest
+    * eligible id per cell per round.
+    */
+  def semanticDedupOracleSql(dim: Int = 64,
+                             tauInt: Long = semanticTauInt,
+                             nCells: Int = Similarity.ivfKmeansCells,
+                             iters: Int = Similarity.ivfKmeansIters): String = {
+    val scale = Similarity.fixedPointScale
+    def assignSql(cTab: String): String =
+      s"SELECT q.vec_id, c.cn, row_number() OVER (PARTITION BY q.vec_id\n" +
+      s"    ORDER BY sum((q.qd - c.cd)*(q.qd - c.cd)), c.cn) AS r\n" +
+      s"  FROM q JOIN $cTab c ON q.d = c.d GROUP BY q.vec_id, c.cn"
+    val iterBlocks = (1 to iters).map { i =>
+      s"a$i AS (\n" +
+      s" SELECT vec_id, cn AS cell FROM (\n  ${assignSql(s"c${i - 1}")}) WHERE r = 1),\n" +
+      s"u$i AS (\n" +
+      s" SELECT a.cell AS cn, q.d, CAST(sum(q.qd) AS BIGINT) // count(*) AS cd\n" +
+      s" FROM a$i a JOIN q ON q.vec_id = a.vec_id GROUP BY a.cell, q.d),\n" +
+      s"c$i AS (\n" +
+      s" SELECT c.cn, c.d, coalesce(u.cd, c.cd) AS cd\n" +
+      s" FROM c${i - 1} c LEFT JOIN u$i u ON u.cn = c.cn AND u.d = c.d),"
+    }.mkString("\n")
+    s"WITH RECURSIVE q AS (\n" +
+    s" SELECT e.vec_id, d, CAST(floor(CAST(e.embedding[d] AS DOUBLE) * $scale) AS BIGINT) AS qd\n" +
+    s" FROM embeddings e, range(1, ${dim + 1}) t(d)),\n" +
+    s"seed AS (\n" +
+    s" SELECT vec_id AS cid, row_number() OVER (ORDER BY h, vec_id) AS cn FROM (\n" +
+    s"  SELECT vec_id, ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h\n" +
+    s"  FROM embeddings)),\n" +
+    s"c0 AS (SELECT s.cn, q.d, q.qd AS cd FROM seed s JOIN q ON q.vec_id = s.cid WHERE s.cn <= $nCells),\n" +
+    s"$iterBlocks\n" +
+    s"asg AS (\n" +
+    s" SELECT vec_id AS id, cn AS cell FROM (\n  ${assignSql(s"c$iters")}) WHERE r = 1),\n" +
+    s"nrm AS (\n" +
+    s" SELECT vec_id, sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nv\n" +
+    s" FROM embeddings),\n" +
+    s"qn AS (\n" +
+    s" SELECT e.vec_id, d,\n" +
+    s"  CAST(floor(CAST(CAST(e.embedding[d]::DOUBLE / n.nv AS REAL) AS DOUBLE) * $scale) AS BIGINT) AS qd\n" +
+    s" FROM embeddings e JOIN nrm n ON n.vec_id = e.vec_id, range(1, ${dim + 1}) t(d)),\n" +
+    s"adj AS (\n" +
+    s" SELECT a1.cell, a1.id AS lo, a2.id AS hi\n" +
+    s" FROM asg a1 JOIN asg a2 ON a2.cell = a1.cell AND a2.id > a1.id\n" +
+    s" JOIN qn x ON x.vec_id = a1.id\n" +
+    s" JOIN qn y ON y.vec_id = a2.id AND y.d = x.d\n" +
+    s" GROUP BY a1.cell, a1.id, a2.id\n" +
+    s" HAVING sum(x.qd * y.qd) >= $tauInt),\n" +
+    s"keep AS (\n" +
+    s" SELECT cell, [min(id)] AS ks FROM asg GROUP BY cell\n" +
+    s" UNION ALL\n" +
+    s" SELECT cell, list_append(ks, nxt) AS ks FROM (\n" +
+    s"  SELECT k.cell, k.ks, min(c.id) AS nxt\n" +
+    s"  FROM keep k JOIN asg c ON c.cell = k.cell AND c.id > k.ks[-1]\n" +
+    s"  WHERE NOT EXISTS (SELECT 1 FROM adj a\n" +
+    s"    WHERE a.cell = k.cell AND a.hi = c.id AND list_contains(k.ks, a.lo))\n" +
+    s"  GROUP BY k.cell, k.ks)\n" +
+    s" WHERE nxt IS NOT NULL)\n" +
+    s"SELECT unnest(ks) AS vec_id, cell FROM (\n" +
+    s" SELECT cell, ks, row_number() OVER (PARTITION BY cell ORDER BY len(ks) DESC) AS rn\n" +
+    s" FROM keep) WHERE rn = 1\n" +
+    s"ORDER BY vec_id"
+  }
 
   /** Canonicalize a URL column — the normalization every web-crawl
     * pipeline applies before URL-keyed dedup, built on Spark's

@@ -357,7 +357,7 @@ object Similarity {
   val ivfKmeansProbe = 4
   val ivfKmeansIters = 4
 
-  private def quantized(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+  private[graft] def quantized(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
     emb.select(col(idCol), col(vecCol),
       VectorFns.quantizeFixedPoint(col(vecCol), fixedPointScale).as("qv"))
 
@@ -411,8 +411,8 @@ object Similarity {
     * persisted e13 build/append (assignment is a pure per-row function
     * of the centroids, so increment ≡ rebuild by construction).
     */
-  private def assignCellsFixedPoint(df: DataFrame, idCol: String, vecCol: String,
-                                    cents: Array[Array[Long]]): DataFrame =
+  private[graft] def assignCellsFixedPoint(df: DataFrame, idCol: String, vecCol: String,
+                                           cents: Array[Array[Long]]): DataFrame =
     quantized(df, idCol, vecCol)
       .withColumn("dists", VectorFns.centroidSqDistsI64(col("qv"), cents))
       .withColumn("cell", argminCell)
@@ -422,18 +422,25 @@ object Similarity {
     * corpus, probing by INTEGER distance (ASC, cell ASC) — the
     * fixed-point analog of [[probeAssigned]].
     */
-  private def probeAssignedFixedPoint(assigned: DataFrame, queries: DataFrame,
-                                      idCol: String, vecCol: String, k: Int,
-                                      cents: Array[Array[Long]],
-                                      nProbe: Int): DataFrame = {
-    val probes = quantized(queries, idCol, vecCol)
+  /** (query_id, q_vec, cell) probe rows: nProbe cells per query in
+    * (integer distance ASC, cell id ASC) order — the struct sort is
+    * lexicographic, mirroring the oracle's ORDER BY dist, cn.
+    */
+  private def probeCellsFixedPoint(queries: DataFrame, idCol: String,
+                                   vecCol: String, cents: Array[Array[Long]],
+                                   nProbe: Int): DataFrame =
+    quantized(queries, idCol, vecCol)
       .withColumn("dists", VectorFns.centroidSqDistsI64(col("qv"), cents))
-      // probe order (distance ASC, cell id ASC): the struct sort is
-      // lexicographic, mirroring the oracle's ORDER BY dist, cn
       .withColumn("ranked", expr(
         "transform(array_sort(zip_with(dists, sequence(1, size(dists)), (s, i) -> struct(s AS d, i AS idx))), p -> p.idx)"))
       .withColumn("cell", explode(expr(s"slice(ranked, 1, $nProbe)")))
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"), col("cell"))
+
+  private def probeAssignedFixedPoint(assigned: DataFrame, queries: DataFrame,
+                                      idCol: String, vecCol: String, k: Int,
+                                      cents: Array[Array[Long]],
+                                      nProbe: Int): DataFrame = {
+    val probes = probeCellsFixedPoint(queries, idCol, vecCol, cents, nProbe)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     assigned.join(broadcast(probes), Seq("cell"))
@@ -524,6 +531,353 @@ object Similarity {
       queries, idCol, vecCol, k, cents, nProbe)
   }
 
+
+  // — e07 (registered gate): PQ with FIXED-POINT integer training,
+  //   encoding, and ADC scoring — the e06 integer-Lloyd discipline
+  //   applied per subspace. Vectors L2-normalize (sequential double
+  //   accumulation both engines share), cast to float, quantize to
+  //   floor(nv·2^20) longs; per-subspace codebooks train on the
+  //   md5-smallest `sampleN` rows driver-side in pure integer
+  //   arithmetic (bounded sample — the training cost model of the
+  //   float path, unchanged); codes and ADC tables are integer
+  //   kernels, so the shortlist is bit-reproducible; the exact-cosine
+  //   re-rank is the e01/e04 convention. The float MLlib-style kernel
+  //   ([[pqTopK]]) stays the spec'd scale path. —
+
+  val pqSampleN = 256
+  val pqIters = 3
+  // ADC is a lossy ranking proxy (m=8 × 16-centroid codebooks leave
+  // real quantization distortion): the shortlist must be deep enough
+  // that the exact re-rank can recover the true top-k. 8·k holds
+  // recall comfortably above the e08 floor at sf0.01 where 4·k sat at
+  // the edge (e07 42 vs floor 40) or under it (e15 32).
+  val pqShortlistFactor = 8
+  // e15 probes wider than e06 (8 of 16 cells vs 4): the coarse prune
+  // and the ADC approximation COMPOUND, so the cell stage must leave
+  // more headroom than plain IVF needs (the e16 filtered-recall
+  // pattern applied to quantization loss).
+  val ivfPqProbe = 8
+
+  private def md5Order(idCol: String): Column =
+    expr(s"cast(conv(substr(md5(cast(cast($idCol as string) as binary)), 1, 15), 16, 10) as bigint)")
+
+  /** Normalize → float-cast → fixed-point quantize: the portable
+    * numeric base of the PQ pipeline (`qn` column).
+    */
+  private[graft] def quantizedNormalized(df: DataFrame, idCol: String,
+                                         vecCol: String, outId: String): DataFrame =
+    withL2Normalized(df.select(col(idCol).as(outId), col(vecCol).as("v")),
+      col("v"), "nv")
+      .select(col(outId),
+        VectorFns.quantizeFixedPoint(col("nv"), fixedPointScale).as("qn"))
+
+  def pqTopKFixedPoint(corpus: DataFrame, queries: DataFrame,
+                       idCol: String, vecCol: String, k: Int,
+                       m: Int = 8, codebookK: Int = 16,
+                       shortlistFactor: Int = pqShortlistFactor,
+                       sampleN: Int = pqSampleN,
+                       iters: Int = pqIters): DataFrame = {
+    val qnorm = quantizedNormalized(corpus, idCol, vecCol, "neighbor_id")
+    val sample = qnorm
+      .orderBy(md5Order("neighbor_id"), col("neighbor_id"))
+      .limit(sampleN)
+      .select(col("qn"))
+      .collect()
+      .map(_.getSeq[Long](0).toArray)
+    val cb = graft.functions.Pq.trainFixedPoint(sample, m, codebookK, iters)
+    // the corpus's float payload stops here: (id, m code bytes) only
+    val codes = qnorm.select(col("neighbor_id"),
+      graft.functions.Pq.encodeI64Col(col("qn"), cb).as("code"))
+    val q = quantizedNormalized(queries, idCol, vecCol, "query_id")
+      .select(col("query_id"),
+        graft.functions.Pq.adcTableI64Col(col("qn"), cb).as("adc_table"))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("neighbor_id"))
+    val short = codes.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc",
+        graft.functions.Pq.adcLookupI64Col(col("adc_table"), col("code"),
+          cb(0).length))
+      .select(col("query_id"), col("neighbor_id"), col("adc"))
+      .withColumn("arank", row_number().over(wAdc))
+      .filter(col("arank") <= k * shortlistFactor)
+      .select(col("query_id"), col("neighbor_id"))
+    val vecs = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val qVecs = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    short.join(vecs, Seq("neighbor_id"))
+      .join(broadcast(qVecs), Seq("query_id"))
+      .withColumn("cos", VectorFns.cosineSim(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The registered e07 gate: fixed-point PQ, top-5 for the first 10
+    * vectors.
+    */
+  def knnPqFixedPoint(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    pqTopKFixedPoint(emb, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5)
+  }
+
+  /** DuckDB CTE chain reproducing [[knnPqFixedPoint]]: normalize in
+    * sequential double sums, quantize, per-subspace integer Lloyd
+    * unrolled (keys carry the subspace id j, so one chain trains all
+    * m codebooks at once), integer ADC against the final codebooks,
+    * shortlist by (dist, id), exact-cosine re-rank.
+    */
+  def pqOracleSql(dim: Int = 64, m: Int = 8, codebookK: Int = 16,
+                  shortlistFactor: Int = pqShortlistFactor, k: Int = 5,
+                  sampleN: Int = pqSampleN, iters: Int = pqIters): String = {
+    val sub = dim / m
+    def assignSql(cTab: String, rowSrc: String): String =
+      s"SELECT q.vec_id, q.j, c.cn, row_number() OVER (PARTITION BY q.vec_id, q.j\n" +
+      s"    ORDER BY sum((q.qd - c.cd)*(q.qd - c.cd)), c.cn) AS r\n" +
+      s"  FROM $rowSrc q JOIN $cTab c ON q.j = c.j AND q.d = c.d GROUP BY q.vec_id, q.j, c.cn"
+    val iterBlocks = (1 to iters).map { i =>
+      s"pa$i AS (\n" +
+      s" SELECT vec_id, j, cn AS cell FROM (\n" +
+      s"  ${assignSql(s"pc${i - 1}", "qs")}) WHERE r = 1),\n" +
+      s"pu$i AS (\n" +
+      s" SELECT a.j, a.cell AS cn, q.d, CAST(sum(q.qd) AS BIGINT) // count(*) AS cd\n" +
+      s" FROM pa$i a JOIN qs q ON q.vec_id = a.vec_id AND q.j = a.j\n" +
+      s" GROUP BY a.j, a.cell, q.d),\n" +
+      s"pc$i AS (\n" +
+      s" SELECT c.j, c.cn, c.d, coalesce(u.cd, c.cd) AS cd\n" +
+      s" FROM pc${i - 1} c LEFT JOIN pu$i u ON u.j = c.j AND u.cn = c.cn AND u.d = c.d),"
+    }.mkString("\n")
+    s"WITH nrm AS (\n" +
+    s" SELECT vec_id, sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nv\n" +
+    s" FROM embeddings),\n" +
+    s"q AS (\n" +
+    s" SELECT e.vec_id, d, ((d - 1) // $sub) AS j,\n" +
+    s"  CAST(floor(CAST(CAST(e.embedding[d]::DOUBLE / n.nv AS REAL) AS DOUBLE) * $fixedPointScale) AS BIGINT) AS qd\n" +
+    s" FROM embeddings e JOIN nrm n ON n.vec_id = e.vec_id, range(1, ${dim + 1}) t(d)),\n" +
+    s"seed AS (\n" +
+    s" SELECT vec_id AS cid, row_number() OVER (ORDER BY h, vec_id) AS cn FROM (\n" +
+    s"  SELECT vec_id, ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h\n" +
+    s"  FROM embeddings)),\n" +
+    s"qs AS (\n" +
+    s" SELECT q.* FROM q JOIN seed s ON s.cid = q.vec_id WHERE s.cn <= $sampleN),\n" +
+    s"pc0 AS (\n" +
+    s" SELECT q.j, s.cn, q.d, q.qd AS cd FROM seed s JOIN q ON q.vec_id = s.cid WHERE s.cn <= $codebookK),\n" +
+    s"$iterBlocks\n" +
+    s"codes AS (\n" +
+    s" SELECT vec_id, j, cn AS code FROM (\n" +
+    s"  ${assignSql(s"pc$iters", "q")}) WHERE r = 1),\n" +
+    s"adc AS (\n" +
+    s" SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,\n" +
+    s"  sum((qq.qd - cb.cd)*(qq.qd - cb.cd)) AS dist\n" +
+    s" FROM q qq\n" +
+    s" JOIN codes c ON c.vec_id <> qq.vec_id\n" +
+    s" JOIN pc$iters cb ON cb.j = c.j AND cb.cn = c.code AND cb.j = qq.j AND cb.d = qq.d\n" +
+    s" WHERE qq.vec_id < 10\n" +
+    s" GROUP BY qq.vec_id, c.vec_id),\n" +
+    s"short AS (\n" +
+    s" SELECT query_id, neighbor_id FROM (\n" +
+    s"  SELECT query_id, neighbor_id,\n" +
+    s"   row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS ar\n" +
+    s"  FROM adc) WHERE ar <= ${k * shortlistFactor})\n" +
+    s"SELECT query_id, rank, neighbor_id FROM (\n" +
+    s" SELECT s.query_id, s.neighbor_id,\n" +
+    s"  row_number() OVER (PARTITION BY s.query_id\n" +
+    s"    ORDER BY list_cosine_similarity(qe.embedding, ne.embedding) DESC, s.neighbor_id) AS rank\n" +
+    s" FROM short s JOIN embeddings qe ON qe.vec_id = s.query_id\n" +
+    s"              JOIN embeddings ne ON ne.vec_id = s.neighbor_id)\n" +
+    s"WHERE rank <= $k ORDER BY query_id, rank"
+  }
+
+
+  // — e15 (registered gate): the IVF+PQ composite with BOTH trained
+  //   structures fixed-point — coarse cells from the e06 integer
+  //   Lloyd over raw quantized components, per-subspace PQ codebooks
+  //   from the e07 integer Lloyd over normalized quantized components.
+  //   The two savings still multiply (probed cells bound WHICH rows,
+  //   byte codes bound WHAT each row costs) and now the whole
+  //   index — cells, codes, ADC shortlist — hash-checks against one
+  //   composite CTE chain. Float kernels ([[ivfPqTopK]]) stay the
+  //   spec'd scale path. —
+
+  def ivfPqTopKFixedPoint(corpus: DataFrame, queries: DataFrame,
+                          idCol: String, vecCol: String, k: Int,
+                          nCells: Int = ivfKmeansCells,
+                          nProbe: Int = ivfPqProbe,
+                          m: Int = 8, codebookK: Int = 16,
+                          shortlistFactor: Int = pqShortlistFactor,
+                          sampleN: Int = pqSampleN,
+                          itersIvf: Int = ivfKmeansIters,
+                          itersPq: Int = pqIters): DataFrame = {
+    // coarse cells over RAW quantized components (the e06 kernel)
+    val trainSet = quantized(corpus, idCol, vecCol).persist()
+    val cents = trainCentroidsFixedPoint(trainSet, idCol, nCells, itersIvf)
+    trainSet.unpersist()
+    val cells = assignCellsFixedPoint(corpus, idCol, vecCol, cents)
+      .select(col("neighbor_id"), col("cell"))
+    // PQ codebooks over NORMALIZED quantized components (the e07 kernel)
+    val qnorm = quantizedNormalized(corpus, idCol, vecCol, "neighbor_id")
+    val sample = qnorm
+      .orderBy(md5Order("neighbor_id"), col("neighbor_id"))
+      .limit(sampleN).select(col("qn"))
+      .collect().map(_.getSeq[Long](0).toArray)
+    val cb = graft.functions.Pq.trainFixedPoint(sample, m, codebookK, itersPq)
+    // build side: (id, cell, m code bytes) — floats stop here
+    val build = cells.join(qnorm.select(col("neighbor_id"),
+      graft.functions.Pq.encodeI64Col(col("qn"), cb).as("code")), Seq("neighbor_id"))
+    // query side: probed cells from the raw kernel × one fused integer
+    // ADC table from the normalized kernel
+    val qprobe = probeCellsFixedPoint(queries, idCol, vecCol, cents, nProbe)
+      .select(col("query_id"), col("cell"))
+    val qadc = quantizedNormalized(queries, idCol, vecCol, "query_id")
+      .select(col("query_id"),
+        graft.functions.Pq.adcTableI64Col(col("qn"), cb).as("adc_table"))
+    val q = qprobe.join(qadc, Seq("query_id"))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("neighbor_id"))
+    val short = build.join(broadcast(q), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc",
+        graft.functions.Pq.adcLookupI64Col(col("adc_table"), col("code"),
+          cb(0).length))
+      .select(col("query_id"), col("neighbor_id"), col("adc"))
+      .withColumn("arank", row_number().over(wAdc))
+      .filter(col("arank") <= k * shortlistFactor)
+      .select(col("query_id"), col("neighbor_id"))
+    val vecs = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val qVecs = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    short.join(vecs, Seq("neighbor_id"))
+      .join(broadcast(qVecs), Seq("query_id"))
+      .withColumn("cos", VectorFns.cosineSim(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The registered e15 gate: fixed-point IVF+PQ, top-5 for the first
+    * 10 vectors.
+    */
+  def knnIvfPqFixedPoint(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    ivfPqTopKFixedPoint(emb, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5)
+  }
+
+  /** DuckDB CTE chain reproducing [[knnIvfPqFixedPoint]]: the e06
+    * coarse chain (raw quantized, CTEs c0..cN) and the e07 codebook
+    * chain (normalized quantized, CTEs pc0..pcN) composed — candidates
+    * = probed cells, ADC only over candidates, exact-cosine re-rank.
+    */
+  def ivfPqOracleSql(dim: Int = 64, nCells: Int = ivfKmeansCells,
+                     nProbe: Int = ivfPqProbe,
+                     m: Int = 8, codebookK: Int = 16,
+                     shortlistFactor: Int = pqShortlistFactor, k: Int = 5,
+                     sampleN: Int = pqSampleN,
+                     itersIvf: Int = ivfKmeansIters,
+                     itersPq: Int = pqIters): String = {
+    val sub = dim / m
+    def ivfAssign(cTab: String, extra: String): String =
+      s"SELECT q.vec_id, c.cn, row_number() OVER (PARTITION BY q.vec_id\n" +
+      s"    ORDER BY sum((q.qd - c.cd)*(q.qd - c.cd)), c.cn) AS r\n" +
+      s"  FROM qr q JOIN $cTab c ON q.d = c.d$extra GROUP BY q.vec_id, c.cn"
+    val ivfIters = (1 to itersIvf).map { i =>
+      s"a$i AS (\n" +
+      s" SELECT vec_id, cn AS cell FROM (\n  ${ivfAssign(s"c${i - 1}", "")}) WHERE r = 1),\n" +
+      s"u$i AS (\n" +
+      s" SELECT a.cell AS cn, q.d, CAST(sum(q.qd) AS BIGINT) // count(*) AS cd\n" +
+      s" FROM a$i a JOIN qr q ON q.vec_id = a.vec_id GROUP BY a.cell, q.d),\n" +
+      s"c$i AS (\n" +
+      s" SELECT c.cn, c.d, coalesce(u.cd, c.cd) AS cd\n" +
+      s" FROM c${i - 1} c LEFT JOIN u$i u ON u.cn = c.cn AND u.d = c.d),"
+    }.mkString("\n")
+    def pqAssign(cTab: String, rowSrc: String): String =
+      s"SELECT q.vec_id, q.j, c.cn, row_number() OVER (PARTITION BY q.vec_id, q.j\n" +
+      s"    ORDER BY sum((q.qd - c.cd)*(q.qd - c.cd)), c.cn) AS r\n" +
+      s"  FROM $rowSrc q JOIN $cTab c ON q.j = c.j AND q.d = c.d GROUP BY q.vec_id, q.j, c.cn"
+    val pqIterBlocks = (1 to itersPq).map { i =>
+      s"pa$i AS (\n" +
+      s" SELECT vec_id, j, cn AS cell FROM (\n  ${pqAssign(s"pc${i - 1}", "qs")}) WHERE r = 1),\n" +
+      s"pu$i AS (\n" +
+      s" SELECT a.j, a.cell AS cn, q.d, CAST(sum(q.qd) AS BIGINT) // count(*) AS cd\n" +
+      s" FROM pa$i a JOIN qs q ON q.vec_id = a.vec_id AND q.j = a.j\n" +
+      s" GROUP BY a.j, a.cell, q.d),\n" +
+      s"pc$i AS (\n" +
+      s" SELECT c.j, c.cn, c.d, coalesce(u.cd, c.cd) AS cd\n" +
+      s" FROM pc${i - 1} c LEFT JOIN pu$i u ON u.j = c.j AND u.cn = c.cn AND u.d = c.d),"
+    }.mkString("\n")
+    s"WITH qr AS (\n" +
+    s" SELECT e.vec_id, d, CAST(floor(CAST(e.embedding[d] AS DOUBLE) * $fixedPointScale) AS BIGINT) AS qd\n" +
+    s" FROM embeddings e, range(1, ${dim + 1}) t(d)),\n" +
+    s"nrm AS (\n" +
+    s" SELECT vec_id, sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nv\n" +
+    s" FROM embeddings),\n" +
+    s"qn AS (\n" +
+    s" SELECT e.vec_id, d, ((d - 1) // $sub) AS j,\n" +
+    s"  CAST(floor(CAST(CAST(e.embedding[d]::DOUBLE / n.nv AS REAL) AS DOUBLE) * $fixedPointScale) AS BIGINT) AS qd\n" +
+    s" FROM embeddings e JOIN nrm n ON n.vec_id = e.vec_id, range(1, ${dim + 1}) t(d)),\n" +
+    s"seed AS (\n" +
+    s" SELECT vec_id AS cid, row_number() OVER (ORDER BY h, vec_id) AS cn FROM (\n" +
+    s"  SELECT vec_id, ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h\n" +
+    s"  FROM embeddings)),\n" +
+    s"c0 AS (SELECT s.cn, q.d, q.qd AS cd FROM seed s JOIN qr q ON q.vec_id = s.cid WHERE s.cn <= $nCells),\n" +
+    s"$ivfIters\n" +
+    s"asg AS (\n" +
+    s" SELECT vec_id AS neighbor_id, cn AS cell FROM (\n  ${ivfAssign(s"c$itersIvf", "")}) WHERE r = 1),\n" +
+    s"probes AS (\n" +
+    s" SELECT vec_id AS query_id, cn AS cell FROM (\n" +
+    s"  ${ivfAssign(s"c$itersIvf", " WHERE q.vec_id < 10")}) WHERE r <= $nProbe),\n" +
+    s"qs AS (\n" +
+    s" SELECT q.* FROM qn q JOIN seed s ON s.cid = q.vec_id WHERE s.cn <= $sampleN),\n" +
+    s"pc0 AS (\n" +
+    s" SELECT q.j, s.cn, q.d, q.qd AS cd FROM seed s JOIN qn q ON q.vec_id = s.cid WHERE s.cn <= $codebookK),\n" +
+    s"$pqIterBlocks\n" +
+    s"codes AS (\n" +
+    s" SELECT vec_id, j, cn AS code FROM (\n  ${pqAssign(s"pc$itersPq", "qn")}) WHERE r = 1),\n" +
+    s"cand AS (\n" +
+    s" SELECT p.query_id, a.neighbor_id FROM probes p JOIN asg a ON a.cell = p.cell\n" +
+    s" WHERE a.neighbor_id <> p.query_id),\n" +
+    s"adc AS (\n" +
+    s" SELECT cd.query_id, cd.neighbor_id,\n" +
+    s"  sum((qq.qd - cb.cd)*(qq.qd - cb.cd)) AS dist\n" +
+    s" FROM cand cd\n" +
+    s" JOIN qn qq ON qq.vec_id = cd.query_id\n" +
+    s" JOIN codes c ON c.vec_id = cd.neighbor_id\n" +
+    s" JOIN pc$itersPq cb ON cb.j = c.j AND cb.cn = c.code AND cb.j = qq.j AND cb.d = qq.d\n" +
+    s" GROUP BY cd.query_id, cd.neighbor_id),\n" +
+    s"short AS (\n" +
+    s" SELECT query_id, neighbor_id FROM (\n" +
+    s"  SELECT query_id, neighbor_id,\n" +
+    s"   row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS ar\n" +
+    s"  FROM adc) WHERE ar <= ${k * shortlistFactor})\n" +
+    s"SELECT query_id, rank, neighbor_id FROM (\n" +
+    s" SELECT s.query_id, s.neighbor_id,\n" +
+    s"  row_number() OVER (PARTITION BY s.query_id\n" +
+    s"    ORDER BY list_cosine_similarity(qe.embedding, ne.embedding) DESC, s.neighbor_id) AS rank\n" +
+    s" FROM short s JOIN embeddings qe ON qe.vec_id = s.query_id\n" +
+    s"              JOIN embeddings ne ON ne.vec_id = s.neighbor_id)\n" +
+    s"WHERE rank <= $k ORDER BY query_id, rank"
+  }
+
+  /** In-memory assign + probe with GIVEN fixed-point centroids — the
+    * spec surface for loaded-index equivalence checks (s13/e13: the
+    * drained or persisted index must answer exactly like a one-pass
+    * assignment with the same frozen centroids).
+    */
+  def ivfTopKWithQCentroids(corpus: DataFrame, queries: DataFrame,
+                            idCol: String, vecCol: String, k: Int,
+                            cents: Array[Array[Long]],
+                            nProbe: Int = ivfKmeansProbe): DataFrame =
+    probeAssignedFixedPoint(
+      assignCellsFixedPoint(corpus, idCol, vecCol, cents),
+      queries, idCol, vecCol, k, cents, nProbe)
+
   /** The registered e13 gate: build on base, append delta, query the
     * LOADED index.
     */
@@ -547,13 +901,20 @@ object Similarity {
   def ivfKmeansOracleSql(dim: Int = 64, nCells: Int = ivfKmeansCells,
                          nProbe: Int = ivfKmeansProbe, k: Int = 5,
                          iters: Int = ivfKmeansIters,
-                         trainMax: Long = -1L): String = {
+                         trainMax: Long = -1L,
+                         asgFilterSql: String = ""): String = {
     // trainMax >= 0 restricts SEED SELECTION and the Lloyd iterations
     // to vec_id < trainMax (the e13 persisted-index base slice); the
     // final assignment/probe stages always cover the full corpus —
     // exactly the frozen-centroid append semantics
     val trainPred = if (trainMax >= 0) s" WHERE q.vec_id < $trainMax" else ""
     val seedPred = if (trainMax >= 0) s" WHERE vec_id < $trainMax" else ""
+    // asgFilterSql (e16): a predicate over the base table restricting
+    // which rows the final ASSIGNMENT stage covers — training stays
+    // unfiltered (an index is built once; predicates vary per query)
+    val asgPred =
+      if (asgFilterSql.isEmpty) ""
+      else s" WHERE q.vec_id IN (SELECT vec_id FROM embeddings WHERE $asgFilterSql)"
     def assignSql(cTab: String, extra: String): String =
       s"SELECT q.vec_id, c.cn, row_number() OVER (PARTITION BY q.vec_id\n" +
       s"    ORDER BY sum((q.qd - c.cd)*(q.qd - c.cd)), c.cn) AS r\n" +
@@ -580,7 +941,7 @@ object Similarity {
     s"$iterBlocks\n" +
     s"asg AS (\n" +
     s" SELECT vec_id AS neighbor_id, cn AS cell FROM (\n" +
-    s"  ${assignSql(s"c$iters", "")}) WHERE r = 1),\n" +
+    s"  ${assignSql(s"c$iters", asgPred)}) WHERE r = 1),\n" +
     s"probes AS (\n" +
     s" SELECT vec_id AS query_id, cn AS cell FROM (\n" +
     s"  ${assignSql(s"c$iters", " WHERE q.vec_id < 10")}) WHERE r <= $nProbe),\n" +
@@ -952,6 +1313,44 @@ object Similarity {
       "vec_id", "embedding", col("label") === 3, k = 5)
   }
 
+  /** e16's probe width: wider than e06's 4 because a selective
+    * predicate thins every probed cell (the filtered-recall hazard) —
+    * one constant shared by the kernel and the oracle generator call.
+    */
+  val filteredIvfProbe = 8
+
+  /** e16 (registered gate since r8): the FIXED-POINT composition —
+    * centroids train unfiltered via the e06 integer Lloyd, the
+    * predicate restricts which rows are assigned/probed (assignment is
+    * a pure per-row function of the frozen centroids, so filtering
+    * before or after assignment is the same set — the kernel filters
+    * BEFORE, so distance arithmetic never touches excluded rows and
+    * the predicate reaches the parquet scan), probe by integer
+    * distance over [[filteredIvfProbe]] cells, exact-cosine re-rank.
+    * Hash-checks against the e06 CTE chain with the predicate applied
+    * at the assignment stage. The float-MLlib composition
+    * ([[filteredIvfTopK]]) stays the spec'd scale path.
+    */
+  def filteredIvfTopKFixedPoint(corpus: DataFrame, queries: DataFrame,
+                                idCol: String, vecCol: String,
+                                predicate: Column, k: Int,
+                                nCells: Int = ivfKmeansCells,
+                                nProbe: Int = filteredIvfProbe,
+                                iters: Int = ivfKmeansIters): DataFrame = {
+    val trainSet = quantized(corpus, idCol, vecCol).persist()
+    val cents = trainCentroidsFixedPoint(trainSet, idCol, nCells, iters)
+    trainSet.unpersist()
+    probeAssignedFixedPoint(
+      assignCellsFixedPoint(corpus.filter(predicate), idCol, vecCol, cents),
+      queries, idCol, vecCol, k, cents, nProbe)
+  }
+
+  def knnFilteredIvfFixedPoint(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    filteredIvfTopKFixedPoint(emb, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", col("label") === 3, k = 5)
+  }
+
   def knnLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     // 16 bands × 6 bits: ~65% band-level recall for cos≈0.4 neighbors
@@ -1033,6 +1432,159 @@ object Similarity {
   def knnMmr(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     mmrTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+  }
+
+  /** e11 (registered gate since r8): PORTABLE integer MMR — the same
+    * greedy λ=1/2 diversification with every SCORE an integer, so the
+    * pick sequence is engine-reproducible and the gate hash-checks:
+    *
+    *  - the shortlist stays the exact-cosine top-(k·factor) (the e01
+    *    float ordering both engines already agree on, ties by id);
+    *  - relevance and pairwise similarity are integer dot products of
+    *    floor(nv·2^20)-quantized L2-NORMALIZED vectors (the e07
+    *    numeric base — dots of 64 components bounded by 64·2^40 ≪
+    *    2^63), so ≈ cos·2^40 up to deterministic quantization;
+    *  - λ=1/2 makes the greedy objective 0.5·(rel − maxSim): the
+    *    ORDER is exactly the integer (rel − maxSim), no float ever
+    *    enters a comparison. Ties → higher rel, then lower id.
+    *
+    * The oracle unrolls the k greedy picks as CTEs (the Lloyd
+    * pattern); the float kernel ([[mmrTopK]]) stays the spec'd scale
+    * path. Same shape at scale: greedy touches ≤ k·factor rows per
+    * query inside one `flatMapGroups`, constant in corpus size.
+    */
+  def mmrTopKPortable(corpus: DataFrame, queries: DataFrame,
+                      idCol: String, vecCol: String, k: Int,
+                      shortlistFactor: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecs = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val qVecs = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val short = vecs.crossJoin(broadcast(qVecs))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", VectorFns.cosineSim(col("q_vec"), col("c_vec")))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= k * shortlistFactor)
+      .select(col("query_id"), col("neighbor_id"))
+    // quantized-normalized payloads join by id AFTER the shortlist cut:
+    // only k·factor rows per query carry the integer vectors
+    val cqn = quantizedNormalized(corpus, idCol, vecCol, "neighbor_id")
+      .withColumnRenamed("qn", "cqn")
+    val qqn = quantizedNormalized(queries, idCol, vecCol, "query_id")
+      .withColumnRenamed("qn", "qqn")
+    short.join(cqn, Seq("neighbor_id"))
+      .join(broadcast(qqn), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qqn"), col("cqn"))
+      .as[(Long, Long, Array[Long], Array[Long])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Array[Long], Array[Long])]) =>
+        def dot(a: Array[Long], b: Array[Long]): Long = {
+          var s = 0L; var i = 0
+          while (i < a.length) { s += a(i) * b(i); i += 1 }
+          s
+        }
+        val rows = it.toArray
+        val cand = rows.map { case (_, id, qq, cv) => (id, dot(qq, cv), cv) }
+        val selected = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+        val used = scala.collection.mutable.Set.empty[Long]
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        while (selected.length < math.min(k, cand.length)) {
+          // argmax (score, rel, -id): integer comparisons only
+          var bestId = -1L; var bestVec: Array[Long] = null
+          var bestScore = Long.MinValue; var bestRel = Long.MinValue
+          cand.foreach { case (id, rel, cv) =>
+            if (!used.contains(id)) {
+              val maxSim = if (selected.isEmpty) 0L
+                else selected.map(s => dot(s, cv)).max
+              val score = rel - maxSim
+              if (score > bestScore ||
+                  (score == bestScore && (rel > bestRel ||
+                    (rel == bestRel && id < bestId)))) {
+                bestScore = score; bestRel = rel; bestId = id; bestVec = cv
+              }
+            }
+          }
+          used += bestId
+          selected += bestVec
+          out += ((qid, selected.length.toLong, bestId))
+        }
+        out
+      }
+      .toDF("query_id", "rank", "neighbor_id")
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def knnMmrPortable(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    mmrTopKPortable(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+  }
+
+  /** DuckDB CTE chain reproducing [[knnMmrPortable]]: the float
+    * exact-cosine shortlist (the e01 contract), integer rel/sim dot
+    * tables over the e07 quantized-normalized long-form rows, and the
+    * k greedy picks UNROLLED as CTEs p1..pk — each step ranks the
+    * not-yet-selected candidates by (rel − max sim to selected) DESC,
+    * rel DESC, id ASC, exactly the kernel's integer tie rule.
+    */
+  def mmrOracleSql(dim: Int = 64, k: Int = 5,
+                   shortlistFactor: Int = 4): String = {
+    val n = k * shortlistFactor
+    val steps = (2 to k).map { t =>
+      s"sel${t - 1} AS (\n" +
+      (1 until t).map(i => s" SELECT query_id, s$i AS s FROM p$i")
+        .mkString("", " UNION ALL\n", "),\n") +
+      s"p$t AS (\n" +
+      s" SELECT query_id, neighbor_id AS s$t FROM (\n" +
+      s"  SELECT r.query_id, r.neighbor_id,\n" +
+      s"   row_number() OVER (PARTITION BY r.query_id\n" +
+      s"     ORDER BY r.rel - ms.m DESC, r.rel DESC, r.neighbor_id) AS rr\n" +
+      s"  FROM rel r\n" +
+      s"  JOIN (SELECT m.query_id, m.i, max(m.sim) AS m\n" +
+      s"        FROM sim m JOIN sel${t - 1} e ON e.query_id = m.query_id AND e.s = m.j\n" +
+      s"        GROUP BY m.query_id, m.i) ms\n" +
+      s"    ON ms.query_id = r.query_id AND ms.i = r.neighbor_id\n" +
+      s"  WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} e\n" +
+      s"    WHERE e.query_id = r.query_id AND e.s = r.neighbor_id)\n" +
+      s" ) WHERE rr = 1),"
+    }.mkString("\n")
+    s"WITH nrm AS (\n" +
+    s" SELECT vec_id, sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nv\n" +
+    s" FROM embeddings),\n" +
+    s"qn AS (\n" +
+    s" SELECT e.vec_id, d,\n" +
+    s"  CAST(floor(CAST(CAST(e.embedding[d]::DOUBLE / n.nv AS REAL) AS DOUBLE) * $fixedPointScale) AS BIGINT) AS qd\n" +
+    s" FROM embeddings e JOIN nrm n ON n.vec_id = e.vec_id, range(1, ${dim + 1}) t(d)),\n" +
+    s"short AS (\n" +
+    s" SELECT query_id, neighbor_id FROM (\n" +
+    s"  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,\n" +
+    s"   row_number() OVER (PARTITION BY q.vec_id\n" +
+    s"     ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS r\n" +
+    s"  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id\n" +
+    s"  WHERE q.vec_id < 10) WHERE r <= $n),\n" +
+    s"rel AS (\n" +
+    s" SELECT s.query_id, s.neighbor_id, sum(a.qd * b.qd) AS rel\n" +
+    s" FROM short s\n" +
+    s" JOIN qn a ON a.vec_id = s.query_id\n" +
+    s" JOIN qn b ON b.vec_id = s.neighbor_id AND b.d = a.d\n" +
+    s" GROUP BY s.query_id, s.neighbor_id),\n" +
+    s"sim AS (\n" +
+    s" SELECT s1.query_id, s1.neighbor_id AS i, s2.neighbor_id AS j, sum(a.qd * b.qd) AS sim\n" +
+    s" FROM short s1\n" +
+    s" JOIN short s2 ON s2.query_id = s1.query_id AND s2.neighbor_id <> s1.neighbor_id\n" +
+    s" JOIN qn a ON a.vec_id = s1.neighbor_id\n" +
+    s" JOIN qn b ON b.vec_id = s2.neighbor_id AND b.d = a.d\n" +
+    s" GROUP BY s1.query_id, s1.neighbor_id, s2.neighbor_id),\n" +
+    s"p1 AS (\n" +
+    s" SELECT query_id, neighbor_id AS s1 FROM (\n" +
+    s"  SELECT query_id, neighbor_id,\n" +
+    s"   row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, neighbor_id) AS rr\n" +
+    s"  FROM rel) WHERE rr = 1),\n" +
+    s"${steps.stripSuffix(",")}\n" +
+    (1 to k).map(t => s"SELECT query_id, CAST($t AS BIGINT) AS rank, s$t AS neighbor_id FROM p$t")
+      .mkString("", "\nUNION ALL\n", "\n") +
+    s"ORDER BY query_id, rank"
   }
 
   /** e12: kNN JOIN — top-k neighbors for EVERY corpus row, both sides
@@ -1239,9 +1791,9 @@ object Similarity {
       // the REGISTERED fixed-point gate; the float MLlib kernel's
       // recall is pinned separately in SimilaritySpec
       "e06_knn_ivf_kmeans" -> (knnIvfKmeansFixedPoint _),
-      "e07_knn_pq" -> (knnPq _),
+      "e07_knn_pq" -> (knnPqFixedPoint _),
       "e09_knn_int8" -> (knnInt8 _),
-      "e15_knn_ivf_pq" -> (knnIvfPq _))
+      "e15_knn_ivf_pq" -> (knnIvfPqFixedPoint _))
     import spark.implicits._
     // e16 is audited against its OWN baseline (the e10 filtered exact
     // ranks — an unfiltered baseline would count predicate-excluded
@@ -1260,7 +1812,7 @@ object Similarity {
       val hits = exact.join(approx, Seq("query_id", "neighbor_id")).count()
       (name, recallPct(hits, total))
     } :+ {
-      val approx = knnFilteredIvf(spark, dir)
+      val approx = knnFilteredIvfFixedPoint(spark, dir)
         .select(col("query_id"), col("neighbor_id"))
       val hits = filteredExact.join(approx, Seq("query_id", "neighbor_id")).count()
       ("e16_knn_filtered_ivf", recallPct(hits, filteredTotal))

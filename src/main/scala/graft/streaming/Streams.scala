@@ -486,7 +486,9 @@ object Streams {
 
   /** s13: STREAMING maintenance of the persisted ANN index — the e13
     * build/append split driven by Structured Streaming. The base index
-    * builds once (batch k-means, frozen centroids); the delta slice
+    * builds once (batch FIXED-POINT integer Lloyd since r8, so the
+    * drained index — and therefore every query answer — hash-checks
+    * against e13's DuckDB oracle); the delta slice
     * then arrives as a STREAM whose every micro-batch appends
     * frozen-centroid assignments via `foreachBatch` — the
     * vector-store-fed-by-a-stream shape a 100 TB embedding pipeline
@@ -504,7 +506,9 @@ object Streams {
     val idxDir = graft.util.Scratch.dir(spark, "s13_idx", dir).toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_s13_ckpt")
     val emb = Tables.embeddings(spark, dir)
-    Similarity.buildIvfIndex(emb.filter(col("vec_id") < split), "vec_id", "embedding", idxDir)
+    // fixed-point build (r8): the frozen index is integer-derived, so
+    // the drained stream's answers hash-check against the e13 oracle
+    Similarity.buildIvfIndexFixedPoint(emb.filter(col("vec_id") < split), "vec_id", "embedding", idxDir)
     val embFileSchema = StructType(Seq(
       StructField("vec_id", LongType),
       StructField("embedding", ArrayType(FloatType)),
@@ -519,7 +523,7 @@ object Streams {
         .outputMode("append")
         .option("checkpointLocation", ckpt.toString)
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          Similarity.appendIvfIndex(batch, "vec_id", "embedding", idxDir)
+          Similarity.appendIvfIndexFixedPoint(batch, "vec_id", "embedding", idxDir)
         }
         .trigger(Trigger.AvailableNow())
         .start()
@@ -528,8 +532,8 @@ object Streams {
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       graft.util.Scratch.rmTree(ckpt)
     }
-    Similarity.queryIvfIndex(spark, idxDir, emb.filter(col("vec_id") < 10),
-      "vec_id", "embedding", k = 5)
+    Similarity.queryIvfIndexFixedPoint(spark, idxDir,
+      emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
   }
 
   /** The s12 merge: read → union → keep latest per (ts, event_id) →

@@ -413,6 +413,54 @@ class DedupSpec extends SparkSpec {
     assert(kept.count() < emb.count())
   }
 
+  test("d17 portable: deterministic; integer sweep sound AND complete within every cell") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val a = Dedup.semanticDedupPortableGate(spark, sf)
+      .as[(Long, Int)].collect().toSeq
+    val b = Dedup.semanticDedupPortableGate(spark, sf)
+      .as[(Long, Int)].collect().toSeq
+    assert(a == b, "portable SemDeDup must be run-to-run deterministic")
+    assert(a.nonEmpty && a.size < emb.count())
+    // the kernel's quantization contract, replicated driver-side
+    def qn(v: Seq[Float]): Array[Long] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+      v.map(x => math.floor((x.toDouble / n).toFloat.toDouble * 1048576L).toLong).toArray
+    }
+    def idot(x: Array[Long], y: Array[Long]): Long =
+      x.zip(y).map { case (p, q) => p * q }.sum
+    val vecs = emb.select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+      .collect().toMap.view.mapValues(qn).toMap
+    val keptByCell = a.groupBy(_._2).view.mapValues(_.map(_._1).sorted).toMap
+    // soundness: no two survivors of a cell are >= tau-similar
+    keptByCell.values.foreach { ids =>
+      for (i <- ids; j <- ids if i < j)
+        assert(idot(vecs(i), vecs(j)) < Dedup.semanticTauInt, s"kept pair $i,$j too close")
+    }
+    // completeness: every dropped id has a kept SMALLER same-cell id
+    // within tau (otherwise the sweep would have kept it)
+    val keptSet = a.map(_._1).toSet
+    val cellOf = a.map(t => (t._1, t._2)).toMap
+    // recompute each id's cell from the kept rows' cells via the gate's
+    // own assignment: drop ids aren't in the output, so re-derive from
+    // the operator's building blocks
+    val cellsDf = {
+      val trainSet = graft.operators.Similarity.quantized(emb, "vec_id", "embedding")
+      val cents = graft.operators.Similarity.trainCentroidsFixedPoint(
+        trainSet, "vec_id", graft.operators.Similarity.ivfKmeansCells,
+        graft.operators.Similarity.ivfKmeansIters)
+      graft.operators.Similarity.assignCellsFixedPoint(emb, "vec_id", "embedding", cents)
+        .select($"neighbor_id".cast("long"), $"cell").as[(Long, Int)].collect()
+    }
+    // kept rows must agree with the recomputed assignment
+    cellsDf.filter(t => keptSet.contains(t._1)).foreach { case (id, c) =>
+      assert(cellOf(id) == c, s"cell drift for kept id $id")
+    }
+    cellsDf.filter(t => !keptSet.contains(t._1)).foreach { case (id, c) =>
+      val blockers = keptByCell(c).filter(k => k < id && idot(vecs(k), vecs(id)) >= Dedup.semanticTauInt)
+      assert(blockers.nonEmpty, s"dropped id $id has no kept blocker in cell $c")
+    }
+  }
+
   test("d21 incremental dedup against the stored index equals a full rebuild") {
     import graft.functions.TextFns
     val sf = "/root/testdata/sf0.001"

@@ -112,6 +112,26 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.4, s"filtered-IVF recall $recall")
   }
 
+  test("e16 fixed-point filtered IVF: deterministic, predicate-sound, >=40% recall vs e10") {
+    val emb = Tables.embeddings(spark, sf)
+    val a = Similarity.knnFilteredIvfFixedPoint(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    val b = Similarity.knnFilteredIvfFixedPoint(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(a == b, "fixed-point filtered IVF must be run-to-run deterministic")
+    assert(a.nonEmpty)
+    val label3 = emb.filter($"label" === 3).select($"vec_id").as[Long].collect().toSet
+    assert(a.forall(r => label3.contains(r._3)))
+    a.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted == (1L to rows.length).toSeq)
+    }
+    val exact = Similarity.knnFiltered(spark, sf)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._3)).toSet
+    val approx = a.map(r => (r._1, r._3)).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"fixed-point filtered-IVF recall $recall")
+  }
+
   test("e12 kNN join: >=40% recall vs exact for every-row top-3; never self; dense ranks") {
     val got = Similarity.knnJoinQuery(spark, sf)
       .as[(Long, Long, Long)].collect()
@@ -259,6 +279,65 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     got.filter(_._2 == 1L).foreach { case (q, _, n) => assert(top1(q) == n) }
     // diversity: mean pairwise sim of the MMR set never exceeds the top-k set's
+    val vecs = all.toMap
+    def meanPairSim(ids: Seq[Long]): Double = {
+      val ps = for (a <- ids; b <- ids if a < b) yield cos(vecs(a), vecs(b))
+      ps.sum / ps.length
+    }
+    val topk = Similarity.knnBruteForce(spark, sf)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      assert(meanPairSim(rows.map(_._3)) <= meanPairSim(topk(q)) + 1e-12, s"query $q")
+    }
+  }
+
+  test("e11 portable MMR: matches a driver-side integer greedy reference; diversity holds") {
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      if (na == 0 || nb == 0) 0.0 else d / (na * nb)
+    }
+    // the kernel's quantization contract: sequential double norm,
+    // float-cast of each normalized component, floor(x·2^20)
+    def qn(v: Seq[Float]): Array[Long] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+      v.map(x => math.floor((x.toDouble / n).toFloat.toDouble * 1048576L).toLong).toArray
+    }
+    def idot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val all = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    val got = Similarity.knnMmrPortable(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(t => (t._1, t._2))
+    val exp = all.filter(_._1 < 10).flatMap { case (qid, qv) =>
+      val qq = qn(qv)
+      // shortlist = float exact-cosine top-20 (ties by id) — the e01
+      // contract — then integer rel/sim greedy
+      val short = all.filter(_._1 != qid)
+        .map { case (id, v) => (id, cos(qv, v), qn(v)) }
+        .sortBy { case (id, c, _) => (-c, id) }.take(20)
+        .map { case (id, _, cv) => (id, idot(qq, cv), cv) }
+      val sel = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long])]
+      while (sel.length < 5) {
+        val pick = short.filter(c => !sel.exists(_._1 == c._1))
+          .map { case (id, rel, cv) =>
+            val maxSim = if (sel.isEmpty) 0L else sel.map(s => idot(s._2, cv)).max
+            (rel - maxSim, rel, id, cv)
+          }
+          // argmax (score, rel, -id) — the kernel's integer tie rule
+          .minBy { case (score, rel, id, _) => (-score, -rel, id) }
+        sel += ((pick._3, pick._4))
+      }
+      sel.zipWithIndex.map { case ((id, _), i) => (qid, (i + 1).toLong, id) }
+    }.toSeq.sortBy(t => (t._1, t._2))
+    assert(got == exp)
+    // determinism
+    val again = Similarity.knnMmrPortable(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(t => (t._1, t._2))
+    assert(got == again)
+    // diversity: mean pairwise sim never exceeds the plain top-k set's
     val vecs = all.toMap
     def meanPairSim(ids: Seq[Long]): Double = {
       val ps = for (a <- ids; b <- ids if a < b) yield cos(vecs(a), vecs(b))
@@ -540,5 +619,40 @@ class SimilaritySpec extends SparkSpec {
     val approx = got.map(t => (t._1, t._3)).toSet
     val recall = brute.intersect(approx).size.toDouble / brute.size
     assert(recall >= 0.4, s"recall=$recall")
+  }
+
+  test("e07 fixed-point PQ: deterministic, >=40% recall vs brute force") {
+    val brute = Similarity.knnBruteForce(spark, sf)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val a = Similarity.knnPqFixedPoint(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    val b = Similarity.knnPqFixedPoint(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(a == b, "fixed-point PQ must be run-to-run deterministic")
+    val approx = a.map(t => (t._1, t._3)).toSet
+    val recall = brute.intersect(approx).size.toDouble / brute.size
+    assert(recall >= 0.4, s"recall=$recall")
+    // dense 1..5 ranks, never self
+    a.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._2).sorted == Seq(1L, 2L, 3L, 4L, 5L), s"query $q ranks")
+      assert(!rows.exists(_._3 == q))
+    }
+  }
+
+  test("e15 fixed-point IVF+PQ: deterministic, >=40% recall vs brute force, dense ranks") {
+    val brute = Similarity.knnBruteForce(spark, sf)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val a = Similarity.knnIvfPqFixedPoint(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    val b = Similarity.knnIvfPqFixedPoint(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(a == b, "fixed-point IVF+PQ must be run-to-run deterministic")
+    val approx = a.map(t => (t._1, t._3)).toSet
+    val recall = brute.intersect(approx).size.toDouble / brute.size
+    assert(recall >= 0.4, s"recall=$recall")
+    a.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._2).sorted == (1L to rows.length).toSeq, s"query $q ranks")
+      assert(!rows.exists(_._3 == q))
+    }
   }
 }

@@ -353,9 +353,9 @@ class StreamsSpec extends SparkSpec {
     // the drained stream's index must answer queries exactly like an
     // in-memory full-corpus assignment with the SAME frozen centroids
     val idxDir = graft.util.Scratch.resolve(spark, "s13_idx", sf).toString
-    val cents = Similarity.loadCentroids(spark, idxDir)
-    val fresh = Similarity.ivfTopKWithCentroids(emb,
-      emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5, cents, nProbe = 4)
+    val cents = Similarity.loadQCentroids(spark, idxDir)
+    val fresh = Similarity.ivfTopKWithQCentroids(emb,
+      emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5, cents)
       .collect().map(_.toSeq).toSeq
     assert(got == fresh)
     // the stream really appended: assignments cover the whole corpus,
