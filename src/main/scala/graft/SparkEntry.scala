@@ -268,8 +268,15 @@ object SparkEntry {
     // the float kernel stays the spec'd scale path
     "e11_knn_mmr"            -> (Similarity.knnMmrPortable _),
     // e12: kNN JOIN — top-k for EVERY row, both sides large (LSH
-    // candidates, never O(n²); rows-only: hyperplane-seed-dependent)
+    // candidates, never O(n²); rows-only: the SCALE kernel keeps the
+    // adaptive count-probe bucket sizing and hot-bucket re-split,
+    // which are corpus-dependent — e17 is its hash-checked anchor)
     "e12_knn_join"           -> (Similarity.knnJoinQuery _),
+    // e17: the e12 shape with the engine-local pieces swapped portable
+    // (md5-Rademacher bands at fixed 16×6, int8-of-normalized rider
+    // codes, INTEGER per-band prune) — the corpus-vs-corpus join's
+    // band/prune/re-rank semantics, cross-engine hash-checked
+    "e17_knn_join_portable"  -> (Similarity.knnJoinQueryPortable _),
     // e13: PERSISTED IVF index — build on the base slice, incremental
     // append of the delta with frozen centroids, query from the LOADED
     // index (rows-only: k-means centroids are engine-specific; the
@@ -467,6 +474,12 @@ object SparkEntry {
     // discrete rank selections hash-check against q96's oracle
     "s18_streaming_quantiles" -> ((s: SparkSession, dir: String) =>
       Streams.streamingSampledQuantiles(s, dir)),
+    // s19: streaming near-dup detection against a persisted LSH
+    // index — dedup-on-ingest (the s13 build/append split for TEXT):
+    // each micro-batch probes the band buckets, verifies exact
+    // jaccard once, appends itself; drained pairs = the closed-form
+    // "d03 pairs with a delta member", hash-checked
+    "s19_streaming_neardup"  -> (Streams.streamingNearDup _),
     // s07: the transformWithState (state API v2, RocksDB) operator run
     // through a REAL streaming drain; integer-cents state makes the
     // final totals batch-boundary-invariant and oracle-exact
@@ -852,6 +865,10 @@ object SparkEntry {
       // greedy sweep as a recursive CTE (kept ids strictly increase,
       // so each round appends the smallest eligible id per cell)
       "d17_semantic_dedup" -> Dedup.semanticDedupOracleSql(),
+      // e17: e02's Rademacher band keys over ALL rows, int8 codes of
+      // normalized components, integer per-band prune at k·margin,
+      // pair dedup, exact-cosine top-k
+      "e17_knn_join_portable" -> Similarity.knnJoinOracleSql(),
       // d06: the identical md5-derived ±1 sign table (i is 1-based,
       // matching the kernel's "b-j-i" key), signed sequential double
       // sums for the sign bits, bucket self-join, cosine-threshold
@@ -1053,6 +1070,14 @@ object SparkEntry {
       "d03_minhash_lsh" ->
         s"""WITH ${portableLshCtes(s"(SELECT doc_id, ${norm("text")} AS nt FROM documents)")}
            |SELECT doc_a, doc_b, jaccard FROM lshpairs
+           |ORDER BY doc_a, doc_b""".stripMargin,
+      // s19: a pair (a < b) is emitted when its second-processed
+      // member arrives, so the drained set is exactly the d03 pairs
+      // whose LARGER id is a delta doc (both-base pairs never stream)
+      "s19_streaming_neardup" ->
+        s"""WITH ${portableLshCtes(s"(SELECT doc_id, ${norm("text")} AS nt FROM documents)")}
+           |SELECT doc_a, doc_b, jaccard FROM lshpairs
+           |WHERE doc_b >= ${graft.operators.Dedup.incrementalSplit}
            |ORDER BY doc_a, doc_b""".stripMargin,
       // d04: portable SimHash — md5-60-bit token hashes, 60-bit
       // majority-vote signature (integer tie rule 2·cnt > n), 4×15-bit

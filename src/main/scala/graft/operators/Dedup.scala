@@ -304,6 +304,114 @@ object Dedup {
   def minHashDedupPortable(spark: SparkSession, dir: String): DataFrame =
     minHashLshPairsPortable(Tables.documents(spark, dir), "doc_id", "text")
 
+
+  // — persisted LSH index (s19): dedup-on-ingest for a document
+  //   stream. The e13/s13 build/append split applied to TEXT: the
+  //   historical corpus's band buckets and hashed shingle sets persist
+  //   once; each arriving micro-batch is checked against the index
+  //   (and itself) and then appended — ingest never re-shingles the
+  //   historical corpus, per-batch cost scales with the batch and its
+  //   collision fan-in. All numerics are the d03-portable family, so
+  //   the drained pair set is engine-reproducible. —
+
+  private val lshBands = 8
+  private val lshNumHashes = 32
+  private val lshThreshold = 0.6
+  private def lshMinMatch: Int =
+    math.ceil((lshThreshold - 0.2) * lshNumHashes).toInt
+
+  /** (id, hs, sig) — the portable shingle-hash set + MinHash signature
+    * of each doc, the shared numeric base of build/append/detect.
+    */
+  private def lshHashedPortable(docs: DataFrame, idCol: String,
+                                textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+        HashFns.sortedPortableShingleHashSet(
+          normalizeText(col(textCol)), 5).as("hs"))
+      .withColumn("sig", HashFns.portableMinhashSig(col("hs"), lshNumHashes))
+
+  /** (band, bkey, id, sig) band rows — signature components as the key
+    * (the d03 contract), signature riding for the map-side prefilter.
+    */
+  private def lshBandedOf(hashed: DataFrame): DataFrame = {
+    val rows = lshNumHashes / lshBands
+    hashed.select(col("id"), col("sig"),
+        explode(array((0 until lshBands).map { b =>
+          struct(lit(b).as("band"),
+                 array_join(slice(col("sig"), b * rows + 1, rows), "-").as("bkey"))
+        }: _*)).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bkey").as("bkey"),
+              col("id"), col("sig"))
+  }
+
+  /** Build the persisted LSH index over the base corpus: `hashes`
+    * (id, hs, sig) for exact-jaccard verification, `bands`
+    * (band, bkey, id, sig) for collision detection. Both parquet —
+    * loadable by any later session (the e13 property, for text).
+    */
+  def buildLshIndex(docs: DataFrame, idCol: String, textCol: String,
+                    indexDir: String): Unit = {
+    val hashed = lshHashedPortable(docs, idCol, textCol)
+      .localCheckpoint(true)
+    hashed.write.mode("overwrite").parquet(s"$indexDir/hashes")
+    lshBandedOf(hashed).write.mode("overwrite").parquet(s"$indexDir/bands")
+  }
+
+  /** One ingest step: detect near-dup pairs between `batch` and the
+    * index (PLUS within the batch itself), append verified pairs to
+    * `outDir`, then append the batch to the index. Detect-THEN-append
+    * keeps the batch out of its own index probe (in-batch pairs come
+    * from the explicit self-join), so there is no read-after-write
+    * ordering hazard; a replayed batch re-emits the same pairs (the
+    * drain dedups) and re-appends duplicate index rows (harmless for
+    * detection — pairs dedup before verify).
+    *
+    * Emission is exactly-once per pair under any batch split: a pair
+    * (a < b) surfaces in the batch of whichever member is PROCESSED
+    * second (the other is already in the index), or once via the
+    * self-join when both share a batch — so the drained set is the
+    * closed-form "all portable-LSH pairs with at least one delta
+    * member", which is what the DuckDB oracle recomputes.
+    */
+  def appendLshDetect(batch: DataFrame, idCol: String, textCol: String,
+                      indexDir: String, outDir: String): Unit = {
+    val spark = batch.sparkSession
+    val hashed = lshHashedPortable(batch, idCol, textCol)
+      .localCheckpoint(true)
+    val newBands = lshBandedOf(hashed)
+    val idxBands = spark.read.parquet(s"$indexDir/bands")
+    val n = newBands.select(col("band"), col("bkey"),
+      col("id").as("id_n"), col("sig").as("sig_n"))
+    // cross pairs (batch × index) + in-batch pairs (batch × batch)
+    val collided = n.join(
+        idxBands.select(col("band"), col("bkey"),
+          col("id").as("id_o"), col("sig").as("sig_o")),
+        Seq("band", "bkey"))
+      .unionByName(n.join(
+        newBands.select(col("band"), col("bkey"),
+          col("id").as("id_o"), col("sig").as("sig_o")),
+        Seq("band", "bkey")))
+      .filter(col("id_n") =!= col("id_o"))
+      .select(least(col("id_n"), col("id_o")).as("doc_a"),
+              greatest(col("id_n"), col("id_o")).as("doc_b"),
+              col("sig_n"), col("sig_o"))
+      .filter(HashFns.signatureMatchCount(col("sig_n"), col("sig_o")) >= lshMinMatch)
+      .select(col("doc_a"), col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val allHs = spark.read.parquet(s"$indexDir/hashes")
+      .select(col("id"), col("hs"))
+      .unionByName(hashed.select(col("id"), col("hs")))
+    collided
+      .join(allHs.select(col("id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+      .join(allHs.select(col("id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+      .withColumn("jaccard", HashFns.jaccardSortedLong(col("hs_a"), col("hs_b")))
+      .filter(col("jaccard") >= lshThreshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .write.mode("append").parquet(outDir)
+    hashed.write.mode("append").parquet(s"$indexDir/hashes")
+    lshBandedOf(hashed).write.mode("append").parquet(s"$indexDir/bands")
+  }
+
   /** 64-bit SimHash: custom codegen'd expression (one token-array pass;
     * see [[graft.functions.HashFns.SimHash64]]).
     */

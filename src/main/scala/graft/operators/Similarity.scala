@@ -1749,6 +1749,120 @@ object Similarity {
   def knnJoinQuery(spark: SparkSession, dir: String): DataFrame =
     knnJoin(Tables.embeddings(spark, dir), "vec_id", "embedding", dim = 64, k = 3)
 
+  /** e12 (registered gate since r8): PORTABLE kNN join — the same
+    * band/prune/re-rank shape as [[knnJoin]] with the three
+    * engine-local pieces swapped portable, so the whole
+    * corpus-vs-corpus result hash-checks:
+    *
+    *  - band keys from the md5-derived Rademacher family
+    *    ([[graft.functions.VectorFns.rademacherBandKeys]], the e02
+    *    contract — sign sums on RAW components, normalization-
+    *    invariant) at the FIXED 16×6 geometry (the adaptive
+    *    count-probe sizing and the hot-bucket re-split stay on the
+    *    float scale path, which the 10×/20× stress runs exercise;
+    *    below the hot cap the refined key is a bijection of the raw
+    *    key, so this IS the sub-cap plan);
+    *  - the compact rider code is int8 of the NORMALIZED vector
+    *    (floor(nv·127 + 0.5) — same 1 B/element shuffle payload, no
+    *    per-row scale/norm columns since normalization already
+    *    happened), making the per-band pruning score an INTEGER dot
+    *    (≈ cos·127²) — ties by id, no float enters a prune comparison;
+    *  - the final top-k is the exact-cosine re-rank over the deduped
+    *    survivors (the e01 ordering contract).
+    *
+    * Same scale shape: one code-carrying band shuffle, per-band
+    * top-(k·margin) WindowGroupLimit, tiny dedup, two id-equi-joins.
+    */
+  def knnJoinPortable(emb: DataFrame, idCol: String, vecCol: String,
+                      dim: Int, k: Int, bands: Int = 16,
+                      bitsPerBand: Int = 6, bandMargin: Int = 2): DataFrame = {
+    val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val coded = withL2Normalized(vecs, col("v"), "nv")
+      .withColumn("code", transform(col("nv"),
+        x => floor(x.cast("double") * lit(127.0) + lit(0.5)).cast("byte")))
+      .select(col("id"), col("v"), col("code"))
+    val banded = coded
+      .select(col("id"), col("code"),
+        posexplode(VectorFns.rademacherBandKeys(col("v"), bands, bitsPerBand, dim))
+          .as(Seq("band", "bkey")))
+    val a = banded.select(col("band"), col("bkey"),
+      col("id").as("id_a"), col("code").as("code_a"))
+    val b = banded.select(col("band"), col("bkey"),
+      col("id").as("id_b"), col("code").as("code_b"))
+    val wBand = Window.partitionBy(col("band"), col("id_a"))
+      .orderBy(col("idot").desc, col("id_b"))
+    val candidates = a.join(b, Seq("band", "bkey"))
+      .filter(col("id_a") =!= col("id_b"))
+      .withColumn("idot", VectorFns.dotI8(col("code_a"), col("code_b")))
+      .select(col("band"), col("id_a"), col("id_b"), col("idot"))
+      .withColumn("brank", row_number().over(wBand))
+      .filter(col("brank") <= k * bandMargin)
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val w = Window.partitionBy(col("id_a"))
+      .orderBy(col("cos").desc, col("id_b"))
+    candidates
+      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
+      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .withColumn("cos", VectorFns.cosineSim(col("v_a"), col("v_b")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id_a"), col("rank").cast("long").as("rank"), col("id_b"))
+      .orderBy(col("id_a"), col("rank"))
+  }
+
+  def knnJoinQueryPortable(spark: SparkSession, dir: String): DataFrame =
+    knnJoinPortable(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      dim = 64, k = 3)
+
+  /** DuckDB chain reproducing [[knnJoinQueryPortable]]: the e02
+    * Rademacher sign table and band keys over ALL rows, int8 codes of
+    * the normalized components, the per-(band, id_a) integer-dot
+    * prune at k·margin, pair dedup, exact-cosine top-k.
+    */
+  def knnJoinOracleSql(dim: Int = 64, k: Int = 3, bands: Int = 16,
+                       bits: Int = 6, bandMargin: Int = 2): String =
+    s"""WITH hp AS (
+       | SELECT b, j, list_transform(range(1, ${dim + 1}), i ->
+       |   CASE WHEN (('0x' || substr(md5(b::VARCHAR || '-' || j::VARCHAR || '-' || i::VARCHAR), 1, 15))::BIGINT & 1) = 1
+       |        THEN 1.0 ELSE -1.0 END) AS s
+       | FROM range(0, $bands) t(b), range(0, $bits) u(j)),
+       |bits AS (
+       | SELECT e.vec_id, hp.b, hp.j,
+       |  CASE WHEN list_sum(list_transform(range(1, ${dim + 1}),
+       |         i -> hp.s[i] * e.embedding[i]::DOUBLE)) >= 0
+       |       THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+       | FROM embeddings e, hp),
+       |keys AS (
+       | SELECT vec_id, b AS band, CAST(sum(bit * (1::BIGINT << j)) AS BIGINT) AS bkey
+       | FROM bits GROUP BY vec_id, b),
+       |nrm AS (
+       | SELECT vec_id, sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nv
+       | FROM embeddings),
+       |ncode AS (
+       | SELECT e.vec_id, list_transform(range(1, ${dim + 1}), i ->
+       |   CAST(floor(CAST(CAST(e.embedding[i]::DOUBLE / n.nv AS REAL) AS DOUBLE) * 127.0 + 0.5) AS BIGINT)) AS code
+       | FROM embeddings e JOIN nrm n ON n.vec_id = e.vec_id),
+       |scored AS (
+       | SELECT ka.band, ka.vec_id AS id_a, kb.vec_id AS id_b,
+       |  list_sum(list_transform(range(1, ${dim + 1}), i -> ca.code[i] * cb.code[i])) AS idot
+       | FROM keys ka
+       | JOIN keys kb ON kb.band = ka.band AND kb.bkey = ka.bkey AND kb.vec_id <> ka.vec_id
+       | JOIN ncode ca ON ca.vec_id = ka.vec_id
+       | JOIN ncode cb ON cb.vec_id = kb.vec_id),
+       |pruned AS (
+       | SELECT DISTINCT id_a, id_b FROM (
+       |  SELECT band, id_a, id_b,
+       |   row_number() OVER (PARTITION BY band, id_a ORDER BY idot DESC, id_b) AS brank
+       |  FROM scored) WHERE brank <= ${k * bandMargin})
+       |SELECT id_a, rank, id_b FROM (
+       | SELECT p.id_a, p.id_b,
+       |  row_number() OVER (PARTITION BY p.id_a
+       |    ORDER BY list_cosine_similarity(ea.embedding, eb.embedding) DESC, p.id_b) AS rank
+       | FROM pruned p JOIN embeddings ea ON ea.vec_id = p.id_a
+       |               JOIN embeddings eb ON eb.vec_id = p.id_b)
+       |WHERE rank <= $k ORDER BY id_a, rank""".stripMargin
+
   /** e08: top-5 recall of every approximate ANN path against the exact
     * ranks of [[knnBruteForce]], computed INSIDE the driver gate — one
     * row per method, `recall_x100 = 100 · |approx ∩ exact| / |exact|`

@@ -536,6 +536,71 @@ object Streams {
       emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
   }
 
+  /** s19: STREAMING near-dup detection against a persisted LSH index —
+    * dedup-on-ingest, the text twin of s13's vector-index maintenance.
+    * The base corpus builds the portable MinHash-LSH index once
+    * (band buckets + hashed shingle sets, parquet); the delta then
+    * arrives as a STREAM whose every micro-batch is checked against
+    * the index AND itself (cross join on band buckets, integer
+    * signature prefilter, ONE exact-jaccard verify) and appended —
+    * ingest never re-shingles the historical corpus, per-batch cost
+    * scales with the batch and its collision fan-in. That is the
+    * shape a 100 TB curation pipeline runs: the crawl stream is
+    * deduped against everything already accepted, not re-clustered.
+    *
+    * Every numeric is the d03-portable family, and a pair surfaces
+    * exactly once under ANY batch split (at the batch of its
+    * second-processed member, or the self-join when co-batched), so
+    * the drained pair set is the closed-form "all portable-LSH pairs
+    * with at least one delta member" — hash-checked against the d03
+    * oracle CTEs restricted to doc_b ≥ split.
+    */
+  def streamingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import graft.operators.Dedup
+    val split = Dedup.incrementalSplit
+    val idxDir = graft.util.Scratch.dir(spark, "s19_idx", dir).toString
+    val outDir = graft.util.Scratch.dir(spark, "s19_out", dir).toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_s19_ckpt")
+    val docs = Tables.documents(spark, dir)
+    Dedup.buildLshIndex(docs.filter(col("doc_id") < split), "doc_id", "text", idxDir)
+    // seed the result dir with the pair schema so a pair-free drain
+    // still reads cleanly
+    import spark.implicits._
+    Seq.empty[(Long, Long, Double)].toDF("doc_a", "doc_b", "jaccard")
+      .write.mode("overwrite").parquet(outDir)
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = spark.readStream.schema(docSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .filter(col("doc_id") >= split)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          Dedup.appendLshDetect(batch, "doc_id", "text", idxDir, outDir)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      graft.util.Scratch.rmTree(ckpt)
+    }
+    spark.read.parquet(outDir)
+      .dropDuplicates("doc_a", "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** The s12 merge: read → union → keep latest per (ts, event_id) →
     * overwrite. IDEMPOTENT under replay — re-applying the same batch
     * reaches the same fixed point (the retry spec in `StreamsSpec`

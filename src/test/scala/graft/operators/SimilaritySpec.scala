@@ -292,6 +292,33 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("e17 portable kNN join: deterministic, never self, dense ranks, >=40% recall vs exact") {
+    val got = Similarity.knnJoinQueryPortable(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    val again = Similarity.knnJoinQueryPortable(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == again, "portable kNN join must be run-to-run deterministic")
+    assert(got.forall(r => r._1 != r._3))
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted == (1L to rows.length).toSeq)
+    }
+    // exact every-row top-3 (O(n²), n=500 at test sf)
+    val all = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x.toDouble).sum) *
+        math.sqrt(b.map(x => x.toDouble * x.toDouble).sum))
+    }
+    val exact = all.flatMap { case (id, v) =>
+      all.filter(_._1 != id).map { case (n, w) => (id, n, cos(v, w)) }
+        .sortBy { case (_, n, c) => (-c, n) }.take(3).map(t => (t._1, t._2))
+    }.toSet
+    val approx = got.map(t => (t._1, t._3)).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"portable kNN-join recall $recall")
+  }
+
   test("e11 portable MMR: matches a driver-side integer greedy reference; diversity holds") {
     def cos(a: Seq[Float], b: Seq[Float]): Double = {
       val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum

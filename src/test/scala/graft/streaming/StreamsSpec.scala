@@ -365,6 +365,28 @@ class StreamsSpec extends SparkSpec {
     assert(assigned.filter(col("neighbor_id") >= Similarity.indexBaseSplit).count() > 0)
   }
 
+  test("s19 streaming near-dup drain == batch LSH pairs with a delta member; index covers all docs") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sf)
+    val got = Streams.streamingNearDup(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    // closed form: ALL portable-LSH pairs whose larger id is a delta
+    // doc (both-base pairs never stream) — recomputed in one batch pass
+    val exp = Dedup.minHashLshPairsPortable(docs, "doc_id", "text")
+      .filter(col("doc_b") >= Dedup.incrementalSplit)
+      .orderBy(col("doc_a"), col("doc_b"))
+      .collect().map(_.toSeq).toSeq
+    assert(got == exp, "drained pair set must equal the batch closed form")
+    // the ingest really appended: the index holds band rows and hash
+    // rows for EVERY doc (base + delta), 8 bands each
+    val idxDir = graft.util.Scratch.resolve(spark, "s19_idx", sf).toString
+    val nDocs = docs.count()
+    assert(spark.read.parquet(s"$idxDir/hashes").count() == nDocs)
+    assert(spark.read.parquet(s"$idxDir/bands").count() == nDocs * 8)
+  }
+
   test("s10 chained rollup equals the batch rollup up to the watermark cutoff") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
