@@ -90,7 +90,13 @@ object DumpPlans {
     // round-8: e13's registered entry WRITES the index then queries it,
     // so its dumped plan is the loaded-index probe join (the
     // interesting part: assignment scan + broadcast probes, no train)
-    "e13_knn_persisted")
+    "e13_knn_persisted",
+    // round-8 second batch: the portable kNN join (band shuffle +
+    // integer-dot WindowGroupLimit prune + id re-joins, no float in
+    // the prune) — s19 is excluded like s06/s13/s15/s18: its
+    // registered entry executes a streaming drain, so its "plan" is
+    // a scan of the drained pair output
+    "e17_knn_join_portable")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
