@@ -147,7 +147,18 @@ object ScaleStress {
       // round-8: the two fixed-point-trained gates (e06 swapped
       // kernels, e13 newly scale-pathed here — build+append+query over
       // the 20k-vector corpus with cos≈0.999 near-ties per cell)
-      "e13_knn_persisted")
+      "e13_knn_persisted",
+      // round-8 second batch: the filtered probe through the fixed-
+      // point index (the label predicate thins factor×-denser cells).
+      // e17 is deliberately NOT stressed: it freezes the 16×6 bucket
+      // geometry as the cross-engine semantic anchor, so at 10×
+      // adversarial density it would reproduce the documented
+      // pre-adaptive bucket collapse by construction — e12 (adaptive
+      // sizing + hot-split) is the scale path and carries the stress
+      // evidence; streaming drains (s13/s19) are likewise excluded —
+      // the stress corpus writes multi-file parquet dirs the
+      // pathGlobFilter file stream doesn't address
+      "e16_knn_filtered_ivf")
 
     // SPARK_GRAFT_ONLY=name1,name2 narrows the run (iteration / probes)
     val only = sys.env.get("SPARK_GRAFT_ONLY")

@@ -230,4 +230,83 @@ object PropertiesCheck extends Properties("graft") {
       val expKeys = expSig.grouped(rows).map(_.mkString("-")).toSeq
       gotSig == expSig && gotKeys == expKeys
     }
+
+  // — d22/d23 epsilon-hardened candidate bounds (the r8 ADVICE fix):
+  //   the prefix length computed with the 1e-7 slack is NEVER stricter
+  //   than the exact-rational prefix (completeness for ANY threshold),
+  //   and at most ONE rank looser (the verify pass absorbs the slack) —
+  private val tauGen = Gen.chooseNum(0.05, 0.95)
+  private val szGen = Gen.chooseNum(1, 5000)
+  property("epsilon prefix bound: complete for any threshold, at most one rank loose") =
+    Prop.forAll(tauGen, szGen) { (tau, sz) =>
+      // the Column expression's double arithmetic, replicated exactly
+      val implPrefix = sz - math.ceil(tau * sz - 1e-7) + 1
+      // exact rational: BigDecimal of the double tau is its exact
+      // binary value — the overlap requirement is ceil of that product
+      val exact = BigDecimal(tau) * sz
+      val exactCeil = exact.setScale(0, BigDecimal.RoundingMode.CEILING).toInt
+      val exactPrefix = sz - exactCeil + 1
+      implPrefix >= exactPrefix && implPrefix <= exactPrefix + 1
+    }
+
+  property("epsilon positional bound: never rejects an exact-rational-feasible pair") =
+    Prop.forAll(tauGen, szGen, szGen, Gen.chooseNum(1, 5000), Gen.chooseNum(1, 5000)) {
+      (tau, szA, szB, rkA0, rkB0) =>
+        val rkA = math.min(rkA0, szA); val rkB = math.min(rkB0, szB)
+        val lhs = 1.0 + math.min(szA - rkA, szB - rkB)
+        // exact-rational feasibility of overlap >= tau/(1+tau)·(szA+szB)
+        val bound = (BigDecimal(tau) / (BigDecimal(tau) + 1)) * (szA + szB)
+        val exactFeasible = BigDecimal(lhs) >= bound
+        // the implementation's double-arithmetic filter with the slack
+        val implPass = lhs >= tau / (1.0 + tau) * (szA + szB) - 1e-7
+        // completeness direction only: exact-feasible ⇒ impl passes
+        !exactFeasible || implPass
+    }
+
+  // — e07/e15 fixed-point PQ kernels vs BigInt references: training
+  //   argmin/divide, encode argmin with first-min ties, and the ADC
+  //   table+lookup are exact integer algebra with no Long overflow —
+  private val qcompGen = Gen.chooseNum(-(1L << 20), 1L << 20)
+  private val qvecGen = Gen.listOfN(8, qcompGen).map(_.toArray)
+  property("PQ encodeI64/adcTableI64/adcLookupI64 = BigInt reference") =
+    Prop.forAll(Gen.listOfN(6, qvecGen), qvecGen, qvecGen) { (sample, v, q) =>
+      val cb = graft.functions.Pq.trainFixedPoint(sample.toArray, m = 2, k = 3, iters = 2)
+      val m = cb.length; val k = cb(0).length; val sub = cb(0)(0).length
+      def bigDist(x: Array[Long], off: Int, cen: Array[Long]): BigInt =
+        (0 until sub).map(i => BigInt(x(off + i) - cen(i)).pow(2)).sum
+      // encode: per-subspace argmin, first-min ties
+      val code = graft.functions.Pq.encodeI64(new GenericArrayData(v), cb)
+      val expCode = (0 until m).map { j =>
+        val ds = (0 until k).map(c => bigDist(v, j * sub, cb(j)(c)))
+        ds.indexOf(ds.min).toByte
+      }
+      // ADC table + lookup vs direct BigInt distance of q to v's cells
+      val table = graft.functions.Pq.adcTableI64(new GenericArrayData(q), cb)
+      val score = graft.functions.Pq.adcLookupI64(table, code, k)
+      val expScore = (0 until m).map(j => bigDist(q, j * sub, cb(j)(expCode(j) & 0xFF))).sum
+      code.toSeq == expCode && BigInt(score) == expScore
+    }
+
+  property("fixed-point integer Lloyd update = BigInt truncating division") =
+    Prop.forAll(Gen.nonEmptyListOf(qvecGen)) { vecs =>
+      // one assign/update round, Long vs BigInt (overflow witness:
+      // sums of |members|·2^20 stay far inside Long at any list size
+      // ScalaCheck generates, and BigInt proves it)
+      val cents = vecs.take(3).map(_.clone).toArray
+      def near(v: Array[Long]): Int = {
+        val ds = cents.indices.map(c =>
+          (0 until v.length).map(i => BigInt(v(i) - cents(c)(i)).pow(2)).sum)
+        ds.indexOf(ds.min)
+      }
+      val groups = vecs.groupBy(near)
+      groups.forall { case (c, members) =>
+        val longUpd = Array.tabulate(cents(c).length) { i =>
+          members.map(_(i)).sum / members.length
+        }
+        val bigUpd = (0 until cents(c).length).map { i =>
+          (members.map(v => BigInt(v(i))).sum / members.length).toLong
+        }
+        longUpd.toSeq == bigUpd
+      }
+    }
 }
