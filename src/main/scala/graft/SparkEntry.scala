@@ -368,6 +368,10 @@ object SparkEntry {
     // prefiltered n-way position-chained self-join; all-integer
     "t27_phrase_search"      -> ((s: SparkSession, dir: String) =>
       TextAnalysis.phraseSearch(s, dir)),
+    // t28: content-defined chunking — boundaries from the md5-60-bit
+    // gram hash (cut iff ≡0 mod 64), a pure per-position predicate:
+    // parallel within a doc, edit-survivable chunk hashes, portable
+    "t28_cdc_chunks"         -> (TextAnalysis.cdcChunks _),
     // t25: CCNet-style unigram-LM quality score (mean corpus frequency
     // of a doc's tokens) — integer-exact until two fixed-order
     // divisions; the frequency join is skew-split (broadcast head,
@@ -480,6 +484,10 @@ object SparkEntry {
     // jaccard once, appends itself; drained pairs = the closed-form
     // "d03 pairs with a delta member", hash-checked
     "s19_streaming_neardup"  -> (Streams.streamingNearDup _),
+    // s20: streaming decontamination — eval-benchmark shingle keys as
+    // the static broadcast side (s15 shape), per-batch hit counts are
+    // doc-complete so the drain ≡ batch d12 verbatim, hash-checked
+    "s20_streaming_decontam" -> (Streams.streamingDecontaminate _),
     // s07: the transformWithState (state API v2, RocksDB) operator run
     // through a REAL streaming drain; integer-cents state makes the
     // final totals batch-boundary-invariant and oracle-exact
@@ -2139,6 +2147,37 @@ object SparkEntry {
            |WHERE a.tok = 'hash' AND b.tok = 'join'
            |GROUP BY a.doc_id
            |ORDER BY a.doc_id""".stripMargin,
+      // t28: the same per-position cut predicate (md5-60-bit gram hash
+      // ≡ 0 mod 64, positions 2..ng), bounds = 1 ∥ cuts ∥ ln+1, chunks
+      // re-substring'd and md5'd — chunk hashes identical by the t08
+      // gram-hash equivalence
+      "t28_cdc_chunks" ->
+        s"""WITH g AS (
+           | SELECT doc_id, nt, length(nt) AS ln,
+           |  greatest(length(nt) - 7, 0) AS ng
+           | FROM (SELECT doc_id, ${norm("text")} AS nt FROM documents)
+           | WHERE length(nt) >= 1
+           |), c AS (
+           | SELECT doc_id, nt, ln,
+           |  CASE WHEN ng >= 2 THEN list_filter(range(2, ng + 1),
+           |   i -> ('0x' || substr(md5(substr(nt, i::INT, 8)), 1, 15))::BIGINT % 64 = 0)
+           |  ELSE CAST([] AS BIGINT[]) END AS cuts
+           | FROM g
+           |), b AS (
+           | SELECT doc_id, nt,
+           |  list_concat(list_concat([1::BIGINT], cuts), [ln + 1]) AS bounds
+           | FROM c
+           |), u AS (
+           | SELECT doc_id, unnest(list_transform(range(1, len(bounds)),
+           |  k -> struct_pack(ci := k,
+           |   cl := bounds[k::INT + 1] - bounds[k::INT],
+           |   ck := md5(substr(nt, bounds[k::INT]::INT,
+           |     (bounds[k::INT + 1] - bounds[k::INT])::INT))))) AS ch
+           | FROM b
+           |)
+           |SELECT doc_id, CAST(ch.ci AS BIGINT) AS chunk_idx,
+           | CAST(ch.cl AS BIGINT) AS chunk_len, ch.ck AS chunk_hash
+           |FROM u ORDER BY doc_id, chunk_idx""".stripMargin,
       // t25: unigram-LM quality score — integer-exact cnt_sum/dl,
       // score = (cnt_sum/dl)/n_total divided left-to-right (the same
       // two IEEE divisions the Spark expression performs)
@@ -2579,9 +2618,13 @@ object SparkEntry {
     // outlier set — same oracle
     // s18's drained bounded-state sample equals the q96 batch sample
     // by construction (k hash-smallest is split-insensitive)
+    // s20 drains the stateless per-batch contamination counts to
+    // exactly the batch d12 result (a doc's shingles are complete
+    // within its batch) — same oracle
     base + ("d16_decontaminate_bloom" -> base("d12_decontamination"),
             "s14_streaming_funnel" -> base("q85_funnel_steps"),
             "s17_streaming_outliers" -> base("q92_value_outliers"),
-            "s18_streaming_quantiles" -> base("q96_sampled_quantiles"))
+            "s18_streaming_quantiles" -> base("q96_sampled_quantiles"),
+            "s20_streaming_decontam" -> base("d12_decontamination"))
   }
 }

@@ -159,18 +159,35 @@ object Curation {
     * never shuffles. md5 keeps the key cross-engine-stable for the
     * oracle; the intra-engine fast path would be xxhash64 (8-byte keys).
     */
-  def decontaminate(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
+  /** The eval suite's distinct shingle keys — the static side of both
+    * the batch d12 gate and s20's streaming apply (an eval benchmark
+    * is a fixed artifact; the corpus is what grows).
+    */
+  private[graft] def evalShingleKeys(docs: DataFrame, n: Int): DataFrame = {
     val toks = tokens(normalizeText(col("text")))
-    val docs = Tables.documents(spark, dir)
-    val sh = docs
-      .select(col("doc_id"), explode(wordShingles(toks, n)).as("sh"))
-      .select(col("doc_id"), md5(col("sh").cast("binary")).as("shkey"))
-    val evalKeys = docs.filter(col("doc_id") % 97 === 0)
+    docs.filter(col("doc_id") % 97 === 0)
       .select(explode(wordShingles(slice(toks, 6, 20), n)).as("sh"))
       .select(md5(col("sh").cast("binary")).as("shkey")).distinct()
-    sh.join(broadcast(evalKeys), "shkey")
+  }
+
+  /** Per-doc eval-shingle hit counts for an arbitrary docs frame
+    * against prepared eval keys — shared by d12 and s20. A doc's
+    * shingles all derive from its own row, so the count is complete
+    * within whatever slice (or micro-batch) carries the doc.
+    */
+  private[graft] def contaminationHits(docs: DataFrame, evalKeys: DataFrame,
+                                       n: Int): DataFrame = {
+    val toks = tokens(normalizeText(col("text")))
+    docs.select(col("doc_id"), explode(wordShingles(toks, n)).as("sh"))
+      .select(col("doc_id"), md5(col("sh").cast("binary")).as("shkey"))
+      .join(broadcast(evalKeys), "shkey")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_eval_hits"))
+  }
+
+  def decontaminate(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    contaminationHits(docs, evalShingleKeys(docs, n), n)
       .orderBy(col("doc_id"))
   }
 

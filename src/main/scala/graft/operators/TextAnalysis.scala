@@ -297,6 +297,56 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** t28: CONTENT-DEFINED CHUNKING (the Rabin/FastCDC family) — chunk
+    * boundaries chosen by document CONTENT, not fixed offsets, so an
+    * insertion or deletion reshuffles only the chunks it touches while
+    * every other chunk (and its hash) survives byte-identical. That is
+    * the property fixed-size chunking (t16) lacks and the reason CDC
+    * underlies storage dedup and incremental-sync systems: chunk-hash
+    * dedup across document versions keeps working after edits.
+    *
+    * Portable formulation (the t08 numeric family): position i of the
+    * normalized text is a cut iff the 60-bit md5 hash of the 8-char
+    * gram starting at i ≡ 0 (mod 64) — expected chunk ≈ 64 chars. The
+    * boundary decision is a pure per-position predicate, so chunking
+    * is embarrassingly parallel WITHIN a document (no sequential scan
+    * state) and bit-identical across engines. Production CDC adds
+    * min/max chunk bounds and a rolling (not per-position md5) hash —
+    * `HashFns` rolling kernels are that scale path; min/max clamping
+    * reintroduces sequential dependence, which is why the registered
+    * gate pins the stateless core.
+    *
+    * Output: one row per chunk (doc_id, chunk_idx, chunk_len,
+    * chunk_hash) — the chunk-hash table IS the dedup index.
+    */
+  def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    val k = 8; val mask = 64
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), normalizeText(col("text")).as("nt"))
+      .withColumn("ln", length(col("nt")))
+      .filter(col("ln") >= 1)
+      // cut positions 2..ng (1 is always a chunk start); gram hash =
+      // the t08 md5-60-bit kernel, boundary iff hash % mask == 0
+      .withColumn("ng", greatest(col("ln") - (k - 1), lit(0)))
+      .withColumn("cuts", when(col("ng") >= 2, expr(
+        s"""filter(sequence(2, ng),
+           | i -> cast(conv(substr(md5(cast(substr(nt, i, $k) as binary)), 1, 15), 16, 10) as bigint) % $mask = 0)""".stripMargin))
+        .otherwise(expr("cast(array() as array<int>)")))
+      .withColumn("bounds",
+        concat(array(lit(1)), col("cuts"), array(col("ln") + 1)))
+      .withColumn("ch", explode(expr(
+        """transform(sequence(1, size(bounds) - 1),
+          | k -> struct(k AS ci,
+          |   element_at(bounds, k + 1) - element_at(bounds, k) AS cl,
+          |   substring(nt, element_at(bounds, k),
+          |     element_at(bounds, k + 1) - element_at(bounds, k)) AS ck))""".stripMargin)))
+      .select(col("doc_id"),
+        col("ch.ci").cast("long").as("chunk_idx"),
+        col("ch.cl").cast("long").as("chunk_len"),
+        md5(col("ch.ck").cast("binary")).as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   /** t12: EXACT heavy hitters via sketch-prefilter + recount — the
     * two-pass pattern that makes the MG sketch ([[heavyHitters]])
     * production-grade at 100 TB. Pass 1 runs the k-counter sketch

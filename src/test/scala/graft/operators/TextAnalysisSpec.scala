@@ -346,4 +346,53 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got == Map(0L -> 2L, 3L -> 1L), got.toString)
   }
+
+  test("t28 CDC chunks: lossless, deterministic, and edit-SURVIVABLE (the CDC property)") {
+    import graft.functions.TextFns
+    // fixture chunks reconstruct the normalized text exactly
+    val rows = TextAnalysis.cdcChunks(spark, sf)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, ch) =>
+      assert(ch.map(_._2).sorted == (1L to ch.length).toSeq)
+    }
+    val lens = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val norms = graft.Tables.documents(spark, sf)
+      .select($"doc_id", length(TextFns.normalizeText($"text")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    lens.foreach { case (id, tot) => assert(tot == norms(id), s"doc $id") }
+
+    // THE property fixed-size chunking lacks: edit one region of a doc
+    // and every chunk hash outside that region survives. Plant a long
+    // doc, chunk it, insert text mid-document, re-chunk: the multiset
+    // of chunk hashes must differ only near the edit (shared hashes
+    // cover all but a bounded few chunks).
+    val rnd = new scala.util.Random(7)
+    val words = Seq("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india", "juliet", "kilo", "lima")
+    val original = Seq.fill(400)(words(rnd.nextInt(words.length))).mkString(" ")
+    val edited = {
+      val cut = original.length / 2
+      original.substring(0, cut) + " inserted brand new material here " +
+        original.substring(cut)
+    }
+    val dirTmp = java.nio.file.Files.createTempDirectory("t28fix")
+    Seq((0L, original), (1L, edited)).toDF("doc_id", "text")
+      .write.mode("overwrite")
+      .parquet(dirTmp.resolve("documents.parquet").toString)
+    val ch = TextAnalysis.cdcChunks(spark, dirTmp.toString)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    val h0 = ch.filter(_._1 == 0L).map(_._4)
+    val h1 = ch.filter(_._1 == 1L).map(_._4)
+    // shared hashes (multiset intersection) cover all but a few chunks
+    // on each side — the edit is LOCAL in chunk space
+    val shared = (h0.groupBy(identity).keySet intersect h1.groupBy(identity).keySet)
+      .toSeq.map(k => math.min(h0.count(_ == k), h1.count(_ == k))).sum
+    assert(h0.size - shared <= 3, s"original lost ${h0.size - shared} of ${h0.size} chunks")
+    assert(h1.size - shared <= 4, s"edited gained ${h1.size - shared} of ${h1.size} chunks")
+    // determinism
+    val again = TextAnalysis.cdcChunks(spark, dirTmp.toString)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(again == ch)
+  }
 }

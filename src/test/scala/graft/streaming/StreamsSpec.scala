@@ -387,6 +387,17 @@ class StreamsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$idxDir/bands").count() == nDocs * 8)
   }
 
+  test("s20 streaming decontamination drain == batch d12 hit counts") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val got = Streams.streamingDecontaminate(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val exp = graft.operators.Curation.decontaminate(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got == exp, "drained contamination counts must equal the batch gate")
+    assert(got.nonEmpty)
+  }
+
   test("s10 chained rollup equals the batch rollup up to the watermark cutoff") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
