@@ -93,10 +93,15 @@ object DumpPlans {
     "e13_knn_persisted",
     // round-8 second batch: the portable kNN join (band shuffle +
     // integer-dot WindowGroupLimit prune + id re-joins, no float in
-    // the prune) — s19 is excluded like s06/s13/s15/s18: its
-    // registered entry executes a streaming drain, so its "plan" is
-    // a scan of the drained pair output
-    "e17_knn_join_portable")
+    // the prune) — s19/s20 are excluded like s06/s13/s15/s18: their
+    // registered entries execute streaming drains, so their "plans"
+    // are scans of the drained output
+    "e17_knn_join_portable",
+    // round-8 third batch: CDC chunking — the plan must be ONE
+    // map-only project/explode chain over the documents scan (no
+    // shuffle before the final presentation sort: the per-position
+    // cut predicate is stateless within a row)
+    "t28_cdc_chunks")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")

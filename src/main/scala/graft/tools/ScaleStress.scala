@@ -158,7 +158,10 @@ object ScaleStress {
       // evidence; streaming drains (s13/s19) are likewise excluded —
       // the stress corpus writes multi-file parquet dirs the
       // pathGlobFilter file stream doesn't address
-      "e16_knn_filtered_ivf")
+      "e16_knn_filtered_ivf",
+      // round-8 third batch: CDC chunk explosion grows linearly with
+      // the doc bytes (per-position predicate, no cross-row state)
+      "t28_cdc_chunks")
 
     // SPARK_GRAFT_ONLY=name1,name2 narrows the run (iteration / probes)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
