@@ -387,6 +387,61 @@ class StreamsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$idxDir/bands").count() == nDocs * 8)
   }
 
+  test("s19 ingest survives a post-append batch failure: replay dedups to the same pairs") {
+    // The worst-case at-least-once hazard for an index-maintaining
+    // sink: the batch's effects ALL landed (pairs emitted, index
+    // appended), then the batch fails before the offset commit — the
+    // restart replays a batch whose bands/hashes/pairs are already
+    // there. The drain-side pair dedup and the pair-level dedup before
+    // verify must absorb the duplicate index rows and re-emissions.
+    import graft.operators.Dedup
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val sf = "/root/testdata/sf0.001"
+    val split = Dedup.incrementalSplit
+    val idxDir = graft.util.Scratch.dir(spark, "s19_retry_idx", sf).toString
+    val outDir = graft.util.Scratch.dir(spark, "s19_retry_out", sf).toString
+    val ckpt = graft.util.Scratch.dir(spark, "s19_retry_ckpt", sf).toString
+    val docs = graft.Tables.documents(spark, sf)
+    Dedup.buildLshIndex(docs.filter($"doc_id" < split), "doc_id", "text", idxDir)
+    Seq.empty[(Long, Long, Double)].toDF("doc_a", "doc_b", "jaccard")
+      .write.mode("overwrite").parquet(outDir)
+    val baseBands = spark.read.parquet(s"$idxDir/bands").count()
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val failedOnce = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def run(): Unit = {
+      val q = spark.readStream.schema(docSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(sf)
+        .filter($"doc_id" >= split)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          Dedup.appendLshDetect(batch, "doc_id", "text", idxDir, outDir)
+          if (!failedOnce.getAndSet(true))
+            throw new RuntimeException("injected post-append failure")
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    intercept[StreamingQueryException](run())
+    assert(spark.read.parquet(s"$idxDir/bands").count() > baseBands,
+      "the failed attempt's index append really landed")
+    run() // replay from the same checkpoint against the dirtied index
+    val got = spark.read.parquet(outDir)
+      .dropDuplicates("doc_a", "doc_b")
+      .select($"doc_a", $"doc_b", $"jaccard")
+      .orderBy($"doc_a", $"doc_b").collect().map(_.toSeq).toSeq
+    val exp = Dedup.minHashLshPairsPortable(docs, "doc_id", "text")
+      .filter($"doc_b" >= split)
+      .orderBy($"doc_a", $"doc_b").collect().map(_.toSeq).toSeq
+    assert(got == exp, "replayed drain equals the batch closed form")
+  }
+
   test("s20 streaming decontamination drain == batch d12 hit counts") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
