@@ -321,20 +321,24 @@ object TextAnalysis {
     */
   def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
     val k = 8; val mask = 64
+    // the cut predicate costs one md5 PER CHARACTER POSITION — a
+    // CPU-heavy map chain. A small corpus arriving as one parquet
+    // file is one input split, which would serialize all that
+    // hashing on a single core (measured: 1× on the single-file
+    // fixture ran SLOWER than 10× on a 32-file corpus). One cheap
+    // shuffle of the raw text fans the hash work across the cluster.
+    // The partition count is EXPLICIT — AQE would coalesce a bare
+    // repartition(col) of a ~600 KB text corpus back to one
+    // partition, re-serializing the hash work (the cost is CPU per
+    // position, invisible to byte-based coalescing heuristics) — but
+    // DERIVED from the session, not a literal: defaultParallelism is
+    // total executor cores on a real cluster (1000-core cluster →
+    // 1000-way fan-out), 32 on this local[32] harness. A
+    // REPARTITION_BY_NUM exchange is never elided, so pinning it to
+    // the cluster width is what keeps this correct at scale.
+    val fanOut = spark.sparkContext.defaultParallelism
     Tables.documents(spark, dir)
-      // the cut predicate costs one md5 PER CHARACTER POSITION — a
-      // CPU-heavy map chain. A small corpus arriving as one parquet
-      // file is one input split, which would serialize all that
-      // hashing on a single core (measured: 1× on the single-file
-      // fixture ran SLOWER than 10× on a 32-file corpus). One cheap
-      // shuffle of the raw text fans the hash work across the
-      // cluster; at real scale inputs are many files and the
-      // exchange coalesces away. The partition count is EXPLICIT —
-      // AQE would coalesce a bare repartition(col) of a ~600 KB text
-      // corpus back to one partition, re-serializing the hash work
-      // (the cost is CPU per position, invisible to byte-based
-      // coalescing heuristics).
-      .repartition(32, col("doc_id"))
+      .repartition(fanOut, col("doc_id"))
       .select(col("doc_id"), normalizeText(col("text")).as("nt"))
       .withColumn("ln", length(col("nt")))
       .filter(col("ln") >= 1)

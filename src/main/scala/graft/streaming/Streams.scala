@@ -86,6 +86,35 @@ object Streams {
         .option("pathGlobFilter", "events.parquet").parquet(dir))
   }
 
+  /** A CHILD session (shared SparkContext, isolated SQLConf) pinned to
+    * `width` shuffle partitions. Stateful-operator parallelism = shuffle
+    * partitions AT QUERY START (frozen into the checkpoint): each
+    * partition is a state-store instance whose per-batch commit is an
+    * fsync'd delta file — a stream-stream join keeps FOUR stores per
+    * partition. The drains here move fixture-scale batches, so 8 stores
+    * beat 32 on pure commit overhead; a production deployment sizes the
+    * width to key cardinality instead (state ops hash-partition by key,
+    * so throughput scales out with the partition count). Scoping the
+    * width to a child session — the streaming source MUST be built from
+    * it, since a query executes under the conf of the session its
+    * DataFrame was created in — replaces the old mutate-and-restore of
+    * the caller's conf: a concurrent session (or the caller's own next
+    * query) can never observe the override, and there is nothing to
+    * restore on failure.
+    */
+  private def streamSession(spark: SparkSession, width: Int = 8): SparkSession = {
+    val ss = spark.newSession()
+    // newSession starts from the CONTEXT defaults, not the caller's
+    // runtime conf — the one runtime override that must survive into
+    // the child is the state-store provider ([[withRocksDBStateStore]]
+    // scopes RocksDB around the transformWithState drains, and state
+    // v2 hard-requires it)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.getOption(providerKey).foreach(ss.conf.set(providerKey, _))
+    ss.conf.set("spark.sql.shuffle.partitions", width.toString)
+    ss
+  }
+
   /** Drain one streaming query into a parquet dir and read it back.
     * The output dir is DETERMINISTIC per (tag, input dir, session) and
     * wiped at the start of each run — repeated gate/bench invocations
@@ -98,31 +127,24 @@ object Streams {
   private def drainToParquet(spark: SparkSession, tag: String, dir: String,
                              build: DataFrame => DataFrame,
                              mode: String, outputMode: String): DataFrame =
-    drainStreamed(spark, tag, dir, build(eventsStream(spark, dir)), mode, outputMode)
+    drainStreamed(spark, tag, dir, ss => build(eventsStream(ss, dir)), mode, outputMode)
 
-  /** Drain an already-built streaming DataFrame (possibly reading from
-    * SEVERAL `readStream` sources, e.g. a stream-stream join) — the
-    * multi-source generalization of [[drainToParquet]].
+  /** Drain a streaming DataFrame (possibly reading from SEVERAL
+    * `readStream` sources, e.g. a stream-stream join) — the
+    * multi-source generalization of [[drainToParquet]]. The stream is
+    * built by `streamedOf` AGAINST THE SCOPED CHILD SESSION so the
+    * pinned shuffle width (see [[streamSession]]) actually governs the
+    * query's state-store count.
     */
   private def drainStreamed(spark: SparkSession, tag: String, dir: String,
-                            streamed: DataFrame,
+                            streamedOf: SparkSession => DataFrame,
                             mode: String, outputMode: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     import graft.util.Scratch.rmTree
     val outDir = graft.util.Scratch.dir(spark, s"${tag}_out", dir)
     val ckpt = java.nio.file.Files.createTempDirectory(s"graft_${tag}_ckpt")
-    // Stateful-operator parallelism = shuffle partitions AT QUERY START
-    // (frozen into the checkpoint): each partition is a state-store
-    // instance whose per-batch commit is an fsync'd delta file — a
-    // stream-stream join keeps FOUR stores per partition. These drains
-    // move fixture-scale batches, so 8 stores beat 32 on pure commit
-    // overhead; a production deployment sizes this to key cardinality
-    // instead (state ops hash-partition by key, so throughput scales
-    // out with the partition count, and the checkpoint pins it).
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-      val q = streamed
+      val q = streamedOf(streamSession(spark))
         .writeStream
         .outputMode(outputMode)
         .option("checkpointLocation", ckpt.toString)
@@ -132,10 +154,7 @@ object Streams {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      rmTree(ckpt)
-    }
+    } finally rmTree(ckpt)
     spark.read.parquet(outDir.toString)
   }
 
@@ -288,9 +307,9 @@ object Streams {
     */
   def streamingIntervalJoin(spark: SparkSession, dir: String): DataFrame =
     drainStreamed(spark, "s06", dir,
-      purchaseClickJoinStream(
-        eventsStream(spark, dir).filter(col("event_type") === "purchase"),
-        eventsStream(spark, dir).filter(col("event_type") === "click")),
+      ss => purchaseClickJoinStream(
+        eventsStream(ss, dir).filter(col("event_type") === "purchase"),
+        eventsStream(ss, dir).filter(col("event_type") === "click")),
       mode = "append", outputMode = "append")
       .orderBy(col("event_id"), col("c_ts"))
 
@@ -327,9 +346,9 @@ object Streams {
     */
   def streamingLeftOuterJoin(spark: SparkSession, dir: String): DataFrame =
     drainStreamed(spark, "s11", dir,
-      purchaseClickLeftJoinStream(
-        eventsStream(spark, dir).filter(col("event_type") === "purchase"),
-        eventsStream(spark, dir).filter(col("event_type") === "click")),
+      ss => purchaseClickLeftJoinStream(
+        eventsStream(ss, dir).filter(col("event_type") === "purchase"),
+        eventsStream(ss, dir).filter(col("event_type") === "click")),
       mode = "append", outputMode = "append")
       .orderBy(col("event_id"), col("c_ts"))
 
@@ -350,10 +369,8 @@ object Streams {
     import org.apache.spark.sql.streaming.Trigger
     val tableDir = graft.util.Scratch.dir(spark, "s12_table", dir).toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_s12_ckpt")
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-      val q = eventsStream(spark, dir)
+      val q = eventsStream(streamSession(spark), dir)
         .select(col("user_id"), col("event_id"), col("ts"), col("value"))
         .writeStream
         .outputMode("append")
@@ -364,10 +381,7 @@ object Streams {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      graft.util.Scratch.rmTree(ckpt)
-    }
+    } finally graft.util.Scratch.rmTree(ckpt)
     spark.read.parquet(tableDir)
       .select(col("user_id"), col("event_id").as("last_event_id"),
         col("ts"), col("value"))
@@ -431,10 +445,8 @@ object Streams {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, Trigger}
     val tableDir = graft.util.Scratch.dir(spark, "s14_table", dir).toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_s14_ckpt")
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-      val q = eventsStream(spark, dir)
+      val q = eventsStream(streamSession(spark), dir)
         .select(col("user_id"), col("event_type"),
           expr("unix_micros(ts)").as("us"))
         .as[FunnelEvent]
@@ -470,10 +482,7 @@ object Streams {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      graft.util.Scratch.rmTree(ckpt)
-    }
+    } finally graft.util.Scratch.rmTree(ckpt)
     val st = spark.read.parquet(tableDir)
     def stepRow(step: Int, name: String) =
       st.filter(col("stage") >= step)
@@ -513,10 +522,8 @@ object Streams {
       StructField("vec_id", LongType),
       StructField("embedding", ArrayType(FloatType)),
       StructField("label", IntegerType)))
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-      val q = spark.readStream.schema(embFileSchema)
+      val q = streamSession(spark).readStream.schema(embFileSchema)
         .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
         .filter(col("vec_id") >= split)
         .writeStream
@@ -528,10 +535,7 @@ object Streams {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      graft.util.Scratch.rmTree(ckpt)
-    }
+    } finally graft.util.Scratch.rmTree(ckpt)
     Similarity.queryIvfIndexFixedPoint(spark, idxDir,
       emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
   }
@@ -576,10 +580,8 @@ object Streams {
       StructField("lang", StringType),
       StructField("source", StringType),
       StructField("n_chars", LongType)))
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-      val q = spark.readStream.schema(docSchema)
+      val q = streamSession(spark).readStream.schema(docSchema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
         .filter(col("doc_id") >= split)
         .writeStream
@@ -591,10 +593,7 @@ object Streams {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      graft.util.Scratch.rmTree(ckpt)
-    }
+    } finally graft.util.Scratch.rmTree(ckpt)
     spark.read.parquet(outDir)
       .dropDuplicates("doc_a", "doc_b")
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
@@ -634,10 +633,8 @@ object Streams {
       StructField("lang", StringType),
       StructField("source", StringType),
       StructField("n_chars", LongType)))
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-      val q = spark.readStream.schema(docSchema)
+      val q = streamSession(spark).readStream.schema(docSchema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
         .writeStream
         .outputMode("append")
@@ -649,10 +646,7 @@ object Streams {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      graft.util.Scratch.rmTree(ckpt)
-    }
+    } finally graft.util.Scratch.rmTree(ckpt)
     spark.read.parquet(outDir)
       .dropDuplicates("doc_id")
       .select(col("doc_id"), col("n_eval_hits"))
@@ -708,10 +702,8 @@ object Streams {
     import org.apache.spark.sql.types.StructType
     val ckpt = graft.util.Scratch.dir(spark, "s09_ckpt", dir)
     val sink = graft.util.Scratch.dir(spark, "s09_out", dir)
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val q = eventsStream(spark, dir)
+    locally {
+      val q = eventsStream(streamSession(spark), dir)
         .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
         .writeStream
         .outputMode("update")
@@ -722,7 +714,7 @@ object Streams {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
     val state = spark.read.format("statestore")
       .option("path", ckpt.toString).load()
     val keyField = state.schema("key").dataType
@@ -863,8 +855,8 @@ object Streams {
     import spark.implicits._
     val drained = withRocksDBStateStore(spark) {
       drainStreamed(spark, "s08", dir,
-        runningTypeCounts(
-          eventsStream(spark, dir)
+        ss => runningTypeCounts(
+          eventsStream(ss, dir)
             .select((col("user_id") % 16).as("shard"), col("event_type"))
             .as[ShardEvent]).toDF(),
         mode = "append", outputMode = "update")
@@ -890,8 +882,8 @@ object Streams {
     import spark.implicits._
     val drained = withRocksDBStateStore(spark) {
       drainStreamed(spark, "s07", dir,
-        runningUserCents(
-          eventsStream(spark, dir)
+        ss => runningUserCents(
+          eventsStream(ss, dir)
             .select(col("user_id"),
               (dec(col("value")) * 100).cast("long").as("cents"))
             .as[TotalsInput]).toDF(),
@@ -1080,7 +1072,7 @@ object Streams {
     import spark.implicits._
     val drained = withRocksDBStateStore(spark) {
       drainStreamed(spark, "s18", dir,
-        eventsStream(spark, dir)
+        ss => eventsStream(ss, dir)
           .select(col("event_type"), col("event_id"),
             expr("cast(conv(substr(md5(cast(cast(event_id as string) as binary)), 1, 15), 16, 10) as bigint)").as("hk"),
             (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) *
@@ -1152,7 +1144,7 @@ object Streams {
     import spark.implicits._
     val drained = withRocksDBStateStore(spark) {
       drainStreamed(spark, "s16", dir,
-        eventsStream(spark, dir)
+        ss => eventsStream(ss, dir)
           .select(col("event_type"),
             expr("cast(conv(substr(md5(cast(cast(user_id as string) as binary)), 1, 15), 16, 10) as bigint)").as("h"))
           .as[KmvInput]

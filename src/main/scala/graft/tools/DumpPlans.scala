@@ -97,10 +97,12 @@ object DumpPlans {
     // registered entries execute streaming drains, so their "plans"
     // are scans of the drained output
     "e17_knn_join_portable",
-    // round-8 third batch: CDC chunking — the plan must be ONE
-    // map-only project/explode chain over the documents scan (no
-    // shuffle before the final presentation sort: the per-position
-    // cut predicate is stateless within a row)
+    // round-8 third batch: CDC chunking — the plan is an INTENTIONAL
+    // pinned fan-out exchange (hashpartitioning(doc_id),
+    // REPARTITION_BY_NUM at defaultParallelism — spreads the
+    // per-position md5 CPU that AQE's byte-based coalescing would
+    // serialize) followed by one map-only project/explode hash chain;
+    // the only other exchange is the final presentation sort
     "t28_cdc_chunks")
 
   def main(args: Array[String]): Unit = {
