@@ -237,6 +237,11 @@ object SparkEntry {
     // the decoded AVI/JPEG frames through the shared banded join
     // (rows-only: media byte streams are not SQL-derivable)
     "m08_media_videodedup"   -> (graft.operators.Multimodal.mediaVideoDedup _),
+    // m09: the golden decode-digest table as a HARD oracle gate — one
+    // row per fixture item, all three modalities; the DuckDB oracle is
+    // the literal VALUES table of the pinned digests, so decode byte
+    // drift fails a hash_match (the anchor for the rows-only m-family)
+    "m09_media_digests"      -> (graft.operators.Multimodal.mediaDigests _),
     // — similarity search (SURVEY §2.11) —
     "e01_knn_brute"          -> (Similarity.knnBruteForce _),
     // e02: portable Rademacher banding, ids+rank output (the e01
@@ -270,8 +275,11 @@ object SparkEntry {
     // e12: kNN JOIN — top-k for EVERY row, both sides large (LSH
     // candidates, never O(n²); rows-only: the SCALE kernel keeps the
     // adaptive count-probe bucket sizing and hot-bucket re-split,
-    // which are corpus-dependent — e17 is its hash-checked anchor)
-    "e12_knn_join"           -> (Similarity.knnJoinQuery _),
+    // which are corpus-dependent). Since r9 the registered entry is
+    // COUNT-ENCODED: rows = adaptive∩anchor agreement vs the
+    // hash-checked e17 twin, zero rows below the pinned floor — the
+    // adaptive path's health is gate-visible without freezing it
+    "e12_knn_join"           -> (Similarity.knnJoinAudited _),
     // e17: the e12 shape with the engine-local pieces swapped portable
     // (md5-Rademacher bands at fixed 16×6, int8-of-normalized rider
     // codes, INTEGER per-band prune) — the corpus-vs-corpus join's
@@ -877,6 +885,9 @@ object SparkEntry {
       // normalized components, integer per-band prune at k·margin,
       // pair dedup, exact-cosine top-k
       "e17_knn_join_portable" -> Similarity.knnJoinOracleSql(),
+      // m09: the pinned golden decode digests as a literal VALUES
+      // table — any decode byte drift in any modality fails hash_match
+      "m09_media_digests" -> graft.operators.MediaGolden.mediaDigestsOracleSql,
       // d06: the identical md5-derived ±1 sign table (i is 1-based,
       // matching the kernel's "b-j-i" key), signed sequential double
       // sums for the sign bits, bucket self-join, cosine-threshold

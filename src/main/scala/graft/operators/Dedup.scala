@@ -1326,7 +1326,7 @@ object Dedup {
     s"asg AS (\n" +
     s" SELECT vec_id AS id, cn AS cell FROM (\n  ${assignSql(s"c$iters")}) WHERE r = 1),\n" +
     s"nrm AS (\n" +
-    s" SELECT vec_id, sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nv\n" +
+    s" SELECT vec_id, CASE WHEN list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) = 0 THEN 1.0 ELSE sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) END AS nv\n" +
     s" FROM embeddings),\n" +
     s"qn AS (\n" +
     s" SELECT e.vec_id, d,\n" +

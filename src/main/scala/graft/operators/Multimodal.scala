@@ -882,13 +882,19 @@ object Multimodal {
     * — deterministic over the seeded fixture.
     */
   def mediaFrameSample(spark: SparkSession, dir: String): DataFrame = {
-    val videos = syntheticMedia(spark, 300).filter(col("kind") === "video")
-    sampleFrames(syntheticMedia(spark, 300), stride = 5)
+    // one fixture build feeds both the sampler and its digest side
+    // (sampleFrames only emits video rows, so an inner join is total;
+    // the left join makes a sampler/digest id mismatch surface as a
+    // NULL digest — loud in the gate output — instead of a silently
+    // dropped row)
+    val media = syntheticMedia(spark, 300)
+    val videos = media.filter(col("kind") === "video")
+    sampleFrames(media, stride = 5)
       .groupBy(col("media_id"))
       .agg(count(lit(1)).as("n_sampled"), max(col("frame_idx")).as("max_idx"))
       // per-media decode digest (broadcast: one row per video) pins
       // the frames BYTES the sampler walked, not just their count
-      .join(broadcast(decodeDigests(videos)), Seq("media_id"))
+      .join(broadcast(decodeDigests(videos)), Seq("media_id"), "left")
       .orderBy(col("media_id"))
   }
 
@@ -906,6 +912,28 @@ object Multimodal {
         .select(col("keeper_id"), col("n_copies"))
         .orderBy(col("keeper_id")),
       corpus)
+  }
+
+  /** m09: the golden decode-digest table AS A HARD GATE — one row per
+    * fixture item across all three modalities, digest = FNV-1a-64 over
+    * the DECODED pixels / PCM samples / MJPEG frames
+    * ([[decodeDigest64]]). The fixture is a pure function of the seed
+    * and the digests pure functions of the JDK codecs' decode output,
+    * so the DuckDB oracle is the literal `VALUES` table of the pinned
+    * digests: a single-byte decode drift in ANY modality now fails a
+    * `hash_match`, not just a spec — the one oracle-checkable fact a
+    * media pipeline exposes to an engine that cannot itself decode
+    * media (DuckDB has no codecs; everything downstream of decode stays
+    * rows-only by necessity, anchored by this gate).
+    */
+  def mediaDigests(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = syntheticMedia(spark, 300)
+    media.select(col("media_id"), col("kind"), col("payload"))
+      .map(r => (r.getLong(0), r.getString(1),
+        decodeDigest64(r.getString(1), r.getAs[Array[Byte]](2))))
+      .toDF("media_id", "kind", "digest")
+      .orderBy(col("media_id"))
   }
 
   /** m06: perceptual near-dup — the content-level dedup m02's exact

@@ -652,7 +652,7 @@ object Similarity {
       s" FROM pc${i - 1} c LEFT JOIN pu$i u ON u.j = c.j AND u.cn = c.cn AND u.d = c.d),"
     }.mkString("\n")
     s"WITH nrm AS (\n" +
-    s" SELECT vec_id, sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nv\n" +
+    s" SELECT vec_id, CASE WHEN list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) = 0 THEN 1.0 ELSE sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) END AS nv\n" +
     s" FROM embeddings),\n" +
     s"q AS (\n" +
     s" SELECT e.vec_id, d, ((d - 1) // $sub) AS j,\n" +
@@ -816,7 +816,7 @@ object Similarity {
     s" SELECT e.vec_id, d, CAST(floor(CAST(e.embedding[d] AS DOUBLE) * $fixedPointScale) AS BIGINT) AS qd\n" +
     s" FROM embeddings e, range(1, ${dim + 1}) t(d)),\n" +
     s"nrm AS (\n" +
-    s" SELECT vec_id, sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nv\n" +
+    s" SELECT vec_id, CASE WHEN list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) = 0 THEN 1.0 ELSE sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) END AS nv\n" +
     s" FROM embeddings),\n" +
     s"qn AS (\n" +
     s" SELECT e.vec_id, d, ((d - 1) // $sub) AS j,\n" +
@@ -1044,7 +1044,11 @@ object Similarity {
     * ‖a−b‖² = 2 − 2·cos). The norm is PROJECTED once per row before the
     * divide — referencing `sqrt(dot(v,v))` inside the transform lambda
     * would re-evaluate the full dot loop per element (O(d²)/row on
-    * interpreted HOF eval).
+    * interpreted HOF eval). Zero-norm rows pass the RAW vector through
+    * (≡ dividing by 1) — every portable oracle's `nrm` CTE mirrors the
+    * same guard (`CASE WHEN … = 0 THEN 1.0`), so the Spark/DuckDB
+    * equivalence does not rest on the fixture containing no zero
+    * vectors.
     */
   private def withL2Normalized(df: DataFrame, vecCol: Column, outCol: String): DataFrame =
     df.withColumn("__nrm", sqrt(graft.functions.VectorFns.dot(vecCol, vecCol)))
@@ -1550,7 +1554,7 @@ object Similarity {
       s" ) WHERE rr = 1),"
     }.mkString("\n")
     s"WITH nrm AS (\n" +
-    s" SELECT vec_id, sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nv\n" +
+    s" SELECT vec_id, CASE WHEN list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) = 0 THEN 1.0 ELSE sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) END AS nv\n" +
     s" FROM embeddings),\n" +
     s"qn AS (\n" +
     s" SELECT e.vec_id, d,\n" +
@@ -1749,6 +1753,54 @@ object Similarity {
   def knnJoinQuery(spark: SparkSession, dir: String): DataFrame =
     knnJoin(Tables.embeddings(spark, dir), "vec_id", "embedding", dim = 64, k = 3)
 
+  /** Agreement floor for the e12 gate, percent of the e17 anchor's row
+    * count. Measured pair agreement between the two independent hash
+    * families is ≈47% at sf0.01 and ≈50% at sf0.1 (most disagreement
+    * is on low-cosine "noise" neighbors, where band membership is
+    * near-random and family-specific; planted near-dups agree). Like
+    * [[recallFloors]], the floor sits deliberately below the measured
+    * band so the gate trips on a COLLAPSE of the adaptive path
+    * (count-probe sizing gone wrong, hot-split key no longer a
+    * bijection, candidate starvation — all of which read ≈0%), not on
+    * band-boundary jitter of individual neighbors.
+    */
+  val knnJoinAgreeFloorPct: Int = 30
+
+  /** e12 registered gate (count-encoded recall since r9): [[knnJoin]]'s
+    * ADAPTIVE output — count-probe bucket sizing and hot-bucket
+    * re-split live, nothing frozen — emitted only where it AGREES with
+    * the hash-checked portable twin (e17, an independent md5-Rademacher
+    * hash family at fixed 16×6 geometry), and only if total agreement
+    * clears [[knnJoinAgreeFloorPct]]. Two failure modes, both
+    * gate-visible without an oracle:
+    *  - drift: each surviving (id_a, rank, id_b) is an adaptive row
+    *    whose neighbor also sits in the anchor's top-k (left-semi on
+    *    the pair), so a degraded adaptive candidate path moves
+    *    `spark_rows` row-for-row;
+    *  - collapse: below the floor the gate emits ZERO rows and the
+    *    driver's rows>0 smoke check fails loudly (the e08 pattern).
+    * The anchor side hash-checks against DuckDB in its own gate, so
+    * this count is anchored to an independently verified truth — the
+    * t11/t12 sketch-plus-exact-anchor pattern, closed over e12.
+    */
+  def knnJoinAudited(spark: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint each leg once (the e08 audit pattern): the floor
+    // gate below re-reads both legs, and without materialization the
+    // band-shuffle pipelines would re-execute per reference
+    val anchor = knnJoinQueryPortable(spark, dir)
+      .select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val agreed = knnJoinQuery(spark, dir)
+      .join(anchor, Seq("id_a", "id_b"), "left_semi").localCheckpoint(true)
+    // 0-or-1-row broadcast gate: empty below the floor, one neutral row
+    // at/above it — the join erases the whole output on a collapse
+    val gate = agreed.agg(count(lit(1)).as("n_agree"))
+      .crossJoin(anchor.agg(count(lit(1)).as("n_anchor")))
+      .filter(col("n_agree") * 100 >= col("n_anchor") * knnJoinAgreeFloorPct)
+      .select(lit(1).as("__floor_ok"))
+    agreed.crossJoin(broadcast(gate)).drop("__floor_ok")
+      .orderBy(col("id_a"), col("rank"))
+  }
+
   /** e12 (registered gate since r8): PORTABLE kNN join — the same
     * band/prune/re-rank shape as [[knnJoin]] with the three
     * engine-local pieces swapped portable, so the whole
@@ -1837,7 +1889,7 @@ object Similarity {
        | SELECT vec_id, b AS band, CAST(sum(bit * (1::BIGINT << j)) AS BIGINT) AS bkey
        | FROM bits GROUP BY vec_id, b),
        |nrm AS (
-       | SELECT vec_id, sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nv
+       | SELECT vec_id, CASE WHEN list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) = 0 THEN 1.0 ELSE sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) END AS nv
        | FROM embeddings),
        |ncode AS (
        | SELECT e.vec_id, list_transform(range(1, ${dim + 1}), i ->
