@@ -210,6 +210,12 @@ object SparkEntry {
     // ONE-SIDED prefix filtering — the asymmetric decontamination/
     // quotation primitive; oracle brute-forces all ordered pairs
     "d23_containment_join"   -> (Dedup.containmentDedup _),
+    // d24: cluster-weighted sampling — keep each doc with probability
+    // 1/|near-dup cluster| via the portable md5-60-bit draw (expected
+    // ONE survivor per cluster; singletons always kept): the
+    // "discount duplicates, keep diversity" training-mix step, on the
+    // d10 cluster units
+    "d24_cluster_sample"     -> (Dedup.clusterWeightedSample _),
     // d19: CCNet/C4-style paragraph-level corpus dedup — keep each
     // distinct 10-word chunk's first (doc_id, pos) occurrence via an
     // algebraic min-struct aggregate (map-side combinable, no window
@@ -1909,6 +1915,42 @@ object SparkEntry {
            | SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS unit
            | FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id)
            |ORDER BY doc_id""".stripMargin
+      },
+      // d24: the d10 cluster CTE chain + q59's cluster-or-self unit,
+      // one count per unit, keep iff the md5-60-bit draw clears
+      // floor(2^60 / unit_size) — integer division in both engines
+      "d24_cluster_sample" -> {
+        val shingled =
+          s"""SELECT doc_id, list_distinct(list_transform(
+             |   range(1, greatest(length(nt) - 3, 2)), i -> substr(nt, i, 5))) AS s
+             | FROM (SELECT doc_id, ${norm("text")} AS nt FROM documents WHERE doc_id < 250)"""
+            .stripMargin
+        s"""WITH RECURSIVE sh AS ($shingled),
+           |pairs AS (
+           | SELECT doc_a, doc_b FROM (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |   CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+           |     / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+           |  FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+           | WHERE jaccard >= 0.25),
+           |edges AS (
+           | SELECT doc_a AS s, doc_b AS d FROM pairs
+           | UNION SELECT doc_b, doc_a FROM pairs),
+           |reach AS (
+           | SELECT s, d FROM edges
+           | UNION
+           | SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+           |clusters AS (
+           | SELECT s AS doc_id, least(s, min(d)) AS cluster_id FROM reach GROUP BY s),
+           |units AS (
+           | SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS unit
+           | FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id),
+           |sizes AS (SELECT unit, count(*) AS unit_size FROM units GROUP BY unit)
+           |SELECT u.doc_id, u.unit, z.unit_size
+           |FROM units u JOIN sizes z ON u.unit = z.unit
+           |WHERE ('0x' || substr(md5(CAST(u.doc_id AS VARCHAR)), 1, 15))::BIGINT
+           |      < 1152921504606846976 // z.unit_size
+           |ORDER BY u.doc_id""".stripMargin
       },
       "d10_dup_clusters" -> {
         val shingled =

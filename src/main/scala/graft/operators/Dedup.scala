@@ -773,6 +773,46 @@ object Dedup {
     dupClusters(jaccardExactPairs(spark, dir))
       .orderBy(col("doc_id"))
 
+  /** d24: CLUSTER-WEIGHTED SAMPLING — the probabilistic complement of
+    * hard dedup for a training mix. Hard dedup (d09) keeps the single
+    * best doc per near-dup cluster; this keeps each doc with
+    * probability 1/|cluster| (singletons always), so every cluster
+    * contributes ~ONE EXPECTED survivor while WHICH near-duplicate
+    * survives stays hash-random — the "discount duplicated content,
+    * don't collapse its diversity" weighting step of web-scale
+    * curation pipelines, run after cluster resolution.
+    *
+    * Fully portable and deterministic: the acceptance draw is the t08
+    * md5-60-bit integer of the doc id, kept iff
+    * h < floor(2^60 / unit_size) (integer division in BOTH engines —
+    * h·size would overflow BIGINT, h < 2^60/size cannot). Units are
+    * q59's: the d10 cluster id for clustered docs, the doc's own id
+    * otherwise — so the DuckDB oracle is the d10 recursive-CTE chain
+    * plus one count and one filter.
+    *
+    * Scale shape: cluster resolution is [[dupClusters]] (pointer
+    * jumping above the collect bound); unit sizes are one map-side-
+    * combined groupBy; the acceptance filter is per-row map-side. The
+    * only join is doc→size on the unit key (size table ≤ one row per
+    * doc, auto-broadcast at fixture scale, plain shuffle join at 100 TB
+    * — both correct).
+    */
+  def clusterWeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val clusters = dupClusters(jaccardExactPairs(spark, dir))
+      .withColumnRenamed("cluster_id", "cid")
+    val units = docs.join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cid"), col("doc_id")).as("unit"))
+    val sizes = units.groupBy(col("unit"))
+      .agg(count(lit(1)).as("unit_size"))
+    units.join(sizes, Seq("unit"))
+      .withColumn("h", expr(
+        "cast(conv(substr(md5(cast(cast(doc_id as string) as binary)), 1, 15), 16, 10) as bigint)"))
+      .filter(col("h") < expr("cast(1152921504606846976 as bigint) div unit_size"))
+      .select(col("doc_id"), col("unit"), col("unit_size"))
+      .orderBy(col("doc_id"))
+  }
+
   // — cross-document substring duplication (d13) —
 
   /** One row per `k`-char span at every `stride`-step position of every

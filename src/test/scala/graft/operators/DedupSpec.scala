@@ -525,4 +525,38 @@ class DedupSpec extends SparkSpec {
     assert(gotF == naiveF)
     assert(gotF.nonEmpty)
   }
+
+  test("d24 cluster-weighted sample: singletons kept, acceptance rule exact, deterministic") {
+    val kept = Dedup.clusterWeightedSample(spark, sf).collect().toSeq
+    val keptIds = kept.map(_.getLong(0)).toSet
+    // reconstruct units independently: cluster-or-self over the same
+    // d10 clusters, then re-derive the md5-60-bit acceptance per doc
+    val clusters = Dedup.dupClusters(Dedup.jaccardExactPairs(spark, sf))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val allIds = graft.Tables.documents(spark, sf)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    val unitOf = allIds.map(id => id -> clusters.getOrElse(id, id)).toMap
+    val sizeOf = unitOf.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def h60(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.take(8).map(b => f"$b%02x").mkString.substring(0, 15), 16)
+    }
+    val expected = allIds.filter { id =>
+      h60(id) < (1152921504606846976L / sizeOf(unitOf(id)))
+    }.toSet
+    assert(keptIds == expected, "acceptance rule must be the exact hash threshold")
+    // singletons (no near-dup partner) are always kept: h < 2^60 always
+    val singletons = allIds.filterNot(clusters.contains).toSet
+    assert(singletons.subsetOf(keptIds), "every singleton must survive")
+    // per-row metadata agrees with the reconstruction
+    kept.foreach { r =>
+      assert(r.getLong(1) == unitOf(r.getLong(0)))
+      assert(r.getLong(2) == sizeOf(r.getLong(1)))
+    }
+    // determinism: a second run is row-identical
+    val again = Dedup.clusterWeightedSample(spark, sf).collect().toSeq
+    assert(kept == again)
+  }
 }
