@@ -44,7 +44,9 @@ object DumpPlans {
     // and the leakage-proof split (broadcast cluster join, map-side CASE)
     "e11_knn_mmr", "q59_cluster_split",
     // kNN join: band shuffle + id re-joins + WindowGroupLimit — the
-    // no-broadcast-side similarity shape
+    // no-broadcast-side similarity shape (dumped via the LAZY adaptive
+    // kernel: the registered r9 gate checkpoints both legs for its
+    // agreement count, which would collapse the stanza to RDD scans)
     "e12_knn_join",
     // Avro message codec (the encode/decode pair must sit inside one
     // WholeStageCodegen span) and the VARIANT extraction path
@@ -97,6 +99,11 @@ object DumpPlans {
     // registered entries execute streaming drains, so their "plans"
     // are scans of the drained output
     "e17_knn_join_portable",
+    // round-9: cluster-weighted sampling — the d10 cluster resolution
+    // (driver union-find under the edge bound, the collect is the plan)
+    // feeding one unit-size aggregate and a map-side hash-threshold
+    // filter; the only join is doc→size on the unit key
+    "d24_cluster_sample",
     // round-8 third batch: CDC chunking — the plan is an INTENTIONAL
     // pinned fan-out exchange (hashpartitioning(doc_id),
     // REPARTITION_BY_NUM at defaultParallelism — spreads the
@@ -139,7 +146,8 @@ object DumpPlans {
       "d22_setsim_prefix" -> ((s, d) => graft.operators.Dedup.setSimJoinPrefix(
         graft.Tables.documents(s, d), "doc_id", "text", materialize = false)),
       "d23_containment_join" -> ((s, d) => graft.operators.Dedup.containmentJoinPrefix(
-        graft.Tables.documents(s, d), "doc_id", "text", materialize = false)))
+        graft.Tables.documents(s, d), "doc_id", "text", materialize = false)),
+      "e12_knn_join" -> (graft.operators.Similarity.knnJoinQuery _))
       // q87 dumps the REGISTERED (checkpointed) form deliberately: the
       // edge table feeds four consumers, so the lazy plan would repeat
       // the whole pair-build subtree per consumer — the checkpoint IS
