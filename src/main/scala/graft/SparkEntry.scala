@@ -314,11 +314,11 @@ object SparkEntry {
     // the exact filtered baseline; float kernel spec'd)
     "e16_knn_filtered_ivf"   -> (Similarity.knnFilteredIvfFixedPoint _),
     // e08: in-gate ANN quality audit — recall of every approximate
-    // index vs the e01 exact ranks (rows-only; values are seeded but
-    // hash-dependent). The output contains ONLY methods at-or-above
-    // their recallFloors floor, so spark_rows == |floors| ENCODES the
-    // quality bar: a collapsed index drops its row and the driver's
-    // rows-only check moves — gate-visible, not just spec-visible.
+    // index vs the e01 exact ranks. HASH-CHECKED since r9: the oracle
+    // composes each audited method's own green DuckDB chain and counts
+    // the same integer intersections. The output still contains ONLY
+    // methods at-or-above their recallFloors floor, so a collapsed
+    // index drops its row — gate-visible twice over.
     "e08_recall_audit"       -> (Similarity.recallAudit _),
     // — ingestion layer (SURVEY §2.1 S1-S5/S7/S9/S12, §3 E1): the
     //   production DSv2 + java.net.http path against an in-process
@@ -2674,10 +2674,40 @@ object SparkEntry {
     // s20 drains the stateless per-batch contamination counts to
     // exactly the batch d12 result (a doc's shingles are complete
     // within its batch) — same oracle
+    // e08: the recall audit FULLY DERIVED in SQL (r9 — previously the
+    // last algorithmic rows-only entry). Every audited method already
+    // has a green oracle chain, and so do both exact baselines — so
+    // recall_x100 = 100·|method ∩ exact| // |exact| is just those
+    // chains re-used as subqueries (each keeps its own WITH scope; no
+    // CTE-name collisions) plus one integer join-count per method,
+    // with the same floor filter the Spark side applies. Derived from
+    // the tables, not pinned literals — it tracks any fixture
+    // regeneration the way every other oracle does. Floors interpolate
+    // from Similarity.recallFloors: one source of truth.
+    def recallLeg(method: String, ex: String, exn: String): String =
+      s"""SELECT '$method' AS method,
+         | 100 * (SELECT count(*)
+         |        FROM (SELECT query_id, neighbor_id FROM (${base(method)}) s) a
+         |        JOIN $ex e ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id)
+         |   // (SELECT n FROM $exn) AS recall_x100,
+         | CAST(${graft.operators.Similarity.recallFloors.toMap.apply(method)} AS BIGINT) AS floor""".stripMargin
+    val e08Sql =
+      s"""WITH ex AS (SELECT query_id, neighbor_id FROM (${base("e01_knn_brute")}) t),
+         |fex AS (SELECT query_id, neighbor_id FROM (${base("e10_knn_filtered")}) t),
+         |exn AS (SELECT count(*) AS n FROM ex),
+         |fexn AS (SELECT count(*) AS n FROM fex)
+         |SELECT method, recall_x100, floor FROM (
+         |${(Seq("e02_knn_lsh", "e04_knn_ivf", "e06_knn_ivf_kmeans",
+                 "e07_knn_pq", "e09_knn_int8", "e15_knn_ivf_pq")
+               .map(recallLeg(_, "ex", "exn")) :+
+             recallLeg("e16_knn_filtered_ivf", "fex", "fexn"))
+            .mkString("\nUNION ALL\n")}
+         |) WHERE recall_x100 >= floor ORDER BY method""".stripMargin
     base + ("d16_decontaminate_bloom" -> base("d12_decontamination"),
             "s14_streaming_funnel" -> base("q85_funnel_steps"),
             "s17_streaming_outliers" -> base("q92_value_outliers"),
             "s18_streaming_quantiles" -> base("q96_sampled_quantiles"),
-            "s20_streaming_decontam" -> base("d12_decontamination"))
+            "s20_streaming_decontam" -> base("d12_decontamination"),
+            "e08_recall_audit" -> e08Sql)
   }
 }

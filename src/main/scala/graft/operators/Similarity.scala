@@ -1919,10 +1919,13 @@ object Similarity {
     * ranks of [[knnBruteForce]], computed INSIDE the driver gate — one
     * row per method, `recall_x100 = 100 · |approx ∩ exact| / |exact|`
     * (integer arithmetic; all methods are seeded, so the values are
-    * deterministic per fixture). Registered rows-only (the recall
-    * values are hash-seed-dependent, not ANSI-SQL-derivable), but the
-    * gate now fails loudly if any index's recall collapses — without
-    * this, only `sbt test` would notice a quality regression.
+    * deterministic per fixture). HASH-CHECKED since r9: every audited
+    * method is the portable registered kernel with its own green
+    * DuckDB chain, so the oracle re-uses those chains as subqueries
+    * and counts the same integer intersections (`SparkEntry.oracleSql`
+    * composes it from the per-method entries — derived from the
+    * tables, not pinned literals). The floor filter stays: a collapsed
+    * index still drops its row loudly.
     */
   /** Per-method recall floors (recall_x100) for [[recallAudit]]. A
     * method whose audited recall falls BELOW its floor is excluded
