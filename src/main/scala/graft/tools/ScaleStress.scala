@@ -161,7 +161,13 @@ object ScaleStress {
       "e16_knn_filtered_ivf",
       // round-8 third batch: CDC chunk explosion grows linearly with
       // the doc bytes (per-position predicate, no cross-row state)
-      "t28_cdc_chunks")
+      "t28_cdc_chunks",
+      // round-9: cluster-weighted sampling — clusters ride the BOUNDED
+      // exact-pair anchor (doc_id<250, same as q59), so what scales
+      // here is the full-width unit/size join and the per-row md5
+      // acceptance over factor× docs (the cluster-resolution scale
+      // path itself is d11's LSH→CC chain, stressed separately)
+      "d24_cluster_sample")
 
     // SPARK_GRAFT_ONLY=name1,name2 narrows the run (iteration / probes)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
