@@ -51,10 +51,14 @@ object Bench {
     // (Spark's cache manager matches by logical plan, so a persist left
     // by rep 1 would turn rep 2 into a cache read, not a measurement).
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    // a query that THROWS must be visible in the artifact — its elapsed
+    // time alone reads as a deceptively fast success
+    val failedQ = scala.collection.mutable.LinkedHashSet[String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() }
+        catch { case _: Throwable => failedQ += name; -1L }
         val dt = (System.nanoTime() - t0) / 1e9
         dropAllStorage(spark) // per-rep: drop persists + checkpoint blocks (untimed)
         dt
@@ -64,8 +68,24 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // Environment calibration: a fixed CPU-bound workload (hash+sum
+    // over a generated range — no I/O, no fixture dependence), min of
+    // 3. The r7→r8 d08-chain "regression" turned out to be the
+    // MEASUREMENT ENVIRONMENT moving ~1.8× (proved by an interleaved
+    // jar A/B); with this number in every round's artifact, the next
+    // cross-round comparison can divide out the environment instead of
+    // burning a round on an A/B.
+    val calib = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      // bit_xor, not sum: xxhash64 spans the full Long range and a sum
+      // overflows under ANSI mode (Spark 4 default) — XOR cannot
+      spark.range(0, 50000000L, 1, cpus.toInt)
+        .selectExpr("bit_xor(xxhash64(id))").collect()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    val failedJson = failedQ.map("\"" + _ + "\"").mkString("[", ",", "]")
     val perQueryLine =
-      s"""{"metric":"per_query","unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}"""
+      s"""{"metric":"per_query","unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"calib_sec":$calib,"failed":$failedJson}"""
     // Durable full per-query artifact: the stdout tail window truncates
     // past ~54 queries, so cross-round per-query comparison needs a file.
     val outPath = java.nio.file.Paths.get("target", "bench_per_query.json")
@@ -76,7 +96,7 @@ object Bench {
     // capture), then the compact machine-readable total LAST so the
     // driver's tail capture always parses it.
     println(perQueryLine)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,"nqueries":${results.size}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,"nqueries":${results.size},"calib_sec":$calib,"nfailed":${failedQ.size}}""")
     spark.stop()
   }
 }
