@@ -216,6 +216,11 @@ object SparkEntry {
     // "discount duplicates, keep diversity" training-mix step, on the
     // d10 cluster units
     "d24_cluster_sample"     -> (Dedup.clusterWeightedSample _),
+    // p01: the end-to-end training-corpus pipeline as ONE hash-checked
+    // gate — d11's curate chain → d12's decontamination → q57's
+    // sequence packing; the oracle composes the three proven chains,
+    // so drift anywhere in the composition moves the final hash
+    "p01_corpus_pipeline"    -> (graft.operators.Curation.corpusPipeline(_, _)),
     // d19: CCNet/C4-style paragraph-level corpus dedup — keep each
     // distinct 10-word chunk's first (doc_id, pos) occurrence via an
     // algebraic min-struct aggregate (map-side combinable, no window
@@ -2703,7 +2708,29 @@ object SparkEntry {
              recallLeg("e16_knn_filtered_ivf", "fex", "fexn"))
             .mkString("\nUNION ALL\n")}
          |) WHERE recall_x100 >= floor ORDER BY method""".stripMargin
+    // p01: the end-to-end pipeline oracle — d11's curated set minus
+    // d12's flagged set (both nested verbatim as subqueries, each
+    // keeping its own WITH scope), packed with q57's window
+    // expressions. A doc's contamination count depends only on its
+    // own text, so "flag on the full corpus, subtract from curated"
+    // equals the Spark side's "flag the curated survivors".
+    val p01Sql =
+      s"""WITH curated AS (SELECT doc_id, text FROM (${base("d11_curation_lsh")}) c),
+         |flagged AS (SELECT doc_id FROM (${base("d12_decontamination")}) f)
+         |SELECT doc_id, n_tokens, shard, start_off,
+         | shard * 2199023255552 + CAST(floor(start_off / 2048) AS BIGINT) AS pack_id
+         |FROM (
+         | SELECT doc_id, n_tokens, shard,
+         |  CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    - n_tokens AS start_off
+         | FROM (SELECT doc_id,
+         |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |   doc_id % 32 AS shard
+         |  FROM curated WHERE doc_id NOT IN (SELECT doc_id FROM flagged)))
+         |ORDER BY doc_id""".stripMargin
     base + ("d16_decontaminate_bloom" -> base("d12_decontamination"),
+            "p01_corpus_pipeline" -> p01Sql,
             "s14_streaming_funnel" -> base("q85_funnel_steps"),
             "s17_streaming_outliers" -> base("q92_value_outliers"),
             "s18_streaming_quantiles" -> base("q96_sampled_quantiles"),

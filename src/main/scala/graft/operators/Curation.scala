@@ -185,6 +185,47 @@ object Curation {
       .agg(count(lit(1)).as("n_eval_hits"))
   }
 
+  /** p01: the END-TO-END training-corpus pipeline — the composition a
+    * 100 TB curation run actually executes, as ONE gate: quality gate →
+    * exact dedup → portable-LSH near-dup clusters → keep roots (the
+    * d11 chain), then eval decontamination (the d12 chain — drop every
+    * surviving doc with ≥1 eval 8-gram hit), then GPT-style
+    * sequence packing of the survivors (the q57 chain: per-shard
+    * running token offsets, fixed 2048-token budget). Every stage is
+    * individually hash-checked (d11, d12, q57); this gate hash-checks
+    * the COMPOSITION — the DuckDB oracle nests the d11 and d12 oracle
+    * statements as subqueries and packs the surviving set with q57's
+    * window expressions, so a drift anywhere in the pipeline (a
+    * quality threshold, an LSH constant, a shingle width, a pack
+    * boundary) moves the final hash.
+    *
+    * Scale shape inherits from the stages: the LSH chain shuffles
+    * signatures not text, decontamination broadcasts the (tiny) eval
+    * keys so the corpus never shuffles, and packing is one window over
+    * the shard partitioning. A doc's contamination count depends only
+    * on its own text, so computing hits on the curated survivors
+    * (instead of the full corpus) is exact, not an approximation.
+    */
+  def corpusPipeline(spark: SparkSession, dir: String,
+                     budget: Int = 2048, shards: Int = 32): DataFrame = {
+    val curated = graft.jobs.CurationJob.curate(spark, dir) // (doc_id, text)
+    val docs = Tables.documents(spark, dir)
+    val flagged = contaminationHits(curated, evalShingleKeys(docs, 8), 8)
+      .select(col("doc_id"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    curated.join(flagged, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        (col("doc_id") % shards).as("shard"))
+      .withColumn("start_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("pack_id",
+        col("shard") * 2199023255552L + floor(col("start_off") / budget).cast("long"))
+      .select(col("doc_id"), col("n_tokens"), col("shard"),
+        col("start_off"), col("pack_id"))
+      .orderBy(col("doc_id"))
+  }
+
   def decontaminate(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
     val docs = Tables.documents(spark, dir)
     contaminationHits(docs, evalShingleKeys(docs, n), n)
