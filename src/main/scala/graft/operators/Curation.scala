@@ -207,9 +207,24 @@ object Curation {
     * (instead of the full corpus) is exact, not an approximation.
     */
   def corpusPipeline(spark: SparkSession, dir: String,
-                     budget: Int = 2048, shards: Int = 32): DataFrame = {
-    val curated = graft.jobs.CurationJob.curate(spark, dir) // (doc_id, text)
-    val docs = Tables.documents(spark, dir)
+                     budget: Int = 2048, shards: Int = 32): DataFrame =
+    decontaminateAndPack(graft.jobs.CurationJob.curate(spark, dir),
+      Tables.documents(spark, dir), budget, shards)
+
+  /** Lazy-curate variant for `DumpPlans`: keeps the quality scan, the
+    * fingerprint dedup window and the LSH/cluster anti-join visible in
+    * the dumped plan instead of a checkpoint scan.
+    */
+  private[graft] def corpusPipelinePlan(spark: SparkSession, dir: String): DataFrame =
+    decontaminateAndPack(graft.jobs.CurationJob.curatePlan(spark, dir),
+      Tables.documents(spark, dir), 2048, 32)
+
+  /** The post-curation stages of [[corpusPipeline]]: decontaminate the
+    * curated survivors against the eval suite derived from the FULL
+    * corpus, pack what remains (q57's expressions).
+    */
+  private def decontaminateAndPack(curated: DataFrame, docs: DataFrame,
+                                   budget: Int, shards: Int): DataFrame = {
     val flagged = contaminationHits(curated, evalShingleKeys(docs, 8), 8)
       .select(col("doc_id"))
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))

@@ -99,6 +99,10 @@ object DumpPlans {
     // registered entries execute streaming drains, so their "plans"
     // are scans of the drained output
     "e17_knn_join_portable",
+    // round-9: the end-to-end pipeline — quality scan → fingerprint
+    // dedup window → LSH/cluster anti-join (lazy-curate variant) →
+    // broadcast eval-key decontamination anti-join → one pack window
+    "p01_corpus_pipeline",
     // round-9: cluster-weighted sampling — the d10 cluster resolution
     // (driver union-find under the edge bound, the collect is the plan)
     // feeding one unit-size aggregate and a map-side hash-threshold
@@ -147,7 +151,8 @@ object DumpPlans {
         graft.Tables.documents(s, d), "doc_id", "text", materialize = false)),
       "d23_containment_join" -> ((s, d) => graft.operators.Dedup.containmentJoinPrefix(
         graft.Tables.documents(s, d), "doc_id", "text", materialize = false)),
-      "e12_knn_join" -> (graft.operators.Similarity.knnJoinQuery _))
+      "e12_knn_join" -> (graft.operators.Similarity.knnJoinQuery _),
+      "p01_corpus_pipeline" -> (graft.operators.Curation.corpusPipelinePlan _))
       // q87 dumps the REGISTERED (checkpointed) form deliberately: the
       // edge table feeds four consumers, so the lazy plan would repeat
       // the whole pair-build subtree per consumer — the checkpoint IS

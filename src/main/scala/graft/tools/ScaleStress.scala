@@ -162,6 +162,9 @@ object ScaleStress {
       // round-8 third batch: CDC chunk explosion grows linearly with
       // the doc bytes (per-position predicate, no cross-row state)
       "t28_cdc_chunks",
+      // round-9: the end-to-end pipeline at scale — the d11 LSH chain
+      // over factor× docs feeding decontamination and packing
+      "p01_corpus_pipeline",
       // round-9: cluster-weighted sampling — clusters ride the BOUNDED
       // exact-pair anchor (doc_id<250, same as q59), so what scales
       // here is the full-width unit/size join and the per-row md5
