@@ -221,6 +221,12 @@ object SparkEntry {
     // sequence packing; the oracle composes the three proven chains,
     // so drift anywhere in the composition moves the final hash
     "p01_corpus_pipeline"    -> (graft.operators.Curation.corpusPipeline(_, _)),
+    // p02: the CCNet-style quality-MIXTURE pipeline — quality gate →
+    // integer bigram-LM milli-scores vs the %10<8 reference split →
+    // per-lang head/middle/tail buckets relative to the per-lang
+    // integer mean → language-balanced token budget via the q68
+    // two-pass offsets shape (oracle = the naive global window)
+    "p02_ccnet_mixture"      -> (graft.operators.Curation.ccnetMixture(_, _)),
     // d19: CCNet/C4-style paragraph-level corpus dedup — keep each
     // distinct 10-word chunk's first (doc_id, pos) occurrence via an
     // algebraic min-struct aggregate (map-side combinable, no window
@@ -391,6 +397,10 @@ object SparkEntry {
     // gram hash (cut iff ≡0 mod 64), a pure per-position predicate:
     // parallel within a doc, edit-survivable chunk hashes, portable
     "t28_cdc_chunks"         -> (TextAnalysis.cdcChunks _),
+    // t29: bigram-LM quality scoring (the CCNet/KenLM perplexity
+    // filter) — integer log contribution length(bin(cnt)), train/score
+    // corpus split on doc_id % 10, one bigram⋈LM equi-join
+    "t29_bigram_lm_score"    -> (TextAnalysis.bigramLmScore _),
     // t25: CCNet-style unigram-LM quality score (mean corpus frequency
     // of a doc's tokens) — integer-exact until two fixed-order
     // divisions; the frequency join is skew-split (broadcast head,
@@ -507,6 +517,11 @@ object SparkEntry {
     // the static broadcast side (s15 shape), per-batch hit counts are
     // doc-complete so the drain ≡ batch d12 verbatim, hash-checked
     "s20_streaming_decontam" -> (Streams.streamingDecontaminate _),
+    // s21: streaming LM quality scoring — the t29 bigram LM as the
+    // static side (a trained artifact; the crawl is what grows), each
+    // micro-batch scores only its own docs; scores are doc-complete so
+    // the drain ≡ batch t29 verbatim, hash-checked
+    "s21_streaming_lm_score" -> (Streams.streamingLmScore _),
     // s07: the transformWithState (state API v2, RocksDB) operator run
     // through a REAL streaming drain; integer-cents state makes the
     // final totals batch-boundary-invariant and oracle-exact
@@ -2236,6 +2251,82 @@ object SparkEntry {
            |SELECT doc_id, CAST(ch.ci AS BIGINT) AS chunk_idx,
            | CAST(ch.cl AS BIGINT) AS chunk_len, ch.ck AS chunk_hash
            |FROM u ORDER BY doc_id, chunk_idx""".stripMargin,
+      // t29: the same integer bigram LM — bigrams from 1-indexed list
+      // transforms (range(1, len) is empty for <2-token docs, matching
+      // the Spark zero-floored slices), contribution length(bin(cnt)),
+      // LEFT joins mirror the plan (OOV null tally, zero-bigram
+      // re-attach) so the gate is integer-exact end to end
+      "t29_bigram_lm_score" ->
+        s"""WITH d AS (
+           | SELECT doc_id, list_filter(${toks("text")}, t -> length(t) > 0) AS toks
+           | FROM documents
+           |), p AS (
+           | SELECT doc_id, bg.t1 AS t1, bg.t2 AS t2 FROM (
+           |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+           |   i -> struct_pack(t1 := toks[i::INT], t2 := toks[i::INT + 1]))) AS bg
+           |  FROM d)
+           |), lm AS (
+           | SELECT t1, t2, CAST(count(*) AS BIGINT) AS cnt
+           | FROM p WHERE doc_id % 10 < 8 GROUP BY t1, t2
+           |), sc AS (
+           | SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           |  CAST(sum(CASE WHEN lm.cnt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov_bigrams,
+           |  CAST(sum(CASE WHEN lm.cnt IS NULL THEN 0 ELSE length(bin(lm.cnt)) END) AS BIGINT) AS lm_score
+           | FROM p LEFT JOIN lm ON p.t1 = lm.t1 AND p.t2 = lm.t2
+           | WHERE p.doc_id % 10 >= 8 GROUP BY p.doc_id
+           |)
+           |SELECT d.doc_id, CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           | CAST(coalesce(sc.oov_bigrams, 0) AS BIGINT) AS oov_bigrams,
+           | CAST(coalesce(sc.lm_score, 0) AS BIGINT) AS lm_score
+           |FROM d LEFT JOIN sc USING (doc_id)
+           |WHERE d.doc_id % 10 >= 8
+           |ORDER BY d.doc_id""".stripMargin,
+      // p02: the naive-global-window statement of the mixture pipeline
+      // — same t29 LM CTEs scoring the FULL corpus, per-lang integer
+      // mean via GROUP BY, head/middle/tail CASE, and ONE window
+      // running sum per lang (the Spark side's two-pass offsets shape
+      // must be bit-identical to this, the q68 proof pattern)
+      "p02_ccnet_mixture" ->
+        s"""WITH d AS (
+           | SELECT doc_id, lang, list_filter(${toks("text")}, t -> length(t) > 0) AS toks
+           | FROM documents
+           |), p AS (
+           | SELECT doc_id, bg.t1 AS t1, bg.t2 AS t2 FROM (
+           |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+           |   i -> struct_pack(t1 := toks[i::INT], t2 := toks[i::INT + 1]))) AS bg
+           |  FROM d)
+           |), lm AS (
+           | SELECT t1, t2, CAST(count(*) AS BIGINT) AS cnt
+           | FROM p WHERE doc_id % 10 < 8 GROUP BY t1, t2
+           |), sc AS (
+           | SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           |  CAST(sum(CASE WHEN lm.cnt IS NULL THEN 0 ELSE length(bin(lm.cnt)) END) AS BIGINT) AS lm_score
+           | FROM p LEFT JOIN lm ON p.t1 = lm.t1 AND p.t2 = lm.t2
+           | GROUP BY p.doc_id
+           |), m AS (
+           | SELECT d.doc_id, d.lang, CAST(len(d.toks) AS BIGINT) AS n_tokens,
+           |  CASE WHEN coalesce(sc.n_bigrams, 0) = 0 THEN 0
+           |   ELSE (coalesce(sc.lm_score, 0) * 1000) // sc.n_bigrams END AS mscore
+           | FROM d LEFT JOIN sc USING (doc_id)
+           | WHERE len(d.toks) >= 16
+           |), lme AS (
+           | SELECT lang, CAST(sum(mscore) // count(*) AS BIGINT) AS lmean
+           | FROM m GROUP BY lang
+           |), kept AS (
+           | SELECT m.doc_id, m.lang, m.n_tokens,
+           |  CASE WHEN m.mscore >= lme.lmean + 15 THEN 'head' ELSE 'middle' END AS bucket,
+           |  CASE WHEN m.mscore >= lme.lmean + 15 THEN 0 ELSE 1 END AS rnk
+           | FROM m JOIN lme USING (lang)
+           | WHERE m.mscore >= lme.lmean - 40
+           |), cum AS (
+           | SELECT doc_id, lang, bucket, n_tokens,
+           |  CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY rnk, doc_id
+           |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+           | FROM kept
+           |)
+           |SELECT doc_id, lang, bucket, n_tokens, cum_tokens
+           |FROM cum WHERE cum_tokens <= 1500
+           |ORDER BY lang, cum_tokens""".stripMargin,
       // t25: unigram-LM quality score — integer-exact cnt_sum/dl,
       // score = (cnt_sum/dl)/n_total divided left-to-right (the same
       // two IEEE divisions the Spark expression performs)
@@ -2735,6 +2826,7 @@ object SparkEntry {
             "s17_streaming_outliers" -> base("q92_value_outliers"),
             "s18_streaming_quantiles" -> base("q96_sampled_quantiles"),
             "s20_streaming_decontam" -> base("d12_decontamination"),
+            "s21_streaming_lm_score" -> base("t29_bigram_lm_score"),
             "e08_recall_audit" -> e08Sql)
   }
 }

@@ -241,6 +241,100 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** p02: the CCNet-style quality-MIXTURE pipeline, as one gate —
+    * the curation pattern where documents are not just kept/dropped
+    * (p01) but routed into perplexity buckets and re-balanced across
+    * languages:
+    *
+    *  1. quality gate: ≥ `minTokens` normalized tokens;
+    *  2. LM scoring: the FULL corpus scored against the `doc_id%10<8`
+    *     reference split with t29's integer bigram-LM kernel
+    *     ([[TextAnalysis.lmDocScores]]), reduced to a milli-score
+    *     `(lm_score·1000) div n_bigrams`;
+    *  3. perplexity buckets RELATIVE to the per-language integer mean
+    *     (head ≥ mean+`headDelta`, tail < mean−`midDelta`, middle
+    *     between) — CCNet's per-language head/middle/tail, made
+    *     scale-robust: absolute thresholds would invert as corpus
+    *     bigram counts grow. The mean is a groupBy(lang) aggregate
+    *     broadcast back, NOT a window over a 5-partition lang key;
+    *  4. drop tail, then a LANGUAGE-BALANCED token budget: per lang,
+    *     keep the head-first running-token prefix with
+    *     `cum_tokens ≤ budget` — the mixture re-balancer that gives
+    *     every language the same token mass regardless of its crawl
+    *     share (en is 44% of the fixture corpus, 20% of the output).
+    *
+    * The running sum does NOT use a `partitionBy(lang)` window (5
+    * lang values ⇒ 5 tasks would serialize the corpus at scale): it
+    * reuses q68/stableIds' two-pass shape — range-partition the slim
+    * `(doc_id, lang, rank, n_tokens)` projection by the output order,
+    * per-(shard,lang) partial token sums (a metadata-sized frame),
+    * cumulative offsets over THAT, broadcast back, and a
+    * within-shard window keyed (shard,lang) — every stage parallel in
+    * the shard count. Shards whose start offset already exceeds the
+    * budget are pruned BEFORE their local window runs, so the far
+    * tail of a 10⁹-doc language never even sorts. Bit-identical to
+    * the naive global window (the DuckDB oracle IS the naive window),
+    * all-integer end to end.
+    */
+  def ccnetMixture(spark: SparkSession, dir: String, minTokens: Int = 16,
+                   headDelta: Long = 15L, midDelta: Long = 40L,
+                   budget: Long = 1500L, pin: Boolean = true): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        filter(tokens(normalizeText(col("text"))), t => length(t) > 0).as("toks"))
+    val scored = TextAnalysis.lmDocScores(
+      docs.select(col("doc_id"), col("toks")), col("doc_id") % 10 < 8, lit(true))
+    val mLazy = docs.filter(size(col("toks")) >= minTokens)
+      .select(col("doc_id"), col("lang"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(scored, Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        when(col("n_bigrams") === 0L, 0L)
+          .otherwise(expr("(lm_score * 1000) div n_bigrams")).as("mscore"))
+    // the scored projection feeds BOTH the lmean aggregate and the
+    // bucketing join — pin it (4 slim columns) so the LM-join subtree
+    // runs once, not twice (pin=false only for plan dumps)
+    val m = if (pin) mLazy.localCheckpoint() else mLazy
+    // per-lang integer mean milli-score: aggregate + broadcast, so the
+    // low-cardinality lang key never becomes a window partition
+    val lmean = m.groupBy(col("lang"))
+      .agg(expr("sum(mscore) div count(*)").as("lmean"))
+    val bucketed = m.join(broadcast(lmean), Seq("lang"))
+      .withColumn("bucket",
+        when(col("mscore") >= col("lmean") + headDelta, "head")
+          .when(col("mscore") >= col("lmean") - midDelta, "middle")
+          .otherwise("tail"))
+      .filter(col("bucket") =!= "tail")
+      .withColumn("rank", when(col("bucket") === "head", 0).otherwise(1))
+    // two-pass budgeted prefix (q68's offsets trick, summed not counted)
+    val shards = spark.sessionState.conf.numShufflePartitions
+    val ranged = bucketed
+      .repartitionByRange(shards, col("lang"), col("rank"), col("doc_id"))
+      .sortWithinPartitions(col("lang"), col("rank"), col("doc_id"))
+      .withColumn("_pid", spark_partition_id())
+    // pin=false only for plan dumps (localCheckpoint collapses the
+    // upstream plan to a Scan ExistingRDD, hiding the range exchange)
+    val sorted = if (pin) ranged.localCheckpoint() else ranged
+    val offsets = sorted.groupBy(col("_pid"), col("lang"))
+      .agg(sum(col("n_tokens")).as("_t"))
+      // ≤ shards×|langs| rows — the cumulative runs on metadata, and
+      // rowsBetween(-1) makes it the sum STRICTLY BEFORE this shard
+      .withColumn("_offset", coalesce(
+        sum(col("_t")).over(Window.partitionBy(col("lang")).orderBy(col("_pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_pid"), col("lang"), col("_offset"))
+    sorted.join(broadcast(offsets), Seq("_pid", "lang"))
+      // budget-prune whole shards before their local window sorts
+      .filter(col("_offset") <= budget)
+      .withColumn("cum_tokens", col("_offset") +
+        sum(col("n_tokens")).over(Window.partitionBy(col("_pid"), col("lang"))
+          .orderBy(col("rank"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("lang"), col("bucket"),
+        col("n_tokens"), col("cum_tokens"))
+      .orderBy(col("lang"), col("cum_tokens"))
+  }
+
   def decontaminate(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
     val docs = Tables.documents(spark, dir)
     contaminationHits(docs, evalShingleKeys(docs, n), n)

@@ -943,4 +943,89 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_occurrences"))
       .orderBy(col("doc_id"))
   }
+
+  /** t29: n-gram language-model quality scoring — the CCNet/KenLM
+    * perplexity-filter stage (the one LLM-curation text signal the
+    * rule-based t19 classifier and the rare-token t25 score do not
+    * cover: "does this doc read like the reference corpus?"). The
+    * corpus is split by `doc_id % 10` into a TRAIN side (0-7) whose
+    * normalized-token bigram counts form the LM, and a SCORE side
+    * (8-9) whose documents are scored
+    *
+    *   lm_score = Σ over doc bigrams present in the LM of
+    *              (1 + floor(log2(count)))
+    *
+    * with out-of-vocabulary bigrams tallied separately. The per-bigram
+    * contribution is monotone in log P(w2|w1)'s numerator, which is
+    * what a perplexity FILTER needs (ranking, not calibrated nats) —
+    * and `1 + floor(log2 c)` is `length(bin(c))`, a pure integer/string
+    * expression with identical semantics in Spark and DuckDB, so the
+    * whole gate hash-checks with no float anywhere (same fixed-point
+    * discipline as the e06/e07 integer kernels).
+    *
+    * Scale shape: one tokenize pass; bigrams via `zip_with` over two
+    * array slices (no posexplode self-join); the LM is a
+    * map-side-combinable count over (t1,t2); scoring is ONE equi-join
+    * bigrams⋈LM — at fixture scale AQE broadcasts the LM, at 100 TB it
+    * degrades gracefully to a shuffle hash join keyed on the bigram.
+    * Zero-bigram scored docs (<2 tokens) are re-attached by a left
+    * join so the output is total over the score side.
+    */
+  def bigramLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        filter(tokens(normalizeText(col("text"))), t => length(t) > 0).as("toks"))
+    lmDocScores(docs, col("doc_id") % 10 < 8, col("doc_id") % 10 >= 8)
+      .orderBy(col("doc_id"))
+  }
+
+  /** The t29 scoring kernel, reusable (p02 scores the FULL corpus with
+    * `scorePred = true`): per-doc `(n_bigrams, oov_bigrams, lm_score)`
+    * for the docs matching `scorePred`, against an LM of bigram counts
+    * from the `trainPred` side. `docs` must carry `(doc_id, toks)`.
+    * Output is TOTAL over the score side (zero-bigram docs included).
+    */
+  private[graft] def lmDocScores(docs: DataFrame, trainPred: Column,
+                                 scorePred: Column): DataFrame =
+    lmScoreAgainst(docs.filter(scorePred), lmCounts(docs.filter(trainPred)))
+
+  /** Adjacent-pair bigrams `(doc_id, t1, t2)` from a `(doc_id, toks)`
+    * frame; slice lengths floor at 0 so <2-token docs yield an empty
+    * array instead of a negative-length slice error.
+    */
+  private[graft] def bigramPairs(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), explode(expr(
+      """zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)),
+        |         slice(toks, 2, greatest(size(toks) - 1, 0)),
+        |         (a, b) -> struct(a AS t1, b AS t2))""".stripMargin)).as("bg"))
+    .select(col("doc_id"), col("bg.t1").as("t1"), col("bg.t2").as("t2"))
+
+  /** The LM itself: corpus bigram counts `(t1, t2, cnt)` — a trained
+    * artifact (s21 builds it ONCE from the reference split and scores
+    * the ingest stream against it).
+    */
+  private[graft] def lmCounts(train: DataFrame): DataFrame =
+    bigramPairs(train).groupBy(col("t1"), col("t2"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Scores a `(doc_id, toks)` frame against a prepared LM. A doc's
+    * score depends only on its own bigrams and the LM, so the result
+    * is complete within whatever slice (or micro-batch) carries the
+    * doc — the property s21's stream-static apply rests on.
+    */
+  private[graft] def lmScoreAgainst(docs: DataFrame, lm: DataFrame): DataFrame = {
+    val perDoc = bigramPairs(docs)
+      .join(lm, Seq("t1", "t2"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("cnt").isNull, 1L).otherwise(0L)).as("oov_bigrams"),
+        sum(when(col("cnt").isNull, 0L)
+          .otherwise(length(bin(col("cnt"))).cast("long"))).as("lm_score"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("oov_bigrams"), lit(0L)).as("oov_bigrams"),
+        coalesce(col("lm_score"), lit(0L)).as("lm_score"))
+  }
 }

@@ -653,6 +653,63 @@ object Streams {
       .orderBy(col("doc_id"))
   }
 
+  /** s21: streaming LM quality scoring — the third leg of the
+    * ingest-hygiene trio (s19 stops duplicates, s20 stops eval
+    * leakage, this scores QUALITY on ingest): every arriving doc gets
+    * t29's integer bigram-LM score as it lands, so a perplexity filter
+    * can gate the crawl before anything is stored. The LM is a STATIC
+    * side built once from the reference split (an LM is a trained
+    * artifact; the crawl is what grows — the s20 stream-static shape)
+    * and each micro-batch scores only its own docs: a doc's score
+    * depends only on its own bigrams and the static LM, so scores are
+    * batch-complete, stateless, batch-split-invariant and
+    * replay-idempotent. The drain hash-checks against t29's batch
+    * oracle VERBATIM.
+    */
+  def streamingLmScore(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import graft.functions.TextFns._
+    import graft.operators.TextAnalysis
+    val outDir = graft.util.Scratch.dir(spark, "s21_out", dir).toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_s21_ckpt")
+    val toksOf = (df: DataFrame) => df.select(col("doc_id"),
+      filter(tokens(normalizeText(col("text"))), t => length(t) > 0).as("toks"))
+    // static side once: the reference split's bigram counts,
+    // localCheckpoint cuts per-batch lineage back to the counts
+    val lm = TextAnalysis.lmCounts(
+      toksOf(Tables.documents(spark, dir).filter(col("doc_id") % 10 < 8)))
+      .localCheckpoint(true)
+    import spark.implicits._
+    Seq.empty[(Long, Long, Long, Long)]
+      .toDF("doc_id", "n_bigrams", "oov_bigrams", "lm_score")
+      .write.mode("overwrite").parquet(outDir)
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    try {
+      val q = streamSession(spark).readStream.schema(docSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          TextAnalysis.lmScoreAgainst(
+            toksOf(batch.filter(col("doc_id") % 10 >= 8)), lm)
+            .write.mode("append").parquet(outDir)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally graft.util.Scratch.rmTree(ckpt)
+    spark.read.parquet(outDir)
+      .dropDuplicates("doc_id")
+      .orderBy(col("doc_id"))
+  }
+
   /** The s12 merge: read → union → keep latest per (ts, event_id) →
     * overwrite. IDEMPOTENT under replay — re-applying the same batch
     * reaches the same fixed point (the retry spec in `StreamsSpec`

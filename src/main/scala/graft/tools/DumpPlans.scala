@@ -114,7 +114,18 @@ object DumpPlans {
     // per-position md5 CPU that AQE's byte-based coalescing would
     // serialize) followed by one map-only project/explode hash chain;
     // the only other exchange is the final presentation sort
-    "t28_cdc_chunks")
+    "t28_cdc_chunks",
+    // round-9 second batch: the integer bigram-LM score — one tokenize
+    // pass fans into the LM count agg (map-side partials on the bigram
+    // key) and the score side; the score join is a plain equi-join on
+    // (t1,t2) that AQE broadcasts at fixture scale and shuffle-hashes
+    // at 100 TB; final left join re-attaches zero-bigram docs
+    "t29_bigram_lm_score",
+    // round-9 second batch: the mixture pipeline — LM CTEs feeding a
+    // broadcast lmean join, then the q68-shaped two-pass budget (range
+    // exchange + metadata offsets broadcast + (pid,lang) local window);
+    // dumped with pin=false so the range exchange stays visible
+    "p02_ccnet_mixture")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -152,7 +163,9 @@ object DumpPlans {
       "d23_containment_join" -> ((s, d) => graft.operators.Dedup.containmentJoinPrefix(
         graft.Tables.documents(s, d), "doc_id", "text", materialize = false)),
       "e12_knn_join" -> (graft.operators.Similarity.knnJoinQuery _),
-      "p01_corpus_pipeline" -> (graft.operators.Curation.corpusPipelinePlan _))
+      "p01_corpus_pipeline" -> (graft.operators.Curation.corpusPipelinePlan _),
+      "p02_ccnet_mixture" -> ((s, d) =>
+        graft.operators.Curation.ccnetMixture(s, d, pin = false)))
       // q87 dumps the REGISTERED (checkpointed) form deliberately: the
       // edge table feeds four consumers, so the lazy plan would repeat
       // the whole pair-build subtree per consumer — the checkpoint IS

@@ -170,7 +170,12 @@ object ScaleStress {
       // here is the full-width unit/size join and the per-row md5
       // acceptance over factor× docs (the cluster-resolution scale
       // path itself is d11's LSH→CC chain, stressed separately)
-      "d24_cluster_sample")
+      "d24_cluster_sample",
+      // round-9 second batch: the copy corpus multiplies every bigram
+      // count by factor (t29's LM join at maximal key density, the
+      // t21/t25 regime) and hands p02's budget prefix a factor× tail
+      // to prune before the local windows sort
+      "t29_bigram_lm_score", "p02_ccnet_mixture")
 
     // SPARK_GRAFT_ONLY=name1,name2 narrows the run (iteration / probes)
     val only = sys.env.get("SPARK_GRAFT_ONLY")

@@ -172,4 +172,47 @@ class CurationSpec extends SparkSpec {
       assert(unit == id && split == q41(id), s"doc $id diverges from q41")
     }
   }
+
+  test("p02 mixture: two-pass budgeted prefix ≡ naive global window; budget and balance hold") {
+    import graft.functions.TextFns._
+    import org.apache.spark.sql.expressions.Window
+    val out = Curation.ccnetMixture(spark, sf)
+      .as[(Long, String, String, Long, Long)].collect().toSeq
+    assert(out.nonEmpty)
+    // budget respected per lang; cum strictly increasing along the
+    // (rank, doc_id) order ⇒ the kept set is a true prefix
+    out.groupBy(_._2).foreach { case (lang, rows) =>
+      assert(rows.map(_._4).sum == rows.map(_._5).max, s"$lang cum≠sum")
+      assert(rows.map(_._5).max <= 1500L, s"$lang busts the budget")
+    }
+    // naive recompute: same scoring kernel, ONE global window per lang
+    // (the plan p02 must be bit-identical to, per the q68 proof pattern)
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"lang",
+        filter(tokens(normalizeText($"text")), t => length(t) > 0).as("toks"))
+    val scored = TextAnalysis.lmDocScores(
+      docs.select($"doc_id", $"toks"), $"doc_id" % 10 < 8, lit(true))
+    val m = docs.filter(size($"toks") >= 16)
+      .select($"doc_id", $"lang", size($"toks").cast("long").as("n_tokens"))
+      .join(scored, Seq("doc_id"))
+      .select($"doc_id", $"lang", $"n_tokens",
+        when($"n_bigrams" === 0L, 0L)
+          .otherwise(expr("(lm_score * 1000) div n_bigrams")).as("mscore"))
+    val wl = Window.partitionBy($"lang")
+    val naive = m
+      .withColumn("lmean", expr(
+        "sum(mscore) over (partition by lang) div count(*) over (partition by lang)"))
+      .withColumn("bucket", when($"mscore" >= $"lmean" + 15L, "head")
+        .when($"mscore" >= $"lmean" - 40L, "middle").otherwise("tail"))
+      .filter($"bucket" =!= "tail")
+      .withColumn("rnk", when($"bucket" === "head", 0).otherwise(1))
+      .withColumn("cum_tokens", sum($"n_tokens").over(
+        wl.orderBy($"rnk", $"doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter($"cum_tokens" <= 1500L)
+      .select($"doc_id", $"lang", $"bucket", $"n_tokens", $"cum_tokens")
+      .orderBy($"lang", $"cum_tokens")
+      .as[(Long, String, String, Long, Long)].collect().toSeq
+    assert(out == naive, s"two-pass diverges from naive window:\n$out\nvs\n$naive")
+  }
 }

@@ -395,4 +395,27 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Long, Long, Long, String)].collect().toSeq
     assert(again == ch)
   }
+
+  test("t29 bigram LM score: integer log contributions, OOV tally, zero-bigram totality") {
+    // train side (doc_id % 10 < 8): (the,cat)=2 (cat,sat)=2 (the,dog)=1 (a,b)=5
+    val docs = Seq(
+      (0L, "the cat sat"), (1L, "the cat sat"), (2L, "the dog"),
+      (3L, "a b"), (4L, "a b"), (5L, "a b"), (6L, "a b"), (7L, "a b"),
+      // score side (doc_id % 10 >= 8)
+      (8L, "the cat sat"),    // 2 known bigrams, cnt 2 each → 2·len(bin(2)) = 4
+      (9L, "the bird flies"), // 2 bigrams, both OOV → score 0
+      (18L, "single"),        // <2 tokens → zero bigrams, must still appear
+      (19L, "a b"),           // cnt 5 → len(bin(5)) = 3 (the floor(log2)+1 path)
+    ).toDF("doc_id", "text")
+    val dirTmp = java.nio.file.Files.createTempDirectory("t29fix")
+    docs.write.mode("overwrite")
+      .parquet(dirTmp.resolve("documents.parquet").toString)
+    val out = TextAnalysis.bigramLmScore(spark, dirTmp.toString)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (8L, 2L, 0L, 4L),
+      (9L, 2L, 2L, 0L),
+      (18L, 0L, 0L, 0L),
+      (19L, 1L, 0L, 3L)), s"got $out")
+  }
 }

@@ -453,6 +453,16 @@ class StreamsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("s21 streaming LM scoring drain == batch t29 scores") {
+    val sf = "/root/testdata/sf0.001"
+    val got = Streams.streamingLmScore(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val exp = graft.operators.TextAnalysis.bigramLmScore(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got == exp, "drained LM scores must equal the batch t29 gate")
+    assert(got.nonEmpty)
+  }
+
   test("s10 chained rollup equals the batch rollup up to the watermark cutoff") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
