@@ -418,4 +418,34 @@ class TextAnalysisSpec extends SparkSpec {
       (18L, 0L, 0L, 0L),
       (19L, 1L, 0L, 3L)), s"got $out")
   }
+
+  test("t29 kernel matches a driver-side reference on a seeded random corpus") {
+    // 60 docs over a 12-word vocab: dense bigram collisions, doc
+    // lengths 0-7 covering the empty/one-token edge cases
+    val rnd = new scala.util.Random(41)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h", "i", "j", "k", "l")
+    val corpus = (0L until 60L).map { id =>
+      id -> Seq.fill(rnd.nextInt(8))(vocab(rnd.nextInt(vocab.length)))
+    }
+    val dirTmp = java.nio.file.Files.createTempDirectory("t29prop")
+    corpus.map { case (id, ts) => (id, ts.mkString(" ")) }
+      .toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(dirTmp.resolve("documents.parquet").toString)
+    val got = TextAnalysis.bigramLmScore(spark, dirTmp.toString)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // plain-Scala recompute: sliding-window bigrams, Map counts,
+    // contribution = bit length of the count (≡ length(bin(cnt)))
+    val bigramsOf = (ts: Seq[String]) =>
+      if (ts.length < 2) Seq.empty[(String, String)]
+      else ts.sliding(2).map(p => (p(0), p(1))).toSeq
+    val lm = corpus.filter(_._1 % 10 < 8)
+      .flatMap(c => bigramsOf(c._2)).groupBy(identity).map { case (k, v) => k -> v.size }
+    val exp = corpus.filter(_._1 % 10 >= 8).map { case (id, ts) =>
+      val bgs = bigramsOf(ts)
+      val oov = bgs.count(!lm.contains(_))
+      val score = bgs.flatMap(lm.get).map(c => java.lang.Long.toBinaryString(c).length.toLong).sum
+      (id, bgs.size.toLong, oov.toLong, score)
+    }.sortBy(_._1)
+    assert(got == exp, s"kernel diverges from reference:\n$got\nvs\n$exp")
+  }
 }
