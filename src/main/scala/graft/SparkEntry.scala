@@ -401,6 +401,11 @@ object SparkEntry {
     // filter) — integer log contribution length(bin(cnt)), train/score
     // corpus split on doc_id % 10, one bigram⋈LM equi-join
     "t29_bigram_lm_score"    -> (TextAnalysis.bigramLmScore _),
+    // t30: BPE tokenizer training — first 8 merge rules from corpus
+    // word counts; one corpus pass, merge rounds on the vocab table,
+    // greedy merge = engine-shared replace() contract, hash-checked
+    "t30_bpe_merges"         -> ((s: SparkSession, dir: String) =>
+      TextAnalysis.bpeMerges(s, dir)),
     // t25: CCNet-style unigram-LM quality score (mean corpus frequency
     // of a doc's tokens) — integer-exact until two fixed-order
     // divisions; the frequency join is skew-split (broadcast head,
@@ -2805,6 +2810,42 @@ object SparkEntry {
     // expressions. A doc's contamination count depends only on its
     // own text, so "flag on the full corpus, subtract from curated"
     // equals the Spark side's "flag the curated survivors".
+    // t30: the BPE training rounds re-derived entirely in SQL — k
+    // unrolled CTE blocks, each recomputing the weighted pair counts
+    // from the previous vocab state, taking its own argmax (ORDER BY
+    // pc DESC, l, r LIMIT 1 — the Spark side's exact tie rule) and
+    // applying the merge with the same left-to-right replace contract;
+    // nothing is pinned, so a drift in ANY round's counts or tie-break
+    // moves the hash
+    val t30Sql = {
+      val rounds = (1 to 8).map { i =>
+        s"""p$i AS (
+           | SELECT bg.t1 AS l, bg.t2 AS r, CAST(sum(cnt) AS BIGINT) AS pc FROM (
+           |  SELECT cnt, unnest(list_transform(range(1, len(syms)),
+           |   j -> struct_pack(t1 := syms[j::INT], t2 := syms[j::INT + 1]))) AS bg
+           |  FROM (SELECT cnt, list_filter(string_split(trim(s), '  '),
+           |         x -> length(x) > 0) AS syms FROM w${i - 1}))
+           | GROUP BY l, r
+           |), m$i AS (
+           | SELECT CAST($i AS BIGINT) AS merge_rank, l, r, pc FROM p$i
+           | ORDER BY pc DESC, l, r LIMIT 1
+           |), w$i AS (
+           | SELECT replace(w.s, ' ' || m.l || '  ' || m.r || ' ',
+           |   ' ' || m.l || m.r || ' ') AS s, w.cnt
+           | FROM w${i - 1} w, m$i m
+           |)""".stripMargin
+      }.mkString(", ")
+      val union = (1 to 8).map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ")
+      s"""WITH w0 AS (
+         | SELECT regexp_replace(w, '(.)', ' \\1 ', 'g') AS s, cnt FROM (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |   SELECT unnest(list_filter(${toks("text")}, t -> length(t) > 0)) AS w
+         |   FROM documents)
+         |  GROUP BY w)
+         |), $rounds
+         |SELECT merge_rank, l AS left_sym, r AS right_sym, pc AS pair_count
+         |FROM ($union) ORDER BY merge_rank""".stripMargin
+    }
     val p01Sql =
       s"""WITH curated AS (SELECT doc_id, text FROM (${base("d11_curation_lsh")}) c),
          |flagged AS (SELECT doc_id FROM (${base("d12_decontamination")}) f)
@@ -2827,6 +2868,7 @@ object SparkEntry {
             "s18_streaming_quantiles" -> base("q96_sampled_quantiles"),
             "s20_streaming_decontam" -> base("d12_decontamination"),
             "s21_streaming_lm_score" -> base("t29_bigram_lm_score"),
+            "t30_bpe_merges" -> t30Sql,
             "e08_recall_audit" -> e08Sql)
   }
 }

@@ -1028,4 +1028,97 @@ object TextAnalysis {
         coalesce(col("oov_bigrams"), lit(0L)).as("oov_bigrams"),
         coalesce(col("lm_score"), lit(0L)).as("lm_score"))
   }
+
+  /** t30: BPE tokenizer TRAINING — the first `k` merge rules learned
+    * from the corpus (Sennrich et al. 2016), the vocabulary-building
+    * step every LLM data pipeline runs before token counting means
+    * anything. Output = the merge table `(merge_rank, left_sym,
+    * right_sym, pair_count)` — all integers and symbols, hash-checked.
+    *
+    * Distributed-BPE architecture (how production trainers scale):
+    * the CORPUS is touched exactly once, reduced to the word-count
+    * vocabulary table (the classic shuffle); every merge round then
+    * runs on the VOCAB (≪ corpus — Heaps' law), so training cost is
+    * rounds × vocab, not rounds × corpus. Per round: adjacent-pair
+    * weighted counts (one map-side-combinable agg over vocab), argmax
+    * by `(count DESC, pair ASC)` (a single-row collect — the bounded
+    * e06-centroid pattern), and a map-side merge apply.
+    *
+    * Engine-portable by representation: a word's symbol sequence is
+    * the string `␣s₁␣␣s₂␣…` (each symbol wrapped in single spaces, so
+    * adjacent symbols meet as a DOUBLE space). Greedy left-to-right
+    * BPE merging is then literally `replace(s, ' a  b ', ' ab ')` —
+    * Spark's `UTF8String.replace` and DuckDB's `replace` share the
+    * non-overlapping left-to-right contract (so `a a a` under merge
+    * `(a,a)` gives `aa, a` in both), and the initial per-char wrap is
+    * one `regexp_replace('(.)', ' $1 ')` (code-point `.` in both Java
+    * and RE2). The oracle re-derives every round's argmax itself — k
+    * unrolled CTE blocks, nothing pinned.
+    */
+  def bpeMerges(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    import spark.implicits._
+    // the one corpus pass: normalized word counts, then each word as a
+    // space-delimited char-symbol string; checkpoint pins the vocab so
+    // the k rounds re-scan a vocab-sized table, never the corpus
+    val vocab0 = Tables.documents(spark, dir)
+      .select(explode(filter(tokens(normalizeText(col("text"))),
+        t => length(t) > 0)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(regexp_replace(col("w"), "(.)", " $1 ").as("s"), col("cnt"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var vocab = vocab0
+    for (r <- 1 to k) {
+      val top = vocab
+        .select(col("cnt"),
+          filter(split(trim(col("s")), "  "), x => length(x) > 0).as("toks"))
+        .transform(bigramPairsWeighted)
+        .groupBy(col("t1"), col("t2")).agg(sum(col("cnt")).as("pc"))
+        .orderBy(col("pc").desc, col("t1"), col("t2"))
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val (l, rr, pc) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r.toLong, l, rr, pc))
+        // merge apply: literal-safe column replace (symbols may carry
+        // apostrophes etc. — never splice them into SQL text)
+        vocab = vocab.select(
+          replace(col("s"), lit(s" $l  $rr "), lit(s" $l$rr ")).as("s"),
+          col("cnt"))
+      }
+    }
+    merges.result()
+      .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+      .orderBy(col("merge_rank"))
+  }
+
+  /** Lazy single-round plan for `DumpPlans`: the t30 gate's OUTPUT is
+    * a driver-local 8-row merge table (the per-round argmax collect IS
+    * the plan, the d10/d24 precedent), so the dumped evidence is the
+    * kernel that repeats — the corpus→vocab reduction feeding one
+    * round's weighted pair aggregate (map-side combinable; shuffle
+    * rows = distinct pairs, never corpus tokens).
+    */
+  private[graft] def bpeRoundPlan(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(filter(tokens(normalizeText(col("text"))),
+        t => length(t) > 0)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(regexp_replace(col("w"), "(.)", " $1 ").as("s"), col("cnt"))
+      .select(col("cnt"),
+        filter(split(trim(col("s")), "  "), x => length(x) > 0).as("toks"))
+      .transform(bigramPairsWeighted)
+      .groupBy(col("t1"), col("t2")).agg(sum(col("cnt")).as("pc"))
+      .orderBy(col("pc").desc, col("t1"), col("t2"))
+      .limit(1)
+
+  /** [[bigramPairs]] with a weight column carried through: emits
+    * `(cnt, t1, t2)` for every adjacent pair of `toks`.
+    */
+  private def bigramPairsWeighted(df: DataFrame): DataFrame = df
+    .select(col("cnt"), explode(expr(
+      """zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)),
+        |         slice(toks, 2, greatest(size(toks) - 1, 0)),
+        |         (a, b) -> struct(a AS t1, b AS t2))""".stripMargin)).as("bg"))
+    .select(col("cnt"), col("bg.t1").as("t1"), col("bg.t2").as("t2"))
 }

@@ -125,7 +125,10 @@ object DumpPlans {
     // broadcast lmean join, then the q68-shaped two-pass budget (range
     // exchange + metadata offsets broadcast + (pid,lang) local window);
     // dumped with pin=false so the range exchange stays visible
-    "p02_ccnet_mixture")
+    "p02_ccnet_mixture",
+    // round-9 third batch: BPE training — the dumped kernel is the
+    // corpus word-count reduction + one merge round's pair aggregate
+    "t30_bpe_merges")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -165,7 +168,12 @@ object DumpPlans {
       "e12_knn_join" -> (graft.operators.Similarity.knnJoinQuery _),
       "p01_corpus_pipeline" -> (graft.operators.Curation.corpusPipelinePlan _),
       "p02_ccnet_mixture" -> ((s, d) =>
-        graft.operators.Curation.ccnetMixture(s, d, pin = false)))
+        graft.operators.Curation.ccnetMixture(s, d, pin = false)),
+      // t30's registered output is the driver-local merge table (the
+      // per-round argmax collect IS the plan — d10/d24 precedent);
+      // dump the repeating kernel: corpus→vocab reduction + one
+      // round's weighted pair aggregate + single-row argmax
+      "t30_bpe_merges" -> (graft.operators.TextAnalysis.bpeRoundPlan _))
       // q87 dumps the REGISTERED (checkpointed) form deliberately: the
       // edge table feeds four consumers, so the lazy plan would repeat
       // the whole pair-build subtree per consumer — the checkpoint IS

@@ -448,4 +448,48 @@ class TextAnalysisSpec extends SparkSpec {
     }.sortBy(_._1)
     assert(got == exp, s"kernel diverges from reference:\n$got\nvs\n$exp")
   }
+
+  test("t30 BPE merges match a driver-side reference (greedy apply, count-desc/pair-asc ties)") {
+    // the classic BPE corpus shape + an accented word (code-point path)
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest") ++
+      Seq.fill(4)("été")).mkString(" ")
+    val dirTmp = java.nio.file.Files.createTempDirectory("t30fix")
+    Seq((0L, text), (1L, "low low newest"))
+      .toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(dirTmp.resolve("documents.parquet").toString)
+    val got = TextAnalysis.bpeMerges(spark, dirTmp.toString, k = 6)
+      .as[(Long, String, String, Long)].collect().toSeq
+
+    // plain-Scala reference over the SAME word counts
+    val words = Map("low" -> 7L, "lower" -> 2L, "newest" -> 7L,
+      "widest" -> 3L, "été" -> 4L)
+    var vocab = words.toSeq.map { case (w, c) => (w.map(_.toString).toVector, c) }
+    val exp = (1 to 6).flatMap { r =>
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      vocab.foreach { case (syms, c) =>
+        syms.sliding(2).filter(_.length == 2).foreach { p =>
+          counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + c
+        }
+      }
+      if (counts.isEmpty) None
+      else {
+        val ((l, rr), pc) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+        vocab = vocab.map { case (syms, c) =>
+          val out = Vector.newBuilder[String]; var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == rr) {
+              out += (l + rr); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.result(), c)
+        }
+        Some((r.toLong, l, rr, pc))
+      }
+    }
+    assert(got == exp, s"BPE diverges from reference:\n$got\nvs\n$exp")
+    // sanity on the corpus itself: the first merges come from the
+    // heavy 'newest'/'low' mass, and ranks are 1..6
+    assert(got.map(_._1) == (1L to 6L))
+  }
 }
