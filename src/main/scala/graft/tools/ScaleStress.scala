@@ -175,7 +175,11 @@ object ScaleStress {
       // count by factor (t29's LM join at maximal key density, the
       // t21/t25 regime) and hands p02's budget prefix a factor× tail
       // to prune before the local windows sort
-      "t29_bigram_lm_score", "p02_ccnet_mixture")
+      "t29_bigram_lm_score", "p02_ccnet_mixture",
+      // round-9 third batch: BPE training — the corpus reduction grows
+      // 10×, the vocab (and so every merge round) grows only with
+      // Heaps' law; the copy-suffix words add vocab mass
+      "t30_bpe_merges")
 
     // SPARK_GRAFT_ONLY=name1,name2 narrows the run (iteration / probes)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
