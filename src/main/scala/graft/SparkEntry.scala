@@ -406,6 +406,11 @@ object SparkEntry {
     // greedy merge = engine-shared replace() contract, hash-checked
     "t30_bpe_merges"         -> ((s: SparkSession, dir: String) =>
       TextAnalysis.bpeMerges(s, dir)),
+    // t31: tokenize with the TRAINED tokenizer — t30's merges inlined
+    // as literals into a map-only per-doc replace chain (the e06
+    // centroid-closure pattern); per-doc counts under the real vocab
+    "t31_bpe_encode"         -> ((s: SparkSession, dir: String) =>
+      TextAnalysis.bpeEncode(s, dir)),
     // t25: CCNet-style unigram-LM quality score (mean corpus frequency
     // of a doc's tokens) — integer-exact until two fixed-order
     // divisions; the frequency join is skew-split (broadcast head,
@@ -2817,7 +2822,7 @@ object SparkEntry {
     // applying the merge with the same left-to-right replace contract;
     // nothing is pinned, so a drift in ANY round's counts or tie-break
     // moves the hash
-    val t30Sql = {
+    val bpeCtes = {
       val rounds = (1 to 8).map { i =>
         s"""p$i AS (
            | SELECT bg.t1 AS l, bg.t2 AS r, CAST(sum(cnt) AS BIGINT) AS pc FROM (
@@ -2835,16 +2840,40 @@ object SparkEntry {
            | FROM w${i - 1} w, m$i m
            |)""".stripMargin
       }.mkString(", ")
-      val union = (1 to 8).map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ")
-      s"""WITH w0 AS (
+      s"""w0 AS (
          | SELECT regexp_replace(w, '(.)', ' \\1 ', 'g') AS s, cnt FROM (
          |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
          |   SELECT unnest(list_filter(${toks("text")}, t -> length(t) > 0)) AS w
          |   FROM documents)
          |  GROUP BY w)
-         |), $rounds
+         |), $rounds""".stripMargin
+    }
+    val t30Sql = {
+      val union = (1 to 8).map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ")
+      s"""WITH $bpeCtes
          |SELECT merge_rank, l AS left_sym, r AS right_sym, pc AS pair_count
          |FROM ($union) ORDER BY merge_rank""".stripMargin
+    }
+    // t31: the same derived merges APPLIED — whole-doc symbol string
+    // (3-space inter-word gaps can never match a 2-space merge
+    // pattern), 8 chained replaces parameterized by scalar subqueries
+    // on the m$i tables (never pinned literals), one split-count
+    val t31Sql = {
+      val encs = (1 to 8).map { i =>
+        s"""enc$i AS (
+           | SELECT doc_id, replace(s,
+           |   ' ' || (SELECT l FROM m$i) || '  ' || (SELECT r FROM m$i) || ' ',
+           |   ' ' || (SELECT l FROM m$i) || (SELECT r FROM m$i) || ' ') AS s
+           | FROM enc${i - 1}
+           |)""".stripMargin
+      }.mkString(", ")
+      s"""WITH $bpeCtes, enc0 AS (
+         | SELECT doc_id, regexp_replace(${norm("text")}, '(\\S)', ' \\1 ', 'g') AS s
+         | FROM documents
+         |), $encs
+         |SELECT doc_id, CAST(len(list_filter(string_split_regex(trim(s), '\\s+'),
+         |  x -> length(x) > 0)) AS BIGINT) AS n_bpe_tokens
+         |FROM enc8 ORDER BY doc_id""".stripMargin
     }
     val p01Sql =
       s"""WITH curated AS (SELECT doc_id, text FROM (${base("d11_curation_lsh")}) c),
@@ -2869,6 +2898,7 @@ object SparkEntry {
             "s20_streaming_decontam" -> base("d12_decontamination"),
             "s21_streaming_lm_score" -> base("t29_bigram_lm_score"),
             "t30_bpe_merges" -> t30Sql,
+            "t31_bpe_encode" -> t31Sql,
             "e08_recall_audit" -> e08Sql)
   }
 }

@@ -1057,6 +1057,16 @@ object TextAnalysis {
     */
   def bpeMerges(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
     import spark.implicits._
+    bpeTrain(spark, dir, k)
+      .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+      .orderBy(col("merge_rank"))
+  }
+
+  /** The t30 training loop, returning the learned merge list (t31
+    * inlines it into the encode chain).
+    */
+  private[graft] def bpeTrain(spark: SparkSession, dir: String,
+                              k: Int): Seq[(Long, String, String, Long)] = {
     // the one corpus pass: normalized word counts, then each word as a
     // space-delimited char-symbol string; checkpoint pins the vocab so
     // the k rounds re-scan a vocab-sized table, never the corpus
@@ -1088,8 +1098,33 @@ object TextAnalysis {
       }
     }
     merges.result()
-      .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
-      .orderBy(col("merge_rank"))
+  }
+
+  /** t31: tokenize with the TRAINED tokenizer — t30's learned merges
+    * applied to every document, yielding the per-doc token count a
+    * token-budget mix (q57/q58) would actually meter at training time
+    * (t03's regex count approximates granularity; this IS the trained
+    * vocab's segmentation). Train→apply closure: the merge list is
+    * collected once (8 rows) and INLINED into a map-only per-doc
+    * expression chain — whole-document symbol string (every non-space
+    * char wrapped, so inter-word gaps are 3 spaces and can never
+    * match a 2-space merge pattern — merges stay word-internal with
+    * no word loop), then the 8 merges in rank order as chained
+    * `replace` columns, then one whitespace split-count. Zero joins,
+    * zero shuffles except the presentation sort: the trained
+    * artifact rides the closure exactly like e06's centroid literals.
+    */
+  def bpeEncode(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val merges = bpeTrain(spark, dir, k)
+    val wrapped = regexp_replace(normalizeText(col("text")), "(\\S)", " $1 ")
+    val merged = merges.foldLeft(wrapped) { case (c, (_, l, r, _)) =>
+      replace(c, lit(s" $l  $r "), lit(s" $l$r "))
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(filter(split(trim(merged), "\\s+"), x => length(x) > 0))
+          .cast("long").as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
   }
 
   /** Lazy single-round plan for `DumpPlans`: the t30 gate's OUTPUT is

@@ -128,7 +128,12 @@ object DumpPlans {
     "p02_ccnet_mixture",
     // round-9 third batch: BPE training — the dumped kernel is the
     // corpus word-count reduction + one merge round's pair aggregate
-    "t30_bpe_merges")
+    "t30_bpe_merges",
+    // t31: the trained merges applied — the plan must be ONE map-only
+    // project (8 chained replaces as literals, no join, no shuffle
+    // before the presentation sort): the trained-artifact-as-closure
+    // evidence
+    "t31_bpe_encode")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")

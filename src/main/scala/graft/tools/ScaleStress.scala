@@ -178,8 +178,10 @@ object ScaleStress {
       "t29_bigram_lm_score", "p02_ccnet_mixture",
       // round-9 third batch: BPE training — the corpus reduction grows
       // 10×, the vocab (and so every merge round) grows only with
-      // Heaps' law; the copy-suffix words add vocab mass
-      "t30_bpe_merges")
+      // Heaps' law; the copy-suffix words add vocab mass. The encode
+      // pass is the map-only ceiling check (replace chain over 10×
+      // bytes)
+      "t30_bpe_merges", "t31_bpe_encode")
 
     // SPARK_GRAFT_ONLY=name1,name2 narrows the run (iteration / probes)
     val only = sys.env.get("SPARK_GRAFT_ONLY")

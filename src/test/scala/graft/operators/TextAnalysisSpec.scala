@@ -491,5 +491,31 @@ class TextAnalysisSpec extends SparkSpec {
     // sanity on the corpus itself: the first merges come from the
     // heavy 'newest'/'low' mass, and ranks are 1..6
     assert(got.map(_._1) == (1L to 6L))
+
+    // t31 on the same fixture: per-doc counts under the trained vocab
+    // must equal the reference segmentation (greedy apply per word,
+    // merges in rank order), and sit strictly between the word count
+    // and the char count for this merge-heavy corpus
+    val enc = TextAnalysis.bpeEncode(spark, dirTmp.toString, k = 6)
+      .as[(Long, Long)].collect().toMap
+    val refMerges = exp.map { case (_, l, r, _) => (l, r) }
+    def segCount(w: String): Long = {
+      var syms = w.map(_.toString).toVector
+      refMerges.foreach { case (l, r) =>
+        val out = Vector.newBuilder[String]; var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+      syms.length.toLong
+    }
+    val doc0 = text.split(" ").map(segCount).sum
+    val doc1 = "low low newest".split(" ").map(segCount).sum
+    assert(enc == Map(0L -> doc0, 1L -> doc1),
+      s"encode diverges: $enc vs (${doc0}, ${doc1})")
+    assert(doc0 < text.replace(" ", "").length && doc0 > text.split(" ").length)
   }
 }
