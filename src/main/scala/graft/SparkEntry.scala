@@ -227,6 +227,10 @@ object SparkEntry {
     // integer mean → language-balanced token budget via the q68
     // two-pass offsets shape (oracle = the naive global window)
     "p02_ccnet_mixture"      -> (graft.operators.Curation.ccnetMixture(_, _)),
+    // p03: the tokenizer-aware corpus build — p02's mixture selection
+    // metered by t31's trained tokenizer and packed with q57's window;
+    // the oracle nests the p02 + t31 statements verbatim (p01 pattern)
+    "p03_tokenized_pack"     -> (graft.operators.Curation.tokenizedPack(_, _)),
     // d19: CCNet/C4-style paragraph-level corpus dedup — keep each
     // distinct 10-word chunk's first (doc_id, pos) occurrence via an
     // algebraic min-struct aggregate (map-side combinable, no window
@@ -2875,6 +2879,22 @@ object SparkEntry {
          |  x -> length(x) > 0)) AS BIGINT) AS n_bpe_tokens
          |FROM enc8 ORDER BY doc_id""".stripMargin
     }
+    // p03: mixture selection (p02) ⋈ trained-token meter (t31), packed
+    // with q57's expressions — both stage statements nested verbatim,
+    // each keeping its own WITH scope (the p01 composition pattern)
+    val p03Sql =
+      s"""WITH sel AS (SELECT doc_id FROM (${base("p02_ccnet_mixture")}) x),
+         |enc AS (SELECT doc_id, n_bpe_tokens FROM ($t31Sql) y)
+         |SELECT doc_id, n_bpe_tokens, shard, start_off,
+         | shard * 2199023255552 + CAST(floor(start_off / 2048) AS BIGINT) AS pack_id
+         |FROM (
+         | SELECT doc_id, n_bpe_tokens, shard,
+         |  CAST(sum(n_bpe_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    - n_bpe_tokens AS start_off
+         | FROM (SELECT e.doc_id, e.n_bpe_tokens, e.doc_id % 32 AS shard
+         |  FROM enc e JOIN sel USING (doc_id)))
+         |ORDER BY doc_id""".stripMargin
     val p01Sql =
       s"""WITH curated AS (SELECT doc_id, text FROM (${base("d11_curation_lsh")}) c),
          |flagged AS (SELECT doc_id FROM (${base("d12_decontamination")}) f)
@@ -2899,6 +2919,7 @@ object SparkEntry {
             "s21_streaming_lm_score" -> base("t29_bigram_lm_score"),
             "t30_bpe_merges" -> t30Sql,
             "t31_bpe_encode" -> t31Sql,
+            "p03_tokenized_pack" -> p03Sql,
             "e08_recall_audit" -> e08Sql)
   }
 }

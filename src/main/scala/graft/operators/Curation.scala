@@ -335,6 +335,43 @@ object Curation {
       .orderBy(col("lang"), col("cum_tokens"))
   }
 
+  /** p03: the tokenizer-aware corpus build — what a trainer ACTUALLY
+    * executes end-to-end: p02's quality/LM mixture selects the docs,
+    * t31's TRAINED tokenizer meters them (real vocab segmentation,
+    * not the whitespace proxy q57 uses — the counts a token budget is
+    * denominated in), and q57's shard-parallel packing assigns
+    * training sequences. Third pipeline gate: the oracle nests the
+    * p02 and t31 oracle statements verbatim (each keeps its own WITH
+    * scope — the p01 composition pattern) and packs with q57's window
+    * expressions, so a drift in ANY stage (a bucket threshold, a
+    * merge rule, a pack boundary) moves the final hash.
+    *
+    * Scale shape inherits from the stages: mixture = the two-pass
+    * budget (no lang-partition window), encode = one map-only replace
+    * chain (the trained merges ride the closure), pack = one window
+    * over the shard partitioning; the only new join is
+    * selected⋈encoded on doc_id.
+    */
+  def tokenizedPack(spark: SparkSession, dir: String,
+                    budget: Int = 2048, shards: Int = 32,
+                    pin: Boolean = true): DataFrame = {
+    val sel = ccnetMixture(spark, dir, pin = pin).select(col("doc_id"))
+    val enc = graft.operators.TextAnalysis.bpeEncode(spark, dir)
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    enc.join(sel, Seq("doc_id"))
+      .select(col("doc_id"), col("n_bpe_tokens"),
+        (col("doc_id") % shards).as("shard"))
+      .withColumn("start_off", sum(col("n_bpe_tokens")).over(w) - col("n_bpe_tokens"))
+      // same pack namespace as q57/p01: shard in the high bits, chunk
+      // in the low 41 (see sequencePack's collision-bound note)
+      .withColumn("pack_id",
+        col("shard") * 2199023255552L + floor(col("start_off") / budget).cast("long"))
+      .select(col("doc_id"), col("n_bpe_tokens"), col("shard"),
+        col("start_off"), col("pack_id"))
+      .orderBy(col("doc_id"))
+  }
+
   def decontaminate(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
     val docs = Tables.documents(spark, dir)
     contaminationHits(docs, evalShingleKeys(docs, n), n)

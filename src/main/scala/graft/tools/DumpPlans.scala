@@ -129,6 +129,10 @@ object DumpPlans {
     // round-9 third batch: BPE training — the dumped kernel is the
     // corpus word-count reduction + one merge round's pair aggregate
     "t30_bpe_merges",
+    // p03: the tokenizer-aware corpus build — the mixture two-pass,
+    // the map-only trained-replace Project, ONE doc_id join, and the
+    // q57 shard pack window (dumped with pin=false like p02)
+    "p03_tokenized_pack",
     // t31: the trained merges applied — the plan must be ONE map-only
     // project (8 chained replaces as literals, no join, no shuffle
     // before the presentation sort): the trained-artifact-as-closure
@@ -178,7 +182,9 @@ object DumpPlans {
       // per-round argmax collect IS the plan — d10/d24 precedent);
       // dump the repeating kernel: corpus→vocab reduction + one
       // round's weighted pair aggregate + single-row argmax
-      "t30_bpe_merges" -> (graft.operators.TextAnalysis.bpeRoundPlan _))
+      "t30_bpe_merges" -> (graft.operators.TextAnalysis.bpeRoundPlan _),
+      "p03_tokenized_pack" -> ((s, d) =>
+        graft.operators.Curation.tokenizedPack(s, d, pin = false)))
       // q87 dumps the REGISTERED (checkpointed) form deliberately: the
       // edge table feeds four consumers, so the lazy plan would repeat
       // the whole pair-build subtree per consumer — the checkpoint IS

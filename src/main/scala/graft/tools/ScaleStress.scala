@@ -181,7 +181,10 @@ object ScaleStress {
       // Heaps' law; the copy-suffix words add vocab mass. The encode
       // pass is the map-only ceiling check (replace chain over 10×
       // bytes)
-      "t30_bpe_merges", "t31_bpe_encode")
+      "t30_bpe_merges", "t31_bpe_encode",
+      // p03 composes mixture+encode+pack — the full tokenizer-aware
+      // build over the 10× corpus
+      "p03_tokenized_pack")
 
     // SPARK_GRAFT_ONLY=name1,name2 narrows the run (iteration / probes)
     val only = sys.env.get("SPARK_GRAFT_ONLY")

@@ -215,4 +215,29 @@ class CurationSpec extends SparkSpec {
       .as[(Long, String, String, Long, Long)].collect().toSeq
     assert(out == naive, s"two-pass diverges from naive window:\n$out\nvs\n$naive")
   }
+
+  test("p03 tokenized pack: exactly the p02 selection, q57 pack algebra over trained counts") {
+    val rows = Curation.tokenizedPack(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    // doc set == the mixture selection, each doc exactly once
+    val sel = Curation.ccnetMixture(spark, sf).select($"doc_id")
+      .as[Long].collect().toSet
+    assert(rows.map(_._1).toSet == sel && rows.map(_._1).distinct.size == rows.size)
+    // trained counts == t31's encode
+    val enc = graft.operators.TextAnalysis.bpeEncode(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    rows.foreach { case (id, n, _, _, _) => assert(n == enc(id), s"doc $id count") }
+    // pack algebra per shard: offsets are the running sum in id order,
+    // pack_id = (shard << 41) + start_off div budget
+    rows.groupBy(_._3).foreach { case (shard, rs) =>
+      val sorted = rs.sortBy(_._1)
+      var off = 0L
+      sorted.foreach { case (_, n, sh, start, pack) =>
+        assert(start == off && sh == shard)
+        assert(pack == shard * 2199023255552L + start / 2048L)
+        off += n
+      }
+    }
+  }
 }
