@@ -179,6 +179,10 @@ object SparkEntry {
     "d07_curation_pipeline"  -> ((s: SparkSession, dir: String) => graft.jobs.CurationJob.curateExact(s, dir)),
     "d11_curation_lsh"       -> (graft.jobs.CurationJob.curate _),
     "d08_jaccard_exact_pairs" -> ((s: SparkSession, dir: String) => Dedup.jaccardExactPairs(s, dir)),
+    // d26: the e08 calibration pattern for the DEDUP family — each
+    // method's slice recall vs the exact ≥0.6 anchor, floor-gated
+    // (below-floor methods vanish from the row set)
+    "d26_dedup_recall_audit" -> (Dedup.dedupRecallAudit _),
     "d09_priority_dedup"     -> (graft.operators.Curation.priorityDedup _),
     "d10_dup_clusters"       -> ((s: SparkSession, dir: String) => Dedup.dupClustersQuery(s, dir)),
     // d13/d14: partial-duplication detectors — cross-doc duplicated
@@ -2879,6 +2883,26 @@ object SparkEntry {
          |  x -> length(x) > 0)) AS BIGINT) AS n_bpe_tokens
          |FROM enc8 ORDER BY doc_id""".stripMargin
     }
+    // d26: the dedup calibration audit — same leg shape as e08Sql,
+    // over the composed d08 anchor (≥0.6) and the d03/d04/d05 chains
+    // restricted to the anchor slice
+    val d26Sql = {
+      def leg(method: String): String =
+        s"""SELECT '$method' AS method,
+           | 100 * (SELECT count(*)
+           |        FROM (SELECT doc_a, doc_b FROM (${base(method)}) s
+           |              WHERE doc_a < 250 AND doc_b < 250) a
+           |        JOIN dex e ON e.doc_a = a.doc_a AND e.doc_b = a.doc_b)
+           |   // (SELECT n FROM dexn) AS recall_x100,
+           | CAST(${graft.operators.Dedup.dedupRecallFloors.toMap.apply(method)} AS BIGINT) AS floor""".stripMargin
+      s"""WITH dex AS (SELECT doc_a, doc_b FROM (${base("d08_jaccard_exact_pairs")}) t
+         |  WHERE jaccard >= 0.6),
+         |dexn AS (SELECT count(*) AS n FROM dex)
+         |SELECT method, recall_x100, floor FROM (
+         |${Seq("d03_minhash_lsh", "d04_simhash", "d05_ngram_jaccard")
+              .map(leg).mkString("\nUNION ALL\n")}
+         |) WHERE recall_x100 >= floor ORDER BY method""".stripMargin
+    }
     // p03: mixture selection (p02) ⋈ trained-token meter (t31), packed
     // with q57's expressions — both stage statements nested verbatim,
     // each keeping its own WITH scope (the p01 composition pattern)
@@ -2920,6 +2944,7 @@ object SparkEntry {
             "t30_bpe_merges" -> t30Sql,
             "t31_bpe_encode" -> t31Sql,
             "p03_tokenized_pack" -> p03Sql,
+            "d26_dedup_recall_audit" -> d26Sql,
             "e08_recall_audit" -> e08Sql)
   }
 }

@@ -1565,4 +1565,56 @@ object Dedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("text_dedup"), lit("")).as("text_dedup"))
   }
+
+  /** Gate-visible recall floors for the d26 audit — a method whose
+    * slice recall drops below its floor VANISHES from the gate's row
+    * set (the e08 pattern: `spark_rows` moves, not just a spec).
+    * Floors leave one-miss headroom on the 4-pair fixture anchor;
+    * d04's is lower by design — SimHash detects cosine-like token
+    * similarity, a different notion than char-shingle jaccard, so its
+    * overlap with the jaccard anchor is structurally partial (measured
+    * 50 at sf0.01).
+    */
+  val dedupRecallFloors: Seq[(String, Long)] = Seq(
+    "d03_minhash_lsh" -> 75L,
+    "d04_simhash" -> 25L,
+    "d05_ngram_jaccard" -> 75L)
+
+  /** d26: dedup recall audit — e08's gate-visible-calibration pattern
+    * applied to the DEDUP family: each near-dup method's pair set,
+    * restricted to the bounded exact-anchor slice (`doc_id < 250`, the
+    * d08 oracle kernel), scored as integer recall×100 against the
+    * exact char-jaccard ≥ 0.6 pairs, emitted ONLY at/above its floor.
+    * The methods are themselves hash-checked end-to-end (d03/d04/d05);
+    * what this gate pins is their CALIBRATION — that the banding and
+    * threshold constants actually recover the true pairs — as a fact
+    * the correctness gate sees. Oracle composes the four proven chains
+    * (the e08Sql pattern).
+    */
+  def dedupRecallAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val exact = jaccardExactPairs(spark, dir)
+      .filter(col("jaccard") >= 0.6)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(true)
+    val total = exact.count()
+    // zero-guarded like e08: an empty anchor reads as recall 0 — every
+    // method then fails its floor and the gate emits ZERO rows (loud)
+    def recallPct(hits: Long): Long =
+      if (total == 0L) 0L else hits * 100L / total
+    val methods: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "d03_minhash_lsh" -> (minHashDedupPortable _),
+      "d04_simhash" -> (simHashDedupPortable _),
+      "d05_ngram_jaccard" -> (ngramJaccardDedupPortable _))
+    val floors = dedupRecallFloors.toMap
+    methods.map { case (name, fn) =>
+      val slice = fn(spark, dir)
+        .filter(col("doc_a") < 250 && col("doc_b") < 250)
+        .select(col("doc_a"), col("doc_b"))
+      (name, recallPct(exact.join(slice, Seq("doc_a", "doc_b")).count()),
+        floors(name))
+    }.filter { case (_, r, floor) => r >= floor }
+      .toDF("method", "recall_x100", "floor")
+      .orderBy(col("method"))
+  }
 }

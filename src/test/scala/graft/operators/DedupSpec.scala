@@ -559,4 +559,35 @@ class DedupSpec extends SparkSpec {
     val again = Dedup.clusterWeightedSample(spark, sf).collect().toSeq
     assert(kept == again)
   }
+
+  test("d26 dedup recall audit: rows match a recompute from the constituent gates; floors gate") {
+    import org.apache.spark.sql.functions._
+    val rows = Dedup.dedupRecallAudit(spark, sf)
+      .as[(String, Long, Long)].collect().toSeq
+    // recompute each method's slice recall from the same frames
+    val exact = Dedup.jaccardExactPairs(spark, sf)
+      .filter($"jaccard" >= 0.6).select($"doc_a", $"doc_b")
+      .as[(Long, Long)].collect().toSet
+    val floors = Dedup.dedupRecallFloors.toMap
+    val expected = Seq(
+      "d03_minhash_lsh" -> Dedup.minHashDedupPortable(spark, sf),
+      "d04_simhash" -> Dedup.simHashDedupPortable(spark, sf),
+      "d05_ngram_jaccard" -> Dedup.ngramJaccardDedupPortable(spark, sf))
+      .map { case (n, df) =>
+        val got = df.filter($"doc_a" < 250 && $"doc_b" < 250)
+          .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+        val recall = if (exact.isEmpty) 0L
+          else (exact intersect got).size.toLong * 100L / exact.size
+        (n, recall, floors(n))
+      }
+      .filter { case (_, r, f) => r >= f }
+      .sortBy(_._1)
+    assert(rows == expected, s"audit diverges: $rows vs $expected")
+    // the anchor must be non-degenerate and the primary jaccard
+    // methods must be present (they share the anchor's similarity
+    // notion — if either vanished, calibration collapsed)
+    assert(exact.nonEmpty)
+    assert(rows.map(_._1).toSet.intersect(
+      Set("d03_minhash_lsh", "d05_ngram_jaccard")).size == 2)
+  }
 }
