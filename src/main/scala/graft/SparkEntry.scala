@@ -235,6 +235,12 @@ object SparkEntry {
     // metered by t31's trained tokenizer and packed with q57's window;
     // the oracle nests the p02 + t31 statements verbatim (p01 pattern)
     "p03_tokenized_pack"     -> (graft.operators.Curation.tokenizedPack(_, _)),
+    // p04: temperature (α=0.5) mixture resampling — per-lang keep rate
+    // √(n_min/n) via the q54 stable hash-threshold; one count agg +
+    // one broadcast-joined map-only filter, thresholds re-derived by
+    // the oracle from its own GROUP BY
+    "p04_temperature_mix"    -> ((s: SparkSession, dir: String) =>
+      graft.operators.Curation.temperatureMix(s, dir)),
     // d19: CCNet/C4-style paragraph-level corpus dedup — keep each
     // distinct 10-word chunk's first (doc_id, pos) occurrence via an
     // algebraic min-struct aggregate (map-side combinable, no window
@@ -310,6 +316,16 @@ object SparkEntry {
     // codes, INTEGER per-band prune) — the corpus-vs-corpus join's
     // band/prune/re-rank semantics, cross-engine hash-checked
     "e17_knn_join_portable"  -> (Similarity.knnJoinQueryPortable _),
+    // e18: JL random projection — 64-float embeddings → 16 integer
+    // coordinates (Achlioptas ±1 matrix from md5, fixed-point
+    // quantize); map-only fused kernel, integer-exact cross-engine
+    "e18_random_projection"  -> ((s: SparkSession, dir: String) =>
+      Similarity.randomProjection(s, dir)),
+    // e19: kNN over the e18 sketches — integer-L2 shortlist (20) +
+    // exact cosine re-rank to top-5 (the e09 two-phase shape); the
+    // scan side reads 16 longs/row instead of 64 floats
+    "e19_knn_projected"      -> ((s: SparkSession, dir: String) =>
+      Similarity.knnProjected(s, dir)),
     // e13: PERSISTED IVF index — build on the base slice, incremental
     // append of the delta with frozen centroids, query from the LOADED
     // index (rows-only: k-means centroids are engine-specific; the
@@ -419,6 +435,12 @@ object SparkEntry {
     // centroid-closure pattern); per-doc counts under the real vocab
     "t31_bpe_encode"         -> ((s: SparkSession, dir: String) =>
       TextAnalysis.bpeEncode(s, dir)),
+    // t32: trained-vocab usage audit — corpus token frequencies under
+    // the t30 tokenizer (top-25 by count, per-token char coverage);
+    // explode + vocab-sized agg + TakeOrderedAndProject, oracle
+    // re-derives the merge rounds themselves
+    "t32_bpe_token_freqs"    -> ((s: SparkSession, dir: String) =>
+      TextAnalysis.bpeTokenFreqs(s, dir)),
     // t25: CCNet-style unigram-LM quality score (mean corpus frequency
     // of a doc's tokens) — integer-exact until two fixed-order
     // divisions; the frequency join is skew-split (broadcast head,
@@ -540,6 +562,12 @@ object SparkEntry {
     // micro-batch scores only its own docs; scores are doc-complete so
     // the drain ≡ batch t29 verbatim, hash-checked
     "s21_streaming_lm_score" -> (Streams.streamingLmScore _),
+    // s22: streaming sequence packing — per-shard running-offset
+    // ValueState (transformWithState), in-batch doc_id order, q57's
+    // pack namespace; completes the ingest chain (dedup → decontam →
+    // score → PACK) and drains equal to the batch packer
+    "s22_streaming_pack"     -> ((s: SparkSession, dir: String) =>
+      Streams.streamingPack(s, dir)),
     // s07: the transformWithState (state API v2, RocksDB) operator run
     // through a REAL streaming drain; integer-cents state makes the
     // final totals batch-boundary-invariant and oracle-exact
@@ -852,6 +880,44 @@ object SparkEntry {
           |             cand.neighbor_id) AS rank
           | FROM cand JOIN embeddings qe ON cand.query_id = qe.vec_id
           |           JOIN embeddings ce ON cand.neighbor_id = ce.vec_id)
+          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+      // e18: the same md5-low-bit sign derivation as e02's planes
+      // (key 'p-j-i', i 1-based), quantize = one correctly-rounded
+      // double multiply + floor, then an order-free integer sum —
+      // every coordinate bit-identical cross-engine
+      "e18_random_projection" ->
+        """SELECT vec_id, j AS proj_dim, CAST(list_sum(list_transform(range(1, 65), i ->
+          |  (CASE WHEN (('0x' || substr(md5('p-' || j::VARCHAR || '-' || i::VARCHAR), 1, 15))::BIGINT & 1) = 1
+          |        THEN 1 ELSE -1 END)
+          |  * CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))) AS BIGINT) AS proj
+          |FROM embeddings, range(0, 16) t(j)
+          |ORDER BY vec_id, proj_dim""".stripMargin,
+      // e19: sketch-space integer-L2 shortlist (dist ASC, id tie rule)
+      // re-ranked by exact cosine — the e09 two-phase contract with
+      // e18's projection as the quantizer
+      "e19_knn_projected" ->
+        """WITH pj AS (
+          | SELECT vec_id, j, CAST(list_sum(list_transform(range(1, 65), i ->
+          |  (CASE WHEN (('0x' || substr(md5('p-' || j::VARCHAR || '-' || i::VARCHAR), 1, 15))::BIGINT & 1) = 1
+          |        THEN 1 ELSE -1 END)
+          |  * CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))) AS BIGINT) AS proj
+          | FROM embeddings, range(0, 16) t(j)),
+          |vecs AS (SELECT vec_id, list(proj ORDER BY j) AS p FROM pj GROUP BY vec_id),
+          |short AS (
+          | SELECT qid, nid FROM (
+          |  SELECT q.vec_id qid, c.vec_id nid,
+          |   row_number() OVER (PARTITION BY q.vec_id
+          |     ORDER BY list_sum(list_transform(range(1, 17),
+          |       x -> (q.p[x] - c.p[x]) * (q.p[x] - c.p[x]))), c.vec_id) AS srank
+          |  FROM vecs q, vecs c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+          | WHERE srank <= 20)
+          |SELECT query_id, rank, neighbor_id FROM (
+          | SELECT s.qid AS query_id, s.nid AS neighbor_id,
+          |  row_number() OVER (PARTITION BY s.qid
+          |    ORDER BY list_cosine_similarity(qe.embedding, ne.embedding) DESC, s.nid) AS rank
+          | FROM short s
+          | JOIN embeddings qe ON qe.vec_id = s.qid
+          | JOIN embeddings ne ON ne.vec_id = s.nid)
           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
       // e04: md5-hash-ordered centroid pick (tie-broken by id), the
       // same first-max assignment rule (s DESC, cn ASC), the same
@@ -1416,6 +1482,22 @@ object SparkEntry {
           |  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e' THEN 'val'
           |  ELSE 'test' END AS split
           |FROM documents ORDER BY doc_id""".stripMargin,
+      // p04: thresholds re-derived from the oracle's own lang counts —
+      // n_min/n, sqrt, ·65536, floor are each one correctly-rounded
+      // IEEE op, so the integer thresholds (and the hex-quad compare)
+      // are bit-identical cross-engine
+      "p04_temperature_mix" ->
+        """WITH st AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+          |  FROM documents GROUP BY lang),
+          |thr AS (
+          | SELECT lang, CASE WHEN t >= 65536 THEN 'g'
+          |   ELSE printf('%04x', t) END AS thr_hex
+          | FROM (SELECT lang, CAST(floor(65536.0 *
+          |    sqrt(CAST((SELECT min(n) FROM st) AS DOUBLE) / CAST(n AS DOUBLE)))
+          |   AS BIGINT) AS t FROM st))
+          |SELECT d.doc_id, d.lang FROM documents d JOIN thr USING (lang)
+          |WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < thr.thr_hex
+          |ORDER BY doc_id""".stripMargin,
       "q42_balanced_sample" ->
         """SELECT doc_id, lang, rn FROM (
           | SELECT doc_id, lang,
@@ -2883,6 +2965,33 @@ object SparkEntry {
          |  x -> length(x) > 0)) AS BIGINT) AS n_bpe_tokens
          |FROM enc8 ORDER BY doc_id""".stripMargin
     }
+    // t32: the trained-vocab usage table — the t31 encode chain kept
+    // as token LISTS (enc8), exploded and counted; same derived-merge
+    // CTEs, same (cnt DESC, tok) tie rule as the Spark side's
+    // TakeOrderedAndProject
+    val t32Sql = {
+      val encs = (1 to 8).map { i =>
+        s"""enc$i AS (
+           | SELECT doc_id, replace(s,
+           |   ' ' || (SELECT l FROM m$i) || '  ' || (SELECT r FROM m$i) || ' ',
+           |   ' ' || (SELECT l FROM m$i) || (SELECT r FROM m$i) || ' ') AS s
+           | FROM enc${i - 1}
+           |)""".stripMargin
+      }.mkString(", ")
+      s"""WITH $bpeCtes, enc0 AS (
+         | SELECT doc_id, regexp_replace(${norm("text")}, '(\\S)', ' \\1 ', 'g') AS s
+         | FROM documents
+         |), $encs
+         |SELECT tok, cnt, CAST(length(tok) AS BIGINT) AS n_chars,
+         | cnt * CAST(length(tok) AS BIGINT) AS chars_covered
+         |FROM (
+         | SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |  SELECT unnest(list_filter(string_split_regex(trim(s), '\\s+'),
+         |    x -> length(x) > 0)) AS tok
+         |  FROM enc8)
+         | GROUP BY tok)
+         |ORDER BY cnt DESC, tok LIMIT 25""".stripMargin
+    }
     // d26: the dedup calibration audit — same leg shape as e08Sql,
     // over the composed d08 anchor (≥0.6) and the d03/d04/d05 chains
     // restricted to the anchor slice
@@ -2941,8 +3050,10 @@ object SparkEntry {
             "s18_streaming_quantiles" -> base("q96_sampled_quantiles"),
             "s20_streaming_decontam" -> base("d12_decontamination"),
             "s21_streaming_lm_score" -> base("t29_bigram_lm_score"),
+            "s22_streaming_pack" -> base("q57_sequence_pack"),
             "t30_bpe_merges" -> t30Sql,
             "t31_bpe_encode" -> t31Sql,
+            "t32_bpe_token_freqs" -> t32Sql,
             "p03_tokenized_pack" -> p03Sql,
             "d26_dedup_recall_audit" -> d26Sql,
             "e08_recall_audit" -> e08Sql)

@@ -534,4 +534,82 @@ object VectorFns {
   def rademacherBandKeys(v: Column, bands: Int, bits: Int, dim: Int): Column =
     GraftColumnBridge.column(RademacherBandKeys(
       GraftColumnBridge.expression(v), bands, bits, dim))
+
+  // — ENGINE-PORTABLE integer JL random projection (Achlioptas 2001,
+  //   the ±1 Johnson–Lindenstrauss family — same public construction
+  //   as the Rademacher LSH planes above, kept as SUMS instead of sign
+  //   bits): proj_j = Σ_i sign(j,i)·q_i over the fixed-point quantized
+  //   components q_i = floor(x_i·scale + 0.5). The quantize is one
+  //   correctly-rounded double multiply + floor (bit-identical in
+  //   DuckDB), and everything after is integer arithmetic — order-free
+  //   and exactly reproducible at ANY parallelism, so a 16-dim sketch
+  //   of a 64-float embedding is hash-checkable cross-engine.
+  //   sign(j,i) = +1 iff the low bit of md5Gram60("p-j-i") is set
+  //   (i 1-based) — in SQL:
+  //   ('0x' || substr(md5('p-'||j||'-'||i), 1, 15))::BIGINT & 1. —
+
+  private val jlCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+
+  /** ±1 sign matrix for (dims × dim), row-major, md5-derived. */
+  def jlSigns(dims: Int, dim: Int): Array[Long] =
+    jlCache.computeIfAbsent(s"$dims-$dim", _ => {
+      val out = new Array[Long](dims * dim)
+      var idx = 0
+      var j = 0
+      while (j < dims) {
+        var i = 1
+        while (i <= dim) {
+          val key = s"p-$j-$i".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          out(idx) = if ((HashFns.md5Gram60(key, 0, key.length) & 1L) == 1L) 1L else -1L
+          idx += 1
+          i += 1
+        }
+        j += 1
+      }
+      out
+    })
+
+  /** The fused projection: quantize each component once, then `dims`
+    * signed integer sums. One pass over the vector per output dim.
+    */
+  def jlProjectEval(v: ArrayData, dims: Int, dim: Int, scale: Long): ArrayData = {
+    val signs = jlSigns(dims, dim)
+    val n = math.min(dim, v.numElements())
+    val qs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      qs(i) = math.floor(v.getFloat(i).toDouble * scale + 0.5).toLong
+      i += 1
+    }
+    val out = new Array[Long](dims)
+    var j = 0
+    while (j < dims) {
+      val off = j * dim
+      var acc = 0L
+      i = 0
+      while (i < n) { acc += signs(off + i) * qs(i); i += 1 }
+      out(j) = acc
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  case class JlProject(child: Expression, dims: Int, dim: Int, scale: Long)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "jl_project"
+    override def nullSafeEval(input: Any): Any =
+      jlProjectEval(input.asInstanceOf[ArrayData], dims, dim, scale)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.VectorFns.jlProjectEval($c, $dims, $dim, ${scale}L)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def jlProject(v: Column, dims: Int, dim: Int, scale: Long): Column =
+    GraftColumnBridge.column(JlProject(
+      GraftColumnBridge.expression(v), dims, dim, scale))
 }

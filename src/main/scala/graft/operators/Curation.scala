@@ -372,6 +372,46 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** p04: temperature (α) mixture resampling — the multilingual
+    * balancing step of corpus assembly (the mBERT/XLM-R exponential-
+    * smoothing recipe): per-language keep rates ∝ shareᵅ so
+    * high-resource languages are downsampled toward — never fully to —
+    * uniform. At α = 0.5 the keep rate is `sqrt(n_min / n_lang)`
+    * (the rarest language keeps everything, a 4×-bigger one keeps
+    * half), realized as the q54 stable hash-threshold test: keep iff
+    * the first 4 md5 nibbles of doc_id sort below the language's
+    * threshold — map-only per doc, stable under corpus growth (an
+    * already-kept doc is never dropped by adding languages with the
+    * same stats), and re-derivable by any engine.
+    *
+    * Portability of the threshold itself: `n_min/n`, `sqrt`, `·65536`
+    * and `floor` are all single correctly-rounded IEEE ops, so both
+    * engines compute the SAME integer threshold from the SAME counts —
+    * the oracle re-derives it from its own GROUP BY, nothing pinned.
+    * Scale shape: stats = one map-side-combinable count per language
+    * (|langs| rows, broadcast back); the corpus is touched by exactly
+    * one scan + one broadcast-joined filter — no shuffle of documents.
+    */
+  def temperatureMix(spark: SparkSession, dir: String,
+                     scale: Int = 65536): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val stats = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val thr = stats
+      .crossJoin(broadcast(stats.agg(min(col("n")).as("n_min"))))
+      .select(col("lang"),
+        floor(lit(scale.toDouble) *
+          sqrt(col("n_min").cast("double") / col("n").cast("double")))
+          .cast("long").as("t"))
+      // 4-char lowercase hex compares lexicographically == numerically;
+      // t = scale (keep-all, the n_min language) → 'g' > every hex quad
+      .select(col("lang"), when(col("t") >= scale, lit("g"))
+        .otherwise(format_string("%04x", col("t"))).as("thr_hex"))
+    docs.join(broadcast(thr), Seq("lang"))
+      .filter(substring(idHash(col("doc_id")), 1, 4) < col("thr_hex"))
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
   def decontaminate(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
     val docs = Tables.documents(spark, dir)
     contaminationHits(docs, evalShingleKeys(docs, n), n)

@@ -2036,4 +2036,72 @@ object Similarity {
       .orderBy(col("rrf_score").desc, col("doc_id"))
       .limit(kOut)
   }
+
+  /** e18: Johnson–Lindenstrauss dimensionality reduction — every
+    * 64-float embedding sketched to `dims`=16 INTEGER coordinates via
+    * the Achlioptas ±1 projection ([[graft.functions.VectorFns
+    * .jlProject]], md5-derived sign matrix, fixed-point quantize). The
+    * reduced table is the artifact a 100 TB vector pipeline actually
+    * materializes: 4× fewer dimensions, 8-byte exact integers (no
+    * float drift across engines or partitionings), distance-preserving
+    * to JL tolerance (e19 measures what that costs in ranking, and
+    * `SimilaritySpec` pins a distance-distortion bound). Map-only —
+    * one codegen'd kernel per row, zero shuffles before the
+    * presentation sort; long format so the gate hash covers every
+    * coordinate.
+    */
+  def randomProjection(spark: SparkSession, dir: String,
+                       dims: Int = 16, dim: Int = 64,
+                       scale: Long = 1000L): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        posexplode(VectorFns.jlProject(col("embedding"), dims, dim, scale))
+          .as(Seq("proj_dim", "proj")))
+      .select(col("vec_id"), col("proj_dim").cast("long").as("proj_dim"),
+        col("proj"))
+      .orderBy(col("vec_id"), col("proj_dim"))
+
+  /** e19: kNN in the e18 sketch space — the JL scale path demonstrated
+    * end-to-end: shortlist by exact INTEGER L2 distance over the
+    * 16-dim sketches (order-free arithmetic, deterministic
+    * `(dist ASC, id)` tie rule), then exact cosine re-rank of the
+    * 20-deep shortlist to top-5 (the e09 two-phase shape — sketch
+    * error costs recall only, never final ordering). At scale the
+    * shortlist scan reads 16 longs/row instead of 64 floats — the
+    * 4× bandwidth the projection bought — and composes with any
+    * bucketed candidate source (e02/e06) unchanged.
+    */
+  def knnProjected(spark: SparkSession, dir: String,
+                   k: Int = 5, shortlist: Int = 20): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val proj = emb.select(col("vec_id"),
+      VectorFns.jlProject(col("embedding"), 16, 64, 1000L).as("p"))
+    val q = proj.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("p").as("qp"))
+    val c = proj.select(col("vec_id").as("neighbor_id"), col("p").as("cp"))
+    // integer squared-L2 in sketch space: |proj| ≤ 64·scale·max|x|, so
+    // the per-dim square stays far inside Long at any realistic input
+    val dist = aggregate(
+      zip_with(col("qp"), col("cp"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, v) => acc + v)
+    val wS = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist"), col("neighbor_id"))
+    val short = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("dist", dist)
+      .withColumn("srank", row_number().over(wS))
+      .filter(col("srank") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val qe = emb.select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
+    val ce = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_vec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    short.join(broadcast(qe), "query_id").join(ce, "neighbor_id")
+      .withColumn("cos", VectorFns.cosineSim(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
 }

@@ -1127,6 +1127,43 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** t32: trained-vocab USAGE audit — the corpus token-frequency table
+    * under the t30-trained tokenizer: top `topN` tokens by
+    * `(count DESC, token ASC)` with per-token character length and the
+    * chars-per-occurrence the token amortizes (`cnt * n_chars`, the
+    * quantity a vocab-coverage/compression report ranks by). This is
+    * the audit every tokenizer-training pipeline runs after t30/t31:
+    * which learned symbols actually carry the corpus, and how much of
+    * the byte mass the merged (multi-char) vocabulary absorbs vs the
+    * single-char fallback tail.
+    *
+    * Shape: the same map-only trained-merge closure as t31 (merges
+    * inlined as literal `replace`s — zero joins), then one explode +
+    * map-side-combinable count agg whose shuffle carries `(token,
+    * partial_count)` — vocab-sized, never corpus-sized — and a
+    * TakeOrderedAndProject top-N (bounded driver result, the q08
+    * pattern). At 100 TB the reduce side is |vocab| rows regardless of
+    * corpus bytes. The oracle re-derives the merges themselves (the
+    * t30 CTE chain) — nothing pinned.
+    */
+  def bpeTokenFreqs(spark: SparkSession, dir: String,
+                    k: Int = 8, topN: Int = 25): DataFrame = {
+    val merges = bpeTrain(spark, dir, k)
+    val wrapped = regexp_replace(normalizeText(col("text")), "(\\S)", " $1 ")
+    val merged = merges.foldLeft(wrapped) { case (c, (_, l, r, _)) =>
+      replace(c, lit(s" $l  $r "), lit(s" $l$r "))
+    }
+    Tables.documents(spark, dir)
+      .select(explode(filter(split(trim(merged), "\\s+"),
+        x => length(x) > 0)).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(topN)
+      .select(col("tok"), col("cnt"),
+        length(col("tok")).cast("long").as("n_chars"),
+        (col("cnt") * length(col("tok"))).cast("long").as("chars_covered"))
+  }
+
   /** Lazy single-round plan for `DumpPlans`: the t30 gate's OUTPUT is
     * a driver-local 8-row merge table (the per-round argmax collect IS
     * the plan, the d10/d24 precedent), so the dumped evidence is the

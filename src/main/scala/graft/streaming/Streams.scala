@@ -925,6 +925,97 @@ object Streams {
       .orderBy(col("event_type"))
   }
 
+  case class PackInput(shard: Long, doc_id: Long, n_tokens: Long)
+  case class PackOutput(doc_id: Long, n_tokens: Long, shard: Long,
+                        start_off: Long, pack_id: Long)
+
+  /** Per-shard ONLINE sequence packer — q57's concat-and-chunk
+    * assignment as a stateful streaming operator: the shard's running
+    * token offset lives in `ValueState`, each arriving doc takes
+    * `start_off` = the offset and advances it, and the pack id uses
+    * q57's exact namespace (`shard << 41 | chunk`). Within a batch the
+    * shard's rows are buffered and assigned in doc_id order (a batch
+    * is unordered by contract; the buffer is batch-bounded, never
+    * corpus-bounded); across batches assignment is arrival-ordered —
+    * the honest streaming semantics for "pack documents as the crawl
+    * delivers them". All-integer state ⇒ the drained assignment is
+    * exact whatever the store/replay history (the s07 property).
+    */
+  class SequencePackProcessor(budget: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, PackInput, PackOutput] {
+    @transient private var state:
+        org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[Long]("pack_offset",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        shard: Long, rows: Iterator[PackInput],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[PackOutput] = {
+      var off = if (state.exists()) state.get() else 0L
+      val out = rows.toArray.sortBy(_.doc_id).map { d =>
+        val start = off
+        off += d.n_tokens
+        PackOutput(d.doc_id, d.n_tokens, shard, start,
+          shard * 2199023255552L + start / budget)
+      }
+      state.update(off)
+      out.iterator
+    }
+  }
+
+  /** s22: streaming sequence packing through the driver gate — a real
+    * `transformWithState` run of [[SequencePackProcessor]] over the
+    * document stream, drained and checked against q57's batch oracle
+    * VERBATIM: with the fixture arriving as one AvailableNow batch per
+    * shard (single-file source) and in-batch doc_id ordering, the
+    * online assignment reproduces the batch packer exactly — the
+    * stream/batch unification every ingest-then-train pipeline leans
+    * on. Completes the streaming ingest chain: s19 dedups, s20
+    * decontaminates, s21 scores, s22 PACKS.
+    */
+  def streamingPack(spark: SparkSession, dir: String,
+                    budget: Long = 2048L, shards: Int = 32): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import graft.functions.TextFns._
+    val drained = withRocksDBStateStore(spark) {
+      drainStreamed(spark, "s22", dir,
+        ss => {
+          val docSchema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("text",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("lang",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("source",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("n_chars",
+              org.apache.spark.sql.types.LongType)))
+          ss.readStream.schema(docSchema)
+            .option("pathGlobFilter", "documents.parquet").parquet(dir)
+            .select((col("doc_id") % shards).as("shard"), col("doc_id"),
+              size(tokens(col("text"))).cast("long").as("n_tokens"))
+            .as[PackInput]
+            .groupByKey(_.shard)
+            .transformWithState(new SequencePackProcessor(budget),
+              TimeMode.None(), OutputMode.Update())
+            .toDF()
+        },
+        mode = "append", outputMode = "update")
+    }
+    drained.dropDuplicates("doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("shard"),
+        col("start_off"), col("pack_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** s07: the arbitrary-state v2 operator (`transformWithState` +
     * `StatefulProcessor` + `ValueState` on the RocksDB store) executed
     * through a REAL streaming run inside the driver gate. Update-mode

@@ -137,7 +137,26 @@ object DumpPlans {
     // project (8 chained replaces as literals, no join, no shuffle
     // before the presentation sort): the trained-artifact-as-closure
     // evidence
-    "t31_bpe_encode")
+    "t31_bpe_encode",
+    // round-9 fourth batch:
+    // t32: trained-vocab usage — the t31 replace chain feeding one
+    // explode + vocab-sized partial/final count agg and a
+    // TakeOrderedAndProject top-25 (ONE exchange total)
+    "t32_bpe_token_freqs",
+    // e18: the JL sketch — ONE map-only project (the fused jl_project
+    // kernel + posexplode), zero exchanges before the presentation
+    // sort: the dimensionality-reduction-as-closure evidence
+    "e18_random_projection",
+    // e19: sketch-space shortlist (broadcast NLJ over 10 query
+    // sketches + integer-L2 window prune) re-joined by id for the
+    // exact re-rank — the corpus never shuffles for the scan phase
+    "e19_knn_projected",
+    // p04: temperature resampling — one map-side-combinable lang
+    // count agg broadcast back into a map-only threshold filter; the
+    // document stream itself never shuffles (s22 is excluded like
+    // s06/s13/s15/s18-s21: its registered entry executes a streaming
+    // drain)
+    "p04_temperature_mix")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")

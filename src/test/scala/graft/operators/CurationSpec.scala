@@ -240,4 +240,41 @@ class CurationSpec extends SparkSpec {
       }
     }
   }
+
+  test("p04 temperature mix matches a driver-side reference; rarest lang keeps all") {
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"lang").as[(Long, String)].collect().toSeq
+    val n = docs.groupBy(_._2).map { case (l, v) => l -> v.size.toLong }
+    val nMin = n.values.min
+    val thr = n.map { case (l, c) =>
+      l -> math.floor(65536.0 * math.sqrt(nMin.toDouble / c.toDouble)).toLong
+    }
+    def hex4(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 4)
+    }
+    val exp = docs.filter { case (id, l) =>
+      val t = thr(l)
+      t >= 65536L || hex4(id) < f"$t%04x"
+    }.sortBy(_._1)
+    val got = Curation.temperatureMix(spark, sf)
+      .as[(Long, String)].collect().toSeq
+    assert(got == exp, s"selection diverges (got ${got.size}, exp ${exp.size})")
+    // the n_min language is kept in full; keep RATES are monotone
+    // decreasing in language size (the α-temperature contract)
+    val keptBy = got.groupBy(_._2).map { case (l, v) => l -> v.size.toLong }
+    val minLang = n.minBy(_._2)._1
+    assert(keptBy(minLang) == n(minLang), "rarest language must keep everything")
+    val rates = n.keys.map(l => (n(l), keptBy.getOrElse(l, 0L).toDouble / n(l))).toSeq
+    rates.sortBy(_._1).sliding(2).foreach {
+      case Seq((n1, r1), (n2, r2)) =>
+        // allow hash noise: a strictly larger lang may not keep a
+        // strictly larger SHARE, but expected rate √(n_min/n) falls —
+        // check against the analytic rate within ±0.12
+        assert(math.abs(r1 - math.sqrt(nMin.toDouble / n1)) < 0.12, s"($n1, $r1)")
+        assert(math.abs(r2 - math.sqrt(nMin.toDouble / n2)) < 0.12, s"($n2, $r2)")
+      case _ =>
+    }
+  }
 }

@@ -682,4 +682,60 @@ class SimilaritySpec extends SparkSpec {
       assert(!rows.exists(_._3 == q))
     }
   }
+
+  test("e18 JL projection matches a raw-MessageDigest reference and preserves norms") {
+    // independent sign reference: low bit of the 15th md5 hex char of
+    // "p-j-i" (i 1-based) — the exact quantity the DuckDB oracle
+    // parses via ('0x' || substr(md5(...), 1, 15))::BIGINT & 1
+    def sign(j: Int, i: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"p-$j-$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if ((Integer.parseInt(hex.substring(14, 15), 16) & 1) == 1) 1L else -1L
+    }
+    val emb = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    val exp = emb.map { case (id, v) =>
+      id -> (0 until 16).map { j =>
+        (0 until 64).map { i =>
+          sign(j, i + 1) * math.floor(v(i).toDouble * 1000.0 + 0.5).toLong
+        }.sum
+      }.toVector
+    }.toMap
+    val got = Similarity.randomProjection(spark, sf)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (id, rows) =>
+        id -> rows.sortBy(_._2).map(_._3).toVector
+      }
+    assert(got == exp, "projection must equal the md5-sign reference")
+    // JL norm preservation: E[‖Pq‖²] = dims·‖q‖² for a ±1 matrix, so
+    // the per-vector ratio ‖Pq‖²/(16·‖q‖²) concentrates near 1 —
+    // deterministic on this fixture, generous bounds
+    val ratios = emb.map { case (id, v) =>
+      val q = v.map(x => math.floor(x.toDouble * 1000.0 + 0.5).toLong)
+      val qn = q.map(x => x.toDouble * x).sum
+      val pn = got(id).map(x => x.toDouble * x).sum
+      pn / (16.0 * qn)
+    }
+    assert(ratios.forall(r => r > 0.25 && r < 4.0),
+      s"distortion outlier: min=${ratios.min} max=${ratios.max}")
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.8 && mean < 1.25, s"mean distortion $mean")
+  }
+
+  test("e19 projected kNN: deterministic, >=40% recall vs brute force, dense ranks") {
+    val brute = Similarity.knnBruteForce(spark, sf)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val a = Similarity.knnProjected(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    val b = Similarity.knnProjected(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(a == b, "projected kNN must be run-to-run deterministic")
+    val recall = brute.intersect(a.map(t => (t._1, t._3)).toSet).size.toDouble / brute.size
+    assert(recall >= 0.4, s"recall=$recall")
+    a.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._2).sorted == (1L to rows.length).toSeq, s"query $q ranks")
+      assert(!rows.exists(_._3 == q))
+    }
+  }
 }

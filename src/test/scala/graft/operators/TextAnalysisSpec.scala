@@ -518,4 +518,68 @@ class TextAnalysisSpec extends SparkSpec {
       s"encode diverges: $enc vs (${doc0}, ${doc1})")
     assert(doc0 < text.replace(" ", "").length && doc0 > text.split(" ").length)
   }
+
+  test("t32 trained-vocab token frequencies match the reference segmentation") {
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest") ++
+      Seq.fill(4)("été")).mkString(" ")
+    val dirTmp = java.nio.file.Files.createTempDirectory("t32fix")
+    Seq((0L, text), (1L, "low low newest"))
+      .toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(dirTmp.resolve("documents.parquet").toString)
+
+    // reference: train merges (same greedy argmax reference as the t30
+    // test), segment every word occurrence, count tokens corpus-wide
+    val words = Seq("low" -> 7L, "lower" -> 2L, "newest" -> 7L,
+      "widest" -> 3L, "été" -> 4L)
+    var vocab = words.map { case (w, c) => (w.map(_.toString).toVector, c) }
+    val merges = (1 to 6).flatMap { _ =>
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      vocab.foreach { case (syms, c) =>
+        syms.sliding(2).filter(_.length == 2).foreach { p =>
+          counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + c
+        }
+      }
+      if (counts.isEmpty) None
+      else {
+        val ((l, rr), _) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+        vocab = vocab.map { case (syms, c) =>
+          val out = Vector.newBuilder[String]; var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == rr) {
+              out += (l + rr); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.result(), c)
+        }
+        Some((l, rr))
+      }
+    }
+    def segment(w: String): Vector[String] = {
+      var syms = w.map(_.toString).toVector
+      merges.foreach { case (l, r) =>
+        val out = Vector.newBuilder[String]; var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+      syms
+    }
+    val corpusTokens = (text.split(" ") ++ "low low newest".split(" "))
+      .toSeq.flatMap(segment)
+    val expAll = corpusTokens.groupBy(identity).map { case (t, v) =>
+      (t, v.size.toLong, t.length.toLong, v.size.toLong * t.length)
+    }.toSeq.sortBy { case (t, c, _, _) => (-c, t) }
+
+    val got = TextAnalysis.bpeTokenFreqs(spark, dirTmp.toString, k = 6, topN = 25)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == expAll.take(25), s"freqs diverge:\n$got\nvs\n${expAll.take(25)}")
+    // coverage sanity: token counts weighted by length reconstruct the
+    // corpus' non-space char mass exactly (merges never drop chars)
+    val charMass = (text + " low low newest").count(!_.isWhitespace).toLong
+    assert(expAll.map(_._4).sum == charMass)
+  }
 }

@@ -463,6 +463,25 @@ class StreamsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("s22 streaming pack drain == batch q57 packer (single AvailableNow batch)") {
+    val sf = "/root/testdata/sf0.001"
+    val got = Streams.streamingPack(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val exp = graft.operators.Curation.sequencePack(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got == exp, "drained pack assignment must equal the batch packer")
+    assert(got.nonEmpty)
+    // the stateful packer's offsets are contiguous per shard: total
+    // tokens == max(start_off)+last n_tokens per shard
+    val byShard = got.map(r => (r(2).asInstanceOf[Long],
+      r(1).asInstanceOf[Long], r(3).asInstanceOf[Long])).groupBy(_._1)
+    byShard.foreach { case (_, rs) =>
+      val tot = rs.map(_._2).sum
+      val last = rs.maxBy(_._3)
+      assert(last._3 + last._2 == tot, "per-shard offsets must be gapless")
+    }
+  }
+
   test("s10 chained rollup equals the batch rollup up to the watermark cutoff") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
