@@ -316,14 +316,15 @@ object SparkEntry {
     // codes, INTEGER per-band prune) — the corpus-vs-corpus join's
     // band/prune/re-rank semantics, cross-engine hash-checked
     "e17_knn_join_portable"  -> (Similarity.knnJoinQueryPortable _),
-    // e18: JL random projection — 64-float embeddings → 16 integer
+    // e18: JL random projection — 64-float embeddings → 32 integer
     // coordinates (Achlioptas ±1 matrix from md5, fixed-point
     // quantize); map-only fused kernel, integer-exact cross-engine
+    // (r10: 16→32 dims — 16 broke its own distortion bound, see spec)
     "e18_random_projection"  -> ((s: SparkSession, dir: String) =>
       Similarity.randomProjection(s, dir)),
-    // e19: kNN over the e18 sketches — integer-L2 shortlist (20) +
+    // e19: kNN over the e18 sketches — integer-L2 shortlist (40) +
     // exact cosine re-rank to top-5 (the e09 two-phase shape); the
-    // scan side reads 16 longs/row instead of 64 floats
+    // scan side reads the 32-long sketch, exact integer arithmetic
     "e19_knn_projected"      -> ((s: SparkSession, dir: String) =>
       Similarity.knnProjected(s, dir)),
     // e13: PERSISTED IVF index — build on the base slice, incremental
@@ -890,7 +891,7 @@ object SparkEntry {
           |  (CASE WHEN (('0x' || substr(md5('p-' || j::VARCHAR || '-' || i::VARCHAR), 1, 15))::BIGINT & 1) = 1
           |        THEN 1 ELSE -1 END)
           |  * CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))) AS BIGINT) AS proj
-          |FROM embeddings, range(0, 16) t(j)
+          |FROM embeddings, range(0, 32) t(j)
           |ORDER BY vec_id, proj_dim""".stripMargin,
       // e19: sketch-space integer-L2 shortlist (dist ASC, id tie rule)
       // re-ranked by exact cosine — the e09 two-phase contract with
@@ -901,16 +902,16 @@ object SparkEntry {
           |  (CASE WHEN (('0x' || substr(md5('p-' || j::VARCHAR || '-' || i::VARCHAR), 1, 15))::BIGINT & 1) = 1
           |        THEN 1 ELSE -1 END)
           |  * CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))) AS BIGINT) AS proj
-          | FROM embeddings, range(0, 16) t(j)),
+          | FROM embeddings, range(0, 32) t(j)),
           |vecs AS (SELECT vec_id, list(proj ORDER BY j) AS p FROM pj GROUP BY vec_id),
           |short AS (
           | SELECT qid, nid FROM (
           |  SELECT q.vec_id qid, c.vec_id nid,
           |   row_number() OVER (PARTITION BY q.vec_id
-          |     ORDER BY list_sum(list_transform(range(1, 17),
+          |     ORDER BY list_sum(list_transform(range(1, 33),
           |       x -> (q.p[x] - c.p[x]) * (q.p[x] - c.p[x]))), c.vec_id) AS srank
           |  FROM vecs q, vecs c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
-          | WHERE srank <= 20)
+          | WHERE srank <= 40)
           |SELECT query_id, rank, neighbor_id FROM (
           | SELECT s.qid AS query_id, s.nid AS neighbor_id,
           |  row_number() OVER (PARTITION BY s.qid
@@ -2894,7 +2895,8 @@ object SparkEntry {
          |fexn AS (SELECT count(*) AS n FROM fex)
          |SELECT method, recall_x100, floor FROM (
          |${(Seq("e02_knn_lsh", "e04_knn_ivf", "e06_knn_ivf_kmeans",
-                 "e07_knn_pq", "e09_knn_int8", "e15_knn_ivf_pq")
+                 "e07_knn_pq", "e09_knn_int8", "e15_knn_ivf_pq",
+                 "e19_knn_projected")
                .map(recallLeg(_, "ex", "exn")) :+
              recallLeg("e16_knn_filtered_ivf", "fex", "fexn"))
             .mkString("\nUNION ALL\n")}

@@ -394,6 +394,10 @@ object Curation {
     */
   def temperatureMix(spark: SparkSession, dir: String,
                      scale: Int = 65536): DataFrame = {
+    // the p04 oracle hard-codes 65536, and the 'g' keep-all sentinel
+    // plus the %04x compare assume exactly a 4-hex-digit threshold —
+    // any other scale silently breaks oracle parity, so refuse
+    require(scale == 65536, s"oracle parity requires scale=65536, got $scale")
     val docs = Tables.documents(spark, dir)
     val stats = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
     val thr = stats

@@ -696,7 +696,7 @@ class SimilaritySpec extends SparkSpec {
     val emb = Tables.embeddings(spark, sf)
       .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
     val exp = emb.map { case (id, v) =>
-      id -> (0 until 16).map { j =>
+      id -> (0 until 32).map { j =>
         (0 until 64).map { i =>
           sign(j, i + 1) * math.floor(v(i).toDouble * 1000.0 + 0.5).toLong
         }.sum
@@ -709,13 +709,15 @@ class SimilaritySpec extends SparkSpec {
       }
     assert(got == exp, "projection must equal the md5-sign reference")
     // JL norm preservation: E[‖Pq‖²] = dims·‖q‖² for a ±1 matrix, so
-    // the per-vector ratio ‖Pq‖²/(16·‖q‖²) concentrates near 1 —
-    // deterministic on this fixture, generous bounds
+    // the per-vector ratio ‖Pq‖²/(32·‖q‖²) concentrates near 1 with
+    // relative sd ≈ √(2/32) ≈ 25% — deterministic on this fixture
+    // (measured min 0.42 / max 2.04; dims=16's 35% sd broke the lower
+    // bound at 0.184, which is why r10 moved to 32)
     val ratios = emb.map { case (id, v) =>
       val q = v.map(x => math.floor(x.toDouble * 1000.0 + 0.5).toLong)
       val qn = q.map(x => x.toDouble * x).sum
       val pn = got(id).map(x => x.toDouble * x).sum
-      pn / (16.0 * qn)
+      pn / (32.0 * qn)
     }
     assert(ratios.forall(r => r > 0.25 && r < 4.0),
       s"distortion outlier: min=${ratios.min} max=${ratios.max}")
