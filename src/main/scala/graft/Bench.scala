@@ -83,9 +83,22 @@ object Bench {
         .selectExpr("bit_xor(xxhash64(id))").collect()
       (System.nanoTime() - t0) / 1e9
     }.min
+    // Codec-path calibration: the ALU probe above stayed flat through
+    // TWO rounds of 1.5-2.2× media-family drift (the JVM ImageIO/RIFF
+    // paths move independently of integer throughput — r8/r9 both spent
+    // adjudication time proving that by hand). This times the exact
+    // PNG/WAV/MJPEG-AVI kernels m01-m09 execute (no Spark, no fixture),
+    // min of 3 with one untimed JIT warmup; media drift is now the
+    // ratio bench_t(m*)/calib_codec_sec, cross-round.
+    operators.Multimodal.codecCalibrationPass() // untimed: JIT + ImageIO registry init
+    val calibCodec = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      operators.Multimodal.codecCalibrationPass()
+      (System.nanoTime() - t0) / 1e9
+    }.min
     val failedJson = failedQ.map("\"" + _ + "\"").mkString("[", ",", "]")
     val perQueryLine =
-      s"""{"metric":"per_query","unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"calib_sec":$calib,"failed":$failedJson}"""
+      s"""{"metric":"per_query","unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"calib_sec":$calib,"calib_codec_sec":$calibCodec,"failed":$failedJson}"""
     // Durable full per-query artifact: the stdout tail window truncates
     // past ~54 queries, so cross-round per-query comparison needs a file.
     val outPath = java.nio.file.Paths.get("target", "bench_per_query.json")
@@ -96,7 +109,7 @@ object Bench {
     // capture), then the compact machine-readable total LAST so the
     // driver's tail capture always parses it.
     println(perQueryLine)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,"nqueries":${results.size},"calib_sec":$calib,"nfailed":${failedQ.size}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,"nqueries":${results.size},"calib_sec":$calib,"calib_codec_sec":$calibCodec,"nfailed":${failedQ.size}}""")
     spark.stop()
   }
 }

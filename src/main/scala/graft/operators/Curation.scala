@@ -206,6 +206,10 @@ object Curation {
     * on its own text, so computing hits on the curated survivors
     * (instead of the full corpus) is exact, not an approximation.
     */
+  // `shards` is a LAYOUT knob (how many pack namespaces the corpus is
+  // split into — part of the query's semantics and its oracle), not a
+  // parallelism pin: execution parallelism stays whatever the session's
+  // shuffle partitioning says, and any shards value scales the same way.
   def corpusPipeline(spark: SparkSession, dir: String,
                      budget: Int = 2048, shards: Int = 32): DataFrame =
     decontaminateAndPack(graft.jobs.CurationJob.curate(spark, dir),

@@ -368,6 +368,37 @@ object Multimodal {
       case _ => videoFeatures(payload, dim)
     }
 
+  /** One deterministic pass through every REAL codec path the media
+    * family (m01-m09) executes — PNG encode+decode via ImageIO, WAV
+    * encode+parse, MJPEG-AVI mux+demux — with zero Spark and zero
+    * fixture dependence. `Bench` times this as `calib_codec_sec`: the
+    * integer-ALU `calib_sec` probe proved blind to two rounds of
+    * path-local codec drift (the JVM image/RIFF paths moved 1.5-2.2×
+    * while xxhash64 throughput stayed flat), so cross-round media-bench
+    * comparisons divide by THIS number instead of a manual standalone
+    * re-run. Returns an xor over the decoded features so the work can't
+    * be dead-code-eliminated.
+    */
+  def codecCalibrationPass(): Long = {
+    var acc = 0L
+    def mix(fs: Array[Float]): Unit = {
+      var i = 0
+      while (i < fs.length) {
+        acc ^= java.lang.Float.floatToRawIntBits(fs(i)).toLong * (i + 1)
+        i += 1
+      }
+    }
+    var id = 0L
+    while (id < 8) {
+      mix(decode("image", encodePng(renderImage(id, 64, 64)), 16))
+      mix(decode("audio", encodeWav(id, 4000), 16))
+      val frames = (0 until 4).map(f => encodeJpeg(renderImage(id * 31 + f, 32, 32)))
+      mix(decode("video", encodeAviMjpeg(frames, 32, 32), 16))
+      id += 1
+    }
+    acc
+  }
+
   /** Feature extraction over the opaque payload: mapPartitions-style
     * batch shape (one decoder instance per partition — where a real
     * codec would amortize native init), emitting `array<float>`

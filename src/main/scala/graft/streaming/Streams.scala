@@ -998,8 +998,16 @@ object Streams {
               org.apache.spark.sql.types.StringType),
             org.apache.spark.sql.types.StructField("n_chars",
               org.apache.spark.sql.types.LongType)))
+          // maxFilesPerTrigger bounds the per-micro-batch row count at
+          // scale (a crawl delivers many files), which is what bounds
+          // the processor's per-shard sort buffer: buffer ≤ batch/shards
+          // rows. On this single-file fixture the batch is the whole
+          // (small) corpus — the file source can't split one file — so
+          // the option is inert here but the bound is real in any
+          // multi-file deployment.
           ss.readStream.schema(docSchema)
-            .option("pathGlobFilter", "documents.parquet").parquet(dir)
+            .option("pathGlobFilter", "documents.parquet")
+            .option("maxFilesPerTrigger", "1").parquet(dir)
             .select((col("doc_id") % shards).as("shard"), col("doc_id"),
               size(tokens(col("text"))).cast("long").as("n_tokens"))
             .as[PackInput]
@@ -1010,9 +1018,16 @@ object Streams {
         },
         mode = "append", outputMode = "update")
     }
-    drained.dropDuplicates("doc_id")
+    // dedup on ALL columns, not just doc_id: if a foreachBatch retry
+    // ever replayed a batch with divergent state-derived offsets, a
+    // doc_id-only dedup would mask it by keeping an arbitrary row —
+    // full-row dedup instead surfaces the divergence as an extra row
+    // (row-count/hash mismatch at the gate)
+    drained
       .select(col("doc_id"), col("n_tokens"), col("shard"),
         col("start_off"), col("pack_id"))
+      .dropDuplicates(Seq("doc_id", "n_tokens", "shard",
+        "start_off", "pack_id"))
       .orderBy(col("doc_id"))
   }
 
