@@ -1114,15 +1114,27 @@ object TextAnalysis {
     * zero shuffles except the presentation sort: the trained
     * artifact rides the closure exactly like e06's centroid literals.
     */
-  def bpeEncode(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
-    val merges = bpeTrain(spark, dir, k)
-    val wrapped = regexp_replace(normalizeText(col("text")), "(\\S)", " $1 ")
+  /** The trained-merge encode closure shared by t31/t32 (and the
+    * spec's inverse property): wrap every non-space char of the
+    * normalized text as a symbol, apply the merges in rank order as
+    * chained literal replaces, split to the token array. Exposed so
+    * the decode(encode(x)) == x property can be checked on the SAME
+    * column expressions the gates run, not a re-implementation.
+    */
+  private[graft] def bpeTokensCol(
+      merges: Seq[(Long, String, String, Long)], text: Column): Column = {
+    val wrapped = regexp_replace(normalizeText(text), "(\\S)", " $1 ")
     val merged = merges.foldLeft(wrapped) { case (c, (_, l, r, _)) =>
       replace(c, lit(s" $l  $r "), lit(s" $l$r "))
     }
+    filter(split(trim(merged), "\\s+"), x => length(x) > 0)
+  }
+
+  def bpeEncode(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val merges = bpeTrain(spark, dir, k)
     Tables.documents(spark, dir)
       .select(col("doc_id"),
-        size(filter(split(trim(merged), "\\s+"), x => length(x) > 0))
+        size(bpeTokensCol(merges, col("text")))
           .cast("long").as("n_bpe_tokens"))
       .orderBy(col("doc_id"))
   }
@@ -1149,13 +1161,8 @@ object TextAnalysis {
   def bpeTokenFreqs(spark: SparkSession, dir: String,
                     k: Int = 8, topN: Int = 25): DataFrame = {
     val merges = bpeTrain(spark, dir, k)
-    val wrapped = regexp_replace(normalizeText(col("text")), "(\\S)", " $1 ")
-    val merged = merges.foldLeft(wrapped) { case (c, (_, l, r, _)) =>
-      replace(c, lit(s" $l  $r "), lit(s" $l$r "))
-    }
     Tables.documents(spark, dir)
-      .select(explode(filter(split(trim(merged), "\\s+"),
-        x => length(x) > 0)).as("tok"))
+      .select(explode(bpeTokensCol(merges, col("text"))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("tok"))
       .limit(topN)

@@ -582,4 +582,50 @@ class TextAnalysisSpec extends SparkSpec {
     val charMass = (text + " low low newest").count(!_.isWhitespace).toLong
     assert(expAll.map(_._4).sum == charMass)
   }
+
+  test("t31 inverse: decode(encode(doc)) == normalized doc, fixture + ScalaCheck") {
+    // BPE merges are concatenative — every learned token is a literal
+    // substring of the input — so detokenization is concat, and
+    // concat(tokens(x)) must equal normalize(x) minus whitespace for
+    // ANY input. A merge-ordering bug (wrong gap width, an overlap
+    // consumed twice, a symbol dropped at a word edge) breaks this
+    // identity even when per-doc token COUNTS happen to survive, which
+    // is why no oracle row would localize it.
+    val merges = TextAnalysis.bpeTrain(spark, sf, 8)
+    assert(merges.size == 8)
+    val toks = TextAnalysis.bpeTokensCol(merges, col("text"))
+    def expected(c: org.apache.spark.sql.Column) =
+      regexp_replace(TextFns.normalizeText(c), "\\s+", "")
+    // 1) every fixture document, through the SAME column chain t31 runs
+    val fixtureBad = graft.Tables.documents(spark, sf)
+      .select(concat_ws("", toks).as("decoded"),
+        expected(col("text")).as("exp"))
+      .filter(col("decoded") =!= col("exp")).count()
+    assert(fixtureBad == 0L, s"$fixtureBad fixture docs fail decode∘encode=id")
+    // 2) ScalaCheck adversarial inputs: strings drawn from the learned
+    // merge SYMBOLS themselves (chained/overlapping merge patterns are
+    // the worst case for a greedy-apply bug) plus whitespace/punct,
+    // deterministic via per-case seeds
+    import org.scalacheck.Gen
+    val symbolChars = merges.flatMap { case (_, l, r, _) => (l + r).toCharArray }
+      .distinct
+    val atomGen = Gen.frequency(
+      (4, Gen.oneOf(symbolChars).map(_.toString)),
+      (2, Gen.oneOf(merges.map { case (_, l, r, _) => l + r })),
+      (1, Gen.oneOf(" ", "  ", ", ", ". ", "-", "!")),
+      (1, Gen.alphaLowerChar.map(_.toString)))
+    val docGen = Gen.listOfN(40, atomGen).map(_.mkString)
+    val cases = (1 to 200).flatMap { i =>
+      docGen.apply(Gen.Parameters.default,
+        org.scalacheck.rng.Seed(i.toLong)).toSeq
+    }
+    assert(cases.size >= 150, "seeded generation must mostly succeed")
+    val genBad = cases.toDF("text")
+      .select(col("text"), concat_ws("", TextAnalysis.bpeTokensCol(merges, col("text"))).as("decoded"),
+        expected(col("text")).as("exp"))
+      .filter(col("decoded") =!= col("exp"))
+      .collect()
+    assert(genBad.isEmpty,
+      s"${genBad.length} generated inputs fail, first: ${genBad.headOption}")
+  }
 }
