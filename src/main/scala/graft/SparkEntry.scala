@@ -220,6 +220,10 @@ object SparkEntry {
     // "discount duplicates, keep diversity" training-mix step, on the
     // d10 cluster units
     "d24_cluster_sample"     -> (Dedup.clusterWeightedSample _),
+    // d27: the same sampling step on the SCALE path — clusters from
+    // the portable MinHash-LSH pairs (signature-only shuffles, no
+    // bounded-id anchor), gating the composition a 100 TB run uses
+    "d27_cluster_sample_lsh" -> (Dedup.clusterWeightedSampleLsh _),
     // p01: the end-to-end training-corpus pipeline as ONE hash-checked
     // gate — d11's curate chain → d12's decontamination → q57's
     // sequence packing; the oracle composes the three proven chains,
@@ -2073,6 +2077,30 @@ object SparkEntry {
            |      < 1152921504606846976 // z.unit_size
            |ORDER BY u.doc_id""".stripMargin
       },
+      // d27: d03's portable LSH CTE chain feeding d10's recursive
+      // transitive closure feeding d24's unit-size acceptance filter —
+      // the full scale-path composition derived end-to-end, nothing
+      // pinned and no bounded-id anchor
+      "d27_cluster_sample_lsh" ->
+        s"""WITH RECURSIVE ${portableLshCtes(s"(SELECT doc_id, ${norm("text")} AS nt FROM documents)")},
+           |edges AS (
+           | SELECT doc_a AS s, doc_b AS d FROM lshpairs
+           | UNION SELECT doc_b, doc_a FROM lshpairs),
+           |reach AS (
+           | SELECT s, d FROM edges
+           | UNION
+           | SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+           |clusters AS (
+           | SELECT s AS doc_id, least(s, min(d)) AS cluster_id FROM reach GROUP BY s),
+           |units AS (
+           | SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS unit
+           | FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id),
+           |sizes AS (SELECT unit, count(*) AS unit_size FROM units GROUP BY unit)
+           |SELECT u.doc_id, u.unit, z.unit_size
+           |FROM units u JOIN sizes z ON u.unit = z.unit
+           |WHERE ('0x' || substr(md5(CAST(u.doc_id AS VARCHAR)), 1, 15))::BIGINT
+           |      < 1152921504606846976 // z.unit_size
+           |ORDER BY u.doc_id""".stripMargin,
       "d10_dup_clusters" -> {
         val shingled =
           s"""SELECT doc_id, list_distinct(list_transform(

@@ -797,11 +797,14 @@ object Dedup {
     * doc, auto-broadcast at fixture scale, plain shuffle join at 100 TB
     * — both correct).
     */
-  def clusterWeightedSample(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).select(col("doc_id"))
-    val clusters = dupClusters(jaccardExactPairs(spark, dir))
-      .withColumnRenamed("cluster_id", "cid")
-    val units = docs.join(clusters, Seq("doc_id"), "left")
+  /** The d24/d27 sampling step, parameterized by the cluster source:
+    * cluster-or-self units, one map-side-combined size count, the
+    * md5-60-bit integer acceptance draw against floor(2^60/size).
+    */
+  private def weightedSampleFromClusters(docs: DataFrame,
+                                         clusters: DataFrame): DataFrame = {
+    val units = docs.join(clusters.withColumnRenamed("cluster_id", "cid"),
+        Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cid"), col("doc_id")).as("unit"))
     val sizes = units.groupBy(col("unit"))
       .agg(count(lit(1)).as("unit_size"))
@@ -811,6 +814,30 @@ object Dedup {
       .filter(col("h") < expr("cast(1152921504606846976 as bigint) div unit_size"))
       .select(col("doc_id"), col("unit"), col("unit_size"))
       .orderBy(col("doc_id"))
+  }
+
+  def clusterWeightedSample(spark: SparkSession, dir: String): DataFrame =
+    weightedSampleFromClusters(
+      Tables.documents(spark, dir).select(col("doc_id")),
+      dupClusters(jaccardExactPairs(spark, dir)))
+
+  /** d27: [[clusterWeightedSample]] on the path a 100 TB run actually
+    * takes — clusters resolved from the PORTABLE MinHash-LSH pairs
+    * (d03's chain: signature-only shuffles, no all-pairs kernel, no
+    * bounded-id anchor) instead of d24's exact-jaccard anchor. Same
+    * sampling step, same keep rule; what changes is only where the
+    * edges come from, which is exactly the claim d24 left ungated:
+    * the composition `dupClusters(minHashLshPairsPortable(...))` is
+    * generic, and this registers it hash-checked end-to-end (the LSH
+    * chain, the cluster closure, the size counts and the acceptance
+    * draw are all integer-portable — the oracle is d03's CTE chain
+    * feeding d10's recursive closure feeding d24's filter).
+    */
+  def clusterWeightedSampleLsh(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    weightedSampleFromClusters(docs.select(col("doc_id")),
+      dupClusters(minHashLshPairsPortable(docs, "doc_id", "text")
+        .select(col("doc_a"), col("doc_b"))))
   }
 
   // — cross-document substring duplication (d13) —

@@ -184,7 +184,13 @@ object ScaleStress {
       "t30_bpe_merges", "t31_bpe_encode",
       // p03 composes mixture+encode+pack — the full tokenizer-aware
       // build over the 10× corpus
-      "p03_tokenized_pack")
+      "p03_tokenized_pack",
+      // round-10: d27 = the sampling step on the REAL cluster path —
+      // d03's LSH chain → connected components → unit sizes over the
+      // full factor× corpus at adversarial near-dup density (d24's
+      // stress above only exercised the sampling join; this one
+      // carries the cluster-resolution scale claim end-to-end)
+      "d27_cluster_sample_lsh")
 
     // SPARK_GRAFT_ONLY=name1,name2 narrows the run (iteration / probes)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
