@@ -245,6 +245,11 @@ object SparkEntry {
     // the oracle from its own GROUP BY
     "p04_temperature_mix"    -> ((s: SparkSession, dir: String) =>
       graft.operators.Curation.temperatureMix(s, dir)),
+    // p05: the full multilingual recipe — p04's temperature resample
+    // selects, t31's trained tokenizer meters, q57's window packs;
+    // the oracle nests the p04 + t31 statements verbatim (p01 pattern)
+    "p05_temperature_pack"   -> ((s: SparkSession, dir: String) =>
+      graft.operators.Curation.temperatureTokenizedPack(s, dir)),
     // d19: CCNet/C4-style paragraph-level corpus dedup — keep each
     // distinct 10-word chunk's first (doc_id, pos) occurrence via an
     // algebraic min-struct aggregate (map-side combinable, no window
@@ -3058,6 +3063,23 @@ object SparkEntry {
          | FROM (SELECT e.doc_id, e.n_bpe_tokens, e.doc_id % 32 AS shard
          |  FROM enc e JOIN sel USING (doc_id)))
          |ORDER BY doc_id""".stripMargin
+    // p05: p04's temperature selection + t31's trained-token meter +
+    // q57's pack window — the p03 composition with the multilingual
+    // balancing stage as the selector, both constituents nested
+    // verbatim in their own WITH scopes
+    val p05Sql =
+      s"""WITH sel AS (SELECT doc_id FROM (${base("p04_temperature_mix")}) x),
+         |enc AS (SELECT doc_id, n_bpe_tokens FROM ($t31Sql) y)
+         |SELECT doc_id, n_bpe_tokens, shard, start_off,
+         | shard * 2199023255552 + CAST(floor(start_off / 2048) AS BIGINT) AS pack_id
+         |FROM (
+         | SELECT doc_id, n_bpe_tokens, shard,
+         |  CAST(sum(n_bpe_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    - n_bpe_tokens AS start_off
+         | FROM (SELECT e.doc_id, e.n_bpe_tokens, e.doc_id % 32 AS shard
+         |  FROM enc e JOIN sel USING (doc_id)))
+         |ORDER BY doc_id""".stripMargin
     val p01Sql =
       s"""WITH curated AS (SELECT doc_id, text FROM (${base("d11_curation_lsh")}) c),
          |flagged AS (SELECT doc_id FROM (${base("d12_decontamination")}) f)
@@ -3085,6 +3107,7 @@ object SparkEntry {
             "t31_bpe_encode" -> t31Sql,
             "t32_bpe_token_freqs" -> t32Sql,
             "p03_tokenized_pack" -> p03Sql,
+            "p05_temperature_pack" -> p05Sql,
             "d26_dedup_recall_audit" -> d26Sql,
             "e08_recall_audit" -> e08Sql)
   }

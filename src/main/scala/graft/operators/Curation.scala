@@ -356,11 +356,12 @@ object Curation {
     * over the shard partitioning; the only new join is
     * selected⋈encoded on doc_id.
     */
-  def tokenizedPack(spark: SparkSession, dir: String,
-                    budget: Int = 2048, shards: Int = 32,
-                    pin: Boolean = true): DataFrame = {
-    val sel = ccnetMixture(spark, dir, pin = pin).select(col("doc_id"))
-    val enc = graft.operators.TextAnalysis.bpeEncode(spark, dir)
+  /** The p03/p05 pack step: join a selection onto the trained-token
+    * meter, shard by doc_id, one running-sum window per shard, q57's
+    * pack-id namespace (shard in the high bits, chunk in the low 41).
+    */
+  private def packEncoded(sel: DataFrame, enc: DataFrame,
+                          budget: Int, shards: Int): DataFrame = {
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     enc.join(sel, Seq("doc_id"))
@@ -375,6 +376,36 @@ object Curation {
         col("start_off"), col("pack_id"))
       .orderBy(col("doc_id"))
   }
+
+  def tokenizedPack(spark: SparkSession, dir: String,
+                    budget: Int = 2048, shards: Int = 32,
+                    pin: Boolean = true): DataFrame =
+    packEncoded(ccnetMixture(spark, dir, pin = pin).select(col("doc_id")),
+      graft.operators.TextAnalysis.bpeEncode(spark, dir), budget, shards)
+
+  /** p05: the FULL multilingual pretraining-data recipe as one gate —
+    * p04's temperature (α=0.5) language resampling selects the docs,
+    * t31's trained tokenizer meters them, q57's shard-parallel window
+    * packs them. This is the composition a multilingual trainer
+    * actually runs (balance languages FIRST, then denominate the
+    * result in trained-vocab tokens and cut training sequences);
+    * p03 is the same shape with the quality/LM mixture as the
+    * selector. The oracle nests the p04 statement and the t31 derived
+    * chain verbatim (each keeps its own WITH scope — the p01/p03
+    * composition pattern), so a drift in the language stats, the
+    * acceptance threshold arithmetic, any BPE merge round, or a pack
+    * boundary moves the final hash.
+    *
+    * Scale shape: p04 = one language-stats agg broadcast back +
+    * map-side acceptance; meter = map-only trained-merge closure;
+    * pack = one window over the shard partitioning; the one new join
+    * is selection⋈meter on doc_id (same as p03's).
+    */
+  def temperatureTokenizedPack(spark: SparkSession, dir: String,
+                               budget: Int = 2048,
+                               shards: Int = 32): DataFrame =
+    packEncoded(temperatureMix(spark, dir).select(col("doc_id")),
+      graft.operators.TextAnalysis.bpeEncode(spark, dir), budget, shards)
 
   /** p04: temperature (α) mixture resampling — the multilingual
     * balancing step of corpus assembly (the mBERT/XLM-R exponential-

@@ -185,6 +185,11 @@ object ScaleStress {
       // p03 composes mixture+encode+pack — the full tokenizer-aware
       // build over the 10× corpus
       "p03_tokenized_pack",
+      // round-10: p05 = temperature-balance → trained-token meter →
+      // pack; p04's stats agg grows 10× but stays |langs| rows, the
+      // meter is the map-only t31 closure, the pack window rides the
+      // shard partitioning — wall should track t31's near-flat shape
+      "p05_temperature_pack",
       // round-10: d27 = the sampling step on the REAL cluster path —
       // d03's LSH chain → connected components → unit sizes over the
       // full factor× corpus at adversarial near-dup density (d24's
