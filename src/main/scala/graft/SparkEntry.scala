@@ -451,6 +451,12 @@ object SparkEntry {
     // re-derives the merge rounds themselves
     "t32_bpe_token_freqs"    -> ((s: SparkSession, dir: String) =>
       TextAnalysis.bpeTokenFreqs(s, dir)),
+    // t33: BATCHED BPE training — 64 merges in 8 rounds of 8
+    // symbol-disjoint selections (one bounded collect + one vocab
+    // rewrite per ROUND, not per merge — the t30 shape scaled past
+    // toy vocab); oracle unrolls rank/select/apply per round
+    "t33_bpe_merges_batched" -> ((s: SparkSession, dir: String) =>
+      TextAnalysis.bpeMergesBatched(s, dir)),
     // t25: CCNet-style unigram-LM quality score (mean corpus frequency
     // of a doc's tokens) — integer-exact until two fixed-order
     // divisions; the frequency join is skew-split (broadcast head,
@@ -3027,6 +3033,68 @@ object SparkEntry {
          | GROUP BY tok)
          |ORDER BY cnt DESC, tok LIMIT 25""".stripMargin
     }
+    // t33: the BATCHED trainer derived end-to-end — 8 round blocks,
+    // each re-counting weighted pairs from the previous vocab state,
+    // ranking ONCE (row_number over (pc DESC, l, r), top 64), then the
+    // greedy symbol-disjoint selection unrolled as 8 NOT-EXISTS
+    // selection CTEs per round (bs{r}_{j} = first-ranked candidate
+    // sharing no symbol with bs{r}_{1..j-1}; empties are suffix-only
+    // by construction), and the batch applied as ONE chained replace
+    // pass in rank order. chr(1) coalesce-guards make an empty
+    // selection's replace an identity (the control char can never
+    // appear in a normalized symbol string). Nothing pinned: every
+    // round's ranking, selection and application re-derive from the
+    // corpus.
+    val t33Sql = {
+      val w0 =
+        s"""w0 AS MATERIALIZED (
+           | SELECT regexp_replace(w, '(.)', ' \\1 ', 'g') AS s, cnt FROM (
+           |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+           |   SELECT unnest(list_filter(${toks("text")}, t -> length(t) > 0)) AS w
+           |   FROM documents)
+           |  GROUP BY w)
+           |)""".stripMargin
+      def roundBlock(r: Int): String = {
+        val prev = if (r == 1) "w0" else s"bw${r - 1}"
+        val pair =
+          s"""bp$r AS MATERIALIZED (
+             | SELECT bg.t1 AS l, bg.t2 AS r, CAST(sum(cnt) AS BIGINT) AS pc FROM (
+             |  SELECT cnt, unnest(list_transform(range(1, len(syms)),
+             |   j -> struct_pack(t1 := syms[j::INT], t2 := syms[j::INT + 1]))) AS bg
+             |  FROM (SELECT cnt, list_filter(string_split(trim(s), '  '),
+             |         x -> length(x) > 0) AS syms FROM $prev))
+             | GROUP BY l, r
+             |), bc$r AS MATERIALIZED (
+             | SELECT * FROM (SELECT l, r, pc,
+             |   row_number() OVER (ORDER BY pc DESC, l, r) AS rn FROM bp$r)
+             | WHERE rn <= 64
+             |)""".stripMargin
+        val sels = (1 to 8).map { j =>
+          val guards = (1 until j).map { i =>
+            s"NOT EXISTS (SELECT 1 FROM bs${r}_$i s WHERE c.l IN (s.l, s.r) OR c.r IN (s.l, s.r))"
+          }
+          val where =
+            if (guards.isEmpty) "" else guards.mkString("\n WHERE ", "\n   AND ", "")
+          s"""bs${r}_$j AS MATERIALIZED (
+             | SELECT $r AS rnd, $j AS j, c.l, c.r, c.pc FROM bc$r c$where
+             | ORDER BY c.rn LIMIT 1
+             |)""".stripMargin
+        }.mkString(", ")
+        val applied = (1 to 8).foldLeft("w.s") { (acc, j) =>
+          s"""replace($acc,
+             |  coalesce(' ' || (SELECT l FROM bs${r}_$j) || '  ' || (SELECT r FROM bs${r}_$j) || ' ', chr(1)),
+             |  coalesce(' ' || (SELECT l FROM bs${r}_$j) || (SELECT r FROM bs${r}_$j) || ' ', chr(1)))""".stripMargin
+        }
+        s"$pair, $sels, bw$r AS MATERIALIZED (SELECT $applied AS s, w.cnt FROM $prev w)"
+      }
+      val union = (1 to 8)
+        .flatMap(r => (1 to 8).map(j => s"SELECT * FROM bs${r}_$j"))
+        .mkString(" UNION ALL ")
+      s"""WITH $w0, ${(1 to 8).map(roundBlock).mkString(", ")}
+         |SELECT CAST(row_number() OVER (ORDER BY rnd, j) AS BIGINT) AS merge_rank,
+         |  l AS left_sym, r AS right_sym, pc AS pair_count
+         |FROM ($union) ORDER BY merge_rank""".stripMargin
+    }
     // d26: the dedup calibration audit — same leg shape as e08Sql,
     // over the composed d08 anchor (≥0.6) and the d03/d04/d05 chains
     // restricted to the anchor slice
@@ -3106,6 +3174,7 @@ object SparkEntry {
             "t30_bpe_merges" -> t30Sql,
             "t31_bpe_encode" -> t31Sql,
             "t32_bpe_token_freqs" -> t32Sql,
+            "t33_bpe_merges_batched" -> t33Sql,
             "p03_tokenized_pack" -> p03Sql,
             "p05_temperature_pack" -> p05Sql,
             "d26_dedup_recall_audit" -> d26Sql,

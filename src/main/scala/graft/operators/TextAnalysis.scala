@@ -1062,20 +1062,25 @@ object TextAnalysis {
       .orderBy(col("merge_rank"))
   }
 
-  /** The t30 training loop, returning the learned merge list (t31
-    * inlines it into the encode chain).
+  /** The one corpus pass shared by the t30 and t33 trainers:
+    * normalized word counts, each word as a space-delimited
+    * char-symbol string; checkpoint pins the vocab so every merge
+    * round re-scans a vocab-sized table, never the corpus.
     */
-  private[graft] def bpeTrain(spark: SparkSession, dir: String,
-                              k: Int): Seq[(Long, String, String, Long)] = {
-    // the one corpus pass: normalized word counts, then each word as a
-    // space-delimited char-symbol string; checkpoint pins the vocab so
-    // the k rounds re-scan a vocab-sized table, never the corpus
-    val vocab0 = Tables.documents(spark, dir)
+  private def bpeVocab0(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
       .select(explode(filter(tokens(normalizeText(col("text"))),
         t => length(t) > 0)).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .select(regexp_replace(col("w"), "(.)", " $1 ").as("s"), col("cnt"))
       .localCheckpoint()
+
+  /** The t30 training loop, returning the learned merge list (t31
+    * inlines it into the encode chain).
+    */
+  private[graft] def bpeTrain(spark: SparkSession, dir: String,
+                              k: Int): Seq[(Long, String, String, Long)] = {
+    val vocab0 = bpeVocab0(spark, dir)
     val merges = Seq.newBuilder[(Long, String, String, Long)]
     var vocab = vocab0
     for (r <- 1 to k) {
@@ -1114,6 +1119,100 @@ object TextAnalysis {
     * zero shuffles except the presentation sort: the trained
     * artifact rides the closure exactly like e06's centroid literals.
     */
+  /** t33: BATCHED BPE training — t30 scaled past toy vocabulary. t30's
+    * loop costs one driver round-trip (argmax collect) and one vocab
+    * rewrite PER MERGE: the right shape at k=8, but a real 32k-merge
+    * tokenizer would mean 32k Spark jobs. The standard fix (every
+    * production BPE trainer batches): per ROUND, rank the weighted
+    * pair counts once, collect the top-`cand` candidates (one bounded
+    * driver result), greedily select up to `m` pairwise
+    * SYMBOL-DISJOINT pairs in rank order (disjoint ⇒ one pair's
+    * application cannot touch another's occurrences, so the batch
+    * applies as one map-side pass), and rewrite the vocab once.
+    * Driver round-trips: `rounds` = k/m, an m× cut; per-round cost
+    * stays vocab-bound (one pair agg + one ≤`cand`-row collect + one
+    * rewrite) — per-merge cost is bounded by vocab, never corpus, at
+    * any k.
+    *
+    * Batched vs sequential semantics: within a round, all selections
+    * use the ROUND-START counts (a batch member never sees a
+    * batch-mate's effect on the ranking) — the documented, standard
+    * batched-BPE approximation; across rounds, counts are exact. The
+    * output contract matches t30: `(merge_rank, left_sym, right_sym,
+    * pair_count)` with ranks global in selection order and
+    * `pair_count` the round-start count.
+    *
+    * Engine-portable exactly like t30: ranking is `(count DESC, pair
+    * ASC)`, the greedy disjoint selection is deterministic given that
+    * total order (the oracle unrolls it as `m` per-round selection
+    * CTEs with NOT-EXISTS symbol-overlap filters), and the batch
+    * apply is the same chained non-overlapping left-to-right
+    * `replace` contract, in rank order. Suffix-empty rounds are
+    * harmless: once no disjoint candidate remains the round closes,
+    * and the next round re-ranks fresh counts.
+    */
+  def bpeMergesBatched(spark: SparkSession, dir: String,
+                       rounds: Int = 8, m: Int = 8,
+                       cand: Int = 64): DataFrame = {
+    import spark.implicits._
+    // the registered oracle unrolls exactly (8 rounds × 8 selections,
+    // 64 candidates); other shapes would silently break oracle parity
+    require(rounds == 8 && m == 8 && cand == 64,
+      s"oracle parity requires (rounds,m,cand)=(8,8,64), got ($rounds,$m,$cand)")
+    bpeTrainBatched(spark, dir, rounds, m, cand)
+      .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+      .orderBy(col("merge_rank"))
+  }
+
+  private[graft] def bpeTrainBatched(spark: SparkSession, dir: String,
+      rounds: Int, m: Int, cand: Int): Seq[(Long, String, String, Long)] = {
+    val vocab0 = bpeVocab0(spark, dir)
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var vocab = vocab0
+    var rank = 0L
+    var exhausted = false
+    for (_ <- 1 to rounds if !exhausted) {
+      // ONE bounded collect per round: the top-`cand` pairs in the
+      // global (count DESC, pair ASC) order — `cand` rows, vocab-agg'd
+      val top = vocab
+        .select(col("cnt"),
+          filter(split(trim(col("s")), "  "), x => length(x) > 0).as("toks"))
+        .transform(bigramPairsWeighted)
+        .groupBy(col("t1"), col("t2")).agg(sum(col("cnt")).as("pc"))
+        .orderBy(col("pc").desc, col("t1"), col("t2"))
+        .limit(cand).collect()
+      // greedy disjoint selection in rank order — pure driver logic
+      // over ≤`cand` rows, mirrored verbatim by the oracle's unrolled
+      // selection CTEs
+      val used = scala.collection.mutable.Set.empty[String]
+      val sel = scala.collection.mutable.ArrayBuffer
+        .empty[(String, String, Long)]
+      var i = 0
+      while (i < top.length && sel.size < m) {
+        val (l, r, pc) =
+          (top(i).getString(0), top(i).getString(1), top(i).getLong(2))
+        if (!used(l) && !used(r)) {
+          sel += ((l, r, pc)); used += l; used += r
+        }
+        i += 1
+      }
+      if (sel.isEmpty) exhausted = true
+      else {
+        sel.foreach { case (l, r, pc) =>
+          rank += 1; merges += ((rank, l, r, pc))
+        }
+        // the whole batch as ONE map-side rewrite (chained literal
+        // replaces in rank order); checkpoint keeps per-round cost
+        // flat — lineage never accumulates across rounds
+        val merged = sel.foldLeft(col("s")) { case (c, (l, r, _)) =>
+          replace(c, lit(s" $l  $r "), lit(s" $l$r "))
+        }
+        vocab = vocab.select(merged.as("s"), col("cnt")).localCheckpoint()
+      }
+    }
+    merges.result()
+  }
+
   /** The trained-merge encode closure shared by t31/t32 (and the
     * spec's inverse property): wrap every non-space char of the
     * normalized text as a symbol, apply the merges in rank order as

@@ -583,6 +583,76 @@ class TextAnalysisSpec extends SparkSpec {
     assert(expAll.map(_._4).sum == charMass)
   }
 
+  test("t33 batched BPE matches a driver-side reference; fixture rounds full and disjoint") {
+    // toy corpus (t30's), small batch shape: 3 rounds x up to 2
+    // disjoint merges from the top-8 candidates
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest") ++
+      Seq.fill(4)("été")).mkString(" ")
+    val dirTmp = java.nio.file.Files.createTempDirectory("t33fix")
+    Seq((0L, text), (1L, "low low newest"))
+      .toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(dirTmp.resolve("documents.parquet").toString)
+    val got = TextAnalysis.bpeTrainBatched(spark, dirTmp.toString,
+      rounds = 3, m = 2, cand = 8)
+
+    // plain-Scala batched reference over the SAME word counts: rank
+    // round-start pair counts by (count DESC, pair ASC), greedily take
+    // up to m symbol-disjoint pairs from the top cand, apply them in
+    // rank order (sequential passes == the chained replace contract)
+    val words = Map("low" -> 7L, "lower" -> 2L, "newest" -> 7L,
+      "widest" -> 3L, "été" -> 4L)
+    var vocab = words.toSeq.map { case (w, c) => (w.map(_.toString).toVector, c) }
+    var rank = 0L
+    val exp = (1 to 3).flatMap { _ =>
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      vocab.foreach { case (syms, c) =>
+        syms.sliding(2).filter(_.length == 2).foreach { p =>
+          counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + c
+        }
+      }
+      val ranked = counts.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }.take(8)
+      val used = scala.collection.mutable.Set[String]()
+      val sel = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+      ranked.foreach { case ((a, b), c) =>
+        if (sel.size < 2 && !used(a) && !used(b)) {
+          used += a; used += b; sel += ((a, b, c))
+        }
+      }
+      sel.map { case (l, rr, pc) =>
+        vocab = vocab.map { case (syms, c) =>
+          val out = Vector.newBuilder[String]; var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == rr) {
+              out += (l + rr); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.result(), c)
+        }
+        rank += 1; (rank, l, rr, pc)
+      }
+    }
+    assert(got == exp, s"batched BPE diverges from reference:\n$got\nvs\n$exp")
+
+    // real fixture at the registered shape: 8 full rounds of 8 (64
+    // dense ranks ⇒ every round filled, so round boundaries are the
+    // 8-blocks), every round's batch pairwise symbol-disjoint, and
+    // the very first selection equals sequential t30's first merge
+    // (identical round-1 ranking)
+    val full = TextAnalysis.bpeTrainBatched(spark, sf, 8, 8, 64)
+    assert(full.map(_._1) == (1L to 64L), "64 dense global ranks")
+    full.grouped(8).foreach { block =>
+      // disjoint ACROSS pairs (a self-pair like (g,g) is one symbol):
+      // the union of per-pair symbol sets must not lose any element
+      val perPair = block.map { case (_, l, r, _) => Set(l, r) }
+      assert(perPair.map(_.size).sum == perPair.reduce(_ ++ _).size,
+        s"round batch must be symbol-disjoint: $block")
+    }
+    val seq1 = TextAnalysis.bpeTrain(spark, sf, 1).head
+    assert((full.head._2, full.head._3) == (seq1._2, seq1._3),
+      "batched merge #1 must equal sequential merge #1")
+  }
+
   test("t31 inverse: decode(encode(doc)) == normalized doc, fixture + ScalaCheck") {
     // BPE merges are concatenative — every learned token is a literal
     // substring of the input — so detokenization is concat, and
