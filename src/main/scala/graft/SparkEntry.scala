@@ -457,6 +457,10 @@ object SparkEntry {
     // toy vocab); oracle unrolls rank/select/apply per round
     "t33_bpe_merges_batched" -> ((s: SparkSession, dir: String) =>
       TextAnalysis.bpeMergesBatched(s, dir)),
+    // t34: the batched 64-merge vocabulary applied corpus-wide — the
+    // apply half of the scale path; still ONE map-only projection
+    "t34_bpe_encode_batched" -> ((s: SparkSession, dir: String) =>
+      TextAnalysis.bpeEncodeBatched(s, dir)),
     // t25: CCNet-style unigram-LM quality score (mean corpus frequency
     // of a doc's tokens) — integer-exact until two fixed-order
     // divisions; the frequency join is skew-split (broadcast head,
@@ -3045,7 +3049,7 @@ object SparkEntry {
     // appear in a normalized symbol string). Nothing pinned: every
     // round's ranking, selection and application re-derive from the
     // corpus.
-    val t33Sql = {
+    val (t33Ctes, t33Sql) = {
       val w0 =
         s"""w0 AS MATERIALIZED (
            | SELECT regexp_replace(w, '(.)', ' \\1 ', 'g') AS s, cnt FROM (
@@ -3090,10 +3094,34 @@ object SparkEntry {
       val union = (1 to 8)
         .flatMap(r => (1 to 8).map(j => s"SELECT * FROM bs${r}_$j"))
         .mkString(" UNION ALL ")
-      s"""WITH $w0, ${(1 to 8).map(roundBlock).mkString(", ")}
-         |SELECT CAST(row_number() OVER (ORDER BY rnd, j) AS BIGINT) AS merge_rank,
-         |  l AS left_sym, r AS right_sym, pc AS pair_count
-         |FROM ($union) ORDER BY merge_rank""".stripMargin
+      val ctes = s"$w0, ${(1 to 8).map(roundBlock).mkString(", ")}"
+      (ctes,
+        s"""WITH $ctes
+           |SELECT CAST(row_number() OVER (ORDER BY rnd, j) AS BIGINT) AS merge_rank,
+           |  l AS left_sym, r AS right_sym, pc AS pair_count
+           |FROM ($union) ORDER BY merge_rank""".stripMargin)
+    }
+    // t34: the batched vocabulary APPLIED — t33's (up to) 64 derived
+    // merges as scalar-subquery replaces chained in global rank order
+    // (bs1_1 … bs8_8) inside ONE projection (no per-merge corpus
+    // CTEs — the 64-deep nest is a single pass, mirroring the Spark
+    // side's single codegen'd projection); chr(1) coalesce-guards
+    // keep suffix-empty selections as identity, exactly as the Spark
+    // side skips them
+    val t34Sql = {
+      val applied = (1 to 8).flatMap(r => (1 to 8).map(j => (r, j)))
+        .foldLeft("d.s") { case (acc, (r, j)) =>
+          s"""replace($acc,
+             |  coalesce(' ' || (SELECT l FROM bs${r}_$j) || '  ' || (SELECT r FROM bs${r}_$j) || ' ', chr(1)),
+             |  coalesce(' ' || (SELECT l FROM bs${r}_$j) || (SELECT r FROM bs${r}_$j) || ' ', chr(1)))""".stripMargin
+        }
+      s"""WITH $t33Ctes
+         |SELECT doc_id, CAST(len(list_filter(string_split_regex(trim($applied), '\\s+'),
+         |  x -> length(x) > 0)) AS BIGINT) AS n_bpe_tokens
+         |FROM (
+         | SELECT doc_id, regexp_replace(${norm("text")}, '(\\S)', ' \\1 ', 'g') AS s
+         | FROM documents) d
+         |ORDER BY doc_id""".stripMargin
     }
     // d26: the dedup calibration audit — same leg shape as e08Sql,
     // over the composed d08 anchor (≥0.6) and the d03/d04/d05 chains
@@ -3175,6 +3203,7 @@ object SparkEntry {
             "t31_bpe_encode" -> t31Sql,
             "t32_bpe_token_freqs" -> t32Sql,
             "t33_bpe_merges_batched" -> t33Sql,
+            "t34_bpe_encode_batched" -> t34Sql,
             "p03_tokenized_pack" -> p03Sql,
             "p05_temperature_pack" -> p05Sql,
             "d26_dedup_recall_audit" -> d26Sql,

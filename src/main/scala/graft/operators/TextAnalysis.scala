@@ -1213,6 +1213,26 @@ object TextAnalysis {
     merges.result()
   }
 
+  /** t34: encode with the BATCHED-trained vocabulary — t33's 64
+    * merges applied corpus-wide, the apply half of the scale path
+    * (t31 demonstrates the closure at the 8-merge toy vocab; this is
+    * the same map-only chained-replace closure at the vocab size the
+    * batched trainer exists for). Same contract as t31: the merge
+    * list is collected once (64 rows, driver-bounded) and inlined in
+    * rank order; per-doc `n_bpe_tokens` under the real 64-symbol
+    * segmentation. Zero joins, zero shuffles except the presentation
+    * sort — a 64-deep replace chain is still ONE codegen'd projection
+    * over the scan.
+    */
+  def bpeEncodeBatched(spark: SparkSession, dir: String): DataFrame = {
+    val merges = bpeTrainBatched(spark, dir, 8, 8, 64)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(bpeTokensCol(merges, col("text")))
+          .cast("long").as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The trained-merge encode closure shared by t31/t32 (and the
     * spec's inverse property): wrap every non-space char of the
     * normalized text as a symbol, apply the merges in rank order as

@@ -192,7 +192,7 @@ object ScaleStress {
       "p05_temperature_pack",
       // round-10: batched BPE at 64 merges — per-round cost must stay
       // vocab-bound (the t30 argument at 8× the merge count)
-      "t33_bpe_merges_batched",
+      "t33_bpe_merges_batched", "t34_bpe_encode_batched",
       // round-10: d27 = the sampling step on the REAL cluster path —
       // d03's LSH chain → connected components → unit sizes over the
       // full factor× corpus at adversarial near-dup density (d24's

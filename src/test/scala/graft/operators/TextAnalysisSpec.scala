@@ -697,5 +697,14 @@ class TextAnalysisSpec extends SparkSpec {
       .collect()
     assert(genBad.isEmpty,
       s"${genBad.length} generated inputs fail, first: ${genBad.headOption}")
+    // 3) the identity must survive the 64-merge BATCHED vocab too —
+    // 8× the chained replaces, same concatenative contract
+    val batched = TextAnalysis.bpeTrainBatched(spark, sf, 8, 8, 64)
+    val batchedBad = graft.Tables.documents(spark, sf)
+      .select(concat_ws("", TextAnalysis.bpeTokensCol(batched, col("text"))).as("decoded"),
+        expected(col("text")).as("exp"))
+      .filter(col("decoded") =!= col("exp")).count()
+    assert(batchedBad == 0L,
+      s"$batchedBad fixture docs fail decode∘encode=id under the batched vocab")
   }
 }
