@@ -156,7 +156,26 @@ object DumpPlans {
     // document stream itself never shuffles (s22 is excluded like
     // s06/s13/s15/s18-s21: its registered entry executes a streaming
     // drain)
-    "p04_temperature_mix")
+    "p04_temperature_mix",
+    // round-10: d27 dumps the REGISTERED form deliberately (the d24
+    // precedent): the LSH pair stage checkpoints its output and the
+    // cluster resolution is a driver union-find over the pair OUTPUT —
+    // the collect IS the plan; what the stanza shows is the unit/size
+    // aggregate + broadcastable size join + map-side acceptance filter
+    // over the full corpus
+    "d27_cluster_sample_lsh",
+    // p05: the composed multilingual recipe — p04's lang-stats
+    // broadcast filter selecting into the t31 trained-replace Project,
+    // ONE doc_id join, the q57 shard pack window
+    "p05_temperature_pack",
+    // t34: the 64-merge batched vocab applied — the plan must still be
+    // ONE map-only Project (64 chained replaces as literals): the
+    // trained-artifact-as-closure evidence at 8× the t31 chain depth
+    // (t33 itself is excluded like t30's registered form: its output
+    // is the driver-local merge table — the per-round bounded collect
+    // IS the plan, and t30's bpeRoundPlan stanza already shows the
+    // repeating pair-aggregate kernel both trainers share)
+    "t34_bpe_encode_batched")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
