@@ -461,6 +461,12 @@ object SparkEntry {
     // apply half of the scale path; still ONE map-only projection
     "t34_bpe_encode_batched" -> ((s: SparkSession, dir: String) =>
       TextAnalysis.bpeEncodeBatched(s, dir)),
+    // t35: the persisted-tokenizer contract (e13's shape for BPE) —
+    // train once, write the merge table, encode from the LOADED
+    // artifact; hash-checked against the same derived chain as t34,
+    // so a persist/load corruption moves the gate hash
+    "t35_bpe_encode_persisted" -> ((s: SparkSession, dir: String) =>
+      TextAnalysis.bpeEncodePersisted(s, dir)),
     // t25: CCNet-style unigram-LM quality score (mean corpus frequency
     // of a doc's tokens) — integer-exact until two fixed-order
     // divisions; the frequency join is skew-split (broadcast head,
@@ -3204,6 +3210,7 @@ object SparkEntry {
             "t32_bpe_token_freqs" -> t32Sql,
             "t33_bpe_merges_batched" -> t33Sql,
             "t34_bpe_encode_batched" -> t34Sql,
+            "t35_bpe_encode_persisted" -> t34Sql,
             "p03_tokenized_pack" -> p03Sql,
             "p05_temperature_pack" -> p05Sql,
             "d26_dedup_recall_audit" -> d26Sql,

@@ -1233,6 +1233,36 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** t35: the tokenizer as a PERSISTED artifact — the e13
+    * build/persist/load contract applied to BPE, which is how a
+    * trained tokenizer actually ships: t33's batched trainer runs
+    * once, the merge table is written as parquet (the artifact a
+    * 100 TB deployment distributes to every encode job — 64 rows,
+    * trivially broadcastable), and encoding runs from the LOADED
+    * table, never the trainer. Hash-checked against the same derived
+    * oracle as t34: if the persist/load round-trip corrupts rank
+    * order, drops a merge, or mangles a symbol, the corpus-wide
+    * segmentation — and the gate hash — moves. `TextAnalysisSpec`
+    * additionally pins loaded ≡ fresh merge-table equality.
+    */
+  def bpeEncodePersisted(spark: SparkSession, dir: String,
+                         indexDir: String =
+                           "/tmp/graft_bpe_index"): DataFrame = {
+    import spark.implicits._
+    val trained = bpeTrainBatched(spark, dir, 8, 8, 64)
+    trained.toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+      .coalesce(1) // 64 rows — one file, deterministic artifact layout
+      .write.mode("overwrite").parquet(s"$indexDir/merges.parquet")
+    val loaded = spark.read.parquet(s"$indexDir/merges.parquet")
+      .orderBy(col("merge_rank"))
+      .as[(Long, String, String, Long)].collect().toSeq
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(bpeTokensCol(loaded, col("text")))
+          .cast("long").as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The trained-merge encode closure shared by t31/t32 (and the
     * spec's inverse property): wrap every non-space char of the
     * normalized text as a symbol, apply the merges in rank order as

@@ -651,6 +651,23 @@ class TextAnalysisSpec extends SparkSpec {
     val seq1 = TextAnalysis.bpeTrain(spark, sf, 1).head
     assert((full.head._2, full.head._3) == (seq1._2, seq1._3),
       "batched merge #1 must equal sequential merge #1")
+
+    // t35: the persisted artifact round-trips losslessly — the loaded
+    // merge table equals the fresh one, and encoding from it equals
+    // encoding from the in-memory trainer output
+    val idxDir = java.nio.file.Files.createTempDirectory("t35idx").toString
+    val persisted = TextAnalysis.bpeEncodePersisted(spark, sf, idxDir)
+      .as[(Long, Long)].collect().toSeq
+    val loadedMerges = spark.read.parquet(s"$idxDir/merges.parquet")
+      .orderBy(col("merge_rank"))
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(loadedMerges == full, "persist/load must round-trip the merge table")
+    val fresh = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(TextAnalysis.bpeTokensCol(full, col("text"))).cast("long"))
+      .orderBy(col("doc_id"))
+      .as[(Long, Long)].collect().toSeq
+    assert(persisted == fresh, "encode-from-loaded must equal encode-from-fresh")
   }
 
   test("t31 inverse: decode(encode(doc)) == normalized doc, fixture + ScalaCheck") {
