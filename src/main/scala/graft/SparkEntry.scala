@@ -594,6 +594,10 @@ object SparkEntry {
     // score → PACK) and drains equal to the batch packer
     "s22_streaming_pack"     -> ((s: SparkSession, dir: String) =>
       Streams.streamingPack(s, dir)),
+    // s23: streaming trained-tokenizer metering — per-doc n_bpe_tokens
+    // under the static batched-trained vocab as docs land (the
+    // s20/s21 stream-static shape); drains equal to t34's batch encode
+    "s23_streaming_token_meter" -> (Streams.streamingTokenMeter _),
     // s07: the transformWithState (state API v2, RocksDB) operator run
     // through a REAL streaming drain; integer-cents state makes the
     // final totals batch-boundary-invariant and oracle-exact
@@ -3211,6 +3215,7 @@ object SparkEntry {
             "t33_bpe_merges_batched" -> t33Sql,
             "t34_bpe_encode_batched" -> t34Sql,
             "t35_bpe_encode_persisted" -> t34Sql,
+            "s23_streaming_token_meter" -> t34Sql,
             "p03_tokenized_pack" -> p03Sql,
             "p05_temperature_pack" -> p05Sql,
             "d26_dedup_recall_audit" -> d26Sql,

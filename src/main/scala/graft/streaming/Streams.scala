@@ -710,6 +710,46 @@ object Streams {
       .orderBy(col("doc_id"))
   }
 
+  /** s23: streaming trained-tokenizer METERING — the ingest chain's
+    * token accounting leg: every arriving doc's `n_bpe_tokens` under
+    * the REAL trained vocabulary, computed as it lands, so token-budget
+    * mixing (q58/p03) and packing (s22) can be denominated in trained
+    * tokens on ingest rather than the whitespace proxy. The tokenizer
+    * is a STATIC artifact (t33's batched trainer runs once — the t35
+    * deployment shape: encode jobs get the 64-row merge table, never
+    * the trainer) inlined into the map-only encode closure, and each
+    * micro-batch meters only its own docs: a doc's count depends only
+    * on its own text and the static merges, so counts are
+    * batch-complete, stateless, batch-split-invariant and
+    * replay-idempotent (the s20/s21 stream-static shape). The drain
+    * hash-checks against t34's batch oracle VERBATIM; full-row dedup
+    * surfaces any replay divergence as a hash mismatch.
+    */
+  def streamingTokenMeter(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    val merges = TextAnalysis.bpeTrainBatched(spark, dir, 8, 8, 64)
+    val docSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_chars",
+        org.apache.spark.sql.types.LongType)))
+    drainStreamed(spark, "s23", dir,
+      ss => ss.readStream.schema(docSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .select(col("doc_id"),
+          size(TextAnalysis.bpeTokensCol(merges, col("text")))
+            .cast("long").as("n_bpe_tokens")),
+      mode = "append", outputMode = "append")
+      .dropDuplicates(Seq("doc_id", "n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The s12 merge: read → union → keep latest per (ts, event_id) →
     * overwrite. IDEMPOTENT under replay — re-applying the same batch
     * reaches the same fixed point (the retry spec in `StreamsSpec`

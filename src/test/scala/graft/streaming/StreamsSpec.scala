@@ -482,6 +482,16 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("s23 streaming token meter drain == batch t34 encode") {
+    val sf = "/root/testdata/sf0.001"
+    val got = Streams.streamingTokenMeter(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val exp = graft.operators.TextAnalysis.bpeEncodeBatched(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(got == exp, "drained token meter must equal the batch t34 encode")
+    assert(got.nonEmpty)
+  }
+
   test("s10 chained rollup equals the batch rollup up to the watermark cutoff") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
