@@ -560,6 +560,43 @@ class DedupSpec extends SparkSpec {
     assert(kept == again)
   }
 
+  test("d27 LSH-path sample: units consistent with LSH pairs, acceptance rule exact") {
+    val kept = Dedup.clusterWeightedSampleLsh(spark, sf).collect().toSeq
+    // units must be consistent with the LSH edge set: every LSH
+    // near-dup pair shares a unit, and each unit id is the minimum
+    // doc_id of its member set (the dupClusters contract)
+    val pairs = Dedup.minHashDedupPortable(spark, sf)
+      .select(col("doc_a"), col("doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val unitOf = kept.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // kept is a SAMPLE — check pair-unit agreement only where both
+    // endpoints survived (the full assignment is the d10-gated chain)
+    pairs.foreach { case (a, b) =>
+      (unitOf.get(a), unitOf.get(b)) match {
+        case (Some(ua), Some(ub)) =>
+          assert(ua == ub, s"surviving LSH pair ($a,$b) split across units $ua/$ub")
+        case _ => ()
+      }
+    }
+    kept.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(0), "unit id is the component minimum")
+      assert(r.getLong(2) >= 1L)
+    }
+    // the acceptance rule is the same md5-60-bit threshold as d24
+    def h60(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.take(8).map(b => f"$b%02x").mkString.substring(0, 15), 16)
+    }
+    kept.foreach { r =>
+      assert(h60(r.getLong(0)) < 1152921504606846976L / r.getLong(2),
+        s"kept row ${r.getLong(0)} fails its own acceptance threshold")
+    }
+    // determinism: a second run is row-identical
+    assert(kept == Dedup.clusterWeightedSampleLsh(spark, sf).collect().toSeq)
+  }
+
   test("d26 dedup recall audit: rows match a recompute from the constituent gates; floors gate") {
     import org.apache.spark.sql.functions._
     val rows = Dedup.dedupRecallAudit(spark, sf)
