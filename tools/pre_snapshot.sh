@@ -26,7 +26,7 @@ fail() { echo "PRE-SNAPSHOT GATE: RED at stage [$1] — see $LOG" | tee -a "$LOG
 
 echo "== stage 1/4: sbt test (full suite) ==" | tee -a "$LOG"
 sbt -batch test >> "$LOG" 2>&1 || fail "sbt test"
-grep -E "Tests: succeeded" "$LOG" | tail -2 | tee -a /dev/null
+grep -E "Tests: succeeded" "$LOG" | tail -1
 
 echo "== stage 2/4: Verify @ sf0.01 ==" | tee -a "$LOG"
 sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/pre_snapshot_verify" \
@@ -35,7 +35,17 @@ sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/pre_snapshot_verify"
 echo "== stage 3/4: DuckDB oracle compare ==" | tee -a "$LOG"
 python3 tools/compare_oracle.py /root/testdata/sf0.01 /tmp/pre_snapshot_verify \
   >> "$LOG" 2>&1 || fail "compare_oracle"
-ORACLE_LINE=$(tail -2 "$LOG" | grep -E "green" || true)
+ORACLE_LINE=$(tail -3 "$LOG" | grep -E "^[0-9]+/[0-9]+ green$" || true)
+# The stamp is evidence — an empty oracle summary would silently weaken it.
+[ -n "$ORACLE_LINE" ] || fail "oracle summary line not found in log tail (format drift?)"
+case "$ORACLE_LINE" in
+  */*green) N_GREEN="${ORACLE_LINE%%/*}"; N_TOTAL_G="${ORACLE_LINE#*/}"; N_TOTAL_G="${N_TOTAL_G%% *}" ;;
+esac
+[ "$N_GREEN" = "$N_TOTAL_G" ] || fail "oracle not fully green: $ORACLE_LINE"
+# Commit-able per-query correctness self-artifact (driver-shape JSON) —
+# insures the round's hard signal against driver-side artifact loss.
+cp /tmp/pre_snapshot_verify/correctness_self.json "CORRECTNESS_SELF_${ROUND}.json" \
+  || fail "correctness self-artifact missing"
 
 echo "== stage 4/4: Bench @ sf0.1 (per-query map must cover every registered query) ==" | tee -a "$LOG"
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
