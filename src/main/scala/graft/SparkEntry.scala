@@ -1028,6 +1028,13 @@ object SparkEntry {
       // m09: the pinned golden decode digests as a literal VALUES
       // table — any decode byte drift in any modality fails hash_match
       "m09_media_digests" -> graft.operators.MediaGolden.mediaDigestsOracleSql,
+      // m06/m07/m08: the same pinned-literal pattern applied to the
+      // perceptual near-dup pair tables (deterministic integers) —
+      // promotes the three modal near-dup gates from rows-only to
+      // hash-checked; regenerate via DumpMediaDigests m06|m07|m08
+      "m06_media_phash" -> graft.operators.MediaGoldenPairs.mediaPhashOracleSql,
+      "m07_media_audiodedup" -> graft.operators.MediaGoldenPairs.mediaAudioDedupOracleSql,
+      "m08_media_videodedup" -> graft.operators.MediaGoldenPairs.mediaVideoDedupOracleSql,
       // d06: the identical md5-derived ±1 sign table (i is 1-based,
       // matching the kernel's "b-j-i" key), signed sequential double
       // sums for the sign bits, bucket self-join, cosine-threshold

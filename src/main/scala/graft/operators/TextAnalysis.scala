@@ -1244,11 +1244,17 @@ object TextAnalysis {
     * order, drops a merge, or mangles a symbol, the corpus-wide
     * segmentation — and the gate hash — moves. `TextAnalysisSpec`
     * additionally pins loaded ≡ fresh merge-table equality.
+    *
+    * The artifact dir defaults to a session-scoped scratch path (the
+    * e13 pattern) so concurrent sessions — e.g. Verify and `sbt test`
+    * in parallel — can't race on overwrite-while-read of one shared
+    * machine-global path.
     */
   def bpeEncodePersisted(spark: SparkSession, dir: String,
-                         indexDir: String =
-                           "/tmp/graft_bpe_index"): DataFrame = {
+                         indexDirOverride: Option[String] = None): DataFrame = {
     import spark.implicits._
+    val indexDir = indexDirOverride.getOrElse(
+      graft.util.Scratch.dir(spark, "bpe_index", dir).toString)
     val trained = bpeTrainBatched(spark, dir, 8, 8, 64)
     trained.toDF("merge_rank", "left_sym", "right_sym", "pair_count")
       .coalesce(1) // 64 rows — one file, deterministic artifact layout

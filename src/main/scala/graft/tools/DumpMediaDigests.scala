@@ -2,12 +2,14 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Regenerates the m09 golden-digest oracle rows:
-  * `runMain graft.tools.DumpMediaDigests [outFile]`
-  * prints (and optionally writes) the literal `VALUES` tuples that
-  * [[graft.operators.Multimodal.mediaDigestsOracleSql]] pins. Run this
-  * ONLY to re-pin after a deliberate fixture or JDK-codec change — the
-  * whole point of the gate is that these values never move otherwise.
+/** Regenerates the m-family golden-literal oracle rows:
+  * `runMain graft.tools.DumpMediaDigests [gate] [outFile]`
+  * with gate one of m09 (default, decode digests), m06 (image
+  * perceptual pairs), m07 (audio), m08 (video). Prints (and
+  * optionally writes) the literal `VALUES` tuples that
+  * [[graft.operators.MediaGolden]] pins. Run this ONLY to re-pin after
+  * a deliberate fixture or JDK-codec change — the whole point of the
+  * gates is that these values never move otherwise.
   */
 object DumpMediaDigests {
   def main(args: Array[String]): Unit = {
@@ -17,15 +19,29 @@ object DumpMediaDigests {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val rows = graft.operators.Multimodal.mediaDigests(spark, "").collect()
-    val tuples = rows.map { r =>
-      s"(${r.getLong(0)}, '${r.getString(1)}', ${r.getLong(2)})"
-    }.mkString(",\n")
-    args.headOption match {
+    val gate = args.headOption.getOrElse("m09")
+    val mm = graft.operators.Multimodal
+    val tuples = (gate match {
+      case "m09" =>
+        mm.mediaDigests(spark, "").collect().map { r =>
+          s"(${r.getLong(0)}, '${r.getString(1)}', ${r.getLong(2)})"
+        }
+      case "m06" | "m07" | "m08" =>
+        val df = gate match {
+          case "m06" => mm.mediaPerceptualDedup(spark, "")
+          case "m07" => mm.mediaAudioDedup(spark, "")
+          case _     => mm.mediaVideoDedup(spark, "")
+        }
+        df.orderBy("media_a", "media_b").collect().map { r =>
+          s"(${r.getLong(0)}, ${r.getLong(1)}, ${r.getInt(2)}, ${r.getLong(3)})"
+        }
+      case other => sys.error(s"unknown gate $other (m06|m07|m08|m09)")
+    }).mkString(",\n")
+    args.drop(1).headOption match {
       case Some(out) =>
         java.nio.file.Files.write(java.nio.file.Paths.get(out),
           tuples.getBytes("UTF-8"))
-        println(s"[dumpmediadigests] wrote ${rows.length} tuples to $out")
+        println(s"[dumpmediadigests] wrote $gate tuples to $out")
       case None => println(tuples)
     }
     spark.stop()

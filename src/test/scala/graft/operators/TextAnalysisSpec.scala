@@ -656,7 +656,7 @@ class TextAnalysisSpec extends SparkSpec {
     // merge table equals the fresh one, and encoding from it equals
     // encoding from the in-memory trainer output
     val idxDir = java.nio.file.Files.createTempDirectory("t35idx").toString
-    val persisted = TextAnalysis.bpeEncodePersisted(spark, sf, idxDir)
+    val persisted = TextAnalysis.bpeEncodePersisted(spark, sf, Some(idxDir))
       .as[(Long, Long)].collect().toSeq
     val loadedMerges = spark.read.parquet(s"$idxDir/merges.parquet")
       .orderBy(col("merge_rank"))
