@@ -231,6 +231,97 @@ object Dedup {
   def minHashDedup(spark: SparkSession, dir: String): DataFrame =
     minHashLshPairs(Tables.documents(spark, dir), "doc_id", "text")
 
+  /** The portable chains' banding step: band key = the signature
+    * components THEMSELVES joined as a string (no engine hash — no
+    * cross-value collisions), signatures carried on the band rows for
+    * the map-side estimate prefilter.
+    */
+  private[graft] def portableBanded(hashed: DataFrame, bands: Int, rows: Int): DataFrame =
+    hashed.select(col("id"), col("sig"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+                 array_join(slice(col("sig"), b * rows + 1, rows), "-").as("bkey"))
+        }: _*)).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bkey").as("bkey"),
+              col("id"), col("sig"))
+
+  /** The shared banded candidate self-join of the portable LSH chains
+    * (d03 minhash, d05 word-n-gram), WITH the hot-bucket guard — the
+    * classic LSH skew killer at 100 TB: one degenerate band key
+    * (boilerplate-heavy shard, adversarial low-entropy text) makes the
+    * plain (band, bkey) self-join O(bucket²) IN ONE TASK, invisible at
+    * fixture scale. Unlike the candidate-dropping cap in
+    * [[lshCandidatesViaBuckets]], this guard is SEMANTICS-PRESERVING:
+    * buckets wider than `maxBucket` are split into
+    * g = ceil(size/maxBucket) groups by the engine-portable key
+    * `id mod g`, and the join runs over the g×g group cells — the
+    * a-side replicates each member across its row of cells, the b-side
+    * across its column, so every in-bucket pair is still produced in
+    * EXACTLY one cell. The registered DuckDB oracles therefore hold
+    * bit-for-bit even when the guard fires, while per-join-key width
+    * is bounded by ~maxBucket and the (inherent) quadratic work
+    * parallelizes across the cluster instead of landing on one
+    * straggler. The hot-key side is broadcast — ≤ |banded|/maxBucket
+    * rows by construction (hot keys are few BECAUSE they are wide).
+    * The split key `id mod g` balances perfectly for the dense
+    * sequential ids the pipeline assigns (q68 stable-id style); a
+    * structured-id corpus can only skew TASK balance with it, never
+    * correctness. Returns candidate pairs (doc_a < doc_b) with both
+    * signatures.
+    */
+  /** The guard's cell assignment over ALL rows (cold rows get g=1),
+    * exposed for the width-bound spec: banded rows + (g, gid) where
+    * g = ceil(bucket/maxBucket) and gid = id mod g is the row's group
+    * within its bucket — the same g/gid expressions the hot path of
+    * [[guardedBandedSelfJoin]] applies.
+    */
+  private[graft] def hotBucketCells(banded: DataFrame, maxBucket: Int): DataFrame =
+    banded.join(
+        broadcast(banded.groupBy(col("band"), col("bkey"))
+          .agg(count(lit(1)).as("bsz"))
+          .filter(col("bsz") > maxBucket)),
+        Seq("band", "bkey"), "left_outer")
+      .withColumn("g", coalesce(
+        ceil(col("bsz").cast("double") / maxBucket).cast("int"), lit(1)))
+      .withColumn("gid", pmod(col("id"), col("g").cast("long")).cast("int"))
+
+  private[graft] def guardedBandedSelfJoin(banded: DataFrame,
+                                           maxBucket: Int = 10000): DataFrame = {
+    val hotKeys = broadcast(banded.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > maxBucket))
+    // cold path — every bucket ≤ maxBucket: the plain 2-key self-join,
+    // gated only by a map-side broadcast anti-filter (a bucket is
+    // entirely hot or entirely cold, so no pair crosses the two paths)
+    val cold = banded.join(hotKeys.select(col("band"), col("bkey")),
+                           Seq("band", "bkey"), "left_anti")
+    val coldPairs = cold.select(col("band"), col("bkey"),
+                                col("id").as("doc_a"), col("sig").as("sig_a"))
+      .join(cold.select(col("band"), col("bkey"),
+                        col("id").as("doc_b"), col("sig").as("sig_b")),
+            Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+    // hot path — empty at sane density; each wide bucket splits into
+    // the g×g cells (a-side replicated across its row of cells, b-side
+    // its column: every in-bucket pair lands in EXACTLY one cell)
+    val sized = banded.join(hotKeys, Seq("band", "bkey"))
+      .withColumn("g",
+        ceil(col("bsz").cast("double") / maxBucket).cast("int"))
+      .withColumn("gid", pmod(col("id"), col("g").cast("long")).cast("int"))
+    val hotA = sized.select(col("band"), col("bkey"),
+                            col("gid").as("cell_a"),
+                            explode(sequence(lit(0), col("g") - 1)).as("cell_b"),
+                            col("id").as("doc_a"), col("sig").as("sig_a"))
+    val hotB = sized.select(col("band"), col("bkey"),
+                            explode(sequence(lit(0), col("g") - 1)).as("cell_a"),
+                            col("gid").as("cell_b"),
+                            col("id").as("doc_b"), col("sig").as("sig_b"))
+    val hotPairs = hotA.join(hotB, Seq("band", "bkey", "cell_a", "cell_b"))
+      .filter(col("doc_a") < col("doc_b"))
+    val cols = Seq("doc_a", "doc_b", "sig_a", "sig_b").map(col)
+    coldPairs.select(cols: _*).unionByName(hotPairs.select(cols: _*))
+  }
+
   /** ENGINE-PORTABLE MinHash+LSH near-duplicate pairs — the registered
     * d03 gate, hash-checked against a DuckDB oracle that reproduces
     * every stage bit-for-bit (the t08 move applied to the full LSH
@@ -265,7 +356,8 @@ object Dedup {
   def minHashLshPairsPortable(docs: DataFrame, idCol: String, textCol: String,
                               shingleLen: Int = 5, numHashes: Int = 32,
                               bands: Int = 8, threshold: Double = 0.6,
-                              preNormalized: Boolean = false): DataFrame = {
+                              preNormalized: Boolean = false,
+                              maxBucket: Int = 10000): DataFrame = {
     val rows = numHashes / bands
     val minMatch = math.ceil((threshold - 0.2) * numHashes).toInt
     val normed = if (preNormalized) col(textCol) else normalizeText(col(textCol))
@@ -273,19 +365,8 @@ object Dedup {
         HashFns.sortedPortableShingleHashSet(normed, shingleLen).as("hs"))
       .withColumn("sig", HashFns.portableMinhashSig(col("hs"), numHashes))
       .persist()
-    val banded = hashed.select(col("id"), col("sig"),
-        explode(array((0 until bands).map { b =>
-          struct(lit(b).as("band"),
-                 array_join(slice(col("sig"), b * rows + 1, rows), "-").as("bkey"))
-        }: _*)).as("bb"))
-      .select(col("bb.band").as("band"), col("bb.bkey").as("bkey"),
-              col("id"), col("sig"))
-    val a = banded.select(col("band"), col("bkey"),
-                          col("id").as("doc_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("bkey"),
-                          col("id").as("doc_b"), col("sig").as("sig_b"))
-    val candidates = a.join(b, Seq("band", "bkey"))
-      .filter(col("doc_a") < col("doc_b"))
+    val candidates = guardedBandedSelfJoin(
+        portableBanded(hashed, bands, rows), maxBucket)
       .filter(HashFns.signatureMatchCount(col("sig_a"), col("sig_b")) >= minMatch)
       .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
@@ -538,7 +619,8 @@ object Dedup {
     * sets on both engines.
     */
   def ngramJaccardPairsPortable(docs: DataFrame, idCol: String, textCol: String,
-                                n: Int = 3, threshold: Double = 0.4): DataFrame = {
+                                n: Int = 3, threshold: Double = 0.4,
+                                maxBucket: Int = 10000): DataFrame = {
     val numHashes = 16
     val bands = 4
     val rows = numHashes / bands
@@ -548,19 +630,8 @@ object Dedup {
           tokens(normalizeText(col(textCol))), n).as("hs"))
       .withColumn("sig", HashFns.portableMinhashSig(col("hs"), numHashes))
       .persist()
-    val banded = hashed.select(col("id"), col("sig"),
-        explode(array((0 until bands).map { b =>
-          struct(lit(b).as("band"),
-                 array_join(slice(col("sig"), b * rows + 1, rows), "-").as("bkey"))
-        }: _*)).as("bb"))
-      .select(col("bb.band").as("band"), col("bb.bkey").as("bkey"),
-              col("id"), col("sig"))
-    val a = banded.select(col("band"), col("bkey"),
-                          col("id").as("doc_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("bkey"),
-                          col("id").as("doc_b"), col("sig").as("sig_b"))
-    val candidates = a.join(b, Seq("band", "bkey"))
-      .filter(col("doc_a") < col("doc_b"))
+    val candidates = guardedBandedSelfJoin(
+        portableBanded(hashed, bands, rows), maxBucket)
       .filter(HashFns.signatureMatchCount(col("sig_a"), col("sig_b")) >= minMatch)
       .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")

@@ -627,4 +627,41 @@ class DedupSpec extends SparkSpec {
     assert(rows.map(_._1).toSet.intersect(
       Set("d03_minhash_lsh", "d05_ngram_jaccard")).size == 2)
   }
+
+  test("hot-bucket guard: 500-doc near-identical cluster — width bounded, pairs preserved") {
+    import graft.functions.{HashFns, TextFns}
+    // adversarial low-entropy density: one boilerplate body with a
+    // ≤2-char tail → every band key collapses to a handful of ~500-wide
+    // buckets, the LSH skew case that is O(bucket²) in one task without
+    // the guard and invisible at normal fixture density
+    val body = "the same boilerplate legal disclaimer repeated on every page of this crawl shard " * 3
+    val docs = (0 until 500).map(i => (i.toLong, body + ("x" * (i % 3))))
+      .toDF("doc_id", "text")
+
+    // the guard fires (g > 1) and bounds every join-side cell width:
+    // dense ids mod g split each hot bucket into exactly-even groups
+    val maxBucket = 25
+    val hashed = docs.select($"doc_id".as("id"),
+        HashFns.sortedPortableShingleHashSet(
+          TextFns.normalizeText($"text"), 5).as("hs"))
+      .withColumn("sig", HashFns.portableMinhashSig($"hs", 32))
+    val cells = Dedup.hotBucketCells(
+      Dedup.portableBanded(hashed, bands = 8, rows = 4), maxBucket)
+    assert(cells.agg(max($"g")).as[Int].head > 1, "guard must fire on this density")
+    val maxWidth = cells.groupBy($"band", $"bkey", $"gid")
+      .count().agg(max($"count")).as[Long].head
+    assert(maxWidth <= maxBucket,
+      s"cell width $maxWidth exceeds the $maxBucket bound")
+
+    // and it is semantics-preserving WHILE firing: the pair set equals
+    // the unguarded (g=1 everywhere) run exactly, jaccards included
+    val guarded = Dedup.minHashLshPairsPortable(
+        docs, "doc_id", "text", maxBucket = maxBucket)
+      .as[(Long, Long, Double)].collect().toSeq
+    val unguarded = Dedup.minHashLshPairsPortable(
+        docs, "doc_id", "text", maxBucket = 1000000)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(guarded.nonEmpty, "planted near-identical cluster must yield pairs")
+    assert(guarded == unguarded, "guard must not add, drop, or reorder pairs")
+  }
 }
