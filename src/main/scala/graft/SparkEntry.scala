@@ -236,8 +236,9 @@ object SparkEntry {
     // two-pass offsets shape (oracle = the naive global window)
     "p02_ccnet_mixture"      -> (graft.operators.Curation.ccnetMixture(_, _)),
     // p03: the tokenizer-aware corpus build — p02's mixture selection
-    // metered by t31's trained tokenizer and packed with q57's window;
-    // the oracle nests the p02 + t31 statements verbatim (p01 pattern)
+    // metered by the batched 64-merge vocabulary (t33/t34, the same
+    // denomination as s23/t35) and packed with q57's window; the
+    // oracle nests the p02 + t34 statements verbatim (p01 pattern)
     "p03_tokenized_pack"     -> (graft.operators.Curation.tokenizedPack(_, _)),
     // p04: temperature (α=0.5) mixture resampling — per-lang keep rate
     // √(n_min/n) via the q54 stable hash-threshold; one count agg +
@@ -246,8 +247,9 @@ object SparkEntry {
     "p04_temperature_mix"    -> ((s: SparkSession, dir: String) =>
       graft.operators.Curation.temperatureMix(s, dir)),
     // p05: the full multilingual recipe — p04's temperature resample
-    // selects, t31's trained tokenizer meters, q57's window packs;
-    // the oracle nests the p04 + t31 statements verbatim (p01 pattern)
+    // selects, the batched 64-merge vocabulary (t33/t34) meters,
+    // q57's window packs; the oracle nests the p04 + t34 statements
+    // verbatim (p01 pattern)
     "p05_temperature_pack"   -> ((s: SparkSession, dir: String) =>
       graft.operators.Curation.temperatureTokenizedPack(s, dir)),
     // d19: CCNet/C4-style paragraph-level corpus dedup — keep each
@@ -3160,12 +3162,13 @@ object SparkEntry {
               .map(leg).mkString("\nUNION ALL\n")}
          |) WHERE recall_x100 >= floor ORDER BY method""".stripMargin
     }
-    // p03: mixture selection (p02) ⋈ trained-token meter (t31), packed
-    // with q57's expressions — both stage statements nested verbatim,
-    // each keeping its own WITH scope (the p01 composition pattern)
+    // p03: mixture selection (p02) ⋈ the BATCHED 64-merge token meter
+    // (t34 — the same denomination s23/t35 use), packed with q57's
+    // expressions — both stage statements nested verbatim, each
+    // keeping its own WITH scope (the p01 composition pattern)
     val p03Sql =
       s"""WITH sel AS (SELECT doc_id FROM (${base("p02_ccnet_mixture")}) x),
-         |enc AS (SELECT doc_id, n_bpe_tokens FROM ($t31Sql) y)
+         |enc AS (SELECT doc_id, n_bpe_tokens FROM ($t34Sql) y)
          |SELECT doc_id, n_bpe_tokens, shard, start_off,
          | shard * 2199023255552 + CAST(floor(start_off / 2048) AS BIGINT) AS pack_id
          |FROM (
@@ -3176,13 +3179,13 @@ object SparkEntry {
          | FROM (SELECT e.doc_id, e.n_bpe_tokens, e.doc_id % 32 AS shard
          |  FROM enc e JOIN sel USING (doc_id)))
          |ORDER BY doc_id""".stripMargin
-    // p05: p04's temperature selection + t31's trained-token meter +
-    // q57's pack window — the p03 composition with the multilingual
-    // balancing stage as the selector, both constituents nested
-    // verbatim in their own WITH scopes
+    // p05: p04's temperature selection + the batched 64-merge token
+    // meter (t34) + q57's pack window — the p03 composition with the
+    // multilingual balancing stage as the selector, both constituents
+    // nested verbatim in their own WITH scopes
     val p05Sql =
       s"""WITH sel AS (SELECT doc_id FROM (${base("p04_temperature_mix")}) x),
-         |enc AS (SELECT doc_id, n_bpe_tokens FROM ($t31Sql) y)
+         |enc AS (SELECT doc_id, n_bpe_tokens FROM ($t34Sql) y)
          |SELECT doc_id, n_bpe_tokens, shard, start_off,
          | shard * 2199023255552 + CAST(floor(start_off / 2048) AS BIGINT) AS pack_id
          |FROM (

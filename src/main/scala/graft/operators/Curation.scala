@@ -341,14 +341,16 @@ object Curation {
 
   /** p03: the tokenizer-aware corpus build — what a trainer ACTUALLY
     * executes end-to-end: p02's quality/LM mixture selects the docs,
-    * t31's TRAINED tokenizer meters them (real vocab segmentation,
-    * not the whitespace proxy q57 uses — the counts a token budget is
-    * denominated in), and q57's shard-parallel packing assigns
+    * the BATCHED 64-merge vocabulary (t33/t34 — the same denomination
+    * the s23 streaming meter and the t35 deployment artifact use, so
+    * a batch-assembled budget and its streaming meter agree on every
+    * doc) meters them, and q57's shard-parallel packing assigns
     * training sequences. Third pipeline gate: the oracle nests the
-    * p02 and t31 oracle statements verbatim (each keeps its own WITH
+    * p02 and t34 oracle statements verbatim (each keeps its own WITH
     * scope — the p01 composition pattern) and packs with q57's window
     * expressions, so a drift in ANY stage (a bucket threshold, a
-    * merge rule, a pack boundary) moves the final hash.
+    * merge round's ranking or selection, a pack boundary) moves the
+    * final hash.
     *
     * Scale shape inherits from the stages: mixture = the two-pass
     * budget (no lang-partition window), encode = one map-only replace
@@ -381,20 +383,22 @@ object Curation {
                     budget: Int = 2048, shards: Int = 32,
                     pin: Boolean = true): DataFrame =
     packEncoded(ccnetMixture(spark, dir, pin = pin).select(col("doc_id")),
-      graft.operators.TextAnalysis.bpeEncode(spark, dir), budget, shards)
+      graft.operators.TextAnalysis.bpeEncodeBatched(spark, dir), budget, shards)
 
   /** p05: the FULL multilingual pretraining-data recipe as one gate —
     * p04's temperature (α=0.5) language resampling selects the docs,
-    * t31's trained tokenizer meters them, q57's shard-parallel window
-    * packs them. This is the composition a multilingual trainer
-    * actually runs (balance languages FIRST, then denominate the
-    * result in trained-vocab tokens and cut training sequences);
-    * p03 is the same shape with the quality/LM mixture as the
-    * selector. The oracle nests the p04 statement and the t31 derived
-    * chain verbatim (each keeps its own WITH scope — the p01/p03
-    * composition pattern), so a drift in the language stats, the
-    * acceptance threshold arithmetic, any BPE merge round, or a pack
-    * boundary moves the final hash.
+    * the batched 64-merge vocabulary (t33/t34 — one token
+    * denomination across p03/p05/s23/t34/t35) meters them, q57's
+    * shard-parallel window packs them. This is the composition a
+    * multilingual trainer actually runs (balance languages FIRST,
+    * then denominate the result in trained-vocab tokens and cut
+    * training sequences); p03 is the same shape with the quality/LM
+    * mixture as the selector. The oracle nests the p04 statement and
+    * the t34 derived chain verbatim (each keeps its own WITH scope —
+    * the p01/p03 composition pattern), so a drift in the language
+    * stats, the acceptance threshold arithmetic, any batched merge
+    * round's ranking or selection, or a pack boundary moves the
+    * final hash.
     *
     * Scale shape: p04 = one language-stats agg broadcast back +
     * map-side acceptance; meter = map-only trained-merge closure;
@@ -405,7 +409,7 @@ object Curation {
                                budget: Int = 2048,
                                shards: Int = 32): DataFrame =
     packEncoded(temperatureMix(spark, dir).select(col("doc_id")),
-      graft.operators.TextAnalysis.bpeEncode(spark, dir), budget, shards)
+      graft.operators.TextAnalysis.bpeEncodeBatched(spark, dir), budget, shards)
 
   /** p04: temperature (α) mixture resampling — the multilingual
     * balancing step of corpus assembly (the mBERT/XLM-R exponential-

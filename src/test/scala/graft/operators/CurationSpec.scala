@@ -224,8 +224,9 @@ class CurationSpec extends SparkSpec {
     val sel = Curation.ccnetMixture(spark, sf).select($"doc_id")
       .as[Long].collect().toSet
     assert(rows.map(_._1).toSet == sel && rows.map(_._1).distinct.size == rows.size)
-    // trained counts == t31's encode
-    val enc = graft.operators.TextAnalysis.bpeEncode(spark, sf)
+    // trained counts == the batched 64-merge encode (t34's meter —
+    // the one token denomination shared with s23/t35)
+    val enc = graft.operators.TextAnalysis.bpeEncodeBatched(spark, sf)
       .as[(Long, Long)].collect().toMap
     rows.foreach { case (id, n, _, _, _) => assert(n == enc(id), s"doc $id count") }
     // pack algebra per shard: offsets are the running sum in id order,
