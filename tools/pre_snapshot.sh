@@ -53,6 +53,10 @@ SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
 TOTAL_LINE=$(grep -o '{"metric":"total".*}' "$LOG" | tail -1)
 NFAILED=$(printf '%s' "$TOTAL_LINE" | grep -o '"nfailed":[0-9]*' | cut -d: -f2)
 [ "${NFAILED:-1}" = "0" ] || fail "bench reported nfailed=$NFAILED"
+# Commit-able per-query bench map (min + every rep's raw time) — the
+# round's own outliers adjudicate themselves via rep_times.
+cp target/bench_per_query.json "BENCH_${ROUND}_per_query.json" \
+  || fail "bench per-query artifact missing"
 
 {
   echo "pre-snapshot gate GREEN  round=$ROUND  $(date -u +%Y-%m-%dT%H:%M:%SZ)"
