@@ -1165,13 +1165,22 @@ object TextAnalysis {
   }
 
   private[graft] def bpeTrainBatched(spark: SparkSession, dir: String,
+      rounds: Int, m: Int, cand: Int): Seq[(Long, String, String, Long)] =
+    bpeTrainBatchedFrom(bpeVocab0(spark, dir), rounds, m, cand)
+
+  /** The batched training loop over an explicit weighted vocab
+    * (s = space-delimited symbol string, cnt) — lets the scale probe
+    * feed a richer synthetic vocabulary than the fixture corpus, whose
+    * ~90-merge ceiling saturates any trainer long before a real vocab
+    * segment.
+    */
+  private[graft] def bpeTrainBatchedFrom(vocab0: DataFrame,
       rounds: Int, m: Int, cand: Int): Seq[(Long, String, String, Long)] = {
-    val vocab0 = bpeVocab0(spark, dir)
     val merges = Seq.newBuilder[(Long, String, String, Long)]
     var vocab = vocab0
     var rank = 0L
     var exhausted = false
-    for (_ <- 1 to rounds if !exhausted) {
+    for (round <- 1 to rounds if !exhausted) {
       // ONE bounded collect per round: the top-`cand` pairs in the
       // global (count DESC, pair ASC) order — `cand` rows, vocab-agg'd
       val top = vocab
@@ -1196,6 +1205,11 @@ object TextAnalysis {
         }
         i += 1
       }
+      // yield counter: how much of the batch budget the disjointness
+      // filter actually grants this round — the saturation signal that
+      // decides whether growing m buys merges or just bigger collects
+      println(s"[bpe_batched] round=$round selected=${sel.size}/$m " +
+        s"candidates=${top.length}/$cand")
       if (sel.isEmpty) exhausted = true
       else {
         sel.foreach { case (l, r, pc) =>
