@@ -333,6 +333,12 @@ object SparkEntry {
     // (r10: 16→32 dims — 16 broke its own distortion bound, see spec)
     "e18_random_projection"  -> ((s: SparkSession, dir: String) =>
       Similarity.randomProjection(s, dir)),
+    // e20: e18 at dims=16 against the SAME parameterized oracle
+    // builder — proof the (dims, scale) surface is open (projection
+    // correctness is exact at any dims; the JL distortion/recall
+    // bounds remain e18/e19's 32-dim story)
+    "e20_random_projection_alt" -> ((s: SparkSession, dir: String) =>
+      Similarity.randomProjection(s, dir, dims = 16)),
     // e19: kNN over the e18 sketches — integer-L2 shortlist (40) +
     // exact cosine re-rank to top-5 (the e09 two-phase shape); the
     // scan side reads the 32-long sketch, exact integer arithmetic
@@ -459,6 +465,12 @@ object SparkEntry {
     // toy vocab); oracle unrolls rank/select/apply per round
     "t33_bpe_merges_batched" -> ((s: SparkSession, dir: String) =>
       TextAnalysis.bpeMergesBatched(s, dir)),
+    // t36: t33 at an ALTERNATE batch shape (4 rounds × 16 selections,
+    // 128 candidates) against the SAME parameterized oracle builder —
+    // the CI proof that the (rounds, m, cand) surface is genuinely
+    // open, not frozen to the t33 fixture shape
+    "t36_bpe_merges_batched_alt" -> ((s: SparkSession, dir: String) =>
+      TextAnalysis.bpeMergesBatched(s, dir, rounds = 4, m = 16, cand = 128)),
     // t34: the batched 64-merge vocabulary applied corpus-wide — the
     // apply half of the scale path; still ONE map-only projection
     "t34_bpe_encode_batched" -> ((s: SparkSession, dir: String) =>
@@ -622,6 +634,62 @@ object SparkEntry {
     val norm: String => String = c =>
       s"""trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(lower($c), '\\r', ' ', 'g'), '&nbsp', ' ', 'g'), '[,*-.:;«»✔➡¿\\\\"·?!()/]', ' ', 'g'), '\\s', ' ', 'g'), ' +', ' ', 'g'))"""
     val toks: String => String = c => s"string_split(${norm(c)}, ' ')"
+    // e18/e19 parameterized builders — the md5-low-bit ±1 projection,
+    // quantize, and integer sum at ANY (dims, scale); e18 registers
+    // (32, 1000), e20 proves dims=16 from the same builder
+    def jlProjExpr(dims: Int, scale: Long): String =
+      s"""CAST(list_sum(list_transform(range(1, 65), i ->
+         |  (CASE WHEN (('0x' || substr(md5('p-' || j::VARCHAR || '-' || i::VARCHAR), 1, 15))::BIGINT & 1) = 1
+         |        THEN 1 ELSE -1 END)
+         |  * CAST(floor(CAST(embedding[i] AS DOUBLE) * $scale.0 + 0.5) AS BIGINT))) AS BIGINT)""".stripMargin
+    def e18SqlFor(dims: Int, scale: Long): String =
+      s"""SELECT vec_id, j AS proj_dim, ${jlProjExpr(dims, scale)} AS proj
+         |FROM embeddings, range(0, $dims) t(j)
+         |ORDER BY vec_id, proj_dim""".stripMargin
+    def e19SqlFor(k: Int, shortlist: Int, dims: Int, scale: Long): String =
+      s"""WITH pj AS (
+         | SELECT vec_id, j, ${jlProjExpr(dims, scale)} AS proj
+         | FROM embeddings, range(0, $dims) t(j)),
+         |vecs AS (SELECT vec_id, list(proj ORDER BY j) AS p FROM pj GROUP BY vec_id),
+         |short AS (
+         | SELECT qid, nid FROM (
+         |  SELECT q.vec_id qid, c.vec_id nid,
+         |   row_number() OVER (PARTITION BY q.vec_id
+         |     ORDER BY list_sum(list_transform(range(1, ${dims + 1}),
+         |       x -> (q.p[x] - c.p[x]) * (q.p[x] - c.p[x]))), c.vec_id) AS srank
+         |  FROM vecs q, vecs c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+         | WHERE srank <= $shortlist)
+         |SELECT query_id, rank, neighbor_id FROM (
+         | SELECT s.qid AS query_id, s.nid AS neighbor_id,
+         |  row_number() OVER (PARTITION BY s.qid
+         |    ORDER BY list_cosine_similarity(qe.embedding, ne.embedding) DESC, s.nid) AS rank
+         | FROM short s
+         | JOIN embeddings qe ON qe.vec_id = s.qid
+         | JOIN embeddings ne ON ne.vec_id = s.nid)
+         |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+    // the d24/d27 shared closure+acceptance tail, parameterized by the
+    // pair-source CTE (d24: exact-jaccard `pairs`; d27: the portable
+    // LSH chain's `lshpairs`): transitive closure → cluster-or-self
+    // units → unit sizes → md5-draw acceptance at floor(2^60/size)
+    def closureAcceptanceSql(pairSrc: String): String =
+      s"""edges AS (
+         | SELECT doc_a AS s, doc_b AS d FROM $pairSrc
+         | UNION SELECT doc_b, doc_a FROM $pairSrc),
+         |reach AS (
+         | SELECT s, d FROM edges
+         | UNION
+         | SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+         |clusters AS (
+         | SELECT s AS doc_id, least(s, min(d)) AS cluster_id FROM reach GROUP BY s),
+         |units AS (
+         | SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS unit
+         | FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id),
+         |sizes AS (SELECT unit, count(*) AS unit_size FROM units GROUP BY unit)
+         |SELECT u.doc_id, u.unit, z.unit_size
+         |FROM units u JOIN sizes z ON u.unit = z.unit
+         |WHERE ('0x' || substr(md5(CAST(u.doc_id AS VARCHAR)), 1, 15))::BIGINT
+         |      < 1152921504606846976 // z.unit_size
+         |ORDER BY u.doc_id""".stripMargin
 
     // The portable MinHash+LSH pipeline as a reusable CTE chain over a
     // relation exposing (doc_id, nt): md5-60-bit 5-gram shingle hashes,
@@ -917,40 +985,17 @@ object SparkEntry {
       // (key 'p-j-i', i 1-based), quantize = one correctly-rounded
       // double multiply + floor, then an order-free integer sum —
       // every coordinate bit-identical cross-engine
-      "e18_random_projection" ->
-        """SELECT vec_id, j AS proj_dim, CAST(list_sum(list_transform(range(1, 65), i ->
-          |  (CASE WHEN (('0x' || substr(md5('p-' || j::VARCHAR || '-' || i::VARCHAR), 1, 15))::BIGINT & 1) = 1
-          |        THEN 1 ELSE -1 END)
-          |  * CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))) AS BIGINT) AS proj
-          |FROM embeddings, range(0, 32) t(j)
-          |ORDER BY vec_id, proj_dim""".stripMargin,
+      "e18_random_projection" -> e18SqlFor(32, 1000L),
+      // e20: e18 at an ALTERNATE shape (dims=16) from the SAME
+      // parameterized builder — the CI proof the (dims, scale)
+      // surface is open, not frozen to the e18 fixture shape (the
+      // JL quality bounds stay with e18/e19 at 32: fewer dims cost
+      // distortion, never projection correctness)
+      "e20_random_projection_alt" -> e18SqlFor(16, 1000L),
       // e19: sketch-space integer-L2 shortlist (dist ASC, id tie rule)
       // re-ranked by exact cosine — the e09 two-phase contract with
       // e18's projection as the quantizer
-      "e19_knn_projected" ->
-        """WITH pj AS (
-          | SELECT vec_id, j, CAST(list_sum(list_transform(range(1, 65), i ->
-          |  (CASE WHEN (('0x' || substr(md5('p-' || j::VARCHAR || '-' || i::VARCHAR), 1, 15))::BIGINT & 1) = 1
-          |        THEN 1 ELSE -1 END)
-          |  * CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))) AS BIGINT) AS proj
-          | FROM embeddings, range(0, 32) t(j)),
-          |vecs AS (SELECT vec_id, list(proj ORDER BY j) AS p FROM pj GROUP BY vec_id),
-          |short AS (
-          | SELECT qid, nid FROM (
-          |  SELECT q.vec_id qid, c.vec_id nid,
-          |   row_number() OVER (PARTITION BY q.vec_id
-          |     ORDER BY list_sum(list_transform(range(1, 33),
-          |       x -> (q.p[x] - c.p[x]) * (q.p[x] - c.p[x]))), c.vec_id) AS srank
-          |  FROM vecs q, vecs c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
-          | WHERE srank <= 40)
-          |SELECT query_id, rank, neighbor_id FROM (
-          | SELECT s.qid AS query_id, s.nid AS neighbor_id,
-          |  row_number() OVER (PARTITION BY s.qid
-          |    ORDER BY list_cosine_similarity(qe.embedding, ne.embedding) DESC, s.nid) AS rank
-          | FROM short s
-          | JOIN embeddings qe ON qe.vec_id = s.qid
-          | JOIN embeddings ne ON ne.vec_id = s.nid)
-          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+      "e19_knn_projected" -> e19SqlFor(5, 40, 32, 1000L),
       // e04: md5-hash-ordered centroid pick (tie-broken by id), the
       // same first-max assignment rule (s DESC, cn ASC), the same
       // (−sim, idx) probe order, exact-cosine re-rank, ids+rank output
@@ -2075,6 +2120,10 @@ object SparkEntry {
            | FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id)
            |ORDER BY doc_id""".stripMargin
       },
+      // the shared d24/d27 tail: transitive closure over a pair source,
+      // cluster-or-self units, unit sizes, md5-draw acceptance — ONE
+      // definition so a fix to either gate's closure or acceptance
+      // arithmetic cannot silently drift the other's oracle
       // d24: the d10 cluster CTE chain + q59's cluster-or-self unit,
       // one count per unit, keep iff the md5-60-bit draw clears
       // floor(2^60 / unit_size) — integer division in both engines
@@ -2092,24 +2141,7 @@ object SparkEntry {
            |     / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
            |  FROM sh a, sh b WHERE a.doc_id < b.doc_id)
            | WHERE jaccard >= 0.25),
-           |edges AS (
-           | SELECT doc_a AS s, doc_b AS d FROM pairs
-           | UNION SELECT doc_b, doc_a FROM pairs),
-           |reach AS (
-           | SELECT s, d FROM edges
-           | UNION
-           | SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
-           |clusters AS (
-           | SELECT s AS doc_id, least(s, min(d)) AS cluster_id FROM reach GROUP BY s),
-           |units AS (
-           | SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS unit
-           | FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id),
-           |sizes AS (SELECT unit, count(*) AS unit_size FROM units GROUP BY unit)
-           |SELECT u.doc_id, u.unit, z.unit_size
-           |FROM units u JOIN sizes z ON u.unit = z.unit
-           |WHERE ('0x' || substr(md5(CAST(u.doc_id AS VARCHAR)), 1, 15))::BIGINT
-           |      < 1152921504606846976 // z.unit_size
-           |ORDER BY u.doc_id""".stripMargin
+           |${closureAcceptanceSql("pairs")}""".stripMargin
       },
       // d27: d03's portable LSH CTE chain feeding d10's recursive
       // transitive closure feeding d24's unit-size acceptance filter —
@@ -2117,24 +2149,7 @@ object SparkEntry {
       // pinned and no bounded-id anchor
       "d27_cluster_sample_lsh" ->
         s"""WITH RECURSIVE ${portableLshCtes(s"(SELECT doc_id, ${norm("text")} AS nt FROM documents)")},
-           |edges AS (
-           | SELECT doc_a AS s, doc_b AS d FROM lshpairs
-           | UNION SELECT doc_b, doc_a FROM lshpairs),
-           |reach AS (
-           | SELECT s, d FROM edges
-           | UNION
-           | SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
-           |clusters AS (
-           | SELECT s AS doc_id, least(s, min(d)) AS cluster_id FROM reach GROUP BY s),
-           |units AS (
-           | SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS unit
-           | FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id),
-           |sizes AS (SELECT unit, count(*) AS unit_size FROM units GROUP BY unit)
-           |SELECT u.doc_id, u.unit, z.unit_size
-           |FROM units u JOIN sizes z ON u.unit = z.unit
-           |WHERE ('0x' || substr(md5(CAST(u.doc_id AS VARCHAR)), 1, 15))::BIGINT
-           |      < 1152921504606846976 // z.unit_size
-           |ORDER BY u.doc_id""".stripMargin,
+           |${closureAcceptanceSql("lshpairs")}""".stripMargin,
       "d10_dup_clusters" -> {
         val shingled =
           s"""SELECT doc_id, list_distinct(list_transform(
@@ -3068,7 +3083,10 @@ object SparkEntry {
     // appear in a normalized symbol string). Nothing pinned: every
     // round's ranking, selection and application re-derive from the
     // corpus.
-    val (t33Ctes, t33Sql) = {
+    // parameterized over (rounds, m, cand) — the t33 pin is not a frozen
+    // shape but "shapes this builder supports", which is all of them;
+    // t36 registers an alternate (4,16,128) instance as the CI proof
+    def t33CtesFor(rounds: Int, m: Int, cand: Int): String = {
       val w0 =
         s"""w0 AS MATERIALIZED (
            | SELECT regexp_replace(w, '(.)', ' \\1 ', 'g') AS s, cnt FROM (
@@ -3090,9 +3108,9 @@ object SparkEntry {
              |), bc$r AS MATERIALIZED (
              | SELECT * FROM (SELECT l, r, pc,
              |   row_number() OVER (ORDER BY pc DESC, l, r) AS rn FROM bp$r)
-             | WHERE rn <= 64
+             | WHERE rn <= $cand
              |)""".stripMargin
-        val sels = (1 to 8).map { j =>
+        val sels = (1 to m).map { j =>
           val guards = (1 until j).map { i =>
             s"NOT EXISTS (SELECT 1 FROM bs${r}_$i s WHERE c.l IN (s.l, s.r) OR c.r IN (s.l, s.r))"
           }
@@ -3103,23 +3121,26 @@ object SparkEntry {
              | ORDER BY c.rn LIMIT 1
              |)""".stripMargin
         }.mkString(", ")
-        val applied = (1 to 8).foldLeft("w.s") { (acc, j) =>
+        val applied = (1 to m).foldLeft("w.s") { (acc, j) =>
           s"""replace($acc,
              |  coalesce(' ' || (SELECT l FROM bs${r}_$j) || '  ' || (SELECT r FROM bs${r}_$j) || ' ', chr(1)),
              |  coalesce(' ' || (SELECT l FROM bs${r}_$j) || (SELECT r FROM bs${r}_$j) || ' ', chr(1)))""".stripMargin
         }
         s"$pair, $sels, bw$r AS MATERIALIZED (SELECT $applied AS s, w.cnt FROM $prev w)"
       }
-      val union = (1 to 8)
-        .flatMap(r => (1 to 8).map(j => s"SELECT * FROM bs${r}_$j"))
-        .mkString(" UNION ALL ")
-      val ctes = s"$w0, ${(1 to 8).map(roundBlock).mkString(", ")}"
-      (ctes,
-        s"""WITH $ctes
-           |SELECT CAST(row_number() OVER (ORDER BY rnd, j) AS BIGINT) AS merge_rank,
-           |  l AS left_sym, r AS right_sym, pc AS pair_count
-           |FROM ($union) ORDER BY merge_rank""".stripMargin)
+      s"$w0, ${(1 to rounds).map(roundBlock).mkString(", ")}"
     }
+    def t33SqlFor(rounds: Int, m: Int, cand: Int): String = {
+      val union = (1 to rounds)
+        .flatMap(r => (1 to m).map(j => s"SELECT * FROM bs${r}_$j"))
+        .mkString(" UNION ALL ")
+      s"""WITH ${t33CtesFor(rounds, m, cand)}
+         |SELECT CAST(row_number() OVER (ORDER BY rnd, j) AS BIGINT) AS merge_rank,
+         |  l AS left_sym, r AS right_sym, pc AS pair_count
+         |FROM ($union) ORDER BY merge_rank""".stripMargin
+    }
+    val t33Ctes = t33CtesFor(8, 8, 64)
+    val t33Sql = t33SqlFor(8, 8, 64)
     // t34: the batched vocabulary APPLIED — t33's (up to) 64 derived
     // merges as scalar-subquery replaces chained in global rank order
     // (bs1_1 … bs8_8) inside ONE projection (no per-merge corpus
@@ -3223,6 +3244,7 @@ object SparkEntry {
             "t31_bpe_encode" -> t31Sql,
             "t32_bpe_token_freqs" -> t32Sql,
             "t33_bpe_merges_batched" -> t33Sql,
+            "t36_bpe_merges_batched_alt" -> t33SqlFor(4, 16, 128),
             "t34_bpe_encode_batched" -> t34Sql,
             "t35_bpe_encode_persisted" -> t34Sql,
             "s23_streaming_token_meter" -> t34Sql,
