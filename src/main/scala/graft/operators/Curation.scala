@@ -431,12 +431,13 @@ object Curation {
     * (|langs| rows, broadcast back); the corpus is touched by exactly
     * one scan + one broadcast-joined filter — no shuffle of documents.
     */
-  def temperatureMix(spark: SparkSession, dir: String,
-                     scale: Int = 65536): DataFrame = {
-    // the p04 oracle hard-codes 65536, and the 'g' keep-all sentinel
-    // plus the %04x compare assume exactly a 4-hex-digit threshold —
-    // any other scale silently breaks oracle parity, so refuse
-    require(scale == 65536, s"oracle parity requires scale=65536, got $scale")
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    // NOT a tuning parameter: the 'g' keep-all sentinel and the %04x
+    // lexicographic compare are built around exactly a 4-hex-digit
+    // threshold, so 65536 is structural to the algorithm (and to the
+    // p04 oracle) — a former `scale` argument was a trap that only
+    // failed at runtime
+    val scale = 65536
     val docs = Tables.documents(spark, dir)
     val stats = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
     val thr = stats
