@@ -504,7 +504,7 @@ object Dedup {
     * signature is 8 bytes, so it rides along in the band shuffle.
     */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame = {
     val sig = docs.select(col(idCol).as("id"),
       simhash64(tokens(normalizeText(col(textCol)))).as("sig"))
     val banded = sig.select(col("id"), col("sig"),
@@ -513,10 +513,9 @@ object Dedup {
           shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL).as("bkey"))
       }: _*)).as("bb"))
       .select(col("id"), col("sig"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-    val a = banded.select(col("band"), col("bkey"), col("id").as("doc_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("bkey"), col("id").as("doc_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "bkey"))
-      .filter(col("doc_a") < col("doc_b"))
+    // same hot-bucket guard as the minhash chains: a degenerate 16-bit
+    // band key (boilerplate-heavy shard) is the identical skew killer
+    guardedBandedSelfJoin(banded, maxBucket)
       // verify BEFORE deduping multi-band collisions: the hamming test
       // is map-side (both 8-byte sigs ride the band rows), so the
       // dedup shuffle carries only true near-dup pairs — at adversarial
@@ -541,7 +540,8 @@ object Dedup {
     * as [[simHashPairs]], which remains the XXH64 64-bit scale path.
     */
   def simHashPairsPortable(docs: DataFrame, idCol: String, textCol: String,
-                           maxHamming: Int = 3): DataFrame = {
+                           maxHamming: Int = 3,
+                           maxBucket: Int = 10000): DataFrame = {
     val sig = docs.select(col(idCol).as("id"),
       HashFns.portableSimhash(
         HashFns.md5TokenHashCol(tokens(normalizeText(col(textCol))))).as("sig"))
@@ -551,10 +551,7 @@ object Dedup {
           shiftright(col("sig"), b * 15).bitwiseAND(0x7FFFL).as("bkey"))
       }: _*)).as("bb"))
       .select(col("id"), col("sig"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-    val a = banded.select(col("band"), col("bkey"), col("id").as("doc_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("bkey"), col("id").as("doc_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "bkey"))
-      .filter(col("doc_a") < col("doc_b"))
+    guardedBandedSelfJoin(banded, maxBucket)
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .dropDuplicates("doc_a", "doc_b")

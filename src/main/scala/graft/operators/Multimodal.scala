@@ -602,23 +602,28 @@ object Multimodal {
     * verified by `bit_count(xor)`. Input is `(id, ahash)`; the shuffle
     * carries 16 bytes per row, never payloads.
     */
-  private def bandedHammingPairs(hashed: DataFrame, maxHamming: Int): DataFrame = {
-    val banded = hashed.select(col("id"), col("ahash"),
-      explode(array((0 until 4).map { b =>
-        struct(lit(b).as("band"),
-          shiftright(col("ahash"), b * 16).bitwiseAND(0xFFFFL).as("bkey"))
-      }: _*)).as("bb"))
-      .select(col("id"), col("ahash"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-    val a = banded.select(col("band"), col("bkey"), col("id").as("media_a"), col("ahash").as("h_a"))
-    val b = banded.select(col("band"), col("bkey"), col("id").as("media_b"), col("ahash").as("h_b"))
-    a.join(b, Seq("band", "bkey"))
-      .filter(col("media_a") < col("media_b"))
+  private def bandedHammingPairs(hashed: DataFrame, maxHamming: Int,
+                                 maxBucket: Int = 10000): DataFrame =
+    // the same semantics-preserving hot-bucket guard as the text LSH
+    // chains (a degenerate perceptual-hash chunk — near-black frames,
+    // silence-heavy audio — is the identical skew killer); pairs are
+    // unchanged, so the m06-m08 golden-literal oracles hold verbatim
+    Dedup.guardedBandedSelfJoin(
+        hashed.select(col("id"), col("ahash").as("sig"),
+          explode(array((0 until 4).map { b =>
+            struct(lit(b).as("band"),
+              shiftright(col("ahash"), b * 16).bitwiseAND(0xFFFFL).as("bkey"))
+          }: _*)).as("bb"))
+          .select(col("id"), col("sig"),
+            col("bb.band").as("band"), col("bb.bkey").as("bkey")),
+        maxBucket)
+      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+        col("sig_a").as("h_a"), col("sig_b").as("h_b"))
       .dropDuplicates("media_a", "media_b")
       .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("media_a"), col("media_b"), col("hamming"))
       .orderBy(col("media_a"), col("media_b"))
-  }
 
   /** 64-bit audio ENERGY hash — the aHash analog for sound: bit i =
     * (windowed RMS energy of segment i) > (mean energy). Ratios of
