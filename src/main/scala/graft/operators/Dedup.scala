@@ -103,19 +103,19 @@ object Dedup {
     * that verify candidates anyway dedup AFTER the (much smaller)
     * verified set instead of shuffling the full candidate stream.
     */
-  private[graft] def lshCandidatesRaw(sig: DataFrame, bands: Int, rows: Int): DataFrame = {
-    val banded = sig.select(col("id"),
-        explode(array((0 until bands).map { b =>
-          struct(lit(b).as("band"),
-                 hash(slice(col("sig"), b * rows + 1, rows)).as("bkey"))
-        }: _*)).as("bb"))
-      .select(col("bb.band").as("band"), col("bb.bkey").as("bkey"), col("id"))
-    val a = banded.select(col("band"), col("bkey"), col("id").as("doc_a"))
-    val b = banded.select(col("band"), col("bkey"), col("id").as("doc_b"))
-    a.join(b, Seq("band", "bkey"))
-      .filter(col("doc_a") < col("doc_b"))
+  private[graft] def lshCandidatesRaw(sig: DataFrame, bands: Int, rows: Int,
+                                      maxBucket: Int = 10000): DataFrame =
+    // payload-free banded frame → bare pairs, same hot-bucket guard as
+    // the portable chains (see [[guardedBandedSelfJoin]])
+    guardedBandedSelfJoin(
+      sig.select(col("id"),
+          explode(array((0 until bands).map { b =>
+            struct(lit(b).as("band"),
+                   hash(slice(col("sig"), b * rows + 1, rows)).as("bkey"))
+          }: _*)).as("bb"))
+        .select(col("bb.band").as("band"), col("bb.bkey").as("bkey"), col("id")),
+      maxBucket)
       .select(col("doc_a"), col("doc_b"))
-  }
 
   /** Alternative candidate generation: one shuffle (groupBy bucket →
     * collect ids → emit in-bucket pairs) instead of a self-join (which
@@ -287,6 +287,12 @@ object Dedup {
 
   private[graft] def guardedBandedSelfJoin(banded: DataFrame,
                                            maxBucket: Int = 10000): DataFrame = {
+    // payload columns (signatures, hashes) ride both join sides with
+    // _a/_b suffixes; a payload-free banded frame (the raw candidate
+    // chain) yields bare (doc_a, doc_b) pairs
+    val payload = banded.columns.toSeq.filterNot(Set("band", "bkey", "id"))
+    def sideCols(suffix: String) =
+      col("id").as(s"doc_$suffix") +: payload.map(c => col(c).as(s"${c}_$suffix"))
     val hotKeys = broadcast(banded.groupBy(col("band"), col("bkey"))
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") > maxBucket))
@@ -295,10 +301,8 @@ object Dedup {
     // entirely hot or entirely cold, so no pair crosses the two paths)
     val cold = banded.join(hotKeys.select(col("band"), col("bkey")),
                            Seq("band", "bkey"), "left_anti")
-    val coldPairs = cold.select(col("band"), col("bkey"),
-                                col("id").as("doc_a"), col("sig").as("sig_a"))
-      .join(cold.select(col("band"), col("bkey"),
-                        col("id").as("doc_b"), col("sig").as("sig_b")),
+    val coldPairs = cold.select(col("band") +: col("bkey") +: sideCols("a"): _*)
+      .join(cold.select(col("band") +: col("bkey") +: sideCols("b"): _*),
             Seq("band", "bkey"))
       .filter(col("doc_a") < col("doc_b"))
     // hot path — empty at sane density; each wide bucket splits into
@@ -308,17 +312,16 @@ object Dedup {
       .withColumn("g",
         ceil(col("bsz").cast("double") / maxBucket).cast("int"))
       .withColumn("gid", pmod(col("id"), col("g").cast("long")).cast("int"))
-    val hotA = sized.select(col("band"), col("bkey"),
-                            col("gid").as("cell_a"),
-                            explode(sequence(lit(0), col("g") - 1)).as("cell_b"),
-                            col("id").as("doc_a"), col("sig").as("sig_a"))
-    val hotB = sized.select(col("band"), col("bkey"),
-                            explode(sequence(lit(0), col("g") - 1)).as("cell_a"),
-                            col("gid").as("cell_b"),
-                            col("id").as("doc_b"), col("sig").as("sig_b"))
+    val hotA = sized.select(Seq(col("band"), col("bkey"),
+        col("gid").as("cell_a"),
+        explode(sequence(lit(0), col("g") - 1)).as("cell_b")) ++ sideCols("a"): _*)
+    val hotB = sized.select(Seq(col("band"), col("bkey"),
+        explode(sequence(lit(0), col("g") - 1)).as("cell_a"),
+        col("gid").as("cell_b")) ++ sideCols("b"): _*)
     val hotPairs = hotA.join(hotB, Seq("band", "bkey", "cell_a", "cell_b"))
       .filter(col("doc_a") < col("doc_b"))
-    val cols = Seq("doc_a", "doc_b", "sig_a", "sig_b").map(col)
+    val cols = ("doc_a" +: "doc_b" +: payload.flatMap(c =>
+      Seq(s"${c}_a", s"${c}_b"))).map(col)
     coldPairs.select(cols: _*).unionByName(hotPairs.select(cols: _*))
   }
 
