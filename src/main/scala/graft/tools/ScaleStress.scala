@@ -198,7 +198,12 @@ object ScaleStress {
       // full factor× corpus at adversarial near-dup density (d24's
       // stress above only exercised the sampling join; this one
       // carries the cluster-resolution scale claim end-to-end)
-      "d27_cluster_sample_lsh")
+      "d27_cluster_sample_lsh",
+      // round-11: the alternate-shape gates from the parameterized
+      // oracle builders — t36's 4×16×128 trainer faces the same 10×
+      // corpus reduction as t33, e20's 16-dim projection is the
+      // map-only half-width JL kernel
+      "t36_bpe_merges_batched_alt", "e20_random_projection_alt")
 
     // SPARK_GRAFT_ONLY=name1,name2 narrows the run (iteration / probes)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
