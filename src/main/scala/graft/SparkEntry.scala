@@ -353,6 +353,12 @@ object SparkEntry {
     // against the e06 CTE chain with base-restricted training; the
     // float-MLlib persisted path stays spec'd and feeds s13
     "e13_knn_persisted"      -> (Similarity.knnPersistedFixedPoint _),
+    // e21: IVF index-occupancy audit — per-cell counts + id ranges
+    // from the LOADED e13-cycle index (build base, frozen append
+    // delta); the index-health signal that decides when frozen-append
+    // drift warrants a re-train, hash-checked against the e13 CTE
+    // chain's assignment stage
+    "e21_index_occupancy"    -> (Similarity.indexOccupancy _),
     "e05_cosine_range"       -> (Similarity.knnRange _),
     // e15: IVF+PQ composite (coarse cells bound rows touched, PQ codes
     // bound per-row cost — the FAISS-IVFPQ shape; rows-only: k-means +
@@ -1043,6 +1049,10 @@ object SparkEntry {
       // centroids, which IS the append semantics
       "e13_knn_persisted" -> Similarity.ivfKmeansOracleSql(
         trainMax = Similarity.indexBaseSplit),
+      // e21: the e13 chain's asg CTEs grouped to per-cell occupancy —
+      // a hash match pins that the persisted inverted lists hold
+      // exactly the fixed-point assignment (append lost nothing)
+      "e21_index_occupancy" -> Similarity.indexOccupancyOracleSql(),
       // e07: per-subspace integer Lloyd (one CTE chain trains all m
       // codebooks, keys carry the subspace id), integer ADC shortlist,
       // exact-cosine re-rank

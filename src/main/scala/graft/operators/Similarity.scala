@@ -878,6 +878,53 @@ object Similarity {
       assignCellsFixedPoint(corpus, idCol, vecCol, cents),
       queries, idCol, vecCol, k, cents, nProbe)
 
+  /** e21: IVF index-OCCUPANCY audit — the index-health check a 100 TB
+    * ANN deployment runs between e13's build/append cycles: per-cell
+    * vector counts plus the id range each inverted list spans. Frozen-
+    * centroid appends (e13's increment contract) never rebalance, so
+    * cells drift as the corpus grows — occupancy skew is the signal
+    * that probe cost is concentrating (a hot cell is to IVF what a hot
+    * bucket is to LSH: the probe stage scans it in full) and a
+    * re-train is due. Runs the exact e13 cycle (build on the base
+    * slice, frozen append of the delta), audits the LOADED
+    * assignments; integer-derived end-to-end, so the DuckDB oracle
+    * re-derives the same occupancy table from the e13 CTE chain's
+    * `asg` — a hash match proves the persisted inverted lists hold
+    * exactly the rows the fixed-point algebra assigns, which also
+    * pins that append lost/duplicated nothing (counts sum to the
+    * corpus). Scale shape: one map-side-combined groupBy over the
+    * assignments table — |cells| output rows, no joins.
+    */
+  def indexOccupancy(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val idxDir = graft.util.Scratch.dir(spark, "e21_idx", dir).toString
+    buildIvfIndexFixedPoint(emb.filter(col("vec_id") < indexBaseSplit),
+      "vec_id", "embedding", idxDir)
+    appendIvfIndexFixedPoint(emb.filter(col("vec_id") >= indexBaseSplit),
+      "vec_id", "embedding", idxDir)
+    spark.read.parquet(s"$idxDir/assignments")
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("neighbor_id")).as("min_id"),
+        max(col("neighbor_id")).as("max_id"))
+      .select(col("cell").cast("long").as("cell"), col("n_vecs"),
+        col("min_id"), col("max_id"))
+      .orderBy(col("cell"))
+  }
+
+  /** The e21 oracle: the e13 chain's assignment CTEs (training
+    * restricted to the base slice, assignment over the full corpus —
+    * the frozen-append semantics) grouped to the occupancy table.
+    */
+  def indexOccupancyOracleSql(dim: Int = 64, nCells: Int = ivfKmeansCells,
+                              iters: Int = ivfKmeansIters,
+                              trainMax: Long = indexBaseSplit): String =
+    ivfKmeansAsgCtes(dim, nCells, iters, trainMax, "") + "\n" +
+    "SELECT CAST(cell AS BIGINT) AS cell, CAST(count(*) AS BIGINT) AS n_vecs,\n" +
+    " CAST(min(neighbor_id) AS BIGINT) AS min_id,\n" +
+    " CAST(max(neighbor_id) AS BIGINT) AS max_id\n" +
+    "FROM asg GROUP BY cell ORDER BY cell"
+
   /** The registered e13 gate: build on base, append delta, query the
     * LOADED index.
     */
@@ -898,11 +945,14 @@ object Similarity {
     * kernels, every arithmetic step integer-identical to the Spark
     * expressions (`//` ≡ Long `/`: both truncate toward zero).
     */
-  def ivfKmeansOracleSql(dim: Int = 64, nCells: Int = ivfKmeansCells,
-                         nProbe: Int = ivfKmeansProbe, k: Int = 5,
-                         iters: Int = ivfKmeansIters,
-                         trainMax: Long = -1L,
-                         asgFilterSql: String = ""): String = {
+  /** The WITH-body of [[ivfKmeansOracleSql]] through the full-corpus
+    * assignment CTE (`asg`) — shared by the kNN oracles and the e21
+    * occupancy audit so the training/assignment algebra has ONE
+    * definition.
+    */
+  private def ivfKmeansAsgCtes(dim: Int, nCells: Int, iters: Int,
+                               trainMax: Long,
+                               asgFilterSql: String): String = {
     // trainMax >= 0 restricts SEED SELECTION and the Lloyd iterations
     // to vec_id < trainMax (the e13 persisted-index base slice); the
     // final assignment/probe stages always cover the full corpus —
@@ -941,7 +991,19 @@ object Similarity {
     s"$iterBlocks\n" +
     s"asg AS (\n" +
     s" SELECT vec_id AS neighbor_id, cn AS cell FROM (\n" +
-    s"  ${assignSql(s"c$iters", asgPred)}) WHERE r = 1),\n" +
+    s"  ${assignSql(s"c$iters", asgPred)}) WHERE r = 1)"
+  }
+
+  def ivfKmeansOracleSql(dim: Int = 64, nCells: Int = ivfKmeansCells,
+                         nProbe: Int = ivfKmeansProbe, k: Int = 5,
+                         iters: Int = ivfKmeansIters,
+                         trainMax: Long = -1L,
+                         asgFilterSql: String = ""): String = {
+    def assignSql(cTab: String, extra: String): String =
+      s"SELECT q.vec_id, c.cn, row_number() OVER (PARTITION BY q.vec_id\n" +
+      s"    ORDER BY sum((q.qd - c.cd)*(q.qd - c.cd)), c.cn) AS r\n" +
+      s"  FROM q JOIN $cTab c ON q.d = c.d$extra GROUP BY q.vec_id, c.cn"
+    ivfKmeansAsgCtes(dim, nCells, iters, trainMax, asgFilterSql) + ",\n" +
     s"probes AS (\n" +
     s" SELECT vec_id AS query_id, cn AS cell FROM (\n" +
     s"  ${assignSql(s"c$iters", " WHERE q.vec_id < 10")}) WHERE r <= $nProbe),\n" +

@@ -203,7 +203,11 @@ object ScaleStress {
       // oracle builders — t36's 4×16×128 trainer faces the same 10×
       // corpus reduction as t33, e20's 16-dim projection is the
       // map-only half-width JL kernel
-      "t36_bpe_merges_batched_alt", "e20_random_projection_alt")
+      "t36_bpe_merges_batched_alt", "e20_random_projection_alt",
+      // round-11: the index-health audit over the full e13 cycle at
+      // factor× corpus — build stays base-bounded, the frozen append
+      // and the occupancy groupBy carry the growth
+      "e21_index_occupancy")
 
     // SPARK_GRAFT_ONLY=name1,name2 narrows the run (iteration / probes)
     val only = sys.env.get("SPARK_GRAFT_ONLY")

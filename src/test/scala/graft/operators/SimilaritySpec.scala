@@ -648,6 +648,33 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.4, s"recall=$recall")
   }
 
+  test("e21 occupancy audit: counts cover the corpus exactly; audit == fresh assignment") {
+    val emb = Tables.embeddings(spark, sf)
+    val got = Similarity.indexOccupancy(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // conservation: the inverted lists hold every corpus vector exactly
+    // once — append lost and duplicated nothing
+    assert(got.map(_._2).sum == emb.count(), s"counts don't cover the corpus: $got")
+    assert(got.map(_._1) == got.map(_._1).sorted && got.map(_._1).distinct == got.map(_._1))
+    got.foreach { case (cell, n, lo, hi) =>
+      assert(cell >= 1 && n > 0 && lo <= hi, s"malformed row ($cell,$n,$lo,$hi)")
+    }
+    // the audited (loaded) occupancy equals a fresh in-memory assignment
+    // with the same base-trained centroids — the e13 loaded≡fresh
+    // contract at the audit level
+    val trainSet = emb.filter($"vec_id" < Similarity.indexBaseSplit)
+    val cents = Similarity.trainCentroidsFixedPoint(
+      Similarity.quantized(trainSet, "vec_id", "embedding"), "vec_id",
+      Similarity.ivfKmeansCells, Similarity.ivfKmeansIters)
+    val fresh = Similarity.assignCellsFixedPoint(emb, "vec_id", "embedding", cents)
+      .groupBy($"cell")
+      .agg(count(lit(1)).as("n"), min($"neighbor_id"), max($"neighbor_id"))
+      .select($"cell".cast("long"), $"n", $"min(neighbor_id)", $"max(neighbor_id)")
+      .orderBy($"cell")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == fresh, "loaded-index occupancy diverges from fresh assignment")
+  }
+
   test("e07 fixed-point PQ: deterministic, >=40% recall vs brute force") {
     val brute = Similarity.knnBruteForce(spark, sf)
       .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
