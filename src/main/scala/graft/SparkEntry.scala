@@ -477,6 +477,12 @@ object SparkEntry {
     // open, not frozen to the t33 fixture shape
     "t36_bpe_merges_batched_alt" -> ((s: SparkSession, dir: String) =>
       TextAnalysis.bpeMergesBatched(s, dir, rounds = 4, m = 16, cand = 128)),
+    // t37: the t32 vocab-usage audit at the PRODUCTION (batched
+    // 64-merge) vocabulary — the report a tokenizer owner reads after
+    // training the deployable vocab, in the same denomination as
+    // p03/p05/s23/t34/t35
+    "t37_bpe_token_freqs_batched" -> ((s: SparkSession, dir: String) =>
+      TextAnalysis.bpeTokenFreqsBatched(s, dir)),
     // t34: the batched 64-merge vocabulary applied corpus-wide — the
     // apply half of the scale path; still ONE map-only projection
     "t34_bpe_encode_batched" -> ((s: SparkSession, dir: String) =>
@@ -3158,13 +3164,16 @@ object SparkEntry {
     // side's single codegen'd projection); chr(1) coalesce-guards
     // keep suffix-empty selections as identity, exactly as the Spark
     // side skips them
+    // the 64-deep batched-vocab replace chain over column d.s — shared
+    // by the t34/t35/s23 per-doc meter and the t37 usage audit
+    val t33Applied = (1 to 8).flatMap(r => (1 to 8).map(j => (r, j)))
+      .foldLeft("d.s") { case (acc, (r, j)) =>
+        s"""replace($acc,
+           |  coalesce(' ' || (SELECT l FROM bs${r}_$j) || '  ' || (SELECT r FROM bs${r}_$j) || ' ', chr(1)),
+           |  coalesce(' ' || (SELECT l FROM bs${r}_$j) || (SELECT r FROM bs${r}_$j) || ' ', chr(1)))""".stripMargin
+      }
     val t34Sql = {
-      val applied = (1 to 8).flatMap(r => (1 to 8).map(j => (r, j)))
-        .foldLeft("d.s") { case (acc, (r, j)) =>
-          s"""replace($acc,
-             |  coalesce(' ' || (SELECT l FROM bs${r}_$j) || '  ' || (SELECT r FROM bs${r}_$j) || ' ', chr(1)),
-             |  coalesce(' ' || (SELECT l FROM bs${r}_$j) || (SELECT r FROM bs${r}_$j) || ' ', chr(1)))""".stripMargin
-        }
+      val applied = t33Applied
       s"""WITH $t33Ctes
          |SELECT doc_id, CAST(len(list_filter(string_split_regex(trim($applied), '\\s+'),
          |  x -> length(x) > 0)) AS BIGINT) AS n_bpe_tokens
@@ -3173,6 +3182,22 @@ object SparkEntry {
          | FROM documents) d
          |ORDER BY doc_id""".stripMargin
     }
+    // t37: the t32 usage audit under the BATCHED vocab — the t34
+    // applied chain kept as token lists, exploded and counted, same
+    // (cnt DESC, tok) tie rule
+    val t37Sql =
+      s"""WITH $t33Ctes
+         |SELECT tok, cnt, CAST(length(tok) AS BIGINT) AS n_chars,
+         | cnt * CAST(length(tok) AS BIGINT) AS chars_covered
+         |FROM (
+         | SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |  SELECT unnest(list_filter(string_split_regex(trim($t33Applied), '\\s+'),
+         |    x -> length(x) > 0)) AS tok
+         |  FROM (
+         |   SELECT doc_id, regexp_replace(${norm("text")}, '(\\S)', ' \\1 ', 'g') AS s
+         |   FROM documents) d)
+         | GROUP BY tok)
+         |ORDER BY cnt DESC, tok LIMIT 25""".stripMargin
     // d26: the dedup calibration audit — same leg shape as e08Sql,
     // over the composed d08 anchor (≥0.6) and the d03/d04/d05 chains
     // restricted to the anchor slice
@@ -3255,6 +3280,7 @@ object SparkEntry {
             "t32_bpe_token_freqs" -> t32Sql,
             "t33_bpe_merges_batched" -> t33Sql,
             "t36_bpe_merges_batched_alt" -> t33SqlFor(4, 16, 128),
+            "t37_bpe_token_freqs_batched" -> t37Sql,
             "t34_bpe_encode_batched" -> t34Sql,
             "t35_bpe_encode_persisted" -> t34Sql,
             "s23_streaming_token_meter" -> t34Sql,

@@ -1339,6 +1339,29 @@ object TextAnalysis {
         (col("cnt") * length(col("tok"))).cast("long").as("chars_covered"))
   }
 
+  /** t37: the t32 vocab-usage audit at the PRODUCTION vocabulary —
+    * token frequencies, per-token char length, and amortized byte
+    * coverage under the batched 64-merge vocab (the denomination
+    * p03/p05/s23/t34/t35 share), instead of t32's 8-merge toy. This is
+    * the report a tokenizer owner actually reads after training the
+    * deployable vocab: which learned symbols carry the corpus, and how
+    * much byte mass the merged vocabulary absorbs vs the single-char
+    * tail. Same scale shape as t32: one map-only encode projection,
+    * one map-side-combined count, TakeOrderedAndProject at topN.
+    */
+  def bpeTokenFreqsBatched(spark: SparkSession, dir: String,
+                           topN: Int = 25): DataFrame = {
+    val merges = bpeTrainBatched(spark, dir, 8, 8, 64)
+    Tables.documents(spark, dir)
+      .select(explode(bpeTokensCol(merges, col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(topN)
+      .select(col("tok"), col("cnt"),
+        length(col("tok")).cast("long").as("n_chars"),
+        (col("cnt") * length(col("tok"))).cast("long").as("chars_covered"))
+  }
+
   /** Lazy single-round plan for `DumpPlans`: the t30 gate's OUTPUT is
     * a driver-local 8-row merge table (the per-round argmax collect IS
     * the plan, the d10/d24 precedent), so the dumped evidence is the

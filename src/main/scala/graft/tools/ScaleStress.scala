@@ -207,7 +207,10 @@ object ScaleStress {
       // round-11: the index-health audit over the full e13 cycle at
       // factor× corpus — build stays base-bounded, the frozen append
       // and the occupancy groupBy carry the growth
-      "e21_index_occupancy")
+      "e21_index_occupancy",
+      // round-11: the usage audit at the production vocab — the t32
+      // explode shape with the 64-deep replace chain over 10× bytes
+      "t37_bpe_token_freqs_batched")
 
     // SPARK_GRAFT_ONLY=name1,name2 narrows the run (iteration / probes)
     val only = sys.env.get("SPARK_GRAFT_ONLY")

@@ -519,6 +519,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(doc0 < text.replace(" ", "").length && doc0 > text.split(" ").length)
   }
 
+  test("t37 batched-vocab usage audit: conserves t34's token mass; top-25 is a prefix") {
+    // conservation: summing the FULL frequency table (topN unbounded)
+    // equals the t34 per-doc meter's corpus total — the audit and the
+    // meter count the same trained tokens (the one-denomination
+    // contract), and the registered top-25 is a prefix of that table
+    val full = TextAnalysis.bpeTokenFreqsBatched(spark, sf, topN = Int.MaxValue)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val meterTotal = TextAnalysis.bpeEncodeBatched(spark, sf)
+      .agg(sum($"n_bpe_tokens")).as[Long].head
+    assert(full.map(_._2).sum == meterTotal,
+      s"audit mass ${full.map(_._2).sum} != meter total $meterTotal")
+    val top = TextAnalysis.bpeTokenFreqsBatched(spark, sf)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(top == full.take(25), "registered top-25 must be a prefix of the full table")
+    top.foreach { case (tok, cnt, nc, cc) =>
+      assert(tok.nonEmpty && nc == tok.length.toLong && cc == cnt * nc)
+    }
+  }
+
   test("t32 trained-vocab token frequencies match the reference segmentation") {
     val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
       Seq.fill(6)("newest") ++ Seq.fill(3)("widest") ++
