@@ -1095,6 +1095,13 @@ object SparkEntry {
       // perceptual near-dup pair tables (deterministic integers) —
       // promotes the three modal near-dup gates from rows-only to
       // hash-checked; regenerate via DumpMediaDigests m06|m07|m08
+      // m01/m02/m04/m05: the same pattern for the remaining
+      // integer-valued media gates — only m03 (decoded frame bytes)
+      // stays rows-only, anchored by m09's decode digests
+      "m01_media_ann" -> graft.operators.MediaGoldenTables.mediaAnnOracleSql,
+      "m02_media_dedup" -> graft.operators.MediaGoldenTables.mediaDedupOracleSql,
+      "m04_media_resize" -> graft.operators.MediaGoldenTables.mediaResizeOracleSql,
+      "m05_media_ingest" -> graft.operators.MediaGoldenTables.mediaIngestOracleSql,
       "m06_media_phash" -> graft.operators.MediaGoldenPairs.mediaPhashOracleSql,
       "m07_media_audiodedup" -> graft.operators.MediaGoldenPairs.mediaAudioDedupOracleSql,
       "m08_media_videodedup" -> graft.operators.MediaGoldenPairs.mediaVideoDedupOracleSql,

@@ -35,7 +35,25 @@ object DumpMediaDigests {
         df.orderBy("media_a", "media_b").collect().map { r =>
           s"(${r.getLong(0)}, ${r.getLong(1)}, ${r.getInt(2)}, ${r.getLong(3)})"
         }
-      case other => sys.error(s"unknown gate $other (m06|m07|m08|m09)")
+      case "m01" | "m02" | "m04" | "m05" =>
+        // all-integer outputs — dump every column generically, sorted
+        // by the gate's own presentation order
+        val df = gate match {
+          case "m01" => mm.mediaAnn(spark, "")
+          case "m02" => mm.mediaDedup(spark, "")
+          case "m04" => mm.mediaResize(spark, "")
+          case _     => mm.mediaIngest(spark, "")
+        }
+        df.collect().map { r =>
+          (0 until r.length).map { i =>
+            r.get(i) match {
+              case l: java.lang.Long    => l.toString
+              case n: java.lang.Integer => n.toString
+              case other => sys.error(s"non-integer column $i: $other")
+            }
+          }.mkString("(", ", ", ")")
+        }
+      case other => sys.error(s"unknown gate $other (m01|m02|m04|m05|m06|m07|m08|m09)")
     }).mkString(",\n")
     args.drop(1).headOption match {
       case Some(out) =>
