@@ -649,18 +649,21 @@ object SparkEntry {
     // e18/e19 parameterized builders — the md5-low-bit ±1 projection,
     // quantize, and integer sum at ANY (dims, scale); e18 registers
     // (32, 1000), e20 proves dims=16 from the same builder
-    def jlProjExpr(dims: Int, scale: Long): String =
+    // projects the FIXED 64-wide input embedding (range(1, 65)); the
+    // output width is the callers' range(0, $dims), not a parameter
+    // of the per-dim expression
+    def jlProjExpr(scale: Long): String =
       s"""CAST(list_sum(list_transform(range(1, 65), i ->
          |  (CASE WHEN (('0x' || substr(md5('p-' || j::VARCHAR || '-' || i::VARCHAR), 1, 15))::BIGINT & 1) = 1
          |        THEN 1 ELSE -1 END)
          |  * CAST(floor(CAST(embedding[i] AS DOUBLE) * $scale.0 + 0.5) AS BIGINT))) AS BIGINT)""".stripMargin
     def e18SqlFor(dims: Int, scale: Long): String =
-      s"""SELECT vec_id, j AS proj_dim, ${jlProjExpr(dims, scale)} AS proj
+      s"""SELECT vec_id, j AS proj_dim, ${jlProjExpr(scale)} AS proj
          |FROM embeddings, range(0, $dims) t(j)
          |ORDER BY vec_id, proj_dim""".stripMargin
     def e19SqlFor(k: Int, shortlist: Int, dims: Int, scale: Long): String =
       s"""WITH pj AS (
-         | SELECT vec_id, j, ${jlProjExpr(dims, scale)} AS proj
+         | SELECT vec_id, j, ${jlProjExpr(scale)} AS proj
          | FROM embeddings, range(0, $dims) t(j)),
          |vecs AS (SELECT vec_id, list(proj ORDER BY j) AS p FROM pj GROUP BY vec_id),
          |short AS (

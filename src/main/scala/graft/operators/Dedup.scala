@@ -253,27 +253,33 @@ object Dedup {
     * fixture scale. Unlike the candidate-dropping cap in
     * [[lshCandidatesViaBuckets]], this guard is SEMANTICS-PRESERVING:
     * buckets wider than `maxBucket` are split into
-    * g = ceil(size/maxBucket) groups by the engine-portable key
-    * `id mod g`, and the join runs over the g×g group cells — the
-    * a-side replicates each member across its row of cells, the b-side
-    * across its column, so every in-bucket pair is still produced in
-    * EXACTLY one cell. The registered DuckDB oracles therefore hold
+    * g = ceil(size/maxBucket) groups by the type-agnostic key
+    * `xxhash64(id) mod g`, and the join runs over the g×g group
+    * cells — the a-side replicates each member across its row of
+    * cells, the b-side across its column, so every in-bucket pair is
+    * still produced in EXACTLY one cell (ANY deterministic per-row
+    * key has that property, so correctness never depends on the key
+    * choice). The registered DuckDB oracles therefore hold
     * bit-for-bit even when the guard fires, while per-join-key width
     * is bounded by ~maxBucket and the (inherent) quadratic work
     * parallelizes across the cluster instead of landing on one
     * straggler. The hot-key side is broadcast — ≤ |banded|/maxBucket
     * rows by construction (hot keys are few BECAUSE they are wide).
-    * The split key `id mod g` balances perfectly for the dense
-    * sequential ids the pipeline assigns (q68 stable-id style); a
-    * structured-id corpus can only skew TASK balance with it, never
-    * correctness. Returns candidate pairs (doc_a < doc_b) with both
-    * signatures.
+    * The split key hashes the id rather than taking it numerically:
+    * the public chains (simHashPairs, *Portable, lshCandidatesRaw)
+    * accept STRING ids too, where a raw `id mod g` implicit-casts to
+    * null and would silently drop every hot-bucket pair — the exact
+    * at-scale condition the guard exists for. The hash split balances
+    * binomially (cell width concentrates at bsz/g ≤ maxBucket within
+    * ~3·sqrt(maxBucket) w.h.p. — a few % at the default 10000), which
+    * bounds task width just as well as an exact split. Returns
+    * candidate pairs (doc_a < doc_b) with both signatures.
     */
   /** The guard's cell assignment over ALL rows (cold rows get g=1),
     * exposed for the width-bound spec: banded rows + (g, gid) where
-    * g = ceil(bucket/maxBucket) and gid = id mod g is the row's group
-    * within its bucket — the same g/gid expressions the hot path of
-    * [[guardedBandedSelfJoin]] applies.
+    * g = ceil(bucket/maxBucket) and gid = xxhash64(id) mod g is the
+    * row's group within its bucket — the same g/gid expressions the
+    * hot path of [[guardedBandedSelfJoin]] applies.
     */
   private[graft] def hotBucketCells(banded: DataFrame, maxBucket: Int): DataFrame =
     banded.join(
@@ -283,7 +289,8 @@ object Dedup {
         Seq("band", "bkey"), "left_outer")
       .withColumn("g", coalesce(
         ceil(col("bsz").cast("double") / maxBucket).cast("int"), lit(1)))
-      .withColumn("gid", pmod(col("id"), col("g").cast("long")).cast("int"))
+      .withColumn("gid",
+        pmod(xxhash64(col("id")), col("g").cast("long")).cast("int"))
 
   private[graft] def guardedBandedSelfJoin(banded: DataFrame,
                                            maxBucket: Int = 10000): DataFrame = {
@@ -311,7 +318,8 @@ object Dedup {
     val sized = banded.join(hotKeys, Seq("band", "bkey"))
       .withColumn("g",
         ceil(col("bsz").cast("double") / maxBucket).cast("int"))
-      .withColumn("gid", pmod(col("id"), col("g").cast("long")).cast("int"))
+      .withColumn("gid",
+        pmod(xxhash64(col("id")), col("g").cast("long")).cast("int"))
     val hotA = sized.select(Seq(col("band"), col("bkey"),
         col("gid").as("cell_a"),
         explode(sequence(lit(0), col("g") - 1)).as("cell_b")) ++ sideCols("a"): _*)

@@ -1206,9 +1206,12 @@ object TextAnalysis {
       }
       // yield counter: how much of the batch budget the disjointness
       // filter actually grants this round — the saturation signal that
-      // decides whether growing m buys merges or just bigger collects
-      println(s"[bpe_batched] round=$round selected=${sel.size}/$m " +
-        s"candidates=${top.length}/$cand")
+      // decides whether growing m buys merges or just bigger collects.
+      // Opt-in (GRAFT_BPE_VERBOSE): this path is inside every timed
+      // bench rep and every test, so it must stay quiet by default.
+      if (sys.env.contains("GRAFT_BPE_VERBOSE"))
+        println(s"[bpe_batched] round=$round selected=${sel.size}/$m " +
+          s"candidates=${top.length}/$cand")
       if (sel.isEmpty) exhausted = true
       else {
         sel.foreach { case (l, r, pc) =>

@@ -639,7 +639,10 @@ class DedupSpec extends SparkSpec {
       .toDF("doc_id", "text")
 
     // the guard fires (g > 1) and bounds every join-side cell width:
-    // dense ids mod g split each hot bucket into exactly-even groups
+    // the hash split (xxhash64(id) mod g — type-agnostic, see the
+    // guard doc) balances binomially, so cell width concentrates at
+    // bsz/g ≤ maxBucket; 2× covers the toy-threshold tail here (at
+    // the production default 10000 the deviation is a few %)
     val maxBucket = 25
     val hashed = docs.select($"doc_id".as("id"),
         HashFns.sortedPortableShingleHashSet(
@@ -650,8 +653,8 @@ class DedupSpec extends SparkSpec {
     assert(cells.agg(max($"g")).as[Int].head > 1, "guard must fire on this density")
     val maxWidth = cells.groupBy($"band", $"bkey", $"gid")
       .count().agg(max($"count")).as[Long].head
-    assert(maxWidth <= maxBucket,
-      s"cell width $maxWidth exceeds the $maxBucket bound")
+    assert(maxWidth <= 2L * maxBucket,
+      s"cell width $maxWidth exceeds the ${2 * maxBucket} binomial bound")
 
     // and it is semantics-preserving WHILE firing: the pair set equals
     // the unguarded (g=1 everywhere) run exactly, jaccards included
@@ -663,5 +666,27 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSeq
     assert(guarded.nonEmpty, "planted near-identical cluster must yield pairs")
     assert(guarded == unguarded, "guard must not add, drop, or reorder pairs")
+  }
+
+  test("hot-bucket guard: STRING ids through a hot bucket — no silent pair loss") {
+    // regression for the type hole a raw `id mod g` split key would
+    // open: the public chains accept arbitrary idCol, and a string id
+    // implicit-cast to null gid would drop every pair in a
+    // wider-than-maxBucket bucket — exactly the at-scale condition
+    // the guard exists for, invisible on int64 fixtures. The
+    // xxhash64-based split key must keep the guarded run identical to
+    // the unguarded one on string-keyed docs too.
+    val body = "the same boilerplate legal disclaimer repeated on every page of this crawl shard " * 3
+    val docs = (0 until 300).map(i => (f"crawl/shard-7/doc-$i%04d", body + ("x" * (i % 3))))
+      .toDF("doc_id", "text")
+    val guarded = Dedup.minHashLshPairsPortable(
+        docs, "doc_id", "text", maxBucket = 25)
+      .as[(String, String, Double)].collect().toSeq.sorted
+    val unguarded = Dedup.minHashLshPairsPortable(
+        docs, "doc_id", "text", maxBucket = 1000000)
+      .as[(String, String, Double)].collect().toSeq.sorted
+    assert(guarded.nonEmpty, "planted cluster must yield pairs under string ids")
+    assert(guarded == unguarded,
+      "string-id hot bucket must survive the guard pair-for-pair")
   }
 }
