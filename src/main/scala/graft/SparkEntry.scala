@@ -169,6 +169,10 @@ object SparkEntry {
     // (simHashPairs / ngramJaccardPairs) stay the spec'd scale paths
     "d04_simhash"            -> (Dedup.simHashDedupPortable _),
     "d05_ngram_jaccard"      -> (Dedup.ngramJaccardDedupPortable _),
+    // d28: d03 at the alternate 16×2 band geometry (recall-leaning) —
+    // same signatures/prefilter/verify, geometry threaded through the
+    // parameterized chain on BOTH engines (the e20/t36 builder pattern)
+    "d28_minhash_lsh_alt"    -> (Dedup.minHashDedupPortableAlt _),
     // d06: engine-portable like d03/d04/d05 — md5-derived Rademacher
     // hyperplanes instead of a seeded Gaussian RNG; the Gaussian
     // kernel (embeddingNearDupPairs) stays the spec'd scale path
@@ -229,6 +233,13 @@ object SparkEntry {
     // sequence packing; the oracle composes the three proven chains,
     // so drift anywhere in the composition moves the final hash
     "p01_corpus_pipeline"    -> (graft.operators.Curation.corpusPipeline(_, _)),
+    // p06: the INCREMENTAL refresh capstone — crawl delta vs the
+    // PERSISTED LSH index (s19's build/append split, both joins behind
+    // the hot-bucket guard, index side via the persisted size lookup)
+    // → d12 decontamination → q57 packing of the increment; oracle =
+    // the d03 chain's pairs at doc_b ≥ split + the nested d12/q57
+    // statements (the p01 composition pattern over s19's closed form)
+    "p06_incremental_refresh" -> (graft.operators.Curation.incrementalRefresh(_, _)),
     // p02: the CCNet-style quality-MIXTURE pipeline — quality gate →
     // integer bigram-LM milli-scores vs the %10<8 reference split →
     // per-lang head/middle/tail buckets relative to the per-lang
@@ -709,11 +720,17 @@ object SparkEntry {
     // The portable MinHash+LSH pipeline as a reusable CTE chain over a
     // relation exposing (doc_id, nt): md5-60-bit 5-gram shingle hashes,
     // 32 mod-M61 permutations (constants from HashFns.PortableA/B — one
-    // source of truth with the Spark kernel), 8×4 value-keyed bands,
-    // integer ≥13-of-32 estimate prefilter, exact jaccard ≥ 0.6 over
-    // the same hashed sets. Emits `lshpairs(doc_a, doc_b, jaccard)`.
-    // Used by d03 (standalone) and d11 (inside the curation pipeline).
-    def portableLshCtes(src: String): String = {
+    // source of truth with the Spark kernel), bands×rows value-keyed
+    // bands, integer ≥minMatch-of-32 estimate prefilter, exact jaccard
+    // ≥ threshold over the same hashed sets. Emits
+    // `lshpairs(doc_a, doc_b, jaccard)`. Used by d03/s19 (8×4 default),
+    // d11 (inside the curation pipeline), and d28 (the 16×2
+    // alternate-geometry gate) — the band geometry threads through the
+    // builder exactly like e18SqlFor/t33SqlFor, so an alternate shape
+    // is one call, not duplicated SQL.
+    def portableLshCtesFor(src: String, bands: Int, rows: Int,
+                           minMatch: Int, threshold: Double): String = {
+      require(bands * rows == 32, s"band geometry must tile the 32 hashes: $bands x $rows")
       val aLit = graft.functions.HashFns.PortableA.mkString("[", ", ", "]")
       val bLit = graft.functions.HashFns.PortableB.mkString("[", ", ", "]")
       s"""hs AS (
@@ -729,22 +746,24 @@ object SparkEntry {
          | FROM hs
          |), banded AS (
          | SELECT doc_id, sig, b,
-         |  array_to_string(sig[1 + 4*b : 4 + 4*b], '-') AS bkey
-         | FROM sig, range(0, 8) t(b)
+         |  array_to_string(sig[1 + $rows*b : $rows + $rows*b], '-') AS bkey
+         | FROM sig, range(0, $bands) t(b)
          |), cand AS (
          | SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
          | FROM banded x JOIN banded y
          |   ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id
-         | WHERE len(list_filter(range(1, 33), i -> x.sig[i] = y.sig[i])) >= 13
+         | WHERE len(list_filter(range(1, 33), i -> x.sig[i] = y.sig[i])) >= $minMatch
          |), lshpairs AS (
          | SELECT doc_a, doc_b, jaccard FROM (
          |  SELECT c.doc_a, c.doc_b,
          |   CAST(len(list_intersect(p.hs, q.hs)) AS DOUBLE)
          |    / (len(p.hs) + len(q.hs) - len(list_intersect(p.hs, q.hs))) AS jaccard
          |  FROM cand c JOIN hs p ON c.doc_a = p.doc_id JOIN hs q ON c.doc_b = q.doc_id)
-         | WHERE jaccard >= 0.6
+         | WHERE jaccard >= $threshold
          |)""".stripMargin
     }
+    def portableLshCtes(src: String): String =
+      portableLshCtesFor(src, bands = 8, rows = 4, minMatch = 13, threshold = 0.6)
 
     // t09/t10 ranker SQL — standalone entries below, and reused verbatim
     // as the shortlist CTE bodies of the t18 RRF fusion
@@ -1098,11 +1117,14 @@ object SparkEntry {
       // perceptual near-dup pair tables (deterministic integers) —
       // promotes the three modal near-dup gates from rows-only to
       // hash-checked; regenerate via DumpMediaDigests m06|m07|m08
-      // m01/m02/m04/m05: the same pattern for the remaining
-      // integer-valued media gates — only m03 (decoded frame bytes)
-      // stays rows-only, anchored by m09's decode digests
+      // m01-m05: the same pattern for the remaining integer-valued
+      // media gates — r12 closes the set with m03 (the frame-sample
+      // rollup and its per-video decode digests are deterministic
+      // integers of the seeded fixture + JDK codecs, exactly the
+      // m04/m05 shape); the whole m-family is now hash-checked
       "m01_media_ann" -> graft.operators.MediaGoldenTables.mediaAnnOracleSql,
       "m02_media_dedup" -> graft.operators.MediaGoldenTables.mediaDedupOracleSql,
+      "m03_media_frames" -> graft.operators.MediaGoldenTables.mediaFrameSampleOracleSql,
       "m04_media_resize" -> graft.operators.MediaGoldenTables.mediaResizeOracleSql,
       "m05_media_ingest" -> graft.operators.MediaGoldenTables.mediaIngestOracleSql,
       "m06_media_phash" -> graft.operators.MediaGoldenPairs.mediaPhashOracleSql,
@@ -1308,6 +1330,13 @@ object SparkEntry {
       // one final division of identical ints.
       "d03_minhash_lsh" ->
         s"""WITH ${portableLshCtes(s"(SELECT doc_id, ${norm("text")} AS nt FROM documents)")}
+           |SELECT doc_a, doc_b, jaccard FROM lshpairs
+           |ORDER BY doc_a, doc_b""".stripMargin,
+      // d28: the SAME chain from the SAME builder at 16 bands × 2 rows
+      // (recall-leaning geometry) — nothing duplicated but the call
+      "d28_minhash_lsh_alt" ->
+        s"""WITH ${portableLshCtesFor(s"(SELECT doc_id, ${norm("text")} AS nt FROM documents)",
+                                      bands = 16, rows = 2, minMatch = 13, threshold = 0.6)}
            |SELECT doc_a, doc_b, jaccard FROM lshpairs
            |ORDER BY doc_a, doc_b""".stripMargin,
       // s19: a pair (a < b) is emitted when its second-processed
@@ -3262,6 +3291,34 @@ object SparkEntry {
          | FROM (SELECT e.doc_id, e.n_bpe_tokens, e.doc_id % 32 AS shard
          |  FROM enc e JOIN sel USING (doc_id)))
          |ORDER BY doc_id""".stripMargin
+    // p06: the incremental-refresh composition — the d03 CTE chain
+    // names the delta's near-dup victims (a pair's doc_b IS its delta
+    // member: doc_b ≥ split ⇔ the pair touches the delta, and greedy
+    // keep-first drops exactly doc_b), d12's statement flags eval
+    // contamination, q57's window packs the surviving increment in its
+    // own shard namespace
+    val p06Sql =
+      s"""WITH ${portableLshCtes(s"(SELECT doc_id, ${norm("text")} AS nt FROM documents)")},
+         |victims AS (SELECT DISTINCT doc_b AS doc_id FROM lshpairs
+         |  WHERE doc_b >= ${graft.operators.Dedup.incrementalSplit}),
+         |flagged AS (SELECT doc_id FROM (${base("d12_decontamination")}) f),
+         |survivors AS (
+         | SELECT doc_id, text FROM documents
+         | WHERE doc_id >= ${graft.operators.Dedup.incrementalSplit}
+         |  AND doc_id NOT IN (SELECT doc_id FROM victims)
+         |  AND doc_id NOT IN (SELECT doc_id FROM flagged))
+         |SELECT doc_id, n_tokens, shard, start_off,
+         | shard * 2199023255552 + CAST(floor(start_off / 2048) AS BIGINT) AS pack_id
+         |FROM (
+         | SELECT doc_id, n_tokens, shard,
+         |  CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    - n_tokens AS start_off
+         | FROM (SELECT doc_id,
+         |   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |   doc_id % 32 AS shard
+         |  FROM survivors))
+         |ORDER BY doc_id""".stripMargin
     val p01Sql =
       s"""WITH curated AS (SELECT doc_id, text FROM (${base("d11_curation_lsh")}) c),
          |flagged AS (SELECT doc_id FROM (${base("d12_decontamination")}) f)
@@ -3279,6 +3336,7 @@ object SparkEntry {
          |ORDER BY doc_id""".stripMargin
     base + ("d16_decontaminate_bloom" -> base("d12_decontamination"),
             "p01_corpus_pipeline" -> p01Sql,
+            "p06_incremental_refresh" -> p06Sql,
             "s14_streaming_funnel" -> base("q85_funnel_steps"),
             "s17_streaming_outliers" -> base("q92_value_outliers"),
             "s18_streaming_quantiles" -> base("q96_sampled_quantiles"),

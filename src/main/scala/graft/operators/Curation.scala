@@ -245,6 +245,52 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** p06: the INCREMENTAL corpus-refresh capstone — the composition a
+    * 100 TB pipeline actually runs BETWEEN full rebuilds (p01 is the
+    * rebuild; this is the nightly increment): a crawl DELTA is
+    * near-dup-checked against the PERSISTED LSH index of everything
+    * already accepted (the s19/d21 build/append split — history is
+    * never re-shingled; both collision joins ride the hot-bucket
+    * guard, the index side through the persisted bucket-size lookup),
+    * the surviving delta docs are eval-decontaminated (d12's static
+    * broadcast keys), and the remainder is sequence-packed into its
+    * own shard namespace (q57's window expressions over the
+    * increment). Ingest dedup is greedy keep-first — a delta doc drops
+    * iff it near-dups ANY lower id (historical or earlier-in-delta),
+    * exactly s19's emission rule — so the oracle is closed-form: the
+    * d03 CTE chain's pairs restricted to `doc_b ≥ split` name the
+    * victims, and d12 + q57's nested statements do the rest. Every
+    * constituent is individually hash-checked (d03/s19, d12, q57);
+    * this gate hash-checks the COMPOSITION, like p01 for the rebuild.
+    *
+    * Scale shape: delta-phase cost tracks the DELTA (shingle/sign the
+    * batch, probe the index buckets, verify collisions) — the
+    * historical corpus contributes only its persisted band/size
+    * tables, never a rescan. The index build inside the gate is the
+    * amortized half (in production it already exists on disk).
+    */
+  def incrementalRefresh(spark: SparkSession, dir: String,
+                         budget: Int = 2048, shards: Int = 32): DataFrame = {
+    val split = Dedup.incrementalSplit
+    val docs = Tables.documents(spark, dir)
+    val idxDir = graft.util.Scratch.dir(spark, "p06_idx", dir).toString
+    Dedup.buildLshIndex(docs.filter(col("doc_id") < split), "doc_id", "text", idxDir)
+    val delta = docs.filter(col("doc_id") >= split)
+    // victims: every delta doc that near-dups a lower id — doc_b of a
+    // detect pair is the delta member by construction (delta ids sit
+    // above the split; in-delta pairs keep their smaller id)
+    // checkpoint the (ids-only, pair-bounded) victim list: the detect
+    // chain runs ONCE, and the returned plan carries the packing logic
+    // over a materialized anti-list instead of re-embedding the whole
+    // guarded probe per action (the p01 curate() barrier pattern)
+    val victims = Dedup.detectDeltaPairs(delta, "doc_id", "text", idxDir)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .localCheckpoint(true)
+    val survivors = delta.join(victims, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("text"))
+    decontaminateAndPack(survivors, docs, budget, shards)
+  }
+
   /** p02: the CCNet-style quality-MIXTURE pipeline, as one gate —
     * the curation pattern where documents are not just kept/dropped
     * (p01) but routed into perplexity buckets and re-balanced across

@@ -333,6 +333,80 @@ object Dedup {
     coldPairs.select(cols: _*).unionByName(hotPairs.select(cols: _*))
   }
 
+  /** TWO-SIDED analog of [[guardedBandedSelfJoin]] for batch-vs-index
+    * collision joins — the s19/p06 ingest shape, where an arriving
+    * delta probes the PERSISTED band buckets of everything already
+    * accepted. The skew killer is identical (one degenerate band key —
+    * a boilerplate-heavy historical shard — makes the plain (band,
+    * bkey) join O(|bucket_l|·|bucket_r|) in one task), and so is the
+    * cure: a key hot on EITHER side splits into a gl×gr cell grid
+    * (gl = ⌈lsz/maxBucket⌉, gr = ⌈rsz/maxBucket⌉; each left row sits at
+    * lcell = xxhash64(id) mod gl and replicates across its gr rcells,
+    * each right row symmetrically), so every (l, r) pair lands in
+    * EXACTLY one cell and per-task width is bounded by ~maxBucket a
+    * side. Cold keys (≤ maxBucket on both sides) take the plain join
+    * behind a broadcast anti-filter — a key is entirely hot or
+    * entirely cold, so no pair crosses the paths and the output is the
+    * plain join's, row for row.
+    *
+    * `rightSizes` lets a persisted index supply its (band, bkey, bsz)
+    * table as a LOOKUP (maintained with the index by
+    * [[buildLshIndex]]/[[appendLshDetect]]) instead of re-aggregating
+    * the historical bands every micro-batch — per-batch guard cost
+    * then scales with the batch, not the corpus. Left (batch) sizes
+    * are always aggregated in-flight: the batch is the small side by
+    * construction. Output columns: left's suffixed `_n`, right's `_o`
+    * (the ingest-path naming), plus nothing else — callers project.
+    */
+  private[graft] def guardedBandedJoin(left: DataFrame, right: DataFrame,
+                                       maxBucket: Int = 10000,
+                                       rightSizes: Option[DataFrame] = None)
+      : DataFrame = {
+    def sideCols(df: DataFrame, suffix: String) = {
+      val payload = df.columns.toSeq.filterNot(Set("band", "bkey"))
+      payload.map(c => col(c).as(s"${c}_$suffix"))
+    }
+    def sizesOf(df: DataFrame) = df.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("bsz"))
+    val hotKeys = broadcast(
+      sizesOf(left).select(col("band"), col("bkey"), col("bsz").as("lsz"))
+        .join(rightSizes.getOrElse(sizesOf(right))
+          .select(col("band"), col("bkey"), col("bsz").as("rsz")),
+          Seq("band", "bkey"), "full_outer")
+        .filter(coalesce(col("lsz"), lit(0L)) > maxBucket ||
+                coalesce(col("rsz"), lit(0L)) > maxBucket)
+        // a side absent from a hot key (or under maxBucket) still needs
+        // g ≥ 1: one cell on that axis, no split
+        .select(col("band"), col("bkey"),
+          greatest(lit(1),
+            ceil(coalesce(col("lsz"), lit(0L)).cast("double") / maxBucket)
+              .cast("int")).as("gl"),
+          greatest(lit(1),
+            ceil(coalesce(col("rsz"), lit(0L)).cast("double") / maxBucket)
+              .cast("int")).as("gr")))
+    val coldL = left.join(hotKeys.select(col("band"), col("bkey")),
+      Seq("band", "bkey"), "left_anti")
+    val coldR = right.join(hotKeys.select(col("band"), col("bkey")),
+      Seq("band", "bkey"), "left_anti")
+    val coldPairs = coldL.select(col("band") +: col("bkey") +: sideCols(left, "n"): _*)
+      .join(coldR.select(col("band") +: col("bkey") +: sideCols(right, "o"): _*),
+        Seq("band", "bkey"))
+    val hotL = left.join(hotKeys, Seq("band", "bkey"))
+      .select(Seq(col("band"), col("bkey"),
+        pmod(xxhash64(col("id")), col("gl").cast("long")).cast("int").as("lcell"),
+        explode(sequence(lit(0), col("gr") - 1)).as("rcell")) ++
+        sideCols(left, "n"): _*)
+    val hotR = right.join(hotKeys, Seq("band", "bkey"))
+      .select(Seq(col("band"), col("bkey"),
+        explode(sequence(lit(0), col("gl") - 1)).as("lcell"),
+        pmod(xxhash64(col("id")), col("gr").cast("long")).cast("int").as("rcell")) ++
+        sideCols(right, "o"): _*)
+    val hotPairs = hotL.join(hotR, Seq("band", "bkey", "lcell", "rcell"))
+    val outCols = (left.columns.toSeq.filterNot(Set("band", "bkey")).map(c => s"${c}_n") ++
+      right.columns.toSeq.filterNot(Set("band", "bkey")).map(c => s"${c}_o")).map(col)
+    coldPairs.select(outCols: _*).unionByName(hotPairs.select(outCols: _*))
+  }
+
   /** ENGINE-PORTABLE MinHash+LSH near-duplicate pairs — the registered
     * d03 gate, hash-checked against a DuckDB oracle that reproduces
     * every stage bit-for-bit (the t08 move applied to the full LSH
@@ -396,6 +470,21 @@ object Dedup {
   def minHashDedupPortable(spark: SparkSession, dir: String): DataFrame =
     minHashLshPairsPortable(Tables.documents(spark, dir), "doc_id", "text")
 
+  /** d28: the d03 chain at the ALTERNATE band geometry 16 bands × 2
+    * rows over the same 32 permutations — the recall-leaning shape a
+    * curation owner tunes toward when misses cost more than candidate
+    * volume (P[collide] = 1−(1−j²)¹⁶ vs 1−(1−j⁴)⁸: a j=0.6 pair is
+    * ~99.8% vs ~67% caught). Same signatures, prefilter and verify —
+    * only the banding differs, threaded through the SAME parameterized
+    * chain on both engines (`minHashLshPairsPortable(bands=16)` here,
+    * `portableLshCtesFor(16, 2, ...)` in the oracle): CI proof the
+    * geometry surface is genuinely open, the e20/t36 pattern applied
+    * to LSH.
+    */
+  def minHashDedupPortableAlt(spark: SparkSession, dir: String): DataFrame =
+    minHashLshPairsPortable(Tables.documents(spark, dir), "doc_id", "text",
+      bands = 16)
+
 
   // — persisted LSH index (s19): dedup-on-ingest for a document
   //   stream. The e13/s13 build/append split applied to TEXT: the
@@ -438,15 +527,22 @@ object Dedup {
 
   /** Build the persisted LSH index over the base corpus: `hashes`
     * (id, hs, sig) for exact-jaccard verification, `bands`
-    * (band, bkey, id, sig) for collision detection. Both parquet —
-    * loadable by any later session (the e13 property, for text).
+    * (band, bkey, id, sig) for collision detection, and `sizes`
+    * (band, bkey, bsz) — the bucket-size table the ingest guard reads
+    * as a LOOKUP (maintained incrementally by [[appendLshDetect]]), so
+    * per-batch hot-key detection never re-aggregates the historical
+    * bands. All parquet — loadable by any later session (the e13
+    * property, for text).
     */
   def buildLshIndex(docs: DataFrame, idCol: String, textCol: String,
                     indexDir: String): Unit = {
     val hashed = lshHashedPortable(docs, idCol, textCol)
       .localCheckpoint(true)
     hashed.write.mode("overwrite").parquet(s"$indexDir/hashes")
-    lshBandedOf(hashed).write.mode("overwrite").parquet(s"$indexDir/bands")
+    val bands = lshBandedOf(hashed).localCheckpoint(true)
+    bands.write.mode("overwrite").parquet(s"$indexDir/bands")
+    bands.groupBy(col("band"), col("bkey")).agg(count(lit(1)).as("bsz"))
+      .write.mode("overwrite").parquet(s"$indexDir/sizes")
   }
 
   /** One ingest step: detect near-dup pairs between `batch` and the
@@ -470,25 +566,67 @@ object Dedup {
     val spark = batch.sparkSession
     val hashed = lshHashedPortable(batch, idCol, textCol)
       .localCheckpoint(true)
+    detectLshPairs(hashed, indexDir)
+      .write.mode("append").parquet(outDir)
+    hashed.write.mode("append").parquet(s"$indexDir/hashes")
+    val newBands = lshBandedOf(hashed)
+    newBands.write.mode("append").parquet(s"$indexDir/bands")
+    // fold the batch's bucket counts into the persisted size table —
+    // the increment is the batch's OWN agg plus one small-table merge,
+    // never a re-aggregation of the historical bands. Checkpoint
+    // breaks the read-then-overwrite cycle on the same path.
+    spark.read.parquet(s"$indexDir/sizes")
+      .unionByName(newBands.groupBy(col("band"), col("bkey"))
+        .agg(count(lit(1)).as("bsz")))
+      .groupBy(col("band"), col("bkey"))
+      .agg(sum(col("bsz")).as("bsz"))
+      .localCheckpoint(true)
+      .write.mode("overwrite").parquet(s"$indexDir/sizes")
+  }
+
+  /** The detection half of one ingest step, shared by the streaming
+    * drain (s19) and the batch incremental-refresh capstone (p06):
+    * near-dup pairs between a pre-hashed batch (id, hs, sig) and the
+    * persisted index, PLUS within the batch itself. Both collision
+    * joins run behind the hot-bucket guard — batch × index through the
+    * two-sided [[guardedBandedJoin]] with the index's PERSISTED size
+    * table as the right-side lookup (per-batch guard cost scales with
+    * the batch, not the corpus), batch × batch through
+    * [[guardedBandedSelfJoin]] — so a degenerate band key in the
+    * historical corpus (the boilerplate-shard 100 TB case) splits into
+    * bounded cells instead of one O(bucket²) task. Pairs are unchanged
+    * (the guards are semantics-preserving), so the s19 oracle holds
+    * verbatim.
+    */
+  /** [[detectLshPairs]] over raw documents — shingle/sign the delta,
+    * then detect against the persisted index (p06's batch entry; the
+    * streaming path hashes per micro-batch in [[appendLshDetect]]).
+    */
+  def detectDeltaPairs(docs: DataFrame, idCol: String, textCol: String,
+                       indexDir: String, maxBucket: Int = 10000): DataFrame =
+    detectLshPairs(lshHashedPortable(docs, idCol, textCol).localCheckpoint(true),
+      indexDir, maxBucket)
+
+  private[graft] def detectLshPairs(hashed: DataFrame, indexDir: String,
+                                    maxBucket: Int = 10000): DataFrame = {
+    val spark = hashed.sparkSession
     val newBands = lshBandedOf(hashed)
     val idxBands = spark.read.parquet(s"$indexDir/bands")
-    val n = newBands.select(col("band"), col("bkey"),
-      col("id").as("id_n"), col("sig").as("sig_n"))
-    // cross pairs (batch × index) + in-batch pairs (batch × batch)
-    val collided = n.join(
-        idxBands.select(col("band"), col("bkey"),
-          col("id").as("id_o"), col("sig").as("sig_o")),
-        Seq("band", "bkey"))
-      .unionByName(n.join(
-        newBands.select(col("band"), col("bkey"),
-          col("id").as("id_o"), col("sig").as("sig_o")),
-        Seq("band", "bkey")))
+    val idxSizes = spark.read.parquet(s"$indexDir/sizes")
+    // cross pairs (batch × index) + in-batch pairs (batch × batch);
+    // the self-join emits doc_a < doc_b directly, the cross join via
+    // least/greatest (index and batch ids interleave arbitrarily)
+    val cross = guardedBandedJoin(newBands, idxBands, maxBucket, Some(idxSizes))
       .filter(col("id_n") =!= col("id_o"))
       .select(least(col("id_n"), col("id_o")).as("doc_a"),
               greatest(col("id_n"), col("id_o")).as("doc_b"),
               col("sig_n"), col("sig_o"))
       .filter(HashFns.signatureMatchCount(col("sig_n"), col("sig_o")) >= lshMinMatch)
       .select(col("doc_a"), col("doc_b"))
+    val within = guardedBandedSelfJoin(newBands, maxBucket)
+      .filter(HashFns.signatureMatchCount(col("sig_a"), col("sig_b")) >= lshMinMatch)
+      .select(col("doc_a"), col("doc_b"))
+    val collided = cross.unionByName(within)
       .dropDuplicates("doc_a", "doc_b")
     val allHs = spark.read.parquet(s"$indexDir/hashes")
       .select(col("id"), col("hs"))
@@ -499,9 +637,6 @@ object Dedup {
       .withColumn("jaccard", HashFns.jaccardSortedLong(col("hs_a"), col("hs_b")))
       .filter(col("jaccard") >= lshThreshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .write.mode("append").parquet(outDir)
-    hashed.write.mode("append").parquet(s"$indexDir/hashes")
-    lshBandedOf(hashed).write.mode("append").parquet(s"$indexDir/bands")
   }
 
   /** 64-bit SimHash: custom codegen'd expression (one token-array pass;
@@ -1696,6 +1831,16 @@ object Dedup {
     * threshold constants actually recover the true pairs — as a fact
     * the correctness gate sees. Oracle composes the four proven chains
     * (the e08Sql pattern).
+    *
+    * Each method runs over the ANCHOR SLICE of the corpus (`doc_id <
+    * 250`), not the full table: a pair with both ids in the slice is a
+    * function of those two docs alone (per-doc shingling/signing, same
+    * band keys, per-pair prefilter and verify — no stage reads a third
+    * doc), so slicing the INPUT yields exactly the full run's pairs
+    * restricted to the slice, at 1/corpus of the cost. The DuckDB
+    * oracle keeps the full-corpus-then-filter form — values agree by
+    * the same argument. (Before r12 this gate re-shingled the whole
+    * corpus three times and was the bench's #2 query.)
     */
   def dedupRecallAudit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -1708,15 +1853,16 @@ object Dedup {
     // method then fails its floor and the gate emits ZERO rows (loud)
     def recallPct(hits: Long): Long =
       if (total == 0L) 0L else hits * 100L / total
-    val methods: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
-      "d03_minhash_lsh" -> (minHashDedupPortable _),
-      "d04_simhash" -> (simHashDedupPortable _),
-      "d05_ngram_jaccard" -> (ngramJaccardDedupPortable _))
+    val sliced = Tables.documents(spark, dir).filter(col("doc_id") < 250)
+      .select(col("doc_id"), col("text"))
+      .localCheckpoint(true)
+    val methods: Seq[(String, () => DataFrame)] = Seq(
+      "d03_minhash_lsh" -> (() => minHashLshPairsPortable(sliced, "doc_id", "text")),
+      "d04_simhash" -> (() => simHashPairsPortable(sliced, "doc_id", "text")),
+      "d05_ngram_jaccard" -> (() => ngramJaccardPairsPortable(sliced, "doc_id", "text")))
     val floors = dedupRecallFloors.toMap
     methods.map { case (name, fn) =>
-      val slice = fn(spark, dir)
-        .filter(col("doc_a") < 250 && col("doc_b") < 250)
-        .select(col("doc_a"), col("doc_b"))
+      val slice = fn().select(col("doc_a"), col("doc_b"))
       (name, recallPct(exact.join(slice, Seq("doc_a", "doc_b")).count()),
         floors(name))
     }.filter { case (_, r, floor) => r >= floor }

@@ -24,6 +24,29 @@ object DebugPerf {
       println(f"[perf] $label%-30s ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
     }
 
+    // ---- d26 decomposition -------------------------------------------
+    if (args.length > 1 && args(1) == "d26") {
+      (1 to 2).foreach { rep =>
+        println(s"[perf] --- rep $rep ---")
+        val exact = time("d26 exact anchor")(
+          Dedup.jaccardExactPairs(spark, dir)
+            .filter(col("jaccard") >= 0.6)
+            .select(col("doc_a"), col("doc_b")).localCheckpoint(true))
+        time("d26 exact count")(println("n=" + exact.count()))
+        val sliced = time("d26 slice checkpoint")(
+          Tables.documents(spark, dir).filter(col("doc_id") < 250)
+            .select(col("doc_id"), col("text")).localCheckpoint(true))
+        time("d26 d03 slice")(println("n=" +
+          Dedup.minHashLshPairsPortable(sliced, "doc_id", "text").count()))
+        time("d26 d04 slice")(println("n=" +
+          Dedup.simHashPairsPortable(sliced, "doc_id", "text").count()))
+        time("d26 d05 slice")(println("n=" +
+          Dedup.ngramJaccardPairsPortable(sliced, "doc_id", "text").count()))
+        graft.Bench.dropAllStorage(spark)
+      }
+      spark.stop(); return
+    }
+
     // ---- q82 decomposition -------------------------------------------
     if (args.length > 1 && args(1) == "q82") {
       (1 to 2).foreach { rep =>

@@ -35,12 +35,13 @@ object DumpMediaDigests {
         df.orderBy("media_a", "media_b").collect().map { r =>
           s"(${r.getLong(0)}, ${r.getLong(1)}, ${r.getInt(2)}, ${r.getLong(3)})"
         }
-      case "m01" | "m02" | "m04" | "m05" =>
+      case "m01" | "m02" | "m03" | "m04" | "m05" =>
         // all-integer outputs — dump every column generically, sorted
         // by the gate's own presentation order
         val df = gate match {
           case "m01" => mm.mediaAnn(spark, "")
           case "m02" => mm.mediaDedup(spark, "")
+          case "m03" => mm.mediaFrameSample(spark, "")
           case "m04" => mm.mediaResize(spark, "")
           case _     => mm.mediaIngest(spark, "")
         }
@@ -53,7 +54,7 @@ object DumpMediaDigests {
             }
           }.mkString("(", ", ", ")")
         }
-      case other => sys.error(s"unknown gate $other (m01|m02|m04|m05|m06|m07|m08|m09)")
+      case other => sys.error(s"unknown gate $other (m01|m02|m03|m04|m05|m06|m07|m08|m09)")
     }).mkString(",\n")
     args.drop(1).headOption match {
       case Some(out) =>

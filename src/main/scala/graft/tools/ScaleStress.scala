@@ -210,7 +210,17 @@ object ScaleStress {
       "e21_index_occupancy",
       // round-11: the usage audit at the production vocab — the t32
       // explode shape with the 64-deep replace chain over 10× bytes
-      "t37_bpe_token_freqs_batched")
+      "t37_bpe_token_freqs_batched",
+      // round-12: the alternate 16×2 band geometry — 2-component keys
+      // collide far more at copy density (the recall-leaning trade),
+      // probing the guarded chain's worst banding shape
+      "d28_minhash_lsh_alt",
+      // round-12: the incremental-refresh capstone — index build over
+      // the sub-split base + guarded delta detect + decontam + pack;
+      // at 10× the delta is ~the whole copy corpus, so this rides the
+      // guarded two-sided probe at adversarial density (the degenerate
+      // hot-bucket case is GuardStress's, not this one)
+      "p06_incremental_refresh")
 
     // SPARK_GRAFT_ONLY=name1,name2 narrows the run (iteration / probes)
     val only = sys.env.get("SPARK_GRAFT_ONLY")

@@ -242,6 +242,36 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("p06 incremental refresh: delta minus near-dup victims minus flagged, q57 pack algebra") {
+    val split = Dedup.incrementalSplit
+    // victims from the CONSTITUENT gate (the full d03 chain) — every
+    // pair touching the delta names its delta member as doc_b
+    val victims = Dedup.minHashDedupPortable(spark, sf)
+      .filter($"doc_b" >= split)
+      .select($"doc_b").as[Long].collect().toSet
+    val flagged = Curation.decontaminate(spark, sf)
+      .select($"doc_id").as[Long].collect().toSet
+    val delta = Tables.documents(spark, sf)
+      .filter($"doc_id" >= split)
+      .select($"doc_id",
+        size(graft.functions.TextFns.tokens($"text")).cast("long").as("n"))
+      .as[(Long, Long)].collect().toSeq
+    val survivors = delta.filter { case (id, _) => !victims(id) && !flagged(id) }
+      .sortBy(_._1)
+    // expected per-shard running offsets — q57's algebra, driver-side
+    val off = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    val exp = survivors.map { case (id, ntk) =>
+      val sh = id % 32
+      val so = off(sh); off(sh) = so + ntk
+      (id, ntk, sh, so, sh * 2199023255552L + so / 2048)
+    }
+    val got = Curation.incrementalRefresh(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got.nonEmpty, "the delta must have survivors on this fixture")
+    assert(victims.nonEmpty, "the fixture must exercise the dedup stage")
+    assert(got == exp, s"p06 diverges: got ${got.size}, exp ${exp.size}")
+  }
+
   test("p04 temperature mix matches a driver-side reference; rarest lang keeps all") {
     val docs = Tables.documents(spark, sf)
       .select($"doc_id", $"lang").as[(Long, String)].collect().toSeq

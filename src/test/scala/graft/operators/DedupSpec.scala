@@ -689,4 +689,53 @@ class DedupSpec extends SparkSpec {
     assert(guarded == unguarded,
       "string-id hot bucket must survive the guard pair-for-pair")
   }
+
+  test("two-sided guard: hot index bucket — detect pairs preserved, size lookup honored") {
+    // the s19/p06 ingest probe with a degenerate HISTORICAL corpus:
+    // every index bucket ≫ maxBucket, the delta small. The two-sided
+    // grid (gl×gr cells, index side sized from the PERSISTED lookup)
+    // must emit exactly the unguarded join's pairs — and the
+    // incremental size table maintained across an append must keep a
+    // SECOND delta's detection identical too (stale sizes only widen
+    // tasks, but a WRONG size table that dropped keys would lose pairs)
+    val body = "the same boilerplate legal disclaimer repeated on every page of this crawl shard " * 3
+    val docs = (0 until 300).map(i => (i.toLong, body + ("x" * (i % 3))))
+      .toDF("doc_id", "text")
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_twoguard_idx")
+    try {
+      Dedup.buildLshIndex(docs.filter($"doc_id" < 200), "doc_id", "text",
+        idxDir.toString)
+      val delta1 = docs.filter($"doc_id" >= 200 && $"doc_id" < 250)
+      val g1 = Dedup.detectDeltaPairs(delta1, "doc_id", "text",
+          idxDir.toString, maxBucket = 25)
+        .as[(Long, Long, Double)].collect().toSeq.sorted
+      val u1 = Dedup.detectDeltaPairs(delta1, "doc_id", "text",
+          idxDir.toString, maxBucket = 1000000)
+        .as[(Long, Long, Double)].collect().toSeq.sorted
+      assert(g1.nonEmpty, "planted hot index bucket must yield pairs")
+      assert(g1 == u1, "two-sided guard must not add, drop, or reorder pairs")
+      // append delta1 (maintains bands + the size table), then detect a
+      // second delta against the grown index — guarded ≡ unguarded again
+      val outDir = java.nio.file.Files.createTempDirectory("graft_twoguard_out")
+      try {
+        Dedup.appendLshDetect(delta1, "doc_id", "text", idxDir.toString,
+          outDir.toString)
+        // the size table must equal a fresh aggregation of the bands
+        val sizes = spark.read.parquet(s"$idxDir/sizes")
+          .as[(Int, String, Long)].collect().toSet
+        val fresh = spark.read.parquet(s"$idxDir/bands")
+          .groupBy($"band", $"bkey").count()
+          .as[(Int, String, Long)].collect().toSet
+        assert(sizes == fresh, "incremental size table diverged from the bands")
+        val delta2 = docs.filter($"doc_id" >= 250)
+        val g2 = Dedup.detectDeltaPairs(delta2, "doc_id", "text",
+            idxDir.toString, maxBucket = 25)
+          .as[(Long, Long, Double)].collect().toSeq.sorted
+        val u2 = Dedup.detectDeltaPairs(delta2, "doc_id", "text",
+            idxDir.toString, maxBucket = 1000000)
+          .as[(Long, Long, Double)].collect().toSeq.sorted
+        assert(g2 == u2, "post-append detection must stay guard-invariant")
+      } finally graft.util.Scratch.rmTree(outDir)
+    } finally graft.util.Scratch.rmTree(idxDir)
+  }
 }

@@ -57,6 +57,13 @@ NFAILED=$(printf '%s' "$TOTAL_LINE" | grep -o '"nfailed":[0-9]*' | cut -d: -f2)
 # round's own outliers adjudicate themselves via rep_times.
 cp target/bench_per_query.json "BENCH_${ROUND}_per_query.json" \
   || fail "bench per-query artifact missing"
+# Commit-able bench HEADLINE in the driver's exact shape — the one-line
+# {"metric":"total",...} object, stripped of sbt log prefixes. Two
+# consecutive rounds of BENCH_r<N>.json arrived with "parsed": null
+# (the driver's parser chokes on the [info] prefix); this is the
+# CORRECTNESS_SELF insurance applied to the bench signal.
+printf '%s\n' "$TOTAL_LINE" > "BENCH_SELF_${ROUND}.json" \
+  || fail "bench headline self-artifact write failed"
 
 {
   echo "pre-snapshot gate GREEN  round=$ROUND  $(date -u +%Y-%m-%dT%H:%M:%SZ)"
