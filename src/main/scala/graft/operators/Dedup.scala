@@ -300,21 +300,38 @@ object Dedup {
     val payload = banded.columns.toSeq.filterNot(Set("band", "bkey", "id"))
     def sideCols(suffix: String) =
       col("id").as(s"doc_$suffix") +: payload.map(c => col(c).as(s"${c}_$suffix"))
-    val hotKeys = broadcast(banded.groupBy(col("band"), col("bkey"))
+    val cols = ("doc_a" +: "doc_b" +: payload.flatMap(c =>
+      Seq(s"${c}_a", s"${c}_b"))).map(col)
+    def plainPairs(src: DataFrame) =
+      src.select(col("band") +: col("bkey") +: sideCols("a"): _*)
+        .join(src.select(col("band") +: col("bkey") +: sideCols("b"): _*),
+              Seq("band", "bkey"))
+        .filter(col("doc_a") < col("doc_b"))
+    // Sizing runs EAGERLY and pulls the hot keys to the driver — a
+    // bounded pull by construction (hot keys are FEW because they are
+    // WIDE: ≤ |banded| / maxBucket rows). At sane density the set is
+    // EMPTY and the plain 2-key self-join IS the guarded join — no
+    // anti-filter, no hot legs, no union in the plan (r12: the always-
+    // planned guard cost ~0.3-0.5s of dead stages per chain at fixture
+    // scale; this makes the cold path literally free).
+    val hotAgg = banded.groupBy(col("band"), col("bkey"))
       .agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") > maxBucket))
-    // cold path — every bucket ≤ maxBucket: the plain 2-key self-join,
-    // gated only by a map-side broadcast anti-filter (a bucket is
-    // entirely hot or entirely cold, so no pair crosses the two paths)
+      .filter(col("bsz") > maxBucket)
+    if (hotAgg.isEmpty) return plainPairs(banded).select(cols: _*)
+    // hot path engaged: keep the hot-key table as the lazy broadcast
+    // AGG SUBQUERY, not a collected literal — feeding the literal back
+    // in degrades the downstream join strategies (measured 240→913s on
+    // the 20k-cluster stress corpus when the propagated tiny estimate
+    // flipped the grid joins away from their shuffled plans)
+    val hotKeys = broadcast(hotAgg)
+    // cold path — buckets ≤ maxBucket: the plain join behind a
+    // broadcast anti-filter (a bucket is entirely hot or entirely
+    // cold, so no pair crosses the two paths)
     val cold = banded.join(hotKeys.select(col("band"), col("bkey")),
                            Seq("band", "bkey"), "left_anti")
-    val coldPairs = cold.select(col("band") +: col("bkey") +: sideCols("a"): _*)
-      .join(cold.select(col("band") +: col("bkey") +: sideCols("b"): _*),
-            Seq("band", "bkey"))
-      .filter(col("doc_a") < col("doc_b"))
-    // hot path — empty at sane density; each wide bucket splits into
-    // the g×g cells (a-side replicated across its row of cells, b-side
-    // its column: every in-bucket pair lands in EXACTLY one cell)
+    // hot path — each wide bucket splits into the g×g cells (a-side
+    // replicated across its row of cells, b-side its column: every
+    // in-bucket pair lands in EXACTLY one cell)
     val sized = banded.join(hotKeys, Seq("band", "bkey"))
       .withColumn("g",
         ceil(col("bsz").cast("double") / maxBucket).cast("int"))
@@ -328,9 +345,7 @@ object Dedup {
         col("gid").as("cell_b")) ++ sideCols("b"): _*)
     val hotPairs = hotA.join(hotB, Seq("band", "bkey", "cell_a", "cell_b"))
       .filter(col("doc_a") < col("doc_b"))
-    val cols = ("doc_a" +: "doc_b" +: payload.flatMap(c =>
-      Seq(s"${c}_a", s"${c}_b"))).map(col)
-    coldPairs.select(cols: _*).unionByName(hotPairs.select(cols: _*))
+    plainPairs(cold).select(cols: _*).unionByName(hotPairs.select(cols: _*))
   }
 
   /** TWO-SIDED analog of [[guardedBandedSelfJoin]] for batch-vs-index
@@ -368,15 +383,32 @@ object Dedup {
     }
     def sizesOf(df: DataFrame) = df.groupBy(col("band"), col("bkey"))
       .agg(count(lit(1)).as("bsz"))
+    val outCols = (left.columns.toSeq.filterNot(Set("band", "bkey")).map(c => s"${c}_n") ++
+      right.columns.toSeq.filterNot(Set("band", "bkey")).map(c => s"${c}_o")).map(col)
+    def plainJoin(l: DataFrame, r: DataFrame) =
+      l.select(col("band") +: col("bkey") +: sideCols(left, "n"): _*)
+        .join(r.select(col("band") +: col("bkey") +: sideCols(right, "o"): _*),
+          Seq("band", "bkey"))
+    // Eager emptiness probe (the self-join guard's r12 shape): the
+    // LEFT (batch) side aggregates in-flight — the batch is the small
+    // side by construction; the RIGHT side reads the PERSISTED size
+    // table a maintained index supplies (a lookup, never a
+    // re-aggregation of history). At sane density both hot sets are
+    // EMPTY and the plain join IS the guarded join — zero guard stages
+    // in the per-batch plan. When hot, the key table stays a lazy
+    // broadcast subquery (not a collected literal — see the self-join
+    // guard's note on estimate-poisoned join strategies).
+    val lAgg = sizesOf(left).filter(col("bsz") > maxBucket)
+    val rAgg = rightSizes.getOrElse(sizesOf(right))
+      .filter(col("bsz") > maxBucket)
+    if (lAgg.isEmpty && rAgg.isEmpty)
+      return plainJoin(left, right).select(outCols: _*)
+    // a side under maxBucket on a key the other side made hot keeps
+    // g = 1: one cell on that axis, no split
     val hotKeys = broadcast(
-      sizesOf(left).select(col("band"), col("bkey"), col("bsz").as("lsz"))
-        .join(rightSizes.getOrElse(sizesOf(right))
-          .select(col("band"), col("bkey"), col("bsz").as("rsz")),
+      lAgg.select(col("band"), col("bkey"), col("bsz").as("lsz"))
+        .join(rAgg.select(col("band"), col("bkey"), col("bsz").as("rsz")),
           Seq("band", "bkey"), "full_outer")
-        .filter(coalesce(col("lsz"), lit(0L)) > maxBucket ||
-                coalesce(col("rsz"), lit(0L)) > maxBucket)
-        // a side absent from a hot key (or under maxBucket) still needs
-        // g ≥ 1: one cell on that axis, no split
         .select(col("band"), col("bkey"),
           greatest(lit(1),
             ceil(coalesce(col("lsz"), lit(0L)).cast("double") / maxBucket)
@@ -388,9 +420,6 @@ object Dedup {
       Seq("band", "bkey"), "left_anti")
     val coldR = right.join(hotKeys.select(col("band"), col("bkey")),
       Seq("band", "bkey"), "left_anti")
-    val coldPairs = coldL.select(col("band") +: col("bkey") +: sideCols(left, "n"): _*)
-      .join(coldR.select(col("band") +: col("bkey") +: sideCols(right, "o"): _*),
-        Seq("band", "bkey"))
     val hotL = left.join(hotKeys, Seq("band", "bkey"))
       .select(Seq(col("band"), col("bkey"),
         pmod(xxhash64(col("id")), col("gl").cast("long")).cast("int").as("lcell"),
@@ -402,9 +431,8 @@ object Dedup {
         pmod(xxhash64(col("id")), col("gr").cast("long")).cast("int").as("rcell")) ++
         sideCols(right, "o"): _*)
     val hotPairs = hotL.join(hotR, Seq("band", "bkey", "lcell", "rcell"))
-    val outCols = (left.columns.toSeq.filterNot(Set("band", "bkey")).map(c => s"${c}_n") ++
-      right.columns.toSeq.filterNot(Set("band", "bkey")).map(c => s"${c}_o")).map(col)
-    coldPairs.select(outCols: _*).unionByName(hotPairs.select(outCols: _*))
+    plainJoin(coldL, coldR).select(outCols: _*)
+      .unionByName(hotPairs.select(outCols: _*))
   }
 
   /** ENGINE-PORTABLE MinHash+LSH near-duplicate pairs — the registered
@@ -545,6 +573,17 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$indexDir/sizes")
   }
 
+  /** The index's bucket sizes, summed over the append-only partials
+    * ([[appendLshDetect]] appends each batch's own agg — no
+    * read-modify-write cycle per batch; compact by rewriting when the
+    * partial count grows). Over-counting from a replayed batch only
+    * LOWERS the guard's split threshold — the cell split is
+    * semantics-preserving for any g, so idempotence is preserved.
+    */
+  private def lshIndexSizes(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/sizes")
+      .groupBy(col("band"), col("bkey")).agg(sum(col("bsz")).as("bsz"))
+
   /** One ingest step: detect near-dup pairs between `batch` and the
     * index (PLUS within the batch itself), append verified pairs to
     * `outDir`, then append the batch to the index. Detect-THEN-append
@@ -571,17 +610,12 @@ object Dedup {
     hashed.write.mode("append").parquet(s"$indexDir/hashes")
     val newBands = lshBandedOf(hashed)
     newBands.write.mode("append").parquet(s"$indexDir/bands")
-    // fold the batch's bucket counts into the persisted size table —
-    // the increment is the batch's OWN agg plus one small-table merge,
-    // never a re-aggregation of the historical bands. Checkpoint
-    // breaks the read-then-overwrite cycle on the same path.
-    spark.read.parquet(s"$indexDir/sizes")
-      .unionByName(newBands.groupBy(col("band"), col("bkey"))
-        .agg(count(lit(1)).as("bsz")))
-      .groupBy(col("band"), col("bkey"))
-      .agg(sum(col("bsz")).as("bsz"))
-      .localCheckpoint(true)
-      .write.mode("overwrite").parquet(s"$indexDir/sizes")
+    // append the batch's OWN bucket counts as a size-table partial —
+    // readers sum partials ([[lshIndexSizes]]); maintenance is one
+    // batch-sized agg + append, never a rewrite of the key universe
+    newBands.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("bsz"))
+      .write.mode("append").parquet(s"$indexDir/sizes")
   }
 
   /** The detection half of one ingest step, shared by the streaming
@@ -607,12 +641,22 @@ object Dedup {
     detectLshPairs(lshHashedPortable(docs, idCol, textCol).localCheckpoint(true),
       indexDir, maxBucket)
 
+  // debug accessors for tools.DebugPerf (private internals surfaced
+  // for profiling only)
+  private[graft] def lshHashedPortableDebug(docs: DataFrame): DataFrame =
+    lshHashedPortable(docs, "doc_id", "text")
+  private[graft] def lshBandedOfDebug(hashed: DataFrame): DataFrame =
+    lshBandedOf(hashed)
+  private[graft] def guardedBandedJoinDebug(left: DataFrame, right: DataFrame,
+      maxBucket: Int, rightSizes: Option[DataFrame]): DataFrame =
+    guardedBandedJoin(left, right, maxBucket, rightSizes)
+
   private[graft] def detectLshPairs(hashed: DataFrame, indexDir: String,
                                     maxBucket: Int = 10000): DataFrame = {
     val spark = hashed.sparkSession
     val newBands = lshBandedOf(hashed)
     val idxBands = spark.read.parquet(s"$indexDir/bands")
-    val idxSizes = spark.read.parquet(s"$indexDir/sizes")
+    val idxSizes = lshIndexSizes(spark, indexDir)
     // cross pairs (batch × index) + in-batch pairs (batch × batch);
     // the self-join emits doc_a < doc_b directly, the cross join via
     // least/greatest (index and batch ids interleave arbitrarily)

@@ -24,6 +24,30 @@ object DebugPerf {
       println(f"[perf] $label%-30s ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
     }
 
+    // ---- two-sided guard decomposition -------------------------------
+    if (args.length > 1 && args(1) == "p06guard") {
+      // expects a GuardStress outDir as args(0) with lsh_idx built
+      val out = args(0)
+      val idxDir = s"$out/lsh_idx"
+      val docs = spark.read.parquet(s"$out/documents.parquet")
+      val nMax = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
+      val delta = docs.filter(col("doc_id") >= nMax - 500)
+      (1 to 2).foreach { rep =>
+        println(s"[perf] --- rep $rep ---")
+        val hashed = time("hash delta")(
+          graft.operators.Dedup.lshHashedPortableDebug(delta).localCheckpoint(true))
+        val newBands = graft.operators.Dedup.lshBandedOfDebug(hashed)
+        val idxBands = spark.read.parquet(s"$idxDir/bands")
+        val idxSizes = spark.read.parquet(s"$idxDir/sizes")
+        time("cross guarded count")(println("n=" +
+          graft.operators.Dedup.guardedBandedJoinDebug(newBands, idxBands, 10000, Some(idxSizes)).count()))
+        time("cross plain count")(println("n=" +
+          graft.operators.Dedup.guardedBandedJoinDebug(newBands, idxBands, Int.MaxValue, Some(idxSizes)).count()))
+        graft.Bench.dropAllStorage(spark)
+      }
+      spark.stop(); return
+    }
+
     // ---- d26 decomposition -------------------------------------------
     if (args.length > 1 && args(1) == "d26") {
       (1 to 2).foreach { rep =>

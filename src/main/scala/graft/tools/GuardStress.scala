@@ -73,7 +73,14 @@ object GuardStress {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      // 1m, not the suite's 64m: at 100 TB no banded side fits a
+      // broadcast, so the representative plan for the candidate joins
+      // is the SHUFFLED one — under 64m the harness-scale banded frames
+      // (~160 MB est / 20k docs) would broadcast and the A/B would
+      // measure stream-partitioning, not the join-key skew the guard
+      // exists for. The guard's own hot-key table stays broadcast (an
+      // explicit broadcast() of ~bands rows, threshold-independent).
+      .config("spark.sql.autoBroadcastJoinThreshold", "1m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -99,22 +106,29 @@ object GuardStress {
       "across every page of this crawl shard with common terms and " +
       "navigation structure repeated verbatim"
     Files.createDirectories(Paths.get(outDir))
+    val streamDir = s"$outDir/stream"
+    Files.createDirectories(Paths.get(streamDir))
     val docsPath = s"$outDir/documents.parquet"
     if (!Files.exists(Paths.get(docsPath))) {
-      // single parquet FILE (not dir) so s19's pathGlobFilter stream
-      // addresses it exactly like the driver-generated fixtures
-      val tmp = s"$outDir/_docs_tmp"
-      spark.range(n).select(
+      val corpus = spark.range(n).select(
           col("id").as("doc_id"),
           concat(lit(body), lit(" v"), col("id")).as("text"),
           lit("en").as("lang"),
           lit("stress").as("source"))
         .withColumn("n_chars", length(col("text")).cast("long"))
-        .coalesce(1)
-        .write.mode("overwrite").parquet(tmp)
+      // batch legs: a multi-file dir, read as `cpus` partitions (how a
+      // 100 TB table arrives — single-file would serialize every
+      // map-side stage of the registered chains)
+      corpus.repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(docsPath)
+      // streaming leg: s19's pathGlobFilter addresses a FILE named
+      // documents.parquet, like the driver-generated fixtures
+      val tmp = s"$outDir/_docs_tmp"
+      corpus.coalesce(1).write.mode("overwrite").parquet(tmp)
       val part = Files.list(Paths.get(tmp)).filter(_.toString.endsWith(".parquet"))
         .findFirst().get()
-      Files.move(part, Paths.get(docsPath), StandardCopyOption.REPLACE_EXISTING)
+      Files.move(part, Paths.get(s"$streamDir/documents.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
       graft.util.Scratch.rmTree(Paths.get(tmp))
     }
     val docs = spark.read.parquet(docsPath)
@@ -185,7 +199,7 @@ object GuardStress {
     //    the same split — two independent implementations of the same
     //    closed form.
     val s19rows = leg("s19 streaming drain") {
-      graft.streaming.Streams.streamingNearDup(spark, outDir).count()
+      graft.streaming.Streams.streamingNearDup(spark, streamDir).count()
     }
     val s19batch = leg("s19 batch cross-check") {
       val idx2 = s"$outDir/lsh_idx_s19"
@@ -196,6 +210,44 @@ object GuardStress {
     }
     assert(s19rows == s19batch,
       s"streaming drain diverges from the batch closed form: $s19rows vs $s19batch")
+
+    // 7) CANDIDATE-STAGE ISOLATE at 2.5×n — the guard's actual scope,
+    //    freed of the downstream dedup/verify stages that dominate the
+    //    full chains IDENTICALLY under either plan. Per band the
+    //    unguarded join enumerates the whole bucket² in ONE task (the
+    //    banded partitions sit far under AQE's 256 MB skew-split
+    //    threshold here, and at real scale AQE's split still leaves
+    //    each task bucket²/g work — it duplicates the unsplit side —
+    //    vs the guard's bucket²/g²); the guard spreads the same
+    //    enumeration over g² cells per band. Wall and max-task tell
+    //    the straggler story; counts must match exactly.
+    val big = (n * 2.5).toInt
+    val bigDocs = spark.range(big).select(
+        col("id").as("doc_id"),
+        concat(lit(body), lit(" v"), col("id")).as("text"))
+      .repartition(cpus.toInt).localCheckpoint(true)
+    val hashedBig = bigDocs.select(col("doc_id").as("id"),
+        graft.functions.HashFns.sortedPortableShingleHashSet(
+          graft.functions.TextFns.normalizeText(col("text")), 5).as("hs"))
+      .withColumn("sig", graft.functions.HashFns.portableMinhashSig(col("hs"), 32))
+      .drop("hs")
+      .localCheckpoint(true)
+    val bandedBig = Dedup.portableBanded(hashedBig, bands = 8, rows = 4)
+      .localCheckpoint(true)
+    val candG = leg(s"cand-stage guarded n=$big") {
+      Dedup.guardedBandedSelfJoin(bandedBig, 10000)
+        .filter(graft.functions.HashFns.signatureMatchCount(
+          col("sig_a"), col("sig_b")) >= 13)
+        .count()
+    }
+    val candU = leg(s"cand-stage UNGUARDED n=$big") {
+      Dedup.guardedBandedSelfJoin(bandedBig, Int.MaxValue)
+        .filter(graft.functions.HashFns.signatureMatchCount(
+          col("sig_a"), col("sig_b")) >= 13)
+        .count()
+    }
+    assert(candG == candU,
+      s"candidate-stage guard changed the multiset size: $candG vs $candU")
 
     println(s"[guard] ALL PARITY CHECKS PASSED at n=$n, maxBucket=10000 default")
     spark.stop()

@@ -119,54 +119,54 @@ class PlanAuditSpec extends SparkSpec {
     */
   test("hot-bucket guard: exchange overhead over the plain banded join is pinned") {
     import org.apache.spark.sql.functions._
-    val banded = spark.range(200).select(
+    def shuffles(df: org.apache.spark.sql.DataFrame): Int =
+      graft.tools.DumpExchangeBudget.shuffleCount(
+        initial(df.queryExecution.executedPlan))
+    // cold density (every bucket ≤ maxBucket): the guard's r12 fast
+    // path must return the PLAIN join plan — zero guard stages. The
+    // sizing runs as a separate bounded driver pull, not in the plan.
+    val cold = spark.range(200).select(
       (col("id") % 4).cast("int").as("band"),
       (col("id") % 7).cast("string").as("bkey"),
       col("id"),
       array(col("id")).as("sig"))
-    def shuffles(df: org.apache.spark.sql.DataFrame): Int =
-      graft.tools.DumpExchangeBudget.shuffleCount(
-        initial(df.queryExecution.executedPlan))
-    // one-sided (self-join) guard vs the plain 2-key self-join
     val plainSelf = shuffles(
-      banded.select(col("band"), col("bkey"), col("id").as("doc_a"), col("sig").as("sig_a"))
-        .join(banded.select(col("band"), col("bkey"), col("id").as("doc_b"), col("sig").as("sig_b")),
+      cold.select(col("band"), col("bkey"), col("id").as("doc_a"), col("sig").as("sig_a"))
+        .join(cold.select(col("band"), col("bkey"), col("id").as("doc_b"), col("sig").as("sig_b")),
           Seq("band", "bkey"))
         .filter(col("doc_a") < col("doc_b")))
-    val guardedSelf = shuffles(
-      graft.operators.Dedup.guardedBandedSelfJoin(banded, 10))
-    assert(guardedSelf - plainSelf == GuardSelfOverhead,
-      s"guarded self-join exchange overhead drifted: $guardedSelf - $plainSelf " +
-        s"(expected $GuardSelfOverhead — a new shuffle inside the guard?)")
-    // two-sided (batch × index) guard vs the plain join; in-flight
-    // sizing on both sides here (the persisted-size lookup replaces the
-    // right agg with a parquet scan at ingest — strictly fewer shuffles)
-    val other = banded.withColumn("id", col("id") + 1000L)
+    val coldSelf = shuffles(graft.operators.Dedup.guardedBandedSelfJoin(cold, 1000))
+    assert(coldSelf - plainSelf == 0,
+      s"cold-density guard must BE the plain join: $coldSelf vs $plainSelf")
+    val other = cold.withColumn("id", col("id") + 1000L)
     val plainTwo = shuffles(
-      banded.select(col("band"), col("bkey"), col("id").as("id_n"), col("sig").as("sig_n"))
+      cold.select(col("band"), col("bkey"), col("id").as("id_n"), col("sig").as("sig_n"))
         .join(other.select(col("band"), col("bkey"), col("id").as("id_o"), col("sig").as("sig_o")),
           Seq("band", "bkey")))
-    val guardedTwo = shuffles(
-      graft.operators.Dedup.guardedBandedJoin(banded, other, 10))
-    assert(guardedTwo - plainTwo == GuardTwoSidedOverhead,
-      s"guarded two-sided exchange overhead drifted: $guardedTwo - $plainTwo " +
-        s"(expected $GuardTwoSidedOverhead — a new shuffle inside the guard?)")
+    val coldTwo = shuffles(graft.operators.Dedup.guardedBandedJoin(cold, other, 1000))
+    assert(coldTwo - plainTwo == 0,
+      s"cold-density two-sided guard must BE the plain join: $coldTwo vs $plainTwo")
+    // hot density: the grid plan's overhead over the plain join is
+    // pinned so a wholesale budget regeneration can't silently absorb
+    // a new shuffle inside the guard's hot legs
+    val hotSelf = shuffles(graft.operators.Dedup.guardedBandedSelfJoin(cold, 10))
+    assert(hotSelf - plainSelf == GuardSelfHotOverhead,
+      s"hot guarded self-join exchange overhead drifted: $hotSelf - $plainSelf " +
+        s"(expected $GuardSelfHotOverhead — a new shuffle inside the guard?)")
+    val hotTwo = shuffles(graft.operators.Dedup.guardedBandedJoin(cold, other, 10))
+    assert(hotTwo - plainTwo == GuardTwoSidedHotOverhead,
+      s"hot guarded two-sided exchange overhead drifted: $hotTwo - $plainTwo " +
+        s"(expected $GuardTwoSidedHotOverhead — a new shuffle inside the guard?)")
   }
 
-  // The pinned deltas: sizing-aggregation shuffles ONLY — one Exchange
-  // under each initial-plan reference of the broadcast hot-key table
-  // (self-join: cold-a anti, cold-b anti, hotA sized, hotB sized = 4;
-  // identical subtrees, deduplicated at runtime by ReuseExchange/AQE),
-  // verified against the dumped plan: every data-side join stays
-  // broadcast/plain, the guard never re-shuffles the banded rows.
-  // Bumped ONLY with a deliberate guard redesign.
-  private val GuardSelfOverhead = 4
-  // two-sided: the hot-key table is a full-outer of TWO sizing aggs
-  // (left in-flight, right in-flight here — the ingest path swaps the
-  // right agg for the persisted-size parquet scan, strictly fewer),
-  // referenced 4× (coldL/coldR anti, hotL/hotR sized) = 8 agg
-  // exchanges + 2 for the full-outer join's own repartitioning
-  private val GuardTwoSidedOverhead = 10
+  // The pinned HOT-path deltas. The hot-key table is a collected
+  // broadcast LITERAL (no sizing agg in the plan — it ran as the
+  // bounded driver pull), so the only admissible overhead is the hot
+  // legs' own join exchanges; every cold-side join stays broadcast/
+  // plain and the banded rows are never re-shuffled by the guard
+  // itself. Bumped ONLY with a deliberate guard redesign.
+  private val GuardSelfHotOverhead = 0
+  private val GuardTwoSidedHotOverhead = 0
 
   /** Flags a shuffle join whose legally-broadcastable side is estimated
     * under the broadcast threshold. Sides without a logical-stats link

@@ -720,8 +720,9 @@ class DedupSpec extends SparkSpec {
       try {
         Dedup.appendLshDetect(delta1, "doc_id", "text", idxDir.toString,
           outDir.toString)
-        // the size table must equal a fresh aggregation of the bands
+        // the size partials must sum to a fresh aggregation of the bands
         val sizes = spark.read.parquet(s"$idxDir/sizes")
+          .groupBy($"band", $"bkey").agg(sum($"bsz").as("bsz"))
           .as[(Int, String, Long)].collect().toSet
         val fresh = spark.read.parquet(s"$idxDir/bands")
           .groupBy($"band", $"bkey").count()
