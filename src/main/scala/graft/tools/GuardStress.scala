@@ -133,6 +133,11 @@ object GuardStress {
     }
     val docs = spark.read.parquet(docsPath)
 
+    // SPARK_GRAFT_GUARD_MODE=isolate runs only the candidate-stage
+    // isolate legs (iteration aid — the full legs take ~1.5h)
+    val isolateOnly = sys.env.get("SPARK_GRAFT_GUARD_MODE").contains("isolate")
+    if (!isolateOnly) {
+
     // 1) d03 guarded (default) vs unguarded — same rows, bounded tasks
     val d03g = leg("d03 guarded@10000") {
       Dedup.minHashLshPairsPortable(docs, "doc_id", "text").count()
@@ -211,6 +216,8 @@ object GuardStress {
     assert(s19rows == s19batch,
       s"streaming drain diverges from the batch closed form: $s19rows vs $s19batch")
 
+    } // !isolateOnly
+
     // 7) CANDIDATE-STAGE ISOLATE at 2.5×n — the guard's actual scope,
     //    freed of the downstream dedup/verify stages that dominate the
     //    full chains IDENTICALLY under either plan. Per band the
@@ -222,32 +229,51 @@ object GuardStress {
     //    enumeration over g² cells per band. Wall and max-task tell
     //    the straggler story; counts must match exactly.
     val big = (n * 2.5).toInt
-    val bigDocs = spark.range(big).select(
-        col("id").as("doc_id"),
-        concat(lit(body), lit(" v"), col("id")).as("text"))
-      .repartition(cpus.toInt).localCheckpoint(true)
-    val hashedBig = bigDocs.select(col("doc_id").as("id"),
-        graft.functions.HashFns.sortedPortableShingleHashSet(
-          graft.functions.TextFns.normalizeText(col("text")), 5).as("hs"))
-      .withColumn("sig", graft.functions.HashFns.portableMinhashSig(col("hs"), 32))
-      .drop("hs")
-      .localCheckpoint(true)
-    val bandedBig = Dedup.portableBanded(hashedBig, bands = 8, rows = 4)
-      .localCheckpoint(true)
-    val candG = leg(s"cand-stage guarded n=$big") {
-      Dedup.guardedBandedSelfJoin(bandedBig, 10000)
-        .filter(graft.functions.HashFns.signatureMatchCount(
-          col("sig_a"), col("sig_b")) >= 13)
-        .count()
+    // bandedBig is re-derived and re-checkpointed INSIDE each leg —
+    // leg() drops all storage afterwards, which would evict a shared
+    // checkpoint between the A and B runs
+    def bandedBig(): DataFrame = {
+      val bigDocs = spark.range(big).select(
+          col("id").as("doc_id"),
+          concat(lit(body), lit(" v"), col("id")).as("text"))
+        .repartition(cpus.toInt)
+      Dedup.portableBanded(
+        bigDocs.select(col("doc_id").as("id"),
+            graft.functions.HashFns.sortedPortableShingleHashSet(
+              graft.functions.TextFns.normalizeText(col("text")), 5).as("hs"))
+          .withColumn("sig",
+            graft.functions.HashFns.portableMinhashSig(col("hs"), 32))
+          .drop("hs"),
+        bands = 8, rows = 4).localCheckpoint(true)
     }
-    val candU = leg(s"cand-stage UNGUARDED n=$big") {
-      Dedup.guardedBandedSelfJoin(bandedBig, Int.MaxValue)
-        .filter(graft.functions.HashFns.signatureMatchCount(
-          col("sig_a"), col("sig_b")) >= 13)
-        .count()
-    }
-    assert(candG == candU,
-      s"candidate-stage guard changed the multiset size: $candG vs $candU")
+    // Broadcast is DISABLED for the isolate legs: a 100 TB band bucket
+    // cannot broadcast, so the only plan available at scale is the
+    // hash-partitioned join — under it the unguarded plan pins each
+    // band's whole bucket² enumeration to the ONE task owning that
+    // key, while the guard's cells spread it across g² tasks per band.
+    // (With broadcast allowed, harness-scale frames fit a hash map and
+    // BOTH plans parallelize by stream partitions — measured guarded
+    // 210s vs unguarded 50s: the grid's replication is pure overhead
+    // when the join never key-partitions. That plan does not exist at
+    // the guard's target scale.)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val candG = leg(s"cand-stage guarded n=$big") {
+        Dedup.guardedBandedSelfJoin(bandedBig(), 10000)
+          .filter(graft.functions.HashFns.signatureMatchCount(
+            col("sig_a"), col("sig_b")) >= 13)
+          .count()
+      }
+      val candU = leg(s"cand-stage UNGUARDED n=$big") {
+        Dedup.guardedBandedSelfJoin(bandedBig(), Int.MaxValue)
+          .filter(graft.functions.HashFns.signatureMatchCount(
+            col("sig_a"), col("sig_b")) >= 13)
+          .count()
+      }
+      assert(candG == candU,
+        s"candidate-stage guard changed the multiset size: $candG vs $candU")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
 
     println(s"[guard] ALL PARITY CHECKS PASSED at n=$n, maxBucket=10000 default")
     spark.stop()
