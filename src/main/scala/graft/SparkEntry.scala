@@ -263,6 +263,13 @@ object SparkEntry {
     // verbatim (p01 pattern)
     "p05_temperature_pack"   -> ((s: SparkSession, dir: String) =>
       graft.operators.Curation.temperatureTokenizedPack(s, dir)),
+    // p07: the corpus DATASHEET — the data card published next to the
+    // corpus: raw/curated/contaminated/packed counts, pack + token
+    // totals, per-lang and per-source shipped mix, all derived from
+    // the same proven d11→d12→q57 chains so the report can never
+    // drift from the pipeline it describes (oracle nests those
+    // statements — the p01 composition pattern, aggregated)
+    "p07_datasheet"          -> (graft.operators.Curation.datasheet(_, _)),
     // d19: CCNet/C4-style paragraph-level corpus dedup — keep each
     // distinct 10-word chunk's first (doc_id, pos) occurrence via an
     // algebraic min-struct aggregate (map-side combinable, no window
@@ -3319,6 +3326,43 @@ object SparkEntry {
          |   doc_id % 32 AS shard
          |  FROM survivors))
          |ORDER BY doc_id""".stripMargin
+    // p07: the datasheet — every stat an aggregate over the same
+    // nested d11/d12/q57 statements p01 composes; the mix rows GROUP
+    // BY the survivors' lang/source (dynamic stat names are data)
+    val p07Sql =
+      s"""WITH curated AS (SELECT doc_id, text FROM (${base("d11_curation_lsh")}) c),
+         |flagged AS (SELECT doc_id FROM (${base("d12_decontamination")}) f
+         |  WHERE doc_id IN (SELECT doc_id FROM curated)),
+         |survivors AS (SELECT doc_id, text FROM curated
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM flagged)),
+         |packed AS (
+         | SELECT doc_id, n_tokens, shard,
+         |  shard * 2199023255552 + CAST(floor(start_off / 2048) AS BIGINT) AS pack_id
+         | FROM (
+         |  SELECT doc_id, n_tokens, shard,
+         |   CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |     - n_tokens AS start_off
+         |  FROM (SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    doc_id % 32 AS shard
+         |   FROM survivors)))
+         |SELECT stat, CAST(value AS BIGINT) AS value FROM (
+         | SELECT 'docs_total' AS stat,
+         |  (SELECT count(*) FROM documents) AS value
+         | UNION ALL SELECT 'docs_curated', (SELECT count(*) FROM curated)
+         | UNION ALL SELECT 'docs_contaminated', (SELECT count(*) FROM flagged)
+         | UNION ALL SELECT 'docs_packed', (SELECT count(*) FROM packed)
+         | UNION ALL SELECT 'packs', (SELECT count(DISTINCT pack_id) FROM packed)
+         | UNION ALL SELECT 'tokens_packed',
+         |  (SELECT coalesce(sum(n_tokens), 0) FROM packed)
+         | UNION ALL SELECT 'docs_distinct_norm',
+         |  (SELECT count(DISTINCT md5(${norm("text")})) FROM documents)
+         | UNION ALL SELECT 'lang_docs_' || lang, count(*)
+         |  FROM survivors JOIN documents USING (doc_id) GROUP BY lang
+         | UNION ALL SELECT 'source_docs_' || source, count(*)
+         |  FROM survivors JOIN documents USING (doc_id) GROUP BY source
+         |) ORDER BY stat""".stripMargin
     val p01Sql =
       s"""WITH curated AS (SELECT doc_id, text FROM (${base("d11_curation_lsh")}) c),
          |flagged AS (SELECT doc_id FROM (${base("d12_decontamination")}) f)
@@ -3337,6 +3381,7 @@ object SparkEntry {
     base + ("d16_decontaminate_bloom" -> base("d12_decontamination"),
             "p01_corpus_pipeline" -> p01Sql,
             "p06_incremental_refresh" -> p06Sql,
+            "p07_datasheet" -> p07Sql,
             "s14_streaming_funnel" -> base("q85_funnel_steps"),
             "s17_streaming_outliers" -> base("q92_value_outliers"),
             "s18_streaming_quantiles" -> base("q96_sampled_quantiles"),

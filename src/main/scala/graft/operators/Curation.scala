@@ -291,6 +291,86 @@ object Curation {
     decontaminateAndPack(survivors, docs, budget, shards)
   }
 
+  /** p07: the corpus DATASHEET — the data card a training run
+    * publishes next to its corpus, as ONE hash-checked gate: every
+    * headline number an auditor asks for (raw size, curation survivor
+    * counts, contamination count, packed-token totals, pack count, and
+    * the per-language / per-source mix of what actually ships) derived
+    * from the SAME proven chains the pipeline gates run (d11 curate →
+    * d12 decontaminate → q57 pack), emitted as `(stat, value)` rows.
+    * The DuckDB oracle nests the d11/d12 oracle statements and the q57
+    * window verbatim (the p01 composition pattern), so the datasheet
+    * can never drift from the pipeline it describes — a threshold or
+    * constant moving anywhere upstream moves a published number here.
+    *
+    * Scale shape: one curate pass (the p01 cost), then every stat is a
+    * tiny aggregate over the (already materialized) survivor/pack
+    * frames — map-side-combined counts and sums, two small groupBys
+    * for the mix rows, a union of one-row frames. The report is O(1)
+    * output over one corpus pass, exactly what a 100 TB run can afford
+    * nightly.
+    */
+  def datasheet(spark: SparkSession, dir: String,
+                budget: Int = 2048, shards: Int = 32): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // the p01 stages, shared: curate once (checkpointed inside), flag
+    // once, pack once — the stats all read these three frames
+    val curated = graft.jobs.CurationJob.curate(spark, dir)
+    // ids-only and doc-bounded; checkpointed because the stat branch,
+    // the pack branch and both mix branches all anti-join against it —
+    // the corpus shingle pass behind it must run once, not four times
+    val flagged = contaminationHits(curated, evalShingleKeys(docs, 8), 8)
+      .select(col("doc_id"))
+      .localCheckpoint(true)
+    val survivors = curated.join(flagged, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("text"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val packed = survivors
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        (col("doc_id") % shards).as("shard"))
+      .withColumn("start_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("pack_id",
+        col("shard") * 2199023255552L + floor(col("start_off") / budget).cast("long"))
+    // one corpus pass for both raw-size stats; the distinct key is the
+    // 16-byte md5 of the normalized text (identical in DuckDB), not
+    // the text itself — at 100 TB the distinct shuffle carries hashes
+    val docStats = docs
+      .select(md5(normalizeText(col("text")).cast("binary")).as("h"))
+      .agg(count(lit(1)).as("docs_total"),
+        countDistinct(col("h")).as("docs_distinct_norm"))
+      .select(expr("stack(2, 'docs_total', docs_total, " +
+        "'docs_distinct_norm', docs_distinct_norm)").as(Seq("stat", "value")))
+    // one pass for all three pack stats — the pack window computes
+    // once inside this branch, nothing else re-derives it
+    val packStats = packed
+      .agg(count(lit(1)).as("docs_packed"),
+        countDistinct(col("pack_id")).as("packs"),
+        coalesce(sum(col("n_tokens")), lit(0L)).as("tokens_packed"))
+      .select(expr("stack(3, 'docs_packed', docs_packed, 'packs', packs, " +
+        "'tokens_packed', tokens_packed)").as(Seq("stat", "value")))
+    // flagged is computed ON the curated survivors, so its count IS
+    // the curated-and-contaminated count
+    val stageStats = Seq(
+      curated.agg(count(lit(1)).as("value"))
+        .select(lit("docs_curated").as("stat"), col("value")),
+      flagged.agg(count(lit(1)).as("value"))
+        .select(lit("docs_contaminated").as("stat"), col("value")))
+    // the mix of what actually ships: per-language / per-source doc
+    // counts over the packed survivors (dynamic stat names — the
+    // fixture's lang/source domains are data, not schema)
+    val mix = Seq("lang", "source").map { c =>
+      survivors.select(col("doc_id"))
+        .join(docs.select(col("doc_id"), col(c)), Seq("doc_id"))
+        .groupBy(col(c)).agg(count(lit(1)).as("value"))
+        .select(concat(lit(s"${c}_docs_"), col(c)).as("stat"), col("value"))
+    }
+    (Seq(docStats, packStats) ++ stageStats ++ mix)
+      .map(_.select(col("stat"), col("value").cast("long").as("value")))
+      .reduce(_.unionAll(_)).orderBy(col("stat"))
+  }
+
   /** p02: the CCNet-style quality-MIXTURE pipeline, as one gate —
     * the curation pattern where documents are not just kept/dropped
     * (p01) but routed into perplexity buckets and re-balanced across

@@ -1905,11 +1905,23 @@ object Dedup {
       "d04_simhash" -> (() => simHashPairsPortable(sliced, "doc_id", "text")),
       "d05_ngram_jaccard" -> (() => ngramJaccardPairsPortable(sliced, "doc_id", "text")))
     val floors = dedupRecallFloors.toMap
-    methods.map { case (name, fn) =>
-      val slice = fn().select(col("doc_a"), col("doc_b"))
-      (name, recallPct(exact.join(slice, Seq("doc_a", "doc_b")).count()),
-        floors(name))
-    }.filter { case (_, r, floor) => r >= floor }
+    // the three method legs are independent DAGs over the checkpointed
+    // slice/anchor — submit concurrently (the e08 audit pattern);
+    // results re-assembled in method order, output unchanged
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(methods.size)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val rows =
+      try scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(methods.map { case (name, fn) =>
+          scala.concurrent.Future {
+            val slice = fn().select(col("doc_a"), col("doc_b"))
+            (name, recallPct(exact.join(slice, Seq("doc_a", "doc_b")).count()),
+              floors(name))
+          }
+        }), scala.concurrent.duration.Duration.Inf)
+      finally pool.shutdown()
+    rows.filter { case (_, r, floor) => r >= floor }
       .toDF("method", "recall_x100", "floor")
       .orderBy(col("method"))
   }

@@ -1848,10 +1848,27 @@ object Similarity {
   def knnJoinAudited(spark: SparkSession, dir: String): DataFrame = {
     // localCheckpoint each leg once (the e08 audit pattern): the floor
     // gate below re-reads both legs, and without materialization the
-    // band-shuffle pipelines would re-execute per reference
-    val anchor = knnJoinQueryPortable(spark, dir)
-      .select(col("id_a"), col("id_b")).localCheckpoint(true)
-    val agreed = knnJoinQuery(spark, dir)
+    // band-shuffle pipelines would re-execute per reference. The two
+    // legs are independent DAGs until the semi-join — materialize them
+    // concurrently (the e08/d26 audit-leg pattern)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val (anchor, adaptive) =
+      try {
+        val fAnchor = scala.concurrent.Future {
+          knnJoinQueryPortable(spark, dir)
+            .select(col("id_a"), col("id_b")).localCheckpoint(true)
+        }
+        val fAdaptive = scala.concurrent.Future {
+          knnJoinQuery(spark, dir).localCheckpoint(true)
+        }
+        (scala.concurrent.Await.result(fAnchor,
+            scala.concurrent.duration.Duration.Inf),
+          scala.concurrent.Await.result(fAdaptive,
+            scala.concurrent.duration.Duration.Inf))
+      } finally pool.shutdown()
+    val agreed = adaptive
       .join(anchor, Seq("id_a", "id_b"), "left_semi").localCheckpoint(true)
     // 0-or-1-row broadcast gate: empty below the floor, one neutral row
     // at/above it — the join erases the whole output on a collapse
@@ -2042,16 +2059,36 @@ object Similarity {
     // a loud, visible collapse) rather than ArithmeticException
     def recallPct(hits: Long, denom: Long): Long =
       if (denom == 0L) 0L else hits * 100L / denom
-    val rows = methods.map { case (name, fn) =>
-      val approx = fn(spark, dir).select(col("query_id"), col("neighbor_id"))
-      val hits = exact.join(approx, Seq("query_id", "neighbor_id")).count()
-      (name, recallPct(hits, total))
-    } :+ {
-      val approx = knnFilteredIvfFixedPoint(spark, dir)
-        .select(col("query_id"), col("neighbor_id"))
-      val hits = filteredExact.join(approx, Seq("query_id", "neighbor_id")).count()
-      ("e16_knn_filtered_ivf", recallPct(hits, filteredTotal))
-    }
+    // The nine legs are independent DAGs over shared READ-ONLY inputs
+    // (the checkpointed baselines + the parquet scans) — no temp views,
+    // no session-conf writes, every trained artifact leg-local. Submit
+    // them concurrently so the audit's wall time is its widest leg,
+    // not the sum of nine: serially each leg left local[32] nearly
+    // idle (shortlists and training samples are tiny), and the audit
+    // was the bench's most expensive query by a factor of ~2. Results
+    // are assembled back in method order, so output is byte-identical
+    // to the serial form.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(methods.size + 1)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val rows =
+      try {
+        val legs = methods.map { case (name, fn) =>
+          scala.concurrent.Future {
+            val approx = fn(spark, dir).select(col("query_id"), col("neighbor_id"))
+            val hits = exact.join(approx, Seq("query_id", "neighbor_id")).count()
+            (name, recallPct(hits, total))
+          }
+        } :+ scala.concurrent.Future {
+          val approx = knnFilteredIvfFixedPoint(spark, dir)
+            .select(col("query_id"), col("neighbor_id"))
+          val hits = filteredExact.join(approx, Seq("query_id", "neighbor_id")).count()
+          ("e16_knn_filtered_ivf", recallPct(hits, filteredTotal))
+        }
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(legs),
+          scala.concurrent.duration.Duration.Inf)
+      } finally pool.shutdown()
     val floors = recallFloors.toMap
     rows.map { case (name, r) => (name, r, floors(name)) }
       .filter { case (_, r, floor) => r >= floor }

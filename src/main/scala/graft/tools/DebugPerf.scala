@@ -24,6 +24,26 @@ object DebugPerf {
       println(f"[perf] $label%-30s ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
     }
 
+    // ---- time named registered queries (bench-style, 2 reps) ---------
+    if (args.length > 1 && args(1) == "q") {
+      val names = args.drop(2).toSeq
+      // untimed warmup at the smallest fixture (JIT/codegen), then two
+      // timed reps at `dir`, storage dropped between — Bench's recipe
+      names.foreach { n =>
+        try graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
+        catch { case _: Throwable => () }
+      }
+      graft.Bench.dropAllStorage(spark)
+      (1 to 2).foreach { rep =>
+        println(s"[perf] --- rep $rep ---")
+        names.foreach { n =>
+          time(n)(println("n=" + graft.SparkEntry.queries(n)(spark, dir).count()))
+          graft.Bench.dropAllStorage(spark)
+        }
+      }
+      spark.stop(); return
+    }
+
     // ---- two-sided guard decomposition -------------------------------
     if (args.length > 1 && args(1) == "p06guard") {
       // expects a GuardStress outDir as args(0) with lsh_idx built

@@ -103,6 +103,11 @@ object DumpPlans {
     // dedup window → LSH/cluster anti-join (lazy-curate variant) →
     // broadcast eval-key decontamination anti-join → one pack window
     "p01_corpus_pipeline",
+    // round-12: the datasheet — dumped in its REGISTERED (checkpointed)
+    // form deliberately (the q87 precedent): curate/flagged/packed each
+    // feed 2-4 stat consumers, so the checkpoints ARE the plan evidence
+    // (one corpus pass, then O(1) aggregates + two small mix joins)
+    "p07_datasheet",
     // round-9: cluster-weighted sampling — the d10 cluster resolution
     // (driver union-find under the edge bound, the collect is the plan)
     // feeding one unit-size aggregate and a map-side hash-threshold

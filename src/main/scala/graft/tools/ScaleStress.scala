@@ -220,7 +220,12 @@ object ScaleStress {
       // at 10× the delta is ~the whole copy corpus, so this rides the
       // guarded two-sided probe at adversarial density (the degenerate
       // hot-bucket case is GuardStress's, not this one)
-      "p06_incremental_refresh")
+      "p06_incremental_refresh",
+      // round-12: the datasheet — rides the p01 chains plus one
+      // count-distinct over md5(norm) (16-byte keys at factor× rows)
+      // and the two mix groupBys (|langs|/|sources| rows); wall should
+      // track p01's
+      "p07_datasheet")
 
     // SPARK_GRAFT_ONLY=name1,name2 narrows the run (iteration / probes)
     val only = sys.env.get("SPARK_GRAFT_ONLY")

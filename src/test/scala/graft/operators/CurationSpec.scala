@@ -272,6 +272,28 @@ class CurationSpec extends SparkSpec {
     assert(got == exp, s"p06 diverges: got ${got.size}, exp ${exp.size}")
   }
 
+  test("p07 datasheet: stats agree with the constituent gates; mix partitions the shipped set") {
+    val stats = Curation.datasheet(spark, sf)
+      .as[(String, Long)].collect().toMap
+    val packed = Curation.corpusPipeline(spark, sf)
+      .select($"n_tokens", $"pack_id").as[(Long, Long)].collect().toSeq
+    assert(stats("docs_total") == Tables.documents(spark, sf).count())
+    assert(stats("docs_packed") == packed.size.toLong)
+    assert(stats("docs_packed") ==
+      stats("docs_curated") - stats("docs_contaminated"))
+    assert(stats("tokens_packed") == packed.map(_._1).sum)
+    assert(stats("packs") == packed.map(_._2).distinct.size.toLong)
+    assert(stats("docs_distinct_norm") <= stats("docs_total"))
+    assert(stats("docs_contaminated") > 0L,
+      "fixture must exercise the decontamination stat")
+    // the lang and source mixes each partition exactly the shipped set
+    Seq("lang_docs_", "source_docs_").foreach { p =>
+      val mix = stats.filter(_._1.startsWith(p))
+      assert(mix.nonEmpty, s"$p rows missing")
+      assert(mix.values.sum == stats("docs_packed"), s"$p must sum to shipped")
+    }
+  }
+
   test("p04 temperature mix matches a driver-side reference; rarest lang keeps all") {
     val docs = Tables.documents(spark, sf)
       .select($"doc_id", $"lang").as[(Long, String)].collect().toSeq
