@@ -857,7 +857,13 @@ object Dedup {
       .select(col("doc_id"),
         HashFns.sortedShingleSet(normalizeText(col("text")), shingleLen).as("sh"))
       .localCheckpoint(true)
-    val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    // the pushed id<maxId scan arrives as ONE split, so without this
+    // the whole O(maxId²) intersection stage runs as a single task
+    // (the nested-loop join inherits the LEFT side's partitioning; the
+    // right side is the broadcast build). 250 rows shuffled is free;
+    // maxId²/parallelism pairs per task is the shape that scales.
+    val a = sh.repartition(spark.sessionState.conf.numShufflePartitions)
+      .select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     a.crossJoin(b)
       .filter(col("doc_a") < col("doc_b"))
