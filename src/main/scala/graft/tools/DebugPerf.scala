@@ -24,6 +24,66 @@ object DebugPerf {
       println(f"[perf] $label%-30s ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
     }
 
+    // ---- same-JVM spread A/B: heavy kernels over 1-partition vs spread
+    if (args.length > 1 && args(1) == "spreadab") {
+      val raw = spark.read.parquet(s"$dir/documents.parquet")
+      val spreadDf = raw.repartition(spark.sparkContext.defaultParallelism)
+      // warmup both shapes
+      Dedup.minHashLshPairsPortable(raw.limit(500), "doc_id", "text").count()
+      Dedup.minHashLshPairsPortable(spreadDf.limit(500), "doc_id", "text").count()
+      graft.Bench.dropAllStorage(spark)
+      (1 to 3).foreach { rep =>
+        println(s"[perf] --- rep $rep ---")
+        Seq("raw" -> raw, "spread" -> spreadDf).foreach { case (label, d) =>
+          time(s"d03 chain ($label)")(println("n=" +
+            Dedup.minHashLshPairsPortable(d, "doc_id", "text").count()))
+          graft.Bench.dropAllStorage(spark)
+          time(s"ngram chain ($label)")(println("n=" +
+            Dedup.ngramJaccardPairsPortable(d, "doc_id", "text").count()))
+          graft.Bench.dropAllStorage(spark)
+        }
+      }
+      spark.stop(); return
+    }
+
+    // ---- same-JVM anchor A/B: all-pairs stage 1-partition vs spread
+    if (args.length > 1 && args(1) == "anchorab") {
+      def anchor(spreadLeft: Boolean): Long = {
+        val sh = spark.read.parquet(s"$dir/documents.parquet")
+          .filter(col("doc_id") < 250)
+          .select(col("doc_id"),
+            graft.functions.HashFns.sortedShingleSet(
+              TextFns.normalizeText(col("text")), 5).as("sh"))
+          .localCheckpoint(true)
+        val left = if (spreadLeft)
+          sh.repartition(spark.sessionState.conf.numShufflePartitions) else sh
+        val a = left.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+        val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+        val n = a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+          .withColumn("jaccard",
+            graft.functions.HashFns.jaccardSorted(col("sh_a"), col("sh_b")))
+          .filter(col("jaccard") >= 0.25).count()
+        graft.Bench.dropAllStorage(spark); n
+      }
+      anchor(false); anchor(true) // warmup both
+      (1 to 3).foreach { rep =>
+        println(s"[perf] --- rep $rep ---")
+        time("anchor raw   ")(println("n=" + anchor(false)))
+        time("anchor spread")(println("n=" + anchor(true)))
+      }
+      spark.stop(); return
+    }
+
+    // ---- pushdown-through-repartition probe ---------------------------
+    if (args.length > 1 && args(1) == "pushdown") {
+      val df = spark.read.parquet(s"$dir/documents.parquet")
+        .repartition(32)
+        .filter(col("doc_id") < 250)
+        .select(col("doc_id"))
+      println(df.queryExecution.executedPlan.toString)
+      spark.stop(); return
+    }
+
     // ---- time named registered queries (bench-style, 2 reps) ---------
     if (args.length > 1 && args(1) == "q") {
       val names = args.drop(2).toSeq
