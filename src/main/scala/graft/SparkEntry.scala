@@ -3256,10 +3256,16 @@ object SparkEntry {
            |        JOIN dex e ON e.doc_a = a.doc_a AND e.doc_b = a.doc_b)
            |   // (SELECT n FROM dexn) AS recall_x100,
            | CAST(${graft.operators.Dedup.dedupRecallFloors.toMap.apply(method)} AS BIGINT) AS floor""".stripMargin
+      // anchor_pairs sentinel at floor 0 mirrors the Spark side: the
+      // gate is never empty-by-rows even where the anchor slice has no
+      // ≥0.6 pairs and every method row vanishes below its floor
       s"""WITH dex AS (SELECT doc_a, doc_b FROM (${base("d08_jaccard_exact_pairs")}) t
          |  WHERE jaccard >= 0.6),
          |dexn AS (SELECT count(*) AS n FROM dex)
          |SELECT method, recall_x100, floor FROM (
+         |SELECT 'anchor_pairs' AS method, (SELECT n FROM dexn) AS recall_x100,
+         |  CAST(0 AS BIGINT) AS floor
+         |UNION ALL
          |${Seq("d03_minhash_lsh", "d04_simhash", "d05_ngram_jaccard")
               .map(leg).mkString("\nUNION ALL\n")}
          |) WHERE recall_x100 >= floor ORDER BY method""".stripMargin
@@ -3358,10 +3364,12 @@ object SparkEntry {
          |  (SELECT coalesce(sum(n_tokens), 0) FROM packed)
          | UNION ALL SELECT 'docs_distinct_norm',
          |  (SELECT count(DISTINCT md5(${norm("text")})) FROM documents)
-         | UNION ALL SELECT 'lang_docs_' || lang, count(*)
-         |  FROM survivors JOIN documents USING (doc_id) GROUP BY lang
-         | UNION ALL SELECT 'source_docs_' || source, count(*)
-         |  FROM survivors JOIN documents USING (doc_id) GROUP BY source
+         | UNION ALL SELECT 'lang_docs_' || coalesce(lang, 'unknown'), count(*)
+         |  FROM survivors JOIN documents USING (doc_id)
+         |  GROUP BY coalesce(lang, 'unknown')
+         | UNION ALL SELECT 'source_docs_' || coalesce(source, 'unknown'), count(*)
+         |  FROM survivors JOIN documents USING (doc_id)
+         |  GROUP BY coalesce(source, 'unknown')
          |) ORDER BY stat""".stripMargin
     val p01Sql =
       s"""WITH curated AS (SELECT doc_id, text FROM (${base("d11_curation_lsh")}) c),

@@ -360,9 +360,13 @@ object Curation {
     // the mix of what actually ships: per-language / per-source doc
     // counts over the packed survivors (dynamic stat names — the
     // fixture's lang/source domains are data, not schema)
+    // lang/source coalesce to 'unknown' on BOTH engines: a NULL key
+    // would otherwise make a NULL stat name that Spark sorts first and
+    // DuckDB last, silently diverging the hash-check ordering
     val mix = Seq("lang", "source").map { c =>
       survivors.select(col("doc_id"))
-        .join(docs.select(col("doc_id"), col(c)), Seq("doc_id"))
+        .join(docs.select(col("doc_id"),
+          coalesce(col(c), lit("unknown")).as(c)), Seq("doc_id"))
         .groupBy(col(c)).agg(count(lit(1)).as("value"))
         .select(concat(lit(s"${c}_docs_"), col(c)).as("stat"), col("value"))
     }

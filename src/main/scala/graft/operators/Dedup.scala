@@ -1900,7 +1900,8 @@ object Dedup {
       .localCheckpoint(true)
     val total = exact.count()
     // zero-guarded like e08: an empty anchor reads as recall 0 — every
-    // method then fails its floor and the gate emits ZERO rows (loud)
+    // method then fails its floor and only the anchor_pairs sentinel
+    // (value 0) remains, which says exactly that
     def recallPct(hits: Long): Long =
       if (total == 0L) 0L else hits * 100L / total
     val sliced = Tables.documents(spark, dir).filter(col("doc_id") < 250)
@@ -1912,22 +1913,23 @@ object Dedup {
       "d05_ngram_jaccard" -> (() => ngramJaccardPairsPortable(sliced, "doc_id", "text")))
     val floors = dedupRecallFloors.toMap
     // the three method legs are independent DAGs over the checkpointed
-    // slice/anchor — submit concurrently (the e08 audit pattern);
-    // results re-assembled in method order, output unchanged
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(methods.size)
-    implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.fromExecutor(pool)
-    val rows =
-      try scala.concurrent.Await.result(
-        scala.concurrent.Future.sequence(methods.map { case (name, fn) =>
-          scala.concurrent.Future {
-            val slice = fn().select(col("doc_a"), col("doc_b"))
-            (name, recallPct(exact.join(slice, Seq("doc_a", "doc_b")).count()),
-              floors(name))
-          }
-        }), scala.concurrent.duration.Duration.Inf)
-      finally pool.shutdown()
-    rows.filter { case (_, r, floor) => r >= floor }
+    // slice/anchor — submit concurrently (the e08 audit pattern, via
+    // the shared runner: a failed leg cancels its siblings' jobs, a
+    // wedged leg times out loudly); results re-assembled in method
+    // order, output unchanged
+    val rows = graft.util.Audits.concurrently(spark, "d26",
+      methods.map { case (name, fn) => () => {
+        val slice = fn().select(col("doc_a"), col("doc_b"))
+        (name, recallPct(exact.join(slice, Seq("doc_a", "doc_b")).count()),
+          floors(name))
+      }})
+    // sentinel first: the anchor's own pair count at floor 0, so the
+    // gate is NEVER empty-by-rows — at scale factors where the anchor
+    // slice has no ≥0.6 pairs (sf0.1) every METHOD row still vanishes
+    // (recall 0 < floor), but `spark_rows ≥ 1` distinguishes "floors
+    // tripped / anchor empty" from "gate broken"
+    (("anchor_pairs", total, 0L) +:
+        rows.filter { case (_, r, floor) => r >= floor })
       .toDF("method", "recall_x100", "floor")
       .orderBy(col("method"))
   }

@@ -1851,23 +1851,10 @@ object Similarity {
     // band-shuffle pipelines would re-execute per reference. The two
     // legs are independent DAGs until the semi-join — materialize them
     // concurrently (the e08/d26 audit-leg pattern)
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
-    implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.fromExecutor(pool)
-    val (anchor, adaptive) =
-      try {
-        val fAnchor = scala.concurrent.Future {
-          knnJoinQueryPortable(spark, dir)
-            .select(col("id_a"), col("id_b")).localCheckpoint(true)
-        }
-        val fAdaptive = scala.concurrent.Future {
-          knnJoinQuery(spark, dir).localCheckpoint(true)
-        }
-        (scala.concurrent.Await.result(fAnchor,
-            scala.concurrent.duration.Duration.Inf),
-          scala.concurrent.Await.result(fAdaptive,
-            scala.concurrent.duration.Duration.Inf))
-      } finally pool.shutdown()
+    val Seq(anchor, adaptive) = graft.util.Audits.concurrently(spark, "e12", Seq(
+      () => knnJoinQueryPortable(spark, dir)
+        .select(col("id_a"), col("id_b")).localCheckpoint(true),
+      () => knnJoinQuery(spark, dir).localCheckpoint(true)))
     val agreed = adaptive
       .join(anchor, Seq("id_a", "id_b"), "left_semi").localCheckpoint(true)
     // 0-or-1-row broadcast gate: empty below the floor, one neutral row
@@ -2068,27 +2055,19 @@ object Similarity {
     // was the bench's most expensive query by a factor of ~2. Results
     // are assembled back in method order, so output is byte-identical
     // to the serial form.
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(methods.size + 1)
-    implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.fromExecutor(pool)
-    val rows =
-      try {
-        val legs = methods.map { case (name, fn) =>
-          scala.concurrent.Future {
-            val approx = fn(spark, dir).select(col("query_id"), col("neighbor_id"))
-            val hits = exact.join(approx, Seq("query_id", "neighbor_id")).count()
-            (name, recallPct(hits, total))
-          }
-        } :+ scala.concurrent.Future {
-          val approx = knnFilteredIvfFixedPoint(spark, dir)
-            .select(col("query_id"), col("neighbor_id"))
-          val hits = filteredExact.join(approx, Seq("query_id", "neighbor_id")).count()
-          ("e16_knn_filtered_ivf", recallPct(hits, filteredTotal))
-        }
-        scala.concurrent.Await.result(
-          scala.concurrent.Future.sequence(legs),
-          scala.concurrent.duration.Duration.Inf)
-      } finally pool.shutdown()
+    val legs: Seq[() => (String, Long)] = methods.map { case (name, fn) =>
+      () => {
+        val approx = fn(spark, dir).select(col("query_id"), col("neighbor_id"))
+        val hits = exact.join(approx, Seq("query_id", "neighbor_id")).count()
+        (name, recallPct(hits, total))
+      }
+    } :+ { () =>
+      val approx = knnFilteredIvfFixedPoint(spark, dir)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = filteredExact.join(approx, Seq("query_id", "neighbor_id")).count()
+      ("e16_knn_filtered_ivf", recallPct(hits, filteredTotal))
+    }
+    val rows = graft.util.Audits.concurrently(spark, "e08", legs)
     val floors = recallFloors.toMap
     rows.map { case (name, r) => (name, r, floors(name)) }
       .filter { case (_, r, floor) => r >= floor }

@@ -87,11 +87,19 @@ object DebugPerf {
     // ---- time named registered queries (bench-style, 2 reps) ---------
     if (args.length > 1 && args(1) == "q") {
       val names = args.drop(2).toSeq
+      // fail fast on a typo'd name: a silently skipped warmup would
+      // fold JIT/codegen cost into rep 1 and quietly undermine the
+      // same-JVM discipline this tool exists to enforce
+      val unknown = names.filterNot(graft.SparkEntry.queries.contains)
+      require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
       // untimed warmup at the smallest fixture (JIT/codegen), then two
       // timed reps at `dir`, storage dropped between — Bench's recipe
       names.foreach { n =>
         try graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
-        catch { case _: Throwable => () }
+        catch { case t: Throwable =>
+          println(s"[perf] WARNING: warmup of $n threw ${t.getClass.getSimpleName}" +
+            s" (${t.getMessage}) — rep-1 timings will include JIT/codegen cost")
+        }
       }
       graft.Bench.dropAllStorage(spark)
       (1 to 2).foreach { rep =>

@@ -618,8 +618,11 @@ class DedupSpec extends SparkSpec {
         (n, recall, floors(n))
       }
       .filter { case (_, r, f) => r >= f }
-      .sortBy(_._1)
-    assert(rows == expected, s"audit diverges: $rows vs $expected")
+    // the sentinel (anchor pair count at floor 0) keeps the gate
+    // non-empty even where every method row vanishes below floor
+    val expectedAll =
+      (("anchor_pairs", exact.size.toLong, 0L) +: expected).sortBy(_._1)
+    assert(rows == expectedAll, s"audit diverges: $rows vs $expectedAll")
     // the anchor must be non-degenerate and the primary jaccard
     // methods must be present (they share the anchor's similarity
     // notion — if either vanished, calibration collapsed)
