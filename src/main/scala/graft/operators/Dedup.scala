@@ -292,6 +292,18 @@ object Dedup {
       .withColumn("gid",
         pmod(xxhash64(col("id")), col("g").cast("long")).cast("int"))
 
+  /** INPUT CONTRACT: `banded`'s expensive ancestry (shingling,
+    * signing, tokenizing — anything heavier than the banding explode
+    * itself) MUST be persisted or checkpointed by the caller. The
+    * eager sizing probe below is a full pass over `banded`, and the
+    * plain self-join reads it twice more — an unpersisted expensive
+    * input silently runs its lineage three times (spec-pinned by the
+    * "sizing probe does not re-execute a persisted input" DedupSpec
+    * case). Every in-repo chain persists the (id, sig[, hs]) frame and
+    * bands on top of the cache; banding itself is a cheap explode and
+    * deliberately NOT persisted (bands × corpus rows of cache for one
+    * re-read is a bad trade).
+    */
   private[graft] def guardedBandedSelfJoin(banded: DataFrame,
                                            maxBucket: Int = 10000): DataFrame = {
     // payload columns (signatures, hashes) ride both join sides with
@@ -695,8 +707,13 @@ object Dedup {
     */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame = {
+    // persisted: the guard's eager sizing probe + the self-join's two
+    // sides would otherwise each re-run normalize+tokenize+simhash over
+    // the corpus (the guard's documented input contract); the cached
+    // frame is 16 bytes/doc
     val sig = docs.select(col(idCol).as("id"),
       simhash64(tokens(normalizeText(col(textCol)))).as("sig"))
+      .persist()
     val banded = sig.select(col("id"), col("sig"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),
@@ -705,7 +722,7 @@ object Dedup {
       .select(col("id"), col("sig"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
     // same hot-bucket guard as the minhash chains: a degenerate 16-bit
     // band key (boilerplate-heavy shard) is the identical skew killer
-    guardedBandedSelfJoin(banded, maxBucket)
+    val pairs = guardedBandedSelfJoin(banded, maxBucket)
       // verify BEFORE deduping multi-band collisions: the hamming test
       // is map-side (both 8-byte sigs ride the band rows), so the
       // dedup shuffle carries only true near-dup pairs — at adversarial
@@ -715,6 +732,11 @@ object Dedup {
       .dropDuplicates("doc_a", "doc_b")
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
+      // eager materialize + release the sig cache — the
+      // minHashLshPairs contract: the pair set is tiny, the cache is not
+      .localCheckpoint(true)
+    sig.unpersist()
+    pairs
   }
 
   def simHashDedup(spark: SparkSession, dir: String): DataFrame =
@@ -732,21 +754,28 @@ object Dedup {
   def simHashPairsPortable(docs: DataFrame, idCol: String, textCol: String,
                            maxHamming: Int = 3,
                            maxBucket: Int = 10000): DataFrame = {
+    // persisted for the same reason as [[simHashPairs]]: probe + two
+    // join sides must read a cached 16-byte/doc frame, not re-run the
+    // md5 token hashing three times
     val sig = docs.select(col(idCol).as("id"),
       HashFns.portableSimhash(
         HashFns.md5TokenHashCol(tokens(normalizeText(col(textCol))))).as("sig"))
+      .persist()
     val banded = sig.select(col("id"), col("sig"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),
           shiftright(col("sig"), b * 15).bitwiseAND(0x7FFFL).as("bkey"))
       }: _*)).as("bb"))
       .select(col("id"), col("sig"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-    guardedBandedSelfJoin(banded, maxBucket)
+    val pairs = guardedBandedSelfJoin(banded, maxBucket)
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .dropDuplicates("doc_a", "doc_b")
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
+      .localCheckpoint(true)
+    sig.unpersist()
+    pairs
   }
 
   def simHashDedupPortable(spark: SparkSession, dir: String): DataFrame =

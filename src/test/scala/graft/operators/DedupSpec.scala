@@ -742,4 +742,35 @@ class DedupSpec extends SparkSpec {
       } finally graft.util.Scratch.rmTree(outDir)
     } finally graft.util.Scratch.rmTree(idxDir)
   }
+
+  test("hot-bucket guard: sizing probe does not re-execute a persisted input (input contract)") {
+    // lineage-execution counter: every materialization of the frame
+    // below runs mapPartitions once per partition and bumps the
+    // accumulator — the direct measure of how many times the guard's
+    // eager probe + join sides execute their input's ancestry
+    val acc = spark.sparkContext.longAccumulator("banded_materializations")
+    def countedBanded(): org.apache.spark.sql.DataFrame =
+      (0 until 400).map(i => (i.toLong, i % 4, (i % 40).toString))
+        .toDF("id", "band", "bkey")
+        .repartition(4)
+        .as[(Long, Int, String)]
+        .mapPartitions { it => acc.add(1L); it }
+        .toDF("id", "band", "bkey")
+    // contract HONORED: a materialized input costs the probe ZERO
+    // lineage re-executions — probe and both join sides read the cache
+    val persisted = countedBanded().localCheckpoint(true)
+    val afterCheckpoint = acc.value
+    assert(afterCheckpoint == 4L, s"checkpoint must run the lineage once, saw $afterCheckpoint")
+    val n = Dedup.guardedBandedSelfJoin(persisted, maxBucket = 10000).count()
+    assert(n > 0L)
+    assert(acc.value == afterCheckpoint,
+      s"guard re-executed a PERSISTED input: ${acc.value - afterCheckpoint} extra task runs")
+    // contract VIOLATED (negative control, documenting why it exists):
+    // an unpersisted input runs its lineage at least twice more — the
+    // eager sizing probe is one full extra pass on top of the join's
+    acc.reset()
+    Dedup.guardedBandedSelfJoin(countedBanded(), maxBucket = 10000).count()
+    assert(acc.value >= 8L,
+      s"expected >= 2 lineage passes over an unpersisted input, saw ${acc.value} task runs")
+  }
 }
