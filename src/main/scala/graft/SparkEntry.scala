@@ -187,6 +187,13 @@ object SparkEntry {
     // method's slice recall vs the exact ≥0.6 anchor, floor-gated
     // (below-floor methods vanish from the row set)
     "d26_dedup_recall_audit" -> (Dedup.dedupRecallAudit _),
+    // d29/d30: the persisted-index LIFECYCLE — append cycles with a
+    // compaction rewrite in the middle (d29) and takedown/tombstone
+    // retirement through both the probe-time anti-join and the
+    // compaction fold (d30); both hash-checked against the closed-form
+    // d03 CTE chain
+    "d29_index_compaction"   -> (Dedup.indexCompactionCycle _),
+    "d30_index_tombstone"    -> (Dedup.indexTombstoneCycle _),
     "d09_priority_dedup"     -> (graft.operators.Curation.priorityDedup _),
     "d10_dup_clusters"       -> ((s: SparkSession, dir: String) => Dedup.dupClustersQuery(s, dir)),
     // d13/d14: partial-duplication detectors — cross-doc duplicated
@@ -1353,6 +1360,26 @@ object SparkEntry {
         s"""WITH ${portableLshCtes(s"(SELECT doc_id, ${norm("text")} AS nt FROM documents)")}
            |SELECT doc_a, doc_b, jaccard FROM lshpairs
            |WHERE doc_b >= ${graft.operators.Dedup.incrementalSplit}
+           |ORDER BY doc_a, doc_b""".stripMargin,
+      // d29: same emission rule as s19 — the two-increment drain with a
+      // compaction between the appends detects exactly the pairs whose
+      // larger id is a delta doc; compaction must be invisible here
+      "d29_index_compaction" ->
+        s"""WITH ${portableLshCtes(s"(SELECT doc_id, ${norm("text")} AS nt FROM documents)")}
+           |SELECT doc_a, doc_b, jaccard FROM lshpairs
+           |WHERE doc_b >= ${graft.operators.Dedup.incrementalSplit}
+           |ORDER BY doc_a, doc_b""".stripMargin,
+      // d30: the s19 closed form MINUS pairs whose index-side member
+      // was tombstoned (retiring a doc removes exactly the pairs it
+      // participates in — per-pair independence of the collision join);
+      // the takedown set is the two mod-7 residues, one folded by
+      // compaction, one live in the tombstone table
+      "d30_index_tombstone" ->
+        s"""WITH ${portableLshCtes(s"(SELECT doc_id, ${norm("text")} AS nt FROM documents)")}
+           |SELECT doc_a, doc_b, jaccard FROM lshpairs
+           |WHERE doc_b >= ${graft.operators.Dedup.incrementalSplit}
+           |  AND NOT (doc_a < ${graft.operators.Dedup.incrementalSplit}
+           |           AND doc_a % 7 IN (${graft.operators.Dedup.tombstoneResidues.mkString(", ")}))
            |ORDER BY doc_a, doc_b""".stripMargin,
       // d04: portable SimHash — md5-60-bit token hashes, 60-bit
       // majority-vote signature (integer tie rule 2·cnt > n), 4×15-bit

@@ -630,6 +630,90 @@ object Dedup {
       .write.mode("append").parquet(s"$indexDir/sizes")
   }
 
+  /** Retire docs from the persisted index — the takedown/GDPR path the
+    * reference's `_id`-keyed store implies (replacement-by-id,
+    * ingestion-elasticsearch.py:48): append the ids to the index's
+    * tombstone table. Detection ([[detectLshPairs]]) anti-joins the
+    * tombstones at probe time, so a retired doc stops matching
+    * IMMEDIATELY; the physical rows are reclaimed lazily by the next
+    * [[compactLshIndex]], which folds the tombstones in and clears the
+    * table. Appending an id twice, or an id the index never held, is
+    * harmless (the anti-join is set semantics).
+    */
+  def tombstoneLshDocs(ids: DataFrame, indexDir: String): Unit =
+    ids.select(col(ids.columns.head).as("id"))
+      .write.mode("append").parquet(s"$indexDir/tombstones")
+
+  /** The index's live tombstone set, None when no takedown ever ran. */
+  private def lshTombstones(spark: SparkSession, indexDir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString).select(col("id")))
+    else None
+  }
+
+  /** COMPACT the persisted index in place — the maintenance pass a
+    * nightly at 100 TB runs after N append cycles, closing the two
+    * ways the append-only layout accretes cost:
+    *
+    *  - the `sizes` table is N+1 per-batch PARTIALS (readers sum at
+    *    every probe — [[lshIndexSizes]]); compaction merges them into
+    *    one row per live (band, bkey);
+    *  - `hashes`/`bands` carry one parquet file-set per append (file
+    *    count grows linearly in cycles; scan planning and open cost
+    *    with it); compaction coalesces each to `targetFiles`.
+    *
+    * Tombstones fold in here: tombstoned ids are physically dropped
+    * from `hashes` and `bands`, `sizes` is recomputed from the
+    * compacted bands (so the guard's thresholds reflect live rows, not
+    * retired ones), and the tombstone table is cleared.
+    *
+    * Write discipline: all three compacted tables are fully written to
+    * `.compact_*` staging paths FIRST (reads and writes never share a
+    * path), then swapped in via delete+rename. The swap assumes a
+    * single writer and no concurrent reader mid-swap — the maintenance-
+    * window contract of log-less compaction (a transactional table
+    * format would lift it; out of scope here). Detection output is
+    * invariant under compaction: rows are preserved except tombstoned
+    * ones, and bucket sizes only feed the guard's split factor, which
+    * is semantics-preserving for any g (spec-pinned parity, and the
+    * registered d29 gate hash-checks a build→append→compact→append
+    * cycle against the closed-form oracle).
+    */
+  def compactLshIndex(spark: SparkSession, indexDir: String,
+                      targetFiles: Int = 32): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tomb = lshTombstones(spark, indexDir).map(_.distinct().localCheckpoint(true))
+    def dropTombstoned(df: DataFrame): DataFrame =
+      tomb.fold(df)(t => df.join(t, Seq("id"), "left_anti"))
+    // staging dirs deliberately NOT dot-prefixed (hidden-path filters
+    // would skip them in recursive listings); index readers address
+    // $indexDir/<table> directly and never see them, and a crashed
+    // compaction's leftovers are overwritten by the next run
+    def stage(table: String)(df: DataFrame): Unit =
+      df.write.mode("overwrite").parquet(s"$indexDir/compact_tmp_$table")
+    stage("hashes")(dropTombstoned(spark.read.parquet(s"$indexDir/hashes"))
+      .coalesce(targetFiles))
+    stage("bands")(dropTombstoned(spark.read.parquet(s"$indexDir/bands"))
+      .coalesce(targetFiles))
+    // sizes recomputed from the COMPACTED bands (read back from the
+    // staged files — exact, and never re-runs the anti-join): one agg
+    // over the index at maintenance time buys every subsequent probe a
+    // single-partial lookup with live counts
+    stage("sizes")(spark.read.parquet(s"$indexDir/compact_tmp_bands")
+      .groupBy(col("band"), col("bkey")).agg(count(lit(1)).as("bsz"))
+      .coalesce(math.max(1, targetFiles / 4)))
+    Seq("hashes", "bands", "sizes").foreach { table =>
+      val live = new Path(root, table)
+      fs.delete(live, true)
+      require(fs.rename(new Path(root, s"compact_tmp_$table"), live),
+        s"compaction swap failed for $table under $indexDir")
+    }
+    fs.delete(new Path(root, "tombstones"), true)
+  }
+
   /** The detection half of one ingest step, shared by the streaming
     * drain (s19) and the batch incremental-refresh capstone (p06):
     * near-dup pairs between a pre-hashed batch (id, hs, sig) and the
@@ -653,6 +737,75 @@ object Dedup {
     detectLshPairs(lshHashedPortable(docs, idCol, textCol).localCheckpoint(true),
       indexDir, maxBucket)
 
+  /** Second slice point for the d29 lifecycle gate: delta₁ = [split,
+    * midSplit), delta₂ = [midSplit, ∞) — both non-empty at every
+    * fixture scale factor (≥500 docs).
+    */
+  val midSplit = incrementalSplit + incrementalSplit / 2
+
+  /** d29: the index LIFECYCLE as one hash-checked gate —
+    * build(history) → append+detect(delta₁) → COMPACT → append+detect
+    * (delta₂), drain read back as the output. What it pins: the
+    * append-only accretion (size partials, per-append file sets) and
+    * the compaction rewrite in the middle change NOTHING about what
+    * the index detects — the drained pair set is exactly the
+    * closed-form "every portable-LSH pair whose doc_b is in the delta"
+    * (the s19/p06 emission rule: a pair surfaces in the batch of its
+    * second-processed member), which the DuckDB oracle recomputes from
+    * the d03 CTE chain at `doc_b ≥ split`. Production shape: the
+    * nightly append cycle with its maintenance pass, end to end.
+    */
+  def indexCompactionCycle(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val idxDir = graft.util.Scratch.dir(spark, "d29_idx", dir).toString
+    val outDir = graft.util.Scratch.dir(spark, "d29_out", dir).toString
+    buildLshIndex(docs.filter(col("doc_id") < incrementalSplit),
+      "doc_id", "text", idxDir)
+    appendLshDetect(docs.filter(col("doc_id") >= incrementalSplit &&
+        col("doc_id") < midSplit), "doc_id", "text", idxDir, outDir)
+    compactLshIndex(spark, idxDir)
+    appendLshDetect(docs.filter(col("doc_id") >= midSplit),
+      "doc_id", "text", idxDir, outDir)
+    spark.read.parquet(outDir)
+      .dropDuplicates("doc_a", "doc_b")
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Modulus/residues selecting the d30 takedown set among history
+    * docs: ids ≡ 3 (mod 7) are tombstoned then FOLDED by compaction
+    * (physical removal), ids ≡ 5 (mod 7) stay LIVE tombstones
+    * (probe-time anti-join) — one gate covers both retirement paths.
+    */
+  val tombstoneResidues: Seq[Int] = Seq(3, 5)
+
+  /** d30: DELETE/TOMBSTONE semantics as one hash-checked gate — the
+    * reference's `_id`-upsert store implies replacement/retirement
+    * (ingestion-elasticsearch.py:48,253-262); at 100 TB takedowns and
+    * GDPR erasure are a routine operation a dedup index must honor.
+    * Build the history index, tombstone ids ≡3 (mod 7), compact (which
+    * physically folds them out), tombstone ids ≡5 (mod 7) (which stay
+    * live in the tombstone table), then probe the full delta: a
+    * retired doc must stop matching through EITHER path. Oracle = the
+    * d03 CTE chain at `doc_b ≥ split` minus pairs whose index-side
+    * member is tombstoned — closed-form, since retiring a doc removes
+    * exactly the pairs it participates in (per-pair independence of
+    * the banded collision join).
+    */
+  def indexTombstoneCycle(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val history = docs.filter(col("doc_id") < incrementalSplit)
+    val idxDir = graft.util.Scratch.dir(spark, "d30_idx", dir).toString
+    buildLshIndex(history, "doc_id", "text", idxDir)
+    tombstoneLshDocs(history.filter(col("doc_id") % 7 === tombstoneResidues.head)
+      .select(col("doc_id").as("id")), idxDir)
+    compactLshIndex(spark, idxDir)
+    tombstoneLshDocs(history.filter(col("doc_id") % 7 === tombstoneResidues(1))
+      .select(col("doc_id").as("id")), idxDir)
+    detectDeltaPairs(docs.filter(col("doc_id") >= incrementalSplit),
+      "doc_id", "text", idxDir)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   // debug accessors for tools.DebugPerf (private internals surfaced
   // for profiling only)
   private[graft] def lshHashedPortableDebug(docs: DataFrame): DataFrame =
@@ -667,7 +820,17 @@ object Dedup {
                                     maxBucket: Int = 10000): DataFrame = {
     val spark = hashed.sparkSession
     val newBands = lshBandedOf(hashed)
-    val idxBands = spark.read.parquet(s"$indexDir/bands")
+    // a tombstoned (retired) doc must stop matching from the moment of
+    // the takedown, not the next compaction: anti-join the index's
+    // band rows at probe time (filtering bands alone suffices — a doc
+    // with no band rows can never reach the verify join). The size
+    // table keeps counting tombstoned rows until compaction folds them
+    // out, which only LOWERS the guard's split threshold — the cell
+    // split is semantics-preserving for any g (the replayed-batch
+    // argument at [[lshIndexSizes]])
+    val idxBands = lshTombstones(spark, indexDir).foldLeft(
+      spark.read.parquet(s"$indexDir/bands"))(
+      (b, t) => b.join(t, Seq("id"), "left_anti"))
     val idxSizes = lshIndexSizes(spark, indexDir)
     // cross pairs (batch × index) + in-batch pairs (batch × batch);
     // the self-join emits doc_a < doc_b directly, the cross join via

@@ -66,33 +66,48 @@ class UpsertTable(schema: StructType, options: CaseInsensitiveStringMap)
         override def toBatch: BatchWrite =
           new UpsertBatchWrite(options.get("store"),
             Option(options.get("keyColumn")).getOrElse("id"),
+            Option(options.get("opColumn")),
             info.schema())
       }
     }
 }
 
-class UpsertBatchWrite(storeName: String, keyColumn: String, schema: StructType)
+class UpsertBatchWrite(storeName: String, keyColumn: String,
+                       opColumn: Option[String], schema: StructType)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new UpsertWriterFactory(storeName, keyColumn, schema)
+    new UpsertWriterFactory(storeName, keyColumn, opColumn, schema)
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
-class UpsertWriterFactory(storeName: String, keyColumn: String, schema: StructType)
+class UpsertWriterFactory(storeName: String, keyColumn: String,
+                          opColumn: Option[String], schema: StructType)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new UpsertDataWriter(storeName, keyColumn, schema)
+    new UpsertDataWriter(storeName, keyColumn, opColumn, schema)
 }
 
 /** Buffers the partition's rows keyed by `keyColumn` (within-task
   * later-write-wins), publishes on commit — the `foreachPartition`
   * bulk-writer pattern with idempotent keyed semantics.
+  *
+  * DELETE support (the ES bulk `_op_type: delete` analog, the
+  * retirement half of the reference's `_id`-keyed store): when the
+  * `opColumn` option names a column, a row whose op value is `delete`
+  * (case-insensitive) RETIRES its key instead of upserting it. Deletes
+  * buffer as tombstones in the same within-task order (an upsert after
+  * a delete of the same key resurrects it, matching bulk-request
+  * ordering) and publish as removals on commit. Replayed tasks re-apply
+  * the same keyed ops, so the write stays idempotent.
   */
-class UpsertDataWriter(storeName: String, keyColumn: String, schema: StructType)
+class UpsertDataWriter(storeName: String, keyColumn: String,
+                       opColumn: Option[String], schema: StructType)
     extends DataWriter[InternalRow] {
   private val keyIdx = schema.fieldIndex(keyColumn)
-  private val buffer = new scala.collection.mutable.LinkedHashMap[String, Seq[Any]]()
+  private val opIdx = opColumn.map(schema.fieldIndex)
+  // None = tombstone (delete on commit), Some = upsert
+  private val buffer = new scala.collection.mutable.LinkedHashMap[String, Option[Seq[Any]]]()
 
   override def write(row: InternalRow): Unit = {
     val values = schema.fields.zipWithIndex.map { case (f, i) =>
@@ -101,12 +116,16 @@ class UpsertDataWriter(storeName: String, keyColumn: String, schema: StructType)
         case other => other
       }
     }.toSeq
-    buffer.put(values(keyIdx).toString, values)
+    val isDelete = opIdx.exists(i => "delete".equalsIgnoreCase(String.valueOf(values(i))))
+    buffer.put(values(keyIdx).toString, if (isDelete) None else Some(values))
   }
 
   override def commit(): WriterCommitMessage = {
     val store = UpsertStoreRegistry.store(storeName)
-    buffer.foreach { case (k, v) => store.put(k, v) }
+    buffer.foreach {
+      case (k, Some(v)) => store.put(k, v)
+      case (k, None) => store.remove(k)
+    }
     UpsertCommitted
   }
 

@@ -581,8 +581,13 @@ object Streams {
       StructField("source", StringType),
       StructField("n_chars", LongType)))
     try {
+      // glob covers both the fixtures' single `documents.parquet` FILE
+      // and a production-shaped multi-file drop (`documents-00017
+      // .parquet`, ...) — a micro-batch then carries one input SPLIT
+      // per file, so the per-batch map stages parallelize instead of
+      // running single-task (the GuardStress drain leg measures this)
       val q = streamSession(spark).readStream.schema(docSchema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .option("pathGlobFilter", "documents*.parquet").parquet(dir)
         .filter(col("doc_id") >= split)
         .writeStream
         .outputMode("append")

@@ -121,22 +121,34 @@ object GuardStress {
       // map-side stage of the registered chains)
       corpus.repartition(cpus.toInt)
         .write.mode("overwrite").parquet(docsPath)
-      // streaming leg: s19's pathGlobFilter addresses a FILE named
-      // documents.parquet, like the driver-generated fixtures
+      // streaming leg: the corpus lands as `cpus` FILES named
+      // documents-NNNNN.parquet (all matched by s19's glob) — a real
+      // drop delivers many files per trigger, so the micro-batch gets
+      // one input split per file and its map stages parallelize. (The
+      // r12 single-file layout serialized every pre-shuffle stage of
+      // the per-batch chain into one task — a fixture artifact the
+      // round-12 PLANS.md table had to adjudicate in prose.)
       val tmp = s"$outDir/_docs_tmp"
-      corpus.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = Files.list(Paths.get(tmp)).filter(_.toString.endsWith(".parquet"))
-        .findFirst().get()
-      Files.move(part, Paths.get(s"$streamDir/documents.parquet"),
-        StandardCopyOption.REPLACE_EXISTING)
+      corpus.repartition(cpus.toInt).write.mode("overwrite").parquet(tmp)
+      import scala.jdk.CollectionConverters._
+      Files.list(Paths.get(tmp)).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).zipWithIndex
+        .foreach { case (part, i) =>
+          Files.move(part, Paths.get(f"$streamDir/documents-$i%05d.parquet"),
+            StandardCopyOption.REPLACE_EXISTING)
+        }
       graft.util.Scratch.rmTree(Paths.get(tmp))
     }
     val docs = spark.read.parquet(docsPath)
 
     // SPARK_GRAFT_GUARD_MODE=isolate runs only the candidate-stage
-    // isolate legs (iteration aid — the full legs take ~1.5h)
-    val isolateOnly = sys.env.get("SPARK_GRAFT_GUARD_MODE").contains("isolate")
-    if (!isolateOnly) {
+    // isolate legs (iteration aid — the full legs take ~1.5h);
+    // =s19 runs only the streaming-drain legs (the multi-file drain
+    // re-measurement)
+    val mode = sys.env.get("SPARK_GRAFT_GUARD_MODE")
+    val isolateOnly = mode.contains("isolate")
+    val s19Only = mode.contains("s19")
+    if (!isolateOnly && !s19Only) {
 
     // 1) d03 guarded (default) vs unguarded — same rows, bounded tasks
     val d03g = leg("d03 guarded@10000") {
@@ -198,6 +210,9 @@ object GuardStress {
     }
     assert(detG == detU, s"two-sided guard changed the pair set: $detG vs $detU")
 
+    } // !isolateOnly && !s19Only
+    if (!isolateOnly) {
+
     // 6) s19's streaming drain over the same corpus (hot in-batch
     //    self-join; index side = the 250 sub-split docs). Cross-check:
     //    the drained pair set must equal the batch detect path's over
@@ -246,6 +261,7 @@ object GuardStress {
           .drop("hs"),
         bands = 8, rows = 4).localCheckpoint(true)
     }
+    if (!s19Only) {
     // Broadcast is DISABLED for the isolate legs: a 100 TB band bucket
     // cannot broadcast, so the only plan available at scale is the
     // hash-partitioned join — under it the unguarded plan pins each
@@ -274,6 +290,7 @@ object GuardStress {
       assert(candG == candU,
         s"candidate-stage guard changed the multiset size: $candG vs $candU")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    } // !s19Only
 
     println(s"[guard] ALL PARITY CHECKS PASSED at n=$n, maxBucket=10000 default")
     spark.stop()

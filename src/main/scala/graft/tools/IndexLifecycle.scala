@@ -1,0 +1,113 @@
+package graft.tools
+
+import java.nio.file.Files
+
+import graft.Tables
+import graft.operators.Dedup
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** N-append-cycle LONGEVITY probe for the persisted LSH index — the
+  * production nightly runs hundreds of increments, not the one that
+  * p06/s19 prove. This harness re-slices the fixture delta into N
+  * equal id-range increments and drives the real append path
+  * ([[Dedup.appendLshDetect]]) through all of them, measuring per
+  * cycle:
+  *
+  *  - detect+append wall (must stay flat: per-batch cost is the batch
+  *    hash + collision fan-in, never the corpus);
+  *  - the size-partials read (sum over the append-only partials — the
+  *    per-probe overhead that grows with cycle count until compaction
+  *    merges it);
+  *  - live parquet file counts under bands/ and sizes/ (the append-only
+  *    accretion compaction exists to reclaim).
+  *
+  * Then it COMPACTS ([[Dedup.compactLshIndex]]) and re-measures: the
+  * post-compaction detect of a fixed probe slice must be row-identical
+  * to the pre-compaction detect (parity printed as a hard check), the
+  * file counts collapse to the compaction target, and the sizes read
+  * drops to a single-partial lookup.
+  *
+  * Usage: `runMain graft.tools.IndexLifecycle [sfDir] [nCycles]`
+  * (defaults /root/testdata/sf0.1, 10). Prints one [lifecycle] line per
+  * cycle; paste the table into PLANS.md.
+  */
+object IndexLifecycle {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val n = if (args.length > 1) args(1).toInt else 10
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("graft-index-lifecycle")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).localCheckpoint(true)
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+    val split = Dedup.incrementalSplit.toLong
+    val idxDir = Files.createTempDirectory("graft_lifecycle_idx").toString
+    val outDir = Files.createTempDirectory("graft_lifecycle_out").toString
+    def secs[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    def fileCount(table: String): Int = {
+      val d = new java.io.File(s"$idxDir/$table")
+      if (!d.exists()) 0
+      else d.listFiles().count(f => f.isFile && f.getName.endsWith(".parquet"))
+    }
+    // the per-probe overhead a grown partials table adds: one full
+    // sizes read+merge, timed cold (no caching in lshIndexSizes)
+    def sizesReadSec(): Double =
+      secs(spark.read.parquet(s"$idxDir/sizes")
+        .groupBy(col("band"), col("bkey")).agg(sum(col("bsz")))
+        .count())._2
+
+    val (_, buildSec) = secs(
+      Dedup.buildLshIndex(docs.filter(col("doc_id") < split),
+        "doc_id", "text", idxDir))
+    println(f"[lifecycle] build history=[0,$split) wall=$buildSec%.2fs " +
+      f"bands_files=${fileCount("bands")} sizes_files=${fileCount("sizes")}")
+
+    val step = math.max(1L, (maxId - split) / n)
+    println("[lifecycle] | cycle | delta ids | append+detect s | sizes read s | bands files | sizes files |")
+    println("[lifecycle] |---|---|---|---|---|---|")
+    (0 until n).foreach { i =>
+      val lo = split + i * step
+      val hi = if (i == n - 1) maxId else lo + step
+      val (_, wall) = secs(Dedup.appendLshDetect(
+        docs.filter(col("doc_id") >= lo && col("doc_id") < hi),
+        "doc_id", "text", idxDir, outDir))
+      println(f"[lifecycle] | ${i + 1} | [$lo,$hi) | $wall%.2f | ${sizesReadSec()}%.2f " +
+        f"| ${fileCount("bands")} | ${fileCount("sizes")} |")
+    }
+
+    // compaction parity: a fixed probe slice must detect identically
+    // against the uncompacted and the compacted index
+    val probe = docs.filter(col("doc_id") >= maxId - step)
+    val (before, preSec) = secs(
+      Dedup.detectDeltaPairs(probe, "doc_id", "text", idxDir)
+        .as[(Long, Long, Double)].collect().toSeq.sorted)
+    // fixture-sized compaction target (a cluster run sizes this by
+    // bytes; the fixture's point is the file-count collapse)
+    val (_, compactSec) = secs(Dedup.compactLshIndex(spark, idxDir, targetFiles = 4))
+    val (after, postSec) = secs(
+      Dedup.detectDeltaPairs(probe, "doc_id", "text", idxDir)
+        .as[(Long, Long, Double)].collect().toSeq.sorted)
+    require(before == after,
+      s"COMPACTION PARITY FAILED: ${before.size} pairs before vs ${after.size} after")
+    println(f"[lifecycle] compact wall=$compactSec%.2fs — " +
+      f"bands_files=${fileCount("bands")} sizes_files=${fileCount("sizes")} " +
+      f"sizes_read=${sizesReadSec()}%.2fs")
+    println(f"[lifecycle] probe parity OK (${before.size} pairs): " +
+      f"detect pre-compact=$preSec%.2fs post-compact=$postSec%.2fs")
+    graft.util.Scratch.rmTree(java.nio.file.Paths.get(idxDir))
+    graft.util.Scratch.rmTree(java.nio.file.Paths.get(outDir))
+    spark.stop()
+  }
+}

@@ -743,6 +743,72 @@ class DedupSpec extends SparkSpec {
     } finally graft.util.Scratch.rmTree(idxDir)
   }
 
+  test("index lifecycle: compaction preserves detection, folds tombstones, reclaims files") {
+    // near-dup corpus with real cross-increment pairs: 3-doc clusters
+    // (i, i+100, i+200 share a body), history = [0,100) ∪ [100,200)
+    // appended, delta = [200,300) probed
+    val bodies = (0 until 100).map(i =>
+      s"document body number $i with enough distinct words to shingle properly " +
+        s"and a cluster-specific tail ${i * 37} ${i * 91} shared by all three copies")
+    val docs = (0 until 300).map { i =>
+      (i.toLong, bodies(i % 100) + (if (i >= 200) " delta!" else ""))
+    }.toDF("doc_id", "text")
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_lifecycle_spec")
+    val outDir = java.nio.file.Files.createTempDirectory("graft_lifecycle_out")
+    try {
+      Dedup.buildLshIndex(docs.filter($"doc_id" < 100), "doc_id", "text",
+        idxDir.toString)
+      Dedup.appendLshDetect(docs.filter($"doc_id" >= 100 && $"doc_id" < 200),
+        "doc_id", "text", idxDir.toString, outDir.toString)
+      val delta = docs.filter($"doc_id" >= 200)
+      def detect(): Seq[(Long, Long, Double)] =
+        Dedup.detectDeltaPairs(delta, "doc_id", "text", idxDir.toString)
+          .as[(Long, Long, Double)].collect().toSeq.sorted
+      val before = detect()
+      assert(before.nonEmpty, "planted clusters must detect cross-increment pairs")
+
+      // live tombstone: retiring doc 0 removes exactly doc 0's pairs,
+      // immediately (no compaction yet)
+      Dedup.tombstoneLshDocs(Seq(0L).toDF("id"), idxDir.toString)
+      val afterTomb = detect()
+      assert(afterTomb == before.filterNot(p => p._1 == 0L || p._2 == 0L),
+        "live tombstone must remove exactly the retired doc's pairs")
+
+      // compaction: folds the tombstone physically, merges size
+      // partials, coalesces appended files — detection unchanged
+      val sizeFilesBefore = new java.io.File(s"$idxDir/sizes").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      Dedup.compactLshIndex(spark, idxDir.toString, targetFiles = 2)
+      assert(detect() == afterTomb, "compaction must not change detection")
+      assert(!java.nio.file.Files.exists(idxDir.resolve("tombstones")),
+        "compaction must clear the tombstone table")
+      assert(spark.read.parquet(s"$idxDir/hashes").filter($"id" === 0L).isEmpty &&
+        spark.read.parquet(s"$idxDir/bands").filter($"id" === 0L).isEmpty,
+        "compaction must physically drop tombstoned rows")
+      val sizeFilesAfter = new java.io.File(s"$idxDir/sizes").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(sizeFilesAfter < sizeFilesBefore && sizeFilesAfter <= 2,
+        s"size partials must merge: $sizeFilesBefore -> $sizeFilesAfter")
+      // the compacted sizes are LIVE counts (tombstone folded out)
+      val sizesSum = spark.read.parquet(s"$idxDir/sizes")
+        .agg(sum($"bsz")).head().getLong(0)
+      val bandRows = spark.read.parquet(s"$idxDir/bands").count()
+      assert(sizesSum == bandRows, "compacted sizes must equal live band rows")
+
+      // the appended lifecycle continues on the compacted index
+      Dedup.appendLshDetect(delta, "doc_id", "text", idxDir.toString,
+        outDir.toString)
+      val drained = spark.read.parquet(outDir.toString)
+        .dropDuplicates("doc_a", "doc_b")
+        .as[(Long, Long, Double)].collect().toSeq.sorted
+      assert(drained.filter(_._2 >= 200) == afterTomb,
+        "post-compaction append must drain the probe's pairs")
+    } finally {
+      graft.util.Scratch.rmTree(idxDir)
+      graft.util.Scratch.rmTree(outDir)
+    }
+  }
+
   test("hot-bucket guard: sizing probe does not re-execute a persisted input (input contract)") {
     // lineage-execution counter: every materialization of the frame
     // below runs mapPartitions once per partition and bumps the

@@ -48,4 +48,32 @@ class OffresUpsertSinkSpec extends SparkSpec {
     assert(UpsertStoreRegistry.store("t3").size() == 2)
     assert(UpsertStoreRegistry.store("t3").get("k1")(2) == 20.0)
   }
+
+  test("delete ops retire keys; delete-then-upsert resurrects; replay is idempotent") {
+    UpsertStoreRegistry.clear("t4")
+    Seq(("a", "v1", "index"), ("b", "v1", "index"), ("c", "v1", "index"))
+      .toDF("id", "payload", "op")
+      .write.format("graft.sources.OffresUpsertSink")
+      .option("store", "t4").option("opColumn", "op").mode("append").save()
+    val store = UpsertStoreRegistry.store("t4")
+    assert(store.size() == 3)
+    // bulk batch mixing ops, single task to pin within-task ordering:
+    // delete b (stays gone), delete-then-reindex c (resurrects)
+    val batch = Seq(
+      ("b", "dead", "delete"), ("c", "dead", "DELETE"), ("c", "v2", "index")
+    ).toDF("id", "payload", "op")
+    batch.coalesce(1).write.format("graft.sources.OffresUpsertSink")
+      .option("store", "t4").option("opColumn", "op").mode("append").save()
+    assert(store.size() == 2 && !store.containsKey("b"))
+    assert(store.get("c")(1) == "v2", "upsert after delete must resurrect the key")
+    // replay (task retry / job rerun): same keyed ops, same final state
+    batch.coalesce(1).write.format("graft.sources.OffresUpsertSink")
+      .option("store", "t4").option("opColumn", "op").mode("append").save()
+    assert(store.size() == 2 && store.get("c")(1) == "v2")
+    // deleting an absent key is a no-op, as in a bulk request
+    Seq(("nope", "x", "delete")).toDF("id", "payload", "op")
+      .write.format("graft.sources.OffresUpsertSink")
+      .option("store", "t4").option("opColumn", "op").mode("append").save()
+    assert(store.size() == 2)
+  }
 }
