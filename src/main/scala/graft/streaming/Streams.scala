@@ -567,7 +567,12 @@ object Streams {
     val idxDir = graft.util.Scratch.dir(spark, "s19_idx", dir).toString
     val outDir = graft.util.Scratch.dir(spark, "s19_out", dir).toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_s19_ckpt")
-    val docs = Tables.documents(spark, dir)
+    // the index-build batch read uses the SAME glob as the stream
+    // source below, so one fixture contract covers both layouts: the
+    // driver fixtures' single documents.parquet FILE and a
+    // production-shaped multi-file drop (documents-NNNNN.parquet)
+    val docs = spark.read.option("pathGlobFilter", "documents*.parquet")
+      .parquet(dir)
     Dedup.buildLshIndex(docs.filter(col("doc_id") < split), "doc_id", "text", idxDir)
     // seed the result dir with the pair schema so a pair-free drain
     // still reads cleanly

@@ -112,6 +112,29 @@ object DebugPerf {
       spark.stop(); return
     }
 
+    // ---- price p01's single eager sizing probe ------------------------
+    // The p01 composition runs exactly ONE guardedBandedSelfJoin (the
+    // d03 chain inside curate), hence ONE eager hotAgg.isEmpty probe.
+    // This isolates its cost: one banded explode+agg pass over the
+    // chain's persisted signature frame.
+    if (args.length > 1 && args(1) == "p01probe") {
+      val docs = graft.Tables.documents(spark, dir)
+      (1 to 2).foreach { rep =>
+        println(s"[perf] --- rep $rep ---")
+        val hashed = time("hash corpus (the chain's persisted sig frame)") {
+          val h = graft.operators.Dedup.lshHashedPortableDebug(docs).persist()
+          h.count(); h
+        }
+        val banded = graft.operators.Dedup.portableBanded(hashed, 8, 4)
+        time("sizing probe (hotAgg.isEmpty over cached input)")(println("empty=" +
+          banded.groupBy(col("band"), col("bkey"))
+            .agg(count(lit(1)).as("bsz"))
+            .filter(col("bsz") > 10000).isEmpty))
+        graft.Bench.dropAllStorage(spark)
+      }
+      spark.stop(); return
+    }
+
     // ---- two-sided guard decomposition -------------------------------
     if (args.length > 1 && args(1) == "p06guard") {
       // expects a GuardStress outDir as args(0) with lsh_idx built
