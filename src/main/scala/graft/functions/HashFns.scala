@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Predicate, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.GraftColumnBridge
 import org.apache.spark.sql.types._
@@ -500,6 +500,67 @@ object HashFns {
     GraftColumnBridge.column(SortedJaccardLong(GraftColumnBridge.expression(a),
                                                GraftColumnBridge.expression(b)))
 
+  /** [[sortedJaccardLong]] with an EARLY EXIT against a threshold: the
+    * exact jaccard when the merge completes, or the sentinel -1.0 the
+    * moment the pair is PROVABLY below `t`. Sound against the final
+    * double semantics: the bail bound is the jaccard the pair would
+    * reach if every remaining element intersected — the final value is
+    * ≤ that rational, and IEEE rounding is monotone, so
+    * fl(final) ≤ fl(bound) < t ⟹ the completed merge would fail the
+    * same `>= t` filter. Use ONLY under a `>= t` filter (the sentinel
+    * is not a jaccard); survivors carry the exact value, so a chain's
+    * emitted rows are bit-identical to the plain kernel's. The size
+    * screen (min/|max| < t) rejects nested-size mismatches with zero
+    * merge work; the in-merge bound is checked every 32 steps so
+    * surviving pairs pay ~3% over the plain merge while
+    * mid-similarity candidates (the 16×2 d28 geometry's bulk) bail
+    * partway.
+    */
+  def sortedJaccardLongAtLeast(a: ArrayData, b: ArrayData, t: Double): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 && nb == 0) return 0.0
+    val lo = math.min(na, nb)
+    val hi = math.max(na, nb)
+    if (lo.toDouble / hi < t) return -1.0
+    var i = 0
+    var j = 0
+    var inter = 0
+    var steps = 0
+    while (i < na && j < nb) {
+      if ((steps & 31) == 31) {
+        val maxI = inter + math.min(na - i, nb - j)
+        if (maxI.toDouble / (na + nb - maxI) < t) return -1.0
+      }
+      steps += 1
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (na + nb - inter)
+  }
+
+  case class SortedJaccardLongAtLeast(left: Expression, right: Expression,
+                                      t: Double) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "sorted_jaccard_long_at_least"
+    override def nullSafeEval(a: Any, b: Any): Any =
+      sortedJaccardLongAtLeast(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], t)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (a, b) => s"graft.functions.HashFns.sortedJaccardLongAtLeast($a, $b, $t)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def jaccardSortedLongAtLeast(a: Column, b: Column, t: Double): Column =
+    GraftColumnBridge.column(SortedJaccardLongAtLeast(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b), t))
+
   /** Exact |A∩B| of two SORTED long arrays — the same merge pass as
     * [[sortedJaccardLong]] returning the raw count (the containment
     * join divides by |A| only, which jaccard cannot express).
@@ -599,6 +660,91 @@ object HashFns {
   def signatureMatchFractionBytes(a: Column, b: Column): Column =
     GraftColumnBridge.column(SigMatchFracBytes(GraftColumnBridge.expression(a),
                                                GraftColumnBridge.expression(b)))
+
+  /** Count of matching components of two byte-packed signatures — the
+    * integer twin of [[sigMatchFracBytes]]. Component equality implies
+    * byte equality, so `countBytes(a,b) >= k` is a NECESSARY condition
+    * for the exact `signatureMatchCount(sig_a, sig_b) >= k`. A
+    * two-stage portable chain built on it (32 B packed sigs riding the
+    * band rows, exact count re-applied in the verify join) was A/B'd
+    * same-JVM and REJECTED for the shipped chains (`DebugPerf d28ab`,
+    * r13): at the 16×2 geometry's density the byte false-equalities
+    * admit the large 11-12-of-32 near-threshold population into the
+    * dedup shuffle and the hs-array verify join, roughly doubling the
+    * wall. Kept as the documented negative control the harness
+    * re-measures.
+    */
+  def sigMatchCountBytes(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var same = 0
+    var i = 0
+    while (i < n) {
+      if (a(i) == b(i)) same += 1
+      i += 1
+    }
+    same
+  }
+
+  case class SigMatchCountBytes(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = IntegerType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "sig_match_count_bytes"
+    override def nullSafeEval(a: Any, b: Any): Any =
+      sigMatchCountBytes(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashFns.sigMatchCountBytes($a, $b)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def signatureMatchCountBytes(a: Column, b: Column): Column =
+    GraftColumnBridge.column(SigMatchCountBytes(GraftColumnBridge.expression(a),
+                                                GraftColumnBridge.expression(b)))
+
+  /** `signatureMatchCount(a, b) >= k` with EARLY EXIT — true the
+    * moment `k` matches are seen, false the moment the remaining
+    * components cannot reach `k`. Identical predicate to counting all
+    * components and comparing (the oracle's form). NOT used by the
+    * shipped chains: the same-JVM A/B (`DebugPerf d28ab`, r13) read it
+    * SLOWER than the plain count at 600M-pair enumeration volume — the
+    * two data-dependent branches per element defeat the JIT on what is
+    * otherwise a branch-light, pipelineable count loop. Kept as the
+    * documented negative control the harness re-measures.
+    */
+  def sigMatchAtLeast(a: ArrayData, b: ArrayData, k: Int): Boolean = {
+    if (k <= 0) return true
+    val n = math.min(a.numElements(), b.numElements())
+    var same = 0
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) {
+        same += 1
+        if (same >= k) return true
+      } else if (same + (n - i - 1) < k) return false
+      i += 1
+    }
+    false
+  }
+
+  case class SigMatchAtLeast(left: Expression, right: Expression, k: Int)
+      extends BinaryExpression with Predicate {
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "sig_match_at_least"
+    override def nullSafeEval(a: Any, b: Any): Any =
+      sigMatchAtLeast(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (a, b) => s"graft.functions.HashFns.sigMatchAtLeast($a, $b, $k)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def signatureMatchAtLeast(a: Column, b: Column, k: Int): Column =
+    GraftColumnBridge.column(SigMatchAtLeast(GraftColumnBridge.expression(a),
+                                             GraftColumnBridge.expression(b), k))
 
   /** MinHash signature (array<long> of k minima) over byte n-gram
     * shingles of a string column.

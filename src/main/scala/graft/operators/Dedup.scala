@@ -245,6 +245,25 @@ object Dedup {
       .select(col("bb.band").as("band"), col("bb.bkey").as("bkey"),
               col("id"), col("sig"))
 
+  /** [[portableBanded]] with the BYTE-PACKED signature riding instead
+    * of the 32×8-byte array — band keys still come from the exact
+    * signature slices; only the payload narrows (264 B → 32 B per band
+    * row). NOT used by the shipped chains: the two-stage form this
+    * enables was A/B'd same-JVM and REJECTED (see
+    * [[graft.functions.HashFns.sigMatchCountBytes]] and the
+    * `DebugPerf d28ab` harness, which keeps measuring it as the
+    * negative control).
+    */
+  private[graft] def portableBandedBytes(hashed: DataFrame, bands: Int,
+                                         rows: Int): DataFrame =
+    hashed.select(col("id"), HashFns.sigBytes(col("sig")).as("sigb"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+                 array_join(slice(col("sig"), b * rows + 1, rows), "-").as("bkey"))
+        }: _*)).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bkey").as("bkey"),
+              col("id"), col("sigb"))
+
   /** The shared banded candidate self-join of the portable LSH chains
     * (d03 minhash, d05 word-n-gram), WITH the hot-bucket guard — the
     * classic LSH skew killer at 100 TB: one degenerate band key
@@ -468,6 +487,10 @@ object Dedup {
     *    signatures carried on the band rows, BEFORE the pair dedup
     *    (the d04 verify-before-dedup shape: the dedup shuffle carries
     *    only plausible pairs)
+    *  - verify: the thresholded merge kernel
+    *    ([[graft.functions.HashFns.jaccardSortedLongAtLeast]]) — exact
+    *    jaccard for survivors, early bail for candidates provably
+    *    below threshold; emitted rows bit-identical to the plain merge
     *  - verify: jaccard over the SAME md5-60-bit hashed shingle sets
     *    on both engines (not string sets) — the ratio of the same two
     *    ints, so the final doubles are bit-identical
@@ -490,15 +513,33 @@ object Dedup {
         HashFns.sortedPortableShingleHashSet(normed, shingleLen).as("hs"))
       .withColumn("sig", HashFns.portableMinhashSig(col("hs"), numHashes))
       .persist()
+    // one-stage exact prefilter, signatures riding the band rows. A
+    // two-stage form (32-byte packed sigs on the band rows, exact
+    // count re-applied in the verify join) was built and REJECTED on a
+    // same-JVM A/B (r13, `DebugPerf d28ab`): at the 16×2 density the
+    // byte pre-gate's false equalities admit the large near-threshold
+    // (11-12-of-32) population into the dedup shuffle and the hs-array
+    // verify join — 29→44s at 10×, while the 8×4 gain was ~1.2×.
     val candidates = guardedBandedSelfJoin(
         portableBanded(hashed, bands, rows), maxBucket)
+      // the exact count-and-compare, deliberately: an early-exit
+      // `matchAtLeast` predicate was A/B'd same-JVM and REJECTED — its
+      // data-dependent branches defeat the JIT on the branch-light
+      // count loop at enumeration volume (`DebugPerf d28ab`, r13)
       .filter(HashFns.signatureMatchCount(col("sig_a"), col("sig_b")) >= minMatch)
       .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     val pairs = candidates
       .join(hashed.select(col("id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
       .join(hashed.select(col("id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
-      .withColumn("jaccard", HashFns.jaccardSortedLong(col("hs_a"), col("hs_b")))
+      // thresholded merge kernel: candidates provably below threshold
+      // bail partway through the hs merge (sentinel -1.0 fails the
+      // filter); survivors carry the EXACT jaccard — emitted rows are
+      // bit-identical to the plain kernel's, and the verify stage (the
+      // d28 geometry's wall at density) stops paying full merges for
+      // the mid-similarity bulk
+      .withColumn("jaccard",
+        HashFns.jaccardSortedLongAtLeast(col("hs_a"), col("hs_b"), threshold))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -1011,6 +1052,10 @@ object Dedup {
       .persist()
     val candidates = guardedBandedSelfJoin(
         portableBanded(hashed, bands, rows), maxBucket)
+      // the exact count-and-compare, deliberately: an early-exit
+      // `matchAtLeast` predicate was A/B'd same-JVM and REJECTED — its
+      // data-dependent branches defeat the JIT on the branch-light
+      // count loop at enumeration volume (`DebugPerf d28ab`, r13)
       .filter(HashFns.signatureMatchCount(col("sig_a"), col("sig_b")) >= minMatch)
       .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")

@@ -112,6 +112,107 @@ object DebugPerf {
       spark.stop(); return
     }
 
+    // ---- d28 stage decomposition (16×2 geometry) -----------------------
+    // Times the alt-geometry chain stage by stage over `dir` (use the
+    // ScaleStress 10× corpus): hash/sign, banded enumeration+filter,
+    // + pair dedup, full chain. Deltas between the counts isolate the
+    // bottleneck (enumeration CPU vs dedup shuffle vs verify joins).
+    if (args.length > 1 && args(1) == "d28stages") {
+      val docs = graft.Tables.documents(spark, dir)
+      (1 to 2).foreach { rep =>
+        println(s"[perf] --- rep $rep ---")
+        val hashed = time("hash+sig (persist)") {
+          val h = graft.operators.Dedup.lshHashedPortableDebug(docs).persist()
+          h.count(); h
+        }
+        val banded = graft.operators.Dedup.portableBanded(hashed, 16, 2)
+        time("enum+minMatch filter")(println("n=" +
+          graft.operators.Dedup.guardedBandedSelfJoin(banded, 10000)
+            .filter(graft.functions.HashFns.signatureMatchCount(
+              col("sig_a"), col("sig_b")) >= 13).count()))
+        time("enum only (no filter)")(println("n=" +
+          graft.operators.Dedup.guardedBandedSelfJoin(banded, 10000).count()))
+        time("+ dedup")(println("n=" +
+          graft.operators.Dedup.guardedBandedSelfJoin(banded, 10000)
+            .filter(graft.functions.HashFns.signatureMatchCount(
+              col("sig_a"), col("sig_b")) >= 13)
+            .select(col("doc_a"), col("doc_b"))
+            .dropDuplicates("doc_a", "doc_b").count()))
+        graft.Bench.dropAllStorage(spark)
+      }
+      spark.stop(); return
+    }
+
+    // ---- same-JVM A/B over the portable-chain variants:
+    //  "plain"   = exact count prefilter + plain merge verify (pre-r13)
+    //  "early"   = exact count prefilter + thresholded merge verify
+    //              (the SHIPPED r13 chain shape — ~10% at both
+    //              geometries, counts identical)
+    //  "atleast" = early-exit matchAtLeast prefilter + thresholded
+    //              verify (BUILT AND REJECTED r13: the data-dependent
+    //              branches defeat the JIT on the branch-light count
+    //              loop at 600M-pair enumeration volume — 16-band read
+    //              25.0s min vs plain 22.5s)
+    //  "bytes"   = two-stage byte prefilter (BUILT AND REJECTED r13:
+    //              false byte-equalities admit the near-threshold bulk
+    //              into the dedup + hs verify join at 16×2 density —
+    //              40.4s min vs plain 22.5s)
+    if (args.length > 1 && args(1) == "d28ab") {
+      val docs = graft.Tables.documents(spark, dir)
+      def chain(bands: Int, variant: String): Long = {
+        val rows = 32 / bands
+        val hashed = graft.operators.Dedup.lshHashedPortableDebug(docs).persist()
+        val candidates = (if (variant == "bytes")
+          graft.operators.Dedup.guardedBandedSelfJoin(
+              graft.operators.Dedup.portableBandedBytes(hashed, bands, rows), 10000)
+            .filter(graft.functions.HashFns.signatureMatchCountBytes(
+              col("sigb_a"), col("sigb_b")) >= 13)
+        else if (variant == "atleast")
+          graft.operators.Dedup.guardedBandedSelfJoin(
+              graft.operators.Dedup.portableBanded(hashed, bands, rows), 10000)
+            .filter(graft.functions.HashFns.signatureMatchAtLeast(
+              col("sig_a"), col("sig_b"), 13))
+        else
+          graft.operators.Dedup.guardedBandedSelfJoin(
+              graft.operators.Dedup.portableBanded(hashed, bands, rows), 10000)
+            .filter(graft.functions.HashFns.signatureMatchCount(
+              col("sig_a"), col("sig_b")) >= 13))
+          .select(col("doc_a"), col("doc_b"))
+          .dropDuplicates("doc_a", "doc_b")
+        val joined = candidates
+          .join(hashed.select(col("id").as("doc_a"), col("sig").as("sig_a"),
+            col("hs").as("hs_a")), "doc_a")
+          .join(hashed.select(col("id").as("doc_b"), col("sig").as("sig_b"),
+            col("hs").as("hs_b")), "doc_b")
+        val gated = if (variant == "bytes")
+          joined.filter(graft.functions.HashFns.signatureMatchCount(
+            col("sig_a"), col("sig_b")) >= 13)
+          else joined
+        val verified = gated
+          .withColumn("jaccard",
+            if (variant == "plain")
+              graft.functions.HashFns.jaccardSortedLong(col("hs_a"), col("hs_b"))
+            else graft.functions.HashFns.jaccardSortedLongAtLeast(
+              col("hs_a"), col("hs_b"), 0.6))
+          .filter(col("jaccard") >= 0.6)
+          .count()
+        hashed.unpersist()
+        graft.Bench.dropAllStorage(spark)
+        verified
+      }
+      val variants = Seq("plain", "early", "atleast", "bytes")
+      Seq(16, 8).foreach(b => variants.foreach(v => chain(b, v))) // warmup
+      (1 to 3).foreach { rep =>
+        println(s"[perf] --- rep $rep ---")
+        Seq(16, 8).foreach { b =>
+          variants.foreach { v =>
+            time(s"bands=$b $v")(println("n=" + chain(b, v)))
+          }
+        }
+      }
+      spark.stop(); return
+    }
+
     // ---- price p01's single eager sizing probe ------------------------
     // The p01 composition runs exactly ONE guardedBandedSelfJoin (the
     // d03 chain inside curate), hence ONE eager hotAgg.isEmpty probe.
