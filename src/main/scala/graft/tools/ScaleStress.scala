@@ -225,7 +225,13 @@ object ScaleStress {
       // count-distinct over md5(norm) (16-byte keys at factor× rows)
       // and the two mix groupBys (|langs|/|sources| rows); wall should
       // track p01's
-      "p07_datasheet")
+      "p07_datasheet",
+      // round-13: the index LIFECYCLE gates — d29 appends the ~whole
+      // copy corpus in two increments with a compaction rewrite
+      // between (two guarded two-sided probes at adversarial density +
+      // the compaction's coalesce/merge); d30 retires history docs
+      // through both tombstone paths and probes the full delta
+      "d29_index_compaction", "d30_index_tombstone")
 
     // SPARK_GRAFT_ONLY=name1,name2 narrows the run (iteration / probes)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
