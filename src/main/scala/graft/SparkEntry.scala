@@ -384,6 +384,12 @@ object SparkEntry {
     // drift warrants a re-train, hash-checked against the e13 CTE
     // chain's assignment stage
     "e21_index_occupancy"    -> (Similarity.indexOccupancy _),
+    // e22: the IVF lifecycle CLOSED — e13's build/frozen-append cycle,
+    // then the in-place staged RETRAIN the e21 audit exists to trigger;
+    // the queried post-swap index must equal the from-scratch e06
+    // chain bit-for-bit (retrain ≡ rebuild), so the oracle is e06's
+    // verbatim — the d29 compaction-parity move on the ANN family
+    "e22_index_retrain"      -> (Similarity.knnIndexRetrain _),
     "e05_cosine_range"       -> (Similarity.knnRange _),
     // e15: IVF+PQ composite (coarse cells bound rows touched, PQ codes
     // bound per-row cost — the FAISS-IVFPQ shape; rows-only: k-means +
@@ -1086,6 +1092,11 @@ object SparkEntry {
       // cosine re-rank. Generated by ivfKmeansOracleSql so the SQL and
       // the Spark kernel share one set of constants.
       "e06_knn_ivf_kmeans" -> Similarity.ivfKmeansOracleSql(),
+      // e22: retrain ≡ rebuild — the post-retrain index answers
+      // exactly as the from-scratch full-corpus chain, so the oracle
+      // IS e06's (the gate's value is the staged in-place swap on the
+      // Spark side, which the shared SQL proves published correctly)
+      "e22_index_retrain" -> Similarity.ivfKmeansOracleSql(),
       // e13: the same chain with training restricted to the base
       // slice — final assignment covers base + delta with the frozen
       // centroids, which IS the append semantics

@@ -939,6 +939,55 @@ object Similarity {
       "vec_id", "embedding", k = 5)
   }
 
+  /** RETRAIN the persisted IVF index in place — the maintenance act the
+    * e21 occupancy/drift audit exists to trigger (frozen-centroid
+    * appends never rebalance; when drift or skew crosses the line, the
+    * deployment re-trains on the corpus it actually serves). Centroids
+    * re-train on `corpus` and every row re-assigns; both tables stage
+    * under `retrain_tmp/` first and swap in via delete+rename — the
+    * same single-writer maintenance-window contract as
+    * [[graft.operators.Dedup.compactLshIndex]]. Retrain ≡ rebuild by
+    * construction (training and assignment are pure functions of the
+    * corpus), which is exactly what the e22 gate hash-checks.
+    */
+  def retrainIvfIndexFixedPoint(corpus: DataFrame, idCol: String, vecCol: String,
+                                indexDir: String, nCells: Int = ivfKmeansCells,
+                                iters: Int = ivfKmeansIters): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = corpus.sparkSession
+    val tmp = s"$indexDir/retrain_tmp"
+    buildIvfIndexFixedPoint(corpus, idCol, vecCol, tmp, nCells, iters)
+    val root = new Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("qcentroids", "assignments").foreach { table =>
+      val live = new Path(root, table)
+      fs.delete(live, true)
+      require(fs.rename(new Path(s"$tmp/$table"), live),
+        s"retrain swap failed for $table under $indexDir")
+    }
+    fs.delete(new Path(tmp), true)
+  }
+
+  /** e22: the IVF index LIFECYCLE closed — build the frozen index on
+    * the base slice, append the grown corpus (the e13 cycle, where
+    * frozen-centroid drift accrues and e21 measures it), then RETRAIN
+    * in place and query the swapped index. Output must equal the
+    * from-scratch e06 chain bit-for-bit — the e06 oracle verbatim —
+    * proving the staged swap publishes exactly the rebuild (the d29
+    * compaction-parity move applied to the ANN family).
+    */
+  def knnIndexRetrain(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val idxDir = graft.util.Scratch.dir(spark, "e22_idx", dir).toString
+    buildIvfIndexFixedPoint(emb.filter(col("vec_id") < indexBaseSplit),
+      "vec_id", "embedding", idxDir)
+    appendIvfIndexFixedPoint(emb.filter(col("vec_id") >= indexBaseSplit),
+      "vec_id", "embedding", idxDir)
+    retrainIvfIndexFixedPoint(emb, "vec_id", "embedding", idxDir)
+    queryIvfIndexFixedPoint(spark, idxDir, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5)
+  }
+
   /** DuckDB CTE chain reproducing [[knnIvfKmeansFixedPoint]] — the
     * Lloyd iterations unrolled (the q82 PageRank pattern), long-form
     * (vec_id, dim, component) relational algebra instead of array

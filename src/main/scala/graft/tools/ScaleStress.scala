@@ -231,7 +231,11 @@ object ScaleStress {
       // between (two guarded two-sided probes at adversarial density +
       // the compaction's coalesce/merge); d30 retires history docs
       // through both tombstone paths and probes the full delta
-      "d29_index_compaction", "d30_index_tombstone")
+      "d29_index_compaction", "d30_index_tombstone",
+      // round-13: the ANN lifecycle — e13's build/frozen-append over
+      // the factor× corpus, then the in-place retrain (full-corpus
+      // fixed-point training + total re-assignment + staged swap)
+      "e22_index_retrain")
 
     // SPARK_GRAFT_ONLY=name1,name2 narrows the run (iteration / probes)
     val only = sys.env.get("SPARK_GRAFT_ONLY")

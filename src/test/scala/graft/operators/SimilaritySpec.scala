@@ -648,6 +648,26 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.4, s"recall=$recall")
   }
 
+  test("e22 retrain: staged swap publishes exactly the from-scratch rebuild; tmp cleared") {
+    val got = Similarity.knnIndexRetrain(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    // retrain ≡ rebuild: the queried post-swap index answers exactly as
+    // the fresh full-corpus-trained engine (strict equality, the e13
+    // loaded≡fresh discipline applied to the retrain path)
+    val emb = Tables.embeddings(spark, sf)
+    val fresh = Similarity.kmeansIvfTopKFixedPoint(
+      emb, emb.filter($"vec_id" < 10), "vec_id", "embedding", k = 5)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == fresh, "retrained index diverges from a from-scratch rebuild")
+    // the swap consumed its staging dir and left only the live tables
+    val idxDir = graft.util.Scratch.resolve(spark, "e22_idx", sf)
+    assert(!java.nio.file.Files.exists(idxDir.resolve("retrain_tmp")),
+      "retrain staging dir must be consumed by the swap")
+    // the retrained assignments physically cover the full corpus (the
+    // frozen-append rows were REPLACED, not appended to)
+    assert(spark.read.parquet(s"$idxDir/assignments").count() == emb.count())
+  }
+
   test("e21 occupancy audit: counts cover the corpus exactly; audit == fresh assignment") {
     val emb = Tables.embeddings(spark, sf)
     val got = Similarity.indexOccupancy(spark, sf)
