@@ -108,6 +108,59 @@ object IndexLifecycle {
       f"detect pre-compact=$preSec%.2fs post-compact=$postSec%.2fs")
     graft.util.Scratch.rmTree(java.nio.file.Paths.get(idxDir))
     graft.util.Scratch.rmTree(java.nio.file.Paths.get(outDir))
+
+    // — the IVF half: the SAME longevity question for the e13 index —
+    // N frozen-centroid append cycles (per-cycle assign+append wall,
+    // query-from-loaded-index wall, assignments file count), then the
+    // in-place RETRAIN (e22's op) with a query-parity check against a
+    // from-scratch rebuild.
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+    val vMax = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
+    val vSplit = Similarity.indexBaseSplit.toLong
+    val ivfDir = Files.createTempDirectory("graft_lifecycle_ivf").toString
+    def ivfFiles(): Int = {
+      val d = new java.io.File(s"$ivfDir/assignments")
+      if (!d.exists()) 0
+      else d.listFiles().count(f => f.isFile && f.getName.endsWith(".parquet"))
+    }
+    val queries = emb.filter(col("vec_id") < 10)
+    def querySec(): Double =
+      secs(Similarity.queryIvfIndexFixedPoint(spark, ivfDir, queries,
+        "vec_id", "embedding", k = 5).count())._2
+    val (_, ivfBuild) = secs(Similarity.buildIvfIndexFixedPoint(
+      emb.filter(col("vec_id") < vSplit), "vec_id", "embedding", ivfDir))
+    println(f"[lifecycle] IVF build base=[0,$vSplit) wall=$ivfBuild%.2fs " +
+      f"assign_files=${ivfFiles()}")
+    val vStep = math.max(1L, (vMax - vSplit) / n)
+    println("[lifecycle] | cycle | delta ids | append s | query s | assign files |")
+    println("[lifecycle] |---|---|---|---|---|")
+    (0 until n).foreach { i =>
+      val lo = vSplit + i * vStep
+      val hi = if (i == n - 1) vMax else lo + vStep
+      val (_, wall) = secs(Similarity.appendIvfIndexFixedPoint(
+        emb.filter(col("vec_id") >= lo && col("vec_id") < hi),
+        "vec_id", "embedding", ivfDir))
+      println(f"[lifecycle] | ${i + 1} | [$lo,$hi) | $wall%.2f | ${querySec()}%.2f " +
+        f"| ${ivfFiles()} |")
+    }
+    // retrain (e22's op): in-place staged swap; query parity vs a
+    // from-scratch full-corpus rebuild, and the file accretion resets
+    val (_, retrainSec) = secs(Similarity.retrainIvfIndexFixedPoint(
+      emb, "vec_id", "embedding", ivfDir))
+    val postRetrain = Similarity.queryIvfIndexFixedPoint(spark, ivfDir, queries,
+      "vec_id", "embedding", k = 5)
+      .as[(Long, Long, Long)].collect().toSeq
+    val fresh = Similarity.kmeansIvfTopKFixedPoint(emb, queries,
+      "vec_id", "embedding", k = 5)
+      .as[(Long, Long, Long)].collect().toSeq
+    require(postRetrain == fresh,
+      s"RETRAIN PARITY FAILED: ${postRetrain.size} rows vs rebuild ${fresh.size}")
+    println(f"[lifecycle] IVF retrain wall=$retrainSec%.2fs - " +
+      f"assign_files=${ivfFiles()} query=${querySec()}%.2fs " +
+      f"(parity with from-scratch rebuild OK, ${postRetrain.size} rows)")
+    graft.util.Scratch.rmTree(java.nio.file.Paths.get(ivfDir))
     spark.stop()
   }
 }
