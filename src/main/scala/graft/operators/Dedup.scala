@@ -658,6 +658,28 @@ object Dedup {
     val spark = batch.sparkSession
     val hashed = lshHashedPortable(batch, idCol, textCol)
       .localCheckpoint(true)
+    // RESURRECT-ON-APPEND, and BEFORE the batch's rows land: re-ingesting
+    // a tombstoned id clears its tombstone (the sink's delete-then-upsert
+    // rule applied to the index — without this, rows appended after a
+    // takedown would be hidden at probe time and silently ERASED by the
+    // next compaction fold). Clearing first keeps a crash window safe:
+    // worst case the doc is visible with only its pre-takedown rows, never
+    // permanently lost. NOTE the id-granularity contract this implies:
+    // resurrection unhides the id's PRIOR band rows too, so a re-ingest
+    // that CHANGES the text should compact (physically folding the old
+    // rows) before re-appending, or use a fresh id — the single-writer
+    // maintenance discipline, documented at [[compactLshIndex]].
+    lshTombstones(spark, indexDir).foreach { tomb =>
+      val remaining = tomb.join(hashed.select(col("id")), Seq("id"), "left_anti")
+      val root = new org.apache.hadoop.fs.Path(indexDir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val tmp = new org.apache.hadoop.fs.Path(root, "tombstones_tmp")
+      remaining.write.mode("overwrite").parquet(tmp.toString)
+      val live = new org.apache.hadoop.fs.Path(root, "tombstones")
+      fs.delete(live, true)
+      require(fs.rename(tmp, live),
+        s"tombstone resurrect swap failed under $indexDir")
+    }
     detectLshPairs(hashed, indexDir)
       .write.mode("append").parquet(outDir)
     hashed.write.mode("append").parquet(s"$indexDir/hashes")
@@ -679,7 +701,12 @@ object Dedup {
     * IMMEDIATELY; the physical rows are reclaimed lazily by the next
     * [[compactLshIndex]], which folds the tombstones in and clears the
     * table. Appending an id twice, or an id the index never held, is
-    * harmless (the anti-join is set semantics).
+    * harmless (the anti-join is set semantics). RE-INGESTING a
+    * tombstoned id through [[appendLshDetect]] RESURRECTS it — the
+    * append clears the id's tombstone before its rows land (the
+    * delete-then-upsert rule of the keyed sink applied to the index),
+    * which also unhides the id's pre-takedown rows; a re-ingest with
+    * CHANGED text should compact first or use a fresh id.
     */
   def tombstoneLshDocs(ids: DataFrame, indexDir: String): Unit =
     ids.select(col(ids.columns.head).as("id"))
@@ -726,7 +753,10 @@ object Dedup {
     import org.apache.hadoop.fs.Path
     val root = new Path(indexDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tomb = lshTombstones(spark, indexDir).map(_.distinct().localCheckpoint(true))
+    // not materialized: the set is read twice (two anti-joins) but it
+    // is a tiny parquet scan + distinct — cheaper to re-run than to
+    // hold checkpoint blocks through the maintenance pass
+    val tomb = lshTombstones(spark, indexDir).map(_.distinct())
     def dropTombstoned(df: DataFrame): DataFrame =
       tomb.fold(df)(t => df.join(t, Seq("id"), "left_anti"))
     // staging dirs deliberately NOT dot-prefixed (hidden-path filters

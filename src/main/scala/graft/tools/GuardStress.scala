@@ -109,7 +109,13 @@ object GuardStress {
     val streamDir = s"$outDir/stream"
     Files.createDirectories(Paths.get(streamDir))
     val docsPath = s"$outDir/documents.parquet"
-    if (!Files.exists(Paths.get(docsPath))) {
+    // the stream layout is keyed on its OWN marker file, not on
+    // docsPath: an outDir cached by the r12 harness (single-file
+    // stream corpus) must be regenerated, or the s19 leg would
+    // silently re-measure the single-split layout while reporting the
+    // multi-file number
+    val streamOk = Files.exists(Paths.get(f"$streamDir/documents-${0}%05d.parquet"))
+    if (!Files.exists(Paths.get(docsPath)) || !streamOk) {
       val corpus = spark.range(n).select(
           col("id").as("doc_id"),
           concat(lit(body), lit(" v"), col("id")).as("text"),
@@ -131,6 +137,12 @@ object GuardStress {
       val tmp = s"$outDir/_docs_tmp"
       corpus.repartition(cpus.toInt).write.mode("overwrite").parquet(tmp)
       import scala.jdk.CollectionConverters._
+      // wipe any stale layout first (e.g. the r12 single documents
+      // .parquet file) — the glob matches BOTH layouts, so leftovers
+      // would double the streamed corpus
+      Files.list(Paths.get(streamDir)).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("documents"))
+        .foreach(Files.delete)
       Files.list(Paths.get(tmp)).iterator().asScala
         .filter(_.toString.endsWith(".parquet")).zipWithIndex
         .foreach { case (part, i) =>

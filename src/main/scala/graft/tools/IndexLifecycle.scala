@@ -88,17 +88,22 @@ object IndexLifecycle {
     }
 
     // compaction parity: a fixed probe slice must detect identically
-    // against the uncompacted and the compacted index
+    // against the uncompacted and the compacted index. The probe slice
+    // was itself appended in cycle N, so its ids exist in BOTH the
+    // index and the probe batch — the verify join would emit each
+    // collided pair once per (index copy × batch copy); dedup to the
+    // true PAIR SET so the printed count is detections, not join
+    // multiplicity (parity holds either way, the count is evidence)
     val probe = docs.filter(col("doc_id") >= maxId - step)
-    val (before, preSec) = secs(
+    def detectProbe(): Seq[(Long, Long, Double)] =
       Dedup.detectDeltaPairs(probe, "doc_id", "text", idxDir)
-        .as[(Long, Long, Double)].collect().toSeq.sorted)
+        .dropDuplicates("doc_a", "doc_b")
+        .as[(Long, Long, Double)].collect().toSeq.sorted
+    val (before, preSec) = secs(detectProbe())
     // fixture-sized compaction target (a cluster run sizes this by
     // bytes; the fixture's point is the file-count collapse)
     val (_, compactSec) = secs(Dedup.compactLshIndex(spark, idxDir, targetFiles = 4))
-    val (after, postSec) = secs(
-      Dedup.detectDeltaPairs(probe, "doc_id", "text", idxDir)
-        .as[(Long, Long, Double)].collect().toSeq.sorted)
+    val (after, postSec) = secs(detectProbe())
     require(before == after,
       s"COMPACTION PARITY FAILED: ${before.size} pairs before vs ${after.size} after")
     println(f"[lifecycle] compact wall=$compactSec%.2fs — " +

@@ -4,7 +4,7 @@ import java.util.concurrent.Executors
 import java.util.concurrent.atomic.AtomicLong
 
 import scala.concurrent.duration.{Duration, DurationInt}
-import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.{Await, ExecutionContext, Future, Promise}
 
 import org.apache.spark.sql.SparkSession
 
@@ -48,7 +48,20 @@ object Audits {
           try leg() finally sc.clearJobGroup()
         }
       }
-      Await.result(Future.sequence(fs), timeout)
+      // fail-FAST: Future.sequence alone is not (it chains left to
+      // right, so a failure in leg N surfaces only after legs 1..N-1
+      // complete — siblings would burn cluster time for the widest
+      // leg's duration). The first failure completes this promise on
+      // the failing leg's own thread (parasitic EC) and wakes the
+      // await immediately, so cancellation fires the moment any leg
+      // dies, not when the slowest one finishes.
+      val firstFailure = Promise[Seq[A]]()
+      fs.foreach(_.failed.foreach(firstFailure.tryFailure)(
+        ExecutionContext.parasitic))
+      Await.result(
+        Future.firstCompletedOf(Seq(Future.sequence(fs), firstFailure.future))(
+          ExecutionContext.parasitic),
+        timeout)
     } catch {
       case t: Throwable =>
         sc.cancelJobGroup(group)

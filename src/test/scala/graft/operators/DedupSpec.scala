@@ -803,6 +803,28 @@ class DedupSpec extends SparkSpec {
         .as[(Long, Long, Double)].collect().toSeq.sorted
       assert(drained.filter(_._2 >= 200) == afterTomb,
         "post-compaction append must drain the probe's pairs")
+
+      // RESURRECT-ON-APPEND: takedown doc 1, its pairs vanish; then
+      // re-ingest doc 1 through the append path — the tombstone clears
+      // BEFORE the rows land, the pairs reappear, and a subsequent
+      // compaction no longer erases the doc (the silent-erasure case:
+      // tombstone → re-append → compact must not lose a live doc)
+      def detectSet(): Set[(Long, Long)] =
+        Dedup.detectDeltaPairs(delta, "doc_id", "text", idxDir.toString)
+          .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+      val withDoc1 = detectSet()
+      assert(withDoc1.exists(p => p._1 == 1L || p._2 == 1L),
+        "fixture must pair doc 1 across the split")
+      Dedup.tombstoneLshDocs(Seq(1L).toDF("id"), idxDir.toString)
+      assert(detectSet() == withDoc1.filterNot(p => p._1 == 1L || p._2 == 1L),
+        "takedown must hide exactly doc 1's pairs")
+      Dedup.appendLshDetect(docs.filter($"doc_id" === 1L), "doc_id", "text",
+        idxDir.toString, outDir.toString)
+      assert(detectSet() == withDoc1,
+        "re-ingesting a tombstoned id must resurrect it")
+      Dedup.compactLshIndex(spark, idxDir.toString, targetFiles = 2)
+      assert(detectSet() == withDoc1,
+        "compaction after a resurrect must not erase the live doc")
     } finally {
       graft.util.Scratch.rmTree(idxDir)
       graft.util.Scratch.rmTree(outDir)
